@@ -1,0 +1,134 @@
+package graft.core
+
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions.col
+import scala.collection.mutable
+
+/** The generic user-function-driven MapReduce surface of the reference
+  * engine (`/root/reference/mapreduce.py:139-187`), re-expressed on Spark.
+  *
+  * Reference semantics honored:
+  *   - `mapFcn` is a generator: 0..n `(k, v)` outputs per input record
+  *     (mapreduce.py:16) → `Dataset.flatMap`.
+  *   - `reduceFcn` is *holistic*: it sees every value of a key in one call
+  *     (mapreduce.py:17-18, 132-133) — so the default path is
+  *     `groupByKey(...).mapGroups(...)`, never a partial-aggregating
+  *     `Aggregator`, unless the caller opts in via [[runAssociative]].
+  *   - Keys are generic `K : Encoder` — the documented contract
+  *     (mapreduce.py:18), not the snapshot's str-only sharder
+  *     (mapreduce.py:70, a latent bug; see SURVEY.md §1.1).
+  *   - Output order is unspecified, as in the reference
+  *     (mapreduce.py:161-163); callers sort when determinism matters.
+  *
+  * Scale notes (100 TB): the default path is a single hash-shuffle on the
+  * key with Spark's spillable object-hash aggregation; value groups are
+  * streamed to `reduceFcn` as an `Iterator` (the reference materializes a
+  * list per key in reducer memory, mapreduce.py:118 — callers that need
+  * random access can `.toSeq`, accepting the same memory profile). When
+  * the reduce function is associative+commutative, use [[runAssociative]]
+  * to get map-side partial aggregation (the reference has none —
+  * SURVEY.md §2.1 O8).
+  */
+object MapReduce {
+
+  /** Bulk API — analog of `MapReduceBulk` (mapreduce.py:139-164).
+    *
+    * @param numPartitions explicit reducer-parallelism knob (the
+    *   reference's `num_reducers`). `None` (recommended) lets
+    *   `spark.sql.shuffle.partitions` + AQE choose; `Some(n)` forces an
+    *   exact hash-partitioning into n shards, reproducing the reference
+    *   topology: one shuffle, hash(key) mod n (mapreduce.py:64-73).
+    */
+  def run[D, K, V, R](
+      ds: Dataset[D],
+      mapFcn: D => IterableOnce[(K, V)],
+      reduceFcn: (K, Iterator[V]) => R,
+      numPartitions: Option[Int] = None)(implicit
+      kvEnc: Encoder[(K, V)],
+      kEnc: Encoder[K],
+      rEnc: Encoder[R]): Dataset[R] = {
+    val mapped = ds.flatMap(mapFcn)
+    numPartitions match {
+      case None =>
+        mapped.groupByKey(_._1).mapGroups((k, it) => reduceFcn(k, it.map(_._2)))
+      case Some(n) =>
+        // Exact reference topology: hash-partition by key into n shards
+        // (one shuffle), then a per-shard hash group-by — every value of a
+        // key is guaranteed co-located because repartition(n, key) hashes
+        // on the full key.
+        mapped
+          .repartition(n, col("_1"))
+          .mapPartitions { it =>
+            val groups = mutable.LinkedHashMap.empty[K, mutable.ArrayBuffer[V]]
+            it.foreach { case (k, v) =>
+              groups.getOrElseUpdate(k, mutable.ArrayBuffer.empty[V]) += v
+            }
+            groups.iterator.map { case (k, vs) => reduceFcn(k, vs.iterator) }
+          }
+    }
+  }
+
+  /** Associative fast path: when `reduceFcn` is a commutative monoid fold,
+    * Spark can partially aggregate map-side before the shuffle — the
+    * optimization the reference lacks entirely (SURVEY.md §4.1). Semantics
+    * equal `run` with `reduceFcn = (k, vs) => out(vs.reduce(merge))`.
+    */
+  def runAssociative[D, K, V](
+      ds: Dataset[D],
+      mapFcn: D => IterableOnce[(K, V)],
+      merge: (V, V) => V)(implicit
+      kvEnc: Encoder[(K, V)],
+      kEnc: Encoder[K],
+      vEnc: Encoder[V]): Dataset[(K, V)] =
+    ds.flatMap(mapFcn).groupByKey(_._1).mapValues(_._2).reduceGroups(merge)
+
+  /** Single-text-file API — analog of `MapReduceWithOneFileInput`
+    * (mapreduce.py:167-173). Unlike the reference, the file does NOT
+    * stream through the driver (its acknowledged bottleneck,
+    * mapreduce.py:25-26): Spark splits it across executors.
+    *
+    * Reference line semantics: lines keep their trailing `\n` there;
+    * Spark strips terminators — documented delta (SURVEY.md §1.1), no
+    * observable difference for the reference's own workloads.
+    */
+  def runOnTextFile[K, V, R](
+      spark: SparkSession,
+      path: String,
+      mapFcn: String => IterableOnce[(K, V)],
+      reduceFcn: (K, Iterator[V]) => R,
+      ignoreFirstLine: Boolean = false,
+      numPartitions: Option[Int] = None)(implicit
+      kvEnc: Encoder[(K, V)],
+      kEnc: Encoder[K],
+      rEnc: Encoder[R]): Dataset[R] = {
+    import spark.implicits._
+    val lines0 = spark.read.textFile(path)
+    val lines =
+      if (!ignoreFirstLine) lines0
+      else {
+        // Drop the first line of the (single) file without collecting it:
+        // zipWithIndex is a narrow pass over already-ordered text splits.
+        lines0.rdd.zipWithIndex.filter(_._2 > 0L).map(_._1).toDS()
+      }
+    run(lines, mapFcn, reduceFcn, numPartitions)
+  }
+
+  /** Multi-file API — analog of `MapReduceWithMultipleFiles`
+    * (mapreduce.py:176-187): an index file lists one data-file URI per
+    * line. The reference round-robins whole files to mappers; Spark goes
+    * further and splits every file into byte-range tasks.
+    */
+  def runOnFileIndex[K, V, R](
+      spark: SparkSession,
+      indexPath: String,
+      mapFcn: String => IterableOnce[(K, V)],
+      reduceFcn: (K, Iterator[V]) => R,
+      numPartitions: Option[Int] = None)(implicit
+      kvEnc: Encoder[(K, V)],
+      kEnc: Encoder[K],
+      rEnc: Encoder[R]): Dataset[R] = {
+    val files = spark.read.textFile(indexPath)
+      .collect().map(_.trim).filter(_.nonEmpty) // index file is small: file list only
+    run(spark.read.textFile(files: _*), mapFcn, reduceFcn, numPartitions)
+  }
+}
