@@ -11,7 +11,7 @@ import graft.operators._
   */
 object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
-    RefWorkload)
+    RefWorkload, Relational, ScalarFunctions, Temporal)
 
   lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.queries)

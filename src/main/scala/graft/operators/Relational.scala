@@ -1,0 +1,328 @@
+package graft.operators
+
+import graft.{Q, QueryPack}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational algebra breadth the reference lacks entirely (SURVEY.md
+  * §2.3): joins of every flavor, grouped/distinct/approx aggregation,
+  * rollup/cube/grouping sets, set operations, global and windowed top-k.
+  *
+  * Scale design notes (100 TB):
+  *   - Dimension joins (`region`, `nation`, small dims) are explicitly
+  *     `broadcast()` — no shuffle of the fact side.
+  *   - Fact-fact joins (lineitem⋈orders, orders⋈customer) shuffle on
+  *     their join key once; Catalyst + AQE pick sort-merge vs shuffled
+  *     hash and handle skew.
+  *   - All money aggregates go through DECIMAL(18,2): exact arithmetic
+  *     makes results independent of partial-aggregation order, which both
+  *     makes the DuckDB hash-compare deterministic and keeps map-side
+  *     partial aggregation safe at any cluster size.
+  */
+object Relational extends QueryPack {
+
+  /** Exact money arithmetic: cast to decimal before summing. */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  /** Exact decimal sum rendered as a rounded double for output parity. */
+  private def moneySum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** TPC-H Q1-style pricing summary: filter + multi-aggregate group-by. */
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("2001-06-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(moneySum(col("l_quantity")), 2).as("sum_qty"),
+        round(moneySum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .cast("double"), 2).as("sum_disc_price"),
+        count(lit(1)).as("count_order"),
+        round((moneySum(col("l_quantity")) / count(lit(1))), 6).as("avg_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Broadcast dimension join: order revenue per market segment. */
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(round(moneySum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** 5-table star join: revenue per region/nation. lineitem⋈orders⋈
+    * customer shuffle on their keys; nation+region broadcast. */
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"),
+        (dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))).as("rev"))
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(round(sum(col("rev")).cast("double"), 2).as("revenue"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Left outer join preserving customers with zero orders. */
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select("c_custkey")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  /** Left-semi join (EXISTS): customers that placed ≥1 order, by segment. */
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_active"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Windowed top-k: top-3 orders per customer (deterministic ties). */
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+    Tables.orders(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rk")
+  }
+
+  /** Running (cumulative) revenue per supplier — frame-bounded window
+    * aggregation over exact decimals. (l_orderkey, l_linenumber) is NOT
+    * unique in this data, so both the window order and the output order
+    * include l_extendedprice/running_rev to stay total and deterministic. */
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.lineitem(s, dir)
+      .withColumn("running_rev",
+        round(sum(dec(col("l_extendedprice"))).over(w).cast("double"), 2))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "running_rev")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_rev")
+  }
+
+  /** lag/lead: microseconds since each user's previous event. Ordering is
+    * by µs-truncated time + event_id in BOTH engines — DuckDB sees full
+    * nanoseconds, Spark only micros, so ordering by raw ts could attribute
+    * gaps to different rows on same-microsecond collisions. */
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us", "event_id")
+    Tables.events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap_us", col("us") - lag("us", 1).over(w))
+      .select("event_id", "user_id", "gap_us")
+      .orderBy("event_id")
+  }
+
+  /** Global top-k: TakeOrderedAndProject, no full sort at scale. */
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+      .limit(10)
+
+  /** UNION (distinct): buyers ∪ high-balance customers. */
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(col("o_custkey").as("custkey"))
+      .union(Tables.customer(s, dir)
+        .filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("custkey")))
+      .distinct()
+      .orderBy("custkey")
+
+  /** INTERSECT: buyers that also have high balances. */
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(col("o_custkey").as("custkey"))
+      .intersect(Tables.customer(s, dir)
+        .filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("custkey")))
+      .orderBy("custkey")
+
+  /** EXCEPT: high-balance customers that never bought. */
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("custkey"))
+      .except(Tables.orders(s, dir).select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+
+  /** Exact distinct-count aggregation (expand-based in Spark). */
+  private def q24(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** HLL approximate distinct — sketch differs from DuckDB's, so no SQL
+    * oracle (rows-only check); accuracy pinned by RelationalSpec. */
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .orderBy("l_returnflag")
+
+  /** ROLLUP with exact decimal sums; NULL subtotal keys labeled 'ALL'. */
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(moneySum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("n"))
+      .orderBy("flag", "status")
+
+  /** CUBE over event type × month. */
+  private def q27(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .cube(col("event_type"), date_format(col("ts"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n"),
+        round(moneySum(col("value")), 2).as("sum_value"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("month"), lit("ALL")).as("month"),
+        col("n"), col("sum_value"))
+      .orderBy("event_type", "month")
+
+  /** GROUPING SETS via SQL (only surface Spark's Dataset API lacks). */
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
+    s.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       count(1) AS n,
+        |       round(cast(sum(cast(o_totalprice AS decimal(18,2))) AS double), 2) AS revenue
+        |FROM graft_orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)
+  }
+
+  override def queries: Seq[Q] = Seq(
+    Q("q11_pricing_summary", q11, Some(
+      """SELECT l_returnflag, l_linestatus,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_disc_price,
+        |  count(*) AS count_order,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    Q("q12_join_segment_revenue", q12, Some(
+      """SELECT c_mktsegment,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q13_star_join_region", q13, Some(
+      """SELECT r_name, n_name,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    Q("q14_left_join_counts", q14, Some(
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q15_semi_join", q15, Some(
+      """SELECT c_mktsegment, count(*) AS n_active FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q16_anti_join", q16, Some(
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin)),
+    Q("q17_window_topk", q17, Some(
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rk
+        |  FROM orders
+        |) WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin)),
+    Q("q18_window_running", q18, Some(
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_rev
+        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, running_rev""".stripMargin)),
+    Q("q19_lag_gap", q19, Some(
+      """SELECT event_id, user_id,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+        |FROM events ORDER BY event_id""".stripMargin)),
+    Q("q20_global_topk", q20, Some(
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 10""".stripMargin)),
+    Q("q21_union", q21, Some(
+      """SELECT o_custkey AS custkey FROM orders
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |ORDER BY custkey""".stripMargin)),
+    Q("q22_intersect", q22, Some(
+      """SELECT o_custkey AS custkey FROM orders
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |ORDER BY custkey""".stripMargin)),
+    Q("q23_except", q23, Some(
+      """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+        |EXCEPT
+        |SELECT o_custkey FROM orders
+        |ORDER BY custkey""".stripMargin)),
+    Q("q24_distinct_counts", q24, Some(
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q25_approx_distinct", q25, None),
+    Q("q26_rollup", q26, Some(
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin)),
+    Q("q27_cube", q27, Some(
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |  coalesce(strftime(ts, '%Y-%m'), 'ALL') AS month,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+        |FROM events GROUP BY CUBE (event_type, strftime(ts, '%Y-%m'))
+        |ORDER BY event_type, month""".stripMargin)),
+    Q("q28_grouping_sets", q28, Some(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin)),
+  )
+}

@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.{Q, QueryPack}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function surface (SURVEY.md §2.3 "Scalar functions"): the
+  * reference reaches all of this only through Python stdlib calls inside
+  * user map functions (Q4–Q7, Q10); here it's Catalyst built-ins —
+  * codegen'd, null-safe, and pushdown-friendly.
+  */
+object ScalarFunctions extends QueryPack {
+
+  /** String functions over customer/part. */
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        lower(col("c_name")).as("name_lower"),
+        length(col("c_name")).as("name_len"),
+        substring(col("c_name"), 10, 4).as("name_mid"),
+        concat_ws("-", col("c_mktsegment"), col("c_nationkey")).as("seg_nation"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("key_padded"),
+        regexp_replace(col("c_name"), "0+", "0").as("name_squeezed"),
+        reverse(col("c_name")).as("name_rev"),
+        col("c_name").like("%42%").as("has_42"))
+      .orderBy("c_custkey")
+
+  /** Date/time functions over orders. */
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        quarter(col("o_orderdate")).as("q"),
+        weekday(col("o_orderdate")).as("wd"), // Monday=0, = DuckDB isodow-1
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30"),
+        datediff(lit("1999-01-01").cast("date"), col("o_orderdate")).as("days_to_1999"))
+      .orderBy("o_orderkey")
+
+  /** Math functions over lineitem; transcendentals rounded to 6 decimals
+    * (both engines are within 1 ulp of correctly-rounded libm). */
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_extendedprice") - 50000.0).as("abs_dev"),
+        ceil(col("l_quantity") / 7.0).as("ceil7"),
+        floor(col("l_quantity") / 7.0).as("floor7"),
+        round(log(lit(1.0) + col("l_quantity")), 6).as("ln1p_qty"),
+        round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+        round(pow(col("l_discount"), 2), 6).as("disc_sq"),
+        pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(97)).as("h97"))
+      // (l_orderkey, l_linenumber) is not unique — order by every output
+      // column so row order is total in both engines.
+      .orderBy("l_orderkey", "l_linenumber", "abs_dev", "ceil7", "floor7",
+        "ln1p_qty", "sqrt_price", "disc_sq", "h97")
+
+  /** Array functions over documents (tokenize → array ops). */
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        element_at(toks, 1).as("first_tok"),
+        array_contains(toks, "spark").as("has_spark"),
+        array_join(slice(sort_array(array_distinct(toks)), 1, 3), ",").as("top3_sorted"))
+      .orderBy("doc_id")
+  }
+
+  /** JSON extraction from the events props payload. */
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_mod10"))
+      .orderBy("event_id")
+
+  /** CASE/WHEN bucketing + conditional aggregation. */
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        when(col("value") < 50, "low")
+          .when(col("value") < 150, "mid")
+          .otherwise("high").as("bucket"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "bucket")
+
+  override def queries: Seq[Q] = Seq(
+    Q("q29_string_funcs", q29, Some(
+      """SELECT c_custkey, upper(c_mktsegment) AS seg_upper,
+        |  lower(c_name) AS name_lower, length(c_name) AS name_len,
+        |  substring(c_name, 10, 4) AS name_mid,
+        |  concat_ws('-', c_mktsegment, c_nationkey) AS seg_nation,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+        |  regexp_replace(c_name, '0+', '0', 'g') AS name_squeezed,
+        |  reverse(c_name) AS name_rev,
+        |  c_name LIKE '%42%' AS has_42
+        |FROM customer ORDER BY c_custkey""".stripMargin)),
+    Q("q30_date_funcs", q30, Some(
+      """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  day(o_orderdate) AS d, quarter(o_orderdate) AS q,
+        |  isodow(o_orderdate) - 1 AS wd,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+        |  datediff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS days_to_1999
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+    Q("q31_math_funcs", q31, Some(
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_extendedprice - 50000.0) AS abs_dev,
+        |  CAST(ceil(l_quantity / 7.0) AS BIGINT) AS ceil7,
+        |  CAST(floor(l_quantity / 7.0) AS BIGINT) AS floor7,
+        |  round(ln(1.0 + l_quantity), 6) AS ln1p_qty,
+        |  round(sqrt(l_extendedprice), 6) AS sqrt_price,
+        |  round(pow(l_discount, 2), 6) AS disc_sq,
+        |  (l_orderkey * 7 + l_linenumber) % 97 AS h97
+        |FROM lineitem ORDER BY ALL""".stripMargin)),
+    Q("q32_array_funcs", q32, Some(
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |  string_split(text, ' ')[1] AS first_tok,
+        |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
+        |  array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',') AS top3_sorted
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+    Q("q33_json_extract", q33, Some(
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod10
+        |FROM events ORDER BY event_id""".stripMargin)),
+    Q("q34_case_buckets", q34, Some(
+      """SELECT event_type,
+        |  CASE WHEN value < 50 THEN 'low' WHEN value < 150 THEN 'mid'
+        |       ELSE 'high' END AS bucket,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+  )
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.{Q, QueryPack}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators (as-of join, banded range join, gap-based
+  * sessionization) — capabilities absent from the reference (its only
+  * notion of time is a string prefix, SURVEY.md §1.1) but essential for
+  * the events workload.
+  */
+object Temporal extends QueryPack {
+
+  /** As-of join: each event picks up the latest order of the same
+    * customer (user_id = o_custkey) with o_orderdate <= ts. Orders are
+    * pre-reduced to one row per (custkey, date) — max orderkey — so the
+    * match is deterministic. */
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val ord = Tables.orders(s, dir)
+      .groupBy("o_custkey", "o_orderdate")
+      .agg(max("o_orderkey").as("o_orderkey"))
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"),
+        col("o_orderkey"))
+    AsOfJoin.leftAsOf(ev, ord, "user_id", "o_custkey",
+        col("us"), col("o_us"))
+      .select(col("event_id"), col("user_id"), col("o_orderkey").as("asof_orderkey"))
+      .orderBy("event_id")
+  }
+
+  /** Banded range join: per event, how many other events of the same user
+    * fall within ±1 hour. */
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    // Conditional count, not a pre-filter: an event whose only in-band
+    // match is itself must still appear with n_neighbors = 0.
+    RangeJoin.bandedJoin(ev, ev, "user_id", "us", "us", hourUs)
+      .groupBy("event_id")
+      .agg(count(when(col("r_event_id") =!= col("event_id"), lit(1)))
+        .as("n_neighbors"))
+      .orderBy("event_id")
+  }
+
+  /** Gap-based sessionization: a new session starts after >30 min of user
+    * inactivity. Pure window composition — at scale this is one shuffle
+    * by user + ordered pass (what Structured Streaming's session_window
+    * does for the streaming case, see streaming pack). */
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 1800L * 1000000L
+    val wOrd = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("new_sess",
+        when(col("us") - lag("us", 1).over(wOrd) > gapUs, 1L)
+          .when(lag("us", 1).over(wOrd).isNull, 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum("new_sess").over(wRun))
+      .groupBy("user_id", "session_no")
+      .agg(count(lit(1)).as("n_events"),
+        min("us").as("start_us"),
+        (max("us") - min("us")).as("dur_us"))
+      .orderBy("user_id", "session_no")
+  }
+
+  override def queries: Seq[Q] = Seq(
+    Q("q35_asof_join", q35, Some(
+      """SELECT event_id, user_id, asof_orderkey FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e
+        |  LEFT JOIN orders o
+        |    ON o.o_custkey = e.user_id AND epoch_us(o.o_orderdate) <= epoch_us(ts)
+        |) WHERE rn = 1 ORDER BY event_id""".stripMargin)),
+    Q("q36_range_join_neighbors", q36, Some(
+      """SELECT a.event_id, count(b.event_id) AS n_neighbors
+        |FROM events a
+        |LEFT JOIN events b ON b.user_id = a.user_id
+        |  AND b.event_id != a.event_id
+        |  AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 3600000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q37_sessionize", q37, Some(
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN us - lag(us) OVER w > 1800000000 THEN 1
+        |         WHEN lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |), s AS (
+        |  SELECT user_id, event_id, us,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM t
+        |)
+        |SELECT user_id, session_no, count(*) AS n_events, min(us) AS start_us,
+        |  max(us) - min(us) AS dur_us
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+  )
+}
