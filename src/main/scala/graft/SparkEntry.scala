@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
+import graft.streaming.StreamingQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -11,7 +12,8 @@ import graft.operators._
   */
 object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
-    RefWorkload, Relational, ScalarFunctions, Temporal)
+    RefWorkload, Relational, ScalarFunctions, Temporal, Dedup,
+    Similarity, TextAnalysis, Multimodal, StreamingQueries)
 
   lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.queries)

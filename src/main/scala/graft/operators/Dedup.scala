@@ -1,0 +1,203 @@
+package graft.operators
+
+import graft.{Q, QueryPack}
+import graft.functions.TextHash
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for training-data pipelines (north-star extension,
+  * SURVEY.md §2.3 ★): exact content-hash dedup, normalized dedup,
+  * MinHash+LSH near-dedup, SimHash near-dedup, and exact n-gram Jaccard
+  * via an inverted shingle index.
+  *
+  * Scale design (100 TB):
+  *   - Exact dedup: one hash-shuffle on a 256-bit content digest.
+  *   - MinHash-LSH: per-doc signature (map-only), explode to
+  *     (band, band_hash) buckets — 32 rows/doc — then a bucket self-join.
+  *     Candidate volume is O(Σ bucket²); monster buckets mean
+  *     near-identical boilerplate and should be capped/salted upstream in
+  *     a production run. Candidates are verified with EXACT Jaccard before
+  *     reporting, so LSH only affects recall, never precision — and makes
+  *     results oracle-checkable.
+  *   - SimHash: 64-bit fingerprint, 8×8-bit LSH chunks (pigeonhole:
+  *     hamming ≤ 7 pairs always share a chunk), hamming + exact verify.
+  *   - n-gram Jaccard: exact algorithm via inverted index — a pair is
+  *     produced only if it shares ≥1 shingle, counted in one groupBy.
+  */
+object Dedup extends QueryPack {
+
+  /** Word-3-gram shingle set (distinct), matching the oracle's
+    * list-comprehension construction exactly. */
+  private val shingleUdf = udf { (tokens: Seq[String]) =>
+    TextHash.shingles(tokens, 3).toSeq
+  }
+  private val minhashBandsUdf = udf { (sh: Seq[String]) =>
+    TextHash.bands(TextHash.minhash(sh))
+  }
+  private val simhashUdf = udf { (tokens: Seq[String]) =>
+    TextHash.simhash(tokens)
+  }
+
+  private def docsWithShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
+      .withColumn("sh", shingleUdf(col("tokens")))
+
+  /** Exact Jaccard between two shingle-array columns, rounded to 4. */
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    round(inter / (size(a) + size(b) - size(array_intersect(a, b))), 4)
+  }
+
+  /** Join candidate (id_a, id_b) pairs back to shingle sets and keep the
+    * exactly-verified near-dups. */
+  private def verifyPairs(cand: DataFrame, shSets: DataFrame, minJac: Double): DataFrame = {
+    val a = shSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = shSets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= minJac)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q40: exact dedup via SHA-256 content digest — group, count, pick a
+    * canonical doc per group. */
+  private def q40(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(sha2(col("text"), 256).as("content_hash"), col("doc_id"))
+      .groupBy("content_hash")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical_id"))
+      .orderBy("content_hash")
+
+  /** q41: normalized dedup — lowercase, trim, collapse whitespace first. */
+  private def q41(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(sha2(regexp_replace(trim(lower(col("text"))), "\\s+", " "), 256)
+        .as("content_hash"), col("doc_id"))
+      .groupBy("content_hash")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical_id"))
+      .orderBy("content_hash")
+
+  /** q42: MinHash + LSH banding near-dedup, exact-verified. */
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithShingles(s, dir)
+    val buckets = docs
+      .select(col("doc_id"), posexplode(minhashBandsUdf(col("sh"))))
+      .toDF("doc_id", "band_idx", "band_val")
+    val a = buckets.toDF("id_a", "band_idx", "band_val")
+    val b = buckets.toDF("id_b", "band_idx", "band_val")
+    val cand = a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    verifyPairs(cand, docs.select("doc_id", "sh"), 0.7)
+  }
+
+  /** q43: SimHash near-dedup — 16×4-bit chunk LSH (pigeonhole: every pair
+    * at hamming ≤ 15 shares a chunk, so recall at that radius is exact,
+    * not probabilistic), hamming ≤ 15 gate, then exact Jaccard
+    * verification (same oracle as q42 — verification makes precision
+    * exact). A random 64-bit pair sits at hamming ≈ 32 ± 4, so the gate
+    * still rejects ~all non-dups; production dedup at tighter radii
+    * (hamming ≤ 3, 4×16-bit chunks) trades this recall for fewer
+    * candidates. */
+  private def q43(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithShingles(s, dir).withColumn("sim", simhashUdf(col("tokens")))
+    val chunks = docs.select(col("doc_id"), col("sim"),
+      posexplode(array((0 until 16).map(i =>
+        shiftright(col("sim"), i * 4).bitwiseAND(lit(0xfL))): _*)))
+      .toDF("doc_id", "sim", "chunk_idx", "chunk_val")
+    val a = chunks.toDF("id_a", "sim_a", "chunk_idx", "chunk_val")
+    val b = chunks.toDF("id_b", "sim_b", "chunk_idx", "chunk_val")
+    val hammingUdf = udf((x: Long, y: Long) => TextHash.hamming(x, y))
+    val cand = a.join(b, Seq("chunk_idx", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(hammingUdf(col("sim_a"), col("sim_b")) <= 15)
+      .select("id_a", "id_b").distinct()
+    verifyPairs(cand, docs.select("doc_id", "sh"), 0.7)
+  }
+
+  /** q44: exact word-3-gram Jaccard ≥ 0.7 via inverted shingle index —
+    * no approximation anywhere; the scalable exact-dedup baseline. */
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithShingles(s, dir)
+    val inv = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val a = inv.toDF("id_a", "s")
+    val b = inv.toDF("id_b", "s")
+    val inter = a.join(b, "s").filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.toDF("id_a", "n_a"), "id_a")
+      .join(sizes.toDF("id_b", "n_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 4))
+      .filter(col("jaccard") >= 0.7)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q45: embedding near-dup — cosine ≥ 0.4 pairs, double-precision dot
+    * products (brute force here; the LSH-bucketed scale path is
+    * Similarity.q47). */
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val dot = (x: Column, y: Column) =>
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, z) => acc + z)
+    val a = e.toDF("id_a", "v_a")
+    val b = e.toDF("id_b", "v_b")
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(
+        dot(col("v_a"), col("v_b")) /
+          (sqrt(dot(col("v_a"), col("v_a"))) * sqrt(dot(col("v_b"), col("v_b")))), 6))
+      .filter(col("cos") >= 0.4)
+      .select("id_a", "id_b", "cos")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Shared oracle for q42/q43/q44: exact all-pairs word-3-gram Jaccard.
+    * LSH candidate generation only affects recall; the planted near-dups
+    * sit at Jaccard ≥ 0.9 where MinHash (32×4 bands) and SimHash
+    * (hamming ≤ 7) recall is effectively 1. */
+  private val exactJaccardSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |         [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |          FOR i IN generate_series(1, len(w) - 2)])) AS s FROM toks),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  round(inter * 1.0 / (na.n + nb.n - inter), 4) AS jaccard
+      |FROM pairs
+      |JOIN sizes na ON na.doc_id = pairs.id_a
+      |JOIN sizes nb ON nb.doc_id = pairs.id_b
+      |WHERE round(inter * 1.0 / (na.n + nb.n - inter), 4) >= 0.7
+      |ORDER BY id_a, id_b""".stripMargin
+
+  override def queries: Seq[Q] = Seq(
+    Q("q40_dedup_exact", q40, Some(
+      """SELECT sha256(text) AS content_hash, count(*) AS n_docs,
+        |  min(doc_id) AS canonical_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q41_dedup_normalized", q41, Some(
+      """SELECT sha256(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
+        |  count(*) AS n_docs, min(doc_id) AS canonical_id
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q42_minhash_lsh", q42, Some(exactJaccardSql)),
+    Q("q43_simhash", q43, Some(exactJaccardSql)),
+    Q("q44_ngram_jaccard", q44, Some(exactJaccardSql)),
+    Q("q45_embedding_neardup", q45, Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin)),
+  )
+}

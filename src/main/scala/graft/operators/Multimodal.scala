@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.{Q, QueryPack}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (north-star extension): media as opaque
+  * `binary` payloads with typed metadata, batch-decoded per partition.
+  *
+  * The Spark-side architecture is the real thing — binary columns,
+  * metadata struct, hash-partitioned batch iteration via typed
+  * `mapPartitions` (the Scala analog of `mapInPandas` batch UDFs), and a
+  * deterministic feature schema out. Only the codec call itself is
+  * STUBBED (this container ships no image/audio libraries): the "decode"
+  * is a deterministic byte-level fake, cleanly isolated in
+  * [[Multimodal.decodeStub]] where a JNI/javacpp codec would slot in.
+  *
+  * Scale notes: decode is the expensive step at 100 TB — it's map-only,
+  * so it scales linearly; the repartition spreads documents evenly so one
+  * executor never holds a skewed byte volume; payloads stream through the
+  * iterator without materializing a partition in memory.
+  */
+object Multimodal extends QueryPack {
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte], width: Int, height: Int)
+  case class MediaFeature(doc_id: Long, payload_len: Int, first_byte: Int,
+      width: Int, height: Int, checksum: Long)
+
+  /** STUB — stands in for a real image/audio decoder (not available in
+    * this environment). Deterministic over bytes so results are
+    * verifiable end-to-end. */
+  def decodeStub(m: MediaRow): MediaFeature = {
+    var checksum = 0L
+    var i = 0
+    while (i < m.payload.length) {
+      checksum = (checksum * 31 + (m.payload(i) & 0xff)) % 1000000000000000L
+      i += 1
+    }
+    MediaFeature(m.doc_id, m.payload.length,
+      if (m.payload.nonEmpty) m.payload(0) & 0xff else -1,
+      m.width, m.height, checksum)
+  }
+
+  /** q60: binary ingestion → metadata struct → per-partition batch decode
+    * → typed feature frame. Payload here is the utf-8 text bytes (the
+    * container has no real media), so every byte-level feature is
+    * SQL-checkable. */
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("n_chars") % 480).cast("int").as("height"))
+      .repartition(col("doc_id"))
+      .as[MediaRow]
+    media.mapPartitions(_.map(decodeStub))
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  override def queries: Seq[Q] = Seq(
+    Q("q60_multimodal_decode", q60, Some(
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS payload_len,
+        |  ascii(substring(text, 1, 1)) AS first_byte,
+        |  CAST(n_chars % 640 AS INT) AS width,
+        |  CAST(n_chars % 480 AS INT) AS height,
+        |  list_reduce(
+        |    list_prepend(0, list_transform(regexp_extract_all(text, '.'),
+        |      c -> CAST(ascii(c) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000000000000) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+  )
+}

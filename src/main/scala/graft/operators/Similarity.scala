@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.{Q, QueryPack}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (north-star extension):
+  * brute-force cosine top-k as the exactness baseline, a deterministic
+  * IVF (inverted-file) variant as the oracle-checkable scale path, and a
+  * random-hyperplane LSH variant as the probabilistic scale path.
+  *
+  * Scale design (100 TB):
+  *   - Brute force: query set broadcast, corpus scanned once; per-query
+  *     top-k via window rank. For large query sets switch the window to a
+  *     per-partition heap (mapPartitions top-k + final merge) — the
+  *     ranking semantics stay identical.
+  *   - IVF: corpus is partitioned into cells (nearest centroid); a query
+  *     probes only its `nprobe` nearest cells — the candidate set shrinks
+  *     by ~|cells|/nprobe. Centroids here are a deterministic subset (a
+  *     k-means fit is an offline job upstream); assignment and probing are
+  *     pure DataFrame joins, so the whole index is rebuildable per batch.
+  *   - LSH: L hash tables × b sign-bits of random hyperplane projections;
+  *     candidates share a bucket in ≥1 table. Tunable recall/cost via
+  *     (L, b); verified-subset semantics like the dedup suite.
+  */
+object Similarity extends QueryPack {
+
+  private def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, z) => acc + z)
+
+  private def cos6(va: Column, vb: Column): Column =
+    round(dot(va, vb) / (sqrt(dot(va, va)) * sqrt(dot(vb, vb))), 6)
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+
+  /** q46: exact brute-force cosine top-5 for query vectors (vec_id<10). */
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    val e = corpus(s, dir)
+    val q = e.filter(col("vec_id") < 10).toDF("query_id", "qv")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    q.join(e.toDF("neighbor_id", "v"), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cos6(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  /** q47: IVF top-5 — 16 deterministic centroids (vec_id<16), nprobe=4.
+    * Fully deterministic ⇒ exact DuckDB oracle. */
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    val e = corpus(s, dir)
+    val cents = e.filter(col("vec_id") < 16).toDF("cid", "cv")
+    // cell assignment: nearest centroid by cosine (deterministic ties)
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid"))
+    val assign = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", cos6(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select("vec_id", "v", "cid")
+    val q = e.filter(col("vec_id") < 10).toDF("query_id", "qv")
+    // probe the 4 nearest cells per query
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("pcos").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("pcos", cos6(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 4)
+      .select("query_id", "qv", "cid")
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    probes.join(assign.toDF("neighbor_id", "v", "cid"), Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cos6(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Random hyperplanes for LSH: fixed seed, L tables × b bits. */
+  private[operators] val LshTables = 8
+  private[operators] val LshBits = 6
+  private[operators] lazy val hyperplanes: Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(LshTables, LshBits)(Array.fill(64)(rnd.nextGaussian()))
+  }
+
+  /** q48: hyperplane-LSH ANN — probabilistic recall, so rows-only check
+    * here; recall is pinned against q46 in SimilaritySpec. */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val planes = hyperplanes
+    val codeUdf = udf { (v: Seq[Double]) =>
+      planes.map { table =>
+        table.zipWithIndex.foldLeft(0L) { case (acc, (plane, bit)) =>
+          var d = 0.0
+          var i = 0
+          while (i < plane.length && i < v.length) { d += plane(i) * v(i); i += 1 }
+          if (d >= 0) acc | (1L << bit) else acc
+        }
+      }
+    }
+    val e = corpus(s, dir).withColumn("codes", codeUdf(col("v")))
+    val buckets = e.select(col("vec_id"), col("v"), posexplode(col("codes")))
+      .toDF("vec_id", "v", "table_id", "bucket")
+    val qb = buckets.filter(col("vec_id") < 10)
+      .toDF("query_id", "qv", "table_id", "bucket")
+    val cand = qb.join(buckets.toDF("neighbor_id", "v", "table_id", "bucket"),
+        Seq("table_id", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "qv", "neighbor_id", "v")
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.withColumn("cos", cos6(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .orderBy("query_id", "rank")
+  }
+
+  private val cosSql =
+    "round(list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s))), 6)"
+  private def cs(a: String, b: String) = cosSql.format(a, b, a, a, b, b)
+
+  override def queries: Seq[Q] = Seq(
+    Q("q46_ann_bruteforce", q46, Some(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id, ${cs("qv", "e.v")} AS cos
+         |  FROM q JOIN e ON e.vec_id != q.query_id)
+         |SELECT query_id, rank, neighbor_id, cos FROM (
+         |  SELECT query_id, neighbor_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+    Q("q47_ann_ivf", q47, Some(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.v, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cs("e.v", "c.cv")} DESC, c.cid) AS rn
+         |    FROM e, c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         |probes AS (
+         |  SELECT query_id, qv, cid FROM (
+         |    SELECT q.query_id, q.qv, c.cid,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${cs("q.qv", "c.cv")} DESC, c.cid) AS rn
+         |    FROM q, c) WHERE rn <= 4),
+         |cand AS (
+         |  SELECT p.query_id, p.qv, a.vec_id AS neighbor_id, a.v
+         |  FROM probes p JOIN assign a ON a.cid = p.cid
+         |  WHERE a.vec_id != p.query_id)
+         |SELECT query_id, rank, neighbor_id, cos FROM (
+         |  SELECT query_id, neighbor_id, ${cs("qv", "v")} AS cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ${cs("qv", "v")} DESC, neighbor_id) AS rank
+         |  FROM cand) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+    Q("q48_ann_lsh", q48, None),
+  )
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.{Q, QueryPack}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation (north-star extension):
+  * quality scoring, language ID (marker-token heuristic), token counting,
+  * and content fingerprinting. All map-only — no shuffle except the final
+  * presentation sort — so they stream at scan speed at any scale.
+  */
+object TextAnalysis extends QueryPack {
+
+  private val enStop = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** q50: quality scoring — length, stopword ratio, punctuation ratio,
+    * mean token length, linear composite. */
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val stopCount = size(filter(toks, t => t.isInCollection(enStop)))
+    val stopRatio = round(stopCount.cast("double") / nTok, 4)
+    val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+    val punctRatio = round(punct.cast("double") / length(col("text")), 4)
+    val meanTokLen = round(
+      aggregate(transform(toks, t => length(t)), lit(0),
+        (acc, x) => acc + x).cast("double") / nTok, 4)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), length(col("text")).as("n_chars_text"),
+        nTok.as("n_tokens"), stopRatio.as("stop_ratio"),
+        punctRatio.as("punct_ratio"), meanTokLen.as("mean_tok_len"),
+        round((stopRatio + least(nTok, lit(100)).cast("double") / 100
+          - punctRatio + 1) / 3, 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "et", "est", "une"))
+
+  /** q51: language ID via marker-token counting — argmax with fixed
+    * priority order (en > es > de > fr), 'und' when nothing matches. */
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val scores = markers.map { case (lang, ms) =>
+      lang -> size(filter(toks, t => t.isInCollection(ms)))
+    }
+    val Seq(en, es, de, fr) = scores.map(_._2)
+    val pred = when(en >= greatest(es, de, fr) && en > 0, "en")
+      .when(es >= greatest(de, fr) && es > 0, "es")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang").as("declared_lang"),
+        en.as("s_en"), es.as("s_es"), de.as("s_de"), fr.as("s_fr"),
+        pred.as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** q52: token counting — whitespace, regex word-ish tokens, and a
+    * chars/4 BPE-style estimate. */
+  private def q52(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("re_tokens"),
+        ceil(length(col("text")) / 4.0).cast("long").as("est_bpe_tokens"),
+        length(col("text")).as("n_chars_text"))
+      .orderBy("doc_id")
+
+  /** q53: content fingerprint — polynomial rolling hash over normalized
+    * character codes, mod 10^15 (fits exact integer arithmetic in both
+    * engines). */
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+    val chars = regexp_extract_all(norm, lit("."), lit(0))
+    val codes = transform(chars, c => ascii(c).cast("long"))
+    val fp = aggregate(codes, lit(0L),
+      (acc, c) => (acc * 31 + c) % 1000000000000000L)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), fp.as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  override def queries: Seq[Q] = Seq(
+    Q("q50_quality_score", q50, Some(
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+         |SELECT doc_id, length(text) AS n_chars_text, len(w) AS n_tokens,
+         |  round(len(list_filter(w, t -> list_contains(${sqlList(enStop)}, t))) * 1.0 / len(w), 4) AS stop_ratio,
+         |  round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0 / length(text), 4) AS punct_ratio,
+         |  round(list_sum(list_transform(w, t -> length(t))) * 1.0 / len(w), 4) AS mean_tok_len,
+         |  round((round(len(list_filter(w, t -> list_contains(${sqlList(enStop)}, t))) * 1.0 / len(w), 4)
+         |    + least(len(w), 100) / 100.0
+         |    - round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0 / length(text), 4) + 1) / 3, 4) AS quality
+         |FROM t ORDER BY doc_id""".stripMargin)),
+    Q("q51_langid", q51, Some {
+      val exprs = markers.map { case (lang, ms) =>
+        s"len(list_filter(w, t -> list_contains(${sqlList(ms)}, t))) AS s_$lang"
+      }.mkString(",\n  ")
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+         |sc AS (SELECT doc_id, lang, $exprs FROM t)
+         |SELECT doc_id, lang AS declared_lang, s_en, s_es, s_de, s_fr,
+         |  CASE WHEN s_en >= greatest(s_es, s_de, s_fr) AND s_en > 0 THEN 'en'
+         |       WHEN s_es >= greatest(s_de, s_fr) AND s_es > 0 THEN 'es'
+         |       WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+         |       WHEN s_fr > 0 THEN 'fr'
+         |       ELSE 'und' END AS pred_lang
+         |FROM sc ORDER BY doc_id""".stripMargin
+    }),
+    Q("q52_token_count", q52, Some(
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS re_tokens,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens,
+        |  length(text) AS n_chars_text
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+    Q("q53_fingerprint", q53, Some(
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(0,
+        |      list_transform(
+        |        regexp_extract_all(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), '.'),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000000000000) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+  )
+}

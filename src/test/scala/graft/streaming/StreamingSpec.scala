@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming semantics the finite-input oracle can't express: watermark +
+  * append-mode window closure, and custom state via mapGroupsWithState.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("append-mode windowed agg emits exactly the watermark-closed windows") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "7 days"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val name = "graft_wm_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val emitted = spark.table(name)
+      .select(col("window.start").cast("long"), col("event_type"), col("n"))
+      .collect().map(_.toString).sorted
+
+    // batch equivalent, restricted to windows closed by the final watermark
+    val ev = Tables.events(spark, sf)
+    val maxTs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+    val watermarkUs = maxTs - 3600L * 1000000L
+    val closed = ev
+      .groupBy(window(col("ts"), "7 days"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .filter(unix_micros(col("window.end")) <= watermarkUs)
+      .select(col("window.start").cast("long"), col("event_type"), col("n"))
+      .collect().map(_.toString).sorted
+
+    assert(emitted.nonEmpty)
+    assert(emitted === closed)
+  }
+
+  test("mapGroupsWithState session counting matches the window-based q37") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf)
+      .selectExpr("user_id", "ts div 1000 AS us") // integer div: ns → µs
+      .as[(Long, Long)]
+    val gapUs = 1800L * 1000000L
+    val counted = stream.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          // count gap-separated sessions within this user's events
+          val times = rows.map(_._2).toArray.sorted
+          var sessions = 0L
+          var prev = Long.MinValue
+          times.foreach { t =>
+            if (prev == Long.MinValue || t - prev > gapUs) sessions += 1
+            prev = t
+          }
+          val total = state.getOption.getOrElse(0L) + sessions
+          state.update(total)
+          (user, total)
+      }
+    val name = "graft_st_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = counted.toDF("user_id", "n_sessions").writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table(name)
+      .groupBy("user_id").agg(max("n_sessions").as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val expected = graft.SparkEntry.queries("q37_sessionize")(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+}
