@@ -35,8 +35,13 @@ object Dedup extends QueryPack {
   private val minhashBandsUdf = udf { (sh: Seq[String]) =>
     TextHash.bands(TextHash.minhash(sh))
   }
-  private val simhashUdf = udf { (tokens: Seq[String]) =>
-    TextHash.simhash(tokens)
+  // SimHash over shingles, not unigrams: this synthetic vocabulary is ~25
+  // words, so unigram token sets are near-identical across ALL docs and a
+  // unigram simhash collapses (every pair within small hamming → the
+  // verify join degenerates to all-pairs). 3-gram shingles are the
+  // discriminative feature set (non-dup shingle Jaccard < 0.3).
+  private val simhashUdf = udf { (sh: Seq[String]) =>
+    TextHash.simhash(sh)
   }
 
   private def docsWithShingles(s: SparkSession, dir: String): DataFrame =
@@ -44,19 +49,15 @@ object Dedup extends QueryPack {
       .select(col("doc_id"), split(col("text"), " ").as("tokens"))
       .withColumn("sh", shingleUdf(col("tokens")))
 
-  /** Exact Jaccard between two shingle-array columns, rounded to 4. */
-  private def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    round(inter / (size(a) + size(b) - size(array_intersect(a, b))), 4)
-  }
-
   /** Join candidate (id_a, id_b) pairs back to shingle sets and keep the
     * exactly-verified near-dups. */
   private def verifyPairs(cand: DataFrame, shSets: DataFrame, minJac: Double): DataFrame = {
     val a = shSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = shSets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     cand.join(a, "id_a").join(b, "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
       .filter(col("jaccard") >= minJac)
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
@@ -103,17 +104,17 @@ object Dedup extends QueryPack {
     * (hamming ≤ 3, 4×16-bit chunks) trades this recall for fewer
     * candidates. */
   private def q43(s: SparkSession, dir: String): DataFrame = {
-    val docs = docsWithShingles(s, dir).withColumn("sim", simhashUdf(col("tokens")))
+    val docs = docsWithShingles(s, dir).withColumn("sim", simhashUdf(col("sh")))
     val chunks = docs.select(col("doc_id"), col("sim"),
       posexplode(array((0 until 16).map(i =>
         shiftright(col("sim"), i * 4).bitwiseAND(lit(0xfL))): _*)))
       .toDF("doc_id", "sim", "chunk_idx", "chunk_val")
     val a = chunks.toDF("id_a", "sim_a", "chunk_idx", "chunk_val")
     val b = chunks.toDF("id_b", "sim_b", "chunk_idx", "chunk_val")
-    val hammingUdf = udf((x: Long, y: Long) => TextHash.hamming(x, y))
     val cand = a.join(b, Seq("chunk_idx", "chunk_val"))
       .filter(col("id_a") < col("id_b"))
-      .filter(hammingUdf(col("sim_a"), col("sim_b")) <= 15)
+      // codegen'd popcount, not a UDF — this filter sees every bucket pair
+      .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 15)
       .select("id_a", "id_b").distinct()
     verifyPairs(cand, docs.select("doc_id", "sh"), 0.7)
   }
@@ -144,14 +145,15 @@ object Dedup extends QueryPack {
   private def q45(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-    val dot = (x: Column, y: Column) =>
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, z) => acc + z)
-    val a = e.toDF("id_a", "v_a")
-    val b = e.toDF("id_b", "v_b")
+      // norm computed ONCE per vector, not per pair; graft_dot is the
+      // codegen'd DotProduct expression (graft.functions.DotProduct)
+      .withColumn("nrm", sqrt(graft.functions.VectorFunctions.dot(s, "v", "v")))
+    val a = e.toDF("id_a", "v_a", "nrm_a")
+    val b = e.toDF("id_b", "v_b", "nrm_b")
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .withColumn("cos", round(
-        dot(col("v_a"), col("v_b")) /
-          (sqrt(dot(col("v_a"), col("v_a"))) * sqrt(dot(col("v_b"), col("v_b")))), 6))
+        graft.functions.VectorFunctions.dot(s, "v_a", "v_b") /
+          (col("nrm_a") * col("nrm_b")), 6))
       .filter(col("cos") >= 0.4)
       .select("id_a", "id_b", "cos")
       .orderBy("id_a", "id_b")

@@ -27,24 +27,29 @@ import org.apache.spark.sql.functions._
   */
 object Similarity extends QueryPack {
 
-  private def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, z) => acc + z)
+  /** Codegen'd dot product (graft.functions.DotProduct) by column name. */
+  private def dotc(s: SparkSession, a: String, b: String): Column =
+    graft.functions.VectorFunctions.dot(s, a, b)
 
-  private def cos6(va: Column, vb: Column): Column =
-    round(dot(va, vb) / (sqrt(dot(va, va)) * sqrt(dot(vb, vb))), 6)
+  /** cosine over columns with precomputed norms, rounded to 6. */
+  private def cos6(s: SparkSession, a: String, b: String,
+      na: String, nb: String): Column =
+    round(dotc(s, a, b) / (col(na) * col(nb)), 6)
 
+  /** Corpus with per-vector norm computed once (never per pair). */
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(graft.functions.VectorFunctions.dot(s, "v", "v")))
 
   /** q46: exact brute-force cosine top-5 for query vectors (vec_id<10). */
   private def q46(s: SparkSession, dir: String): DataFrame = {
     val e = corpus(s, dir)
-    val q = e.filter(col("vec_id") < 10).toDF("query_id", "qv")
+    val q = e.filter(col("vec_id") < 10).toDF("query_id", "qv", "qnrm")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
-    q.join(e.toDF("neighbor_id", "v"), col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cos6(col("qv"), col("v")))
+    q.join(e.toDF("neighbor_id", "v", "nrm"), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cos6(s, "qv", "v", "qnrm", "nrm"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select("query_id", "rank", "neighbor_id", "cos")
@@ -55,29 +60,29 @@ object Similarity extends QueryPack {
     * Fully deterministic ⇒ exact DuckDB oracle. */
   private def q47(s: SparkSession, dir: String): DataFrame = {
     val e = corpus(s, dir)
-    val cents = e.filter(col("vec_id") < 16).toDF("cid", "cv")
+    val cents = e.filter(col("vec_id") < 16).toDF("cid", "cv", "cnrm")
     // cell assignment: nearest centroid by cosine (deterministic ties)
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("cid"))
     val assign = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", cos6(col("v"), col("cv")))
+      .withColumn("ccos", cos6(s, "v", "cv", "nrm", "cnrm"))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
-      .select("vec_id", "v", "cid")
-    val q = e.filter(col("vec_id") < 10).toDF("query_id", "qv")
+      .select("vec_id", "v", "nrm", "cid")
+    val q = e.filter(col("vec_id") < 10).toDF("query_id", "qv", "qnrm")
     // probe the 4 nearest cells per query
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("pcos").desc, col("cid"))
     val probes = q.crossJoin(broadcast(cents))
-      .withColumn("pcos", cos6(col("qv"), col("cv")))
+      .withColumn("pcos", cos6(s, "qv", "cv", "qnrm", "cnrm"))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= 4)
-      .select("query_id", "qv", "cid")
+      .select("query_id", "qv", "qnrm", "cid")
     val wTop = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
-    probes.join(assign.toDF("neighbor_id", "v", "cid"), Seq("cid"))
+    probes.join(assign.toDF("neighbor_id", "v", "nrm", "cid"), Seq("cid"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cos6(col("qv"), col("v")))
+      .withColumn("cos", cos6(s, "qv", "v", "qnrm", "nrm"))
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= 5)
       .select("query_id", "rank", "neighbor_id", "cos")
@@ -107,18 +112,18 @@ object Similarity extends QueryPack {
       }
     }
     val e = corpus(s, dir).withColumn("codes", codeUdf(col("v")))
-    val buckets = e.select(col("vec_id"), col("v"), posexplode(col("codes")))
-      .toDF("vec_id", "v", "table_id", "bucket")
+    val buckets = e.select(col("vec_id"), col("v"), col("nrm"), posexplode(col("codes")))
+      .toDF("vec_id", "v", "nrm", "table_id", "bucket")
     val qb = buckets.filter(col("vec_id") < 10)
-      .toDF("query_id", "qv", "table_id", "bucket")
-    val cand = qb.join(buckets.toDF("neighbor_id", "v", "table_id", "bucket"),
+      .toDF("query_id", "qv", "qnrm", "table_id", "bucket")
+    val cand = qb.join(buckets.toDF("neighbor_id", "v", "nrm", "table_id", "bucket"),
         Seq("table_id", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "qv", "neighbor_id", "v")
+      .select("query_id", "qv", "qnrm", "neighbor_id", "v", "nrm")
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
-    cand.withColumn("cos", cos6(col("qv"), col("v")))
+    cand.withColumn("cos", cos6(s, "qv", "v", "qnrm", "nrm"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select("query_id", "rank", "neighbor_id", "cos")

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan pins: the properties that make these queries scale —
+  * column-pruned scans, pushed-down predicates, broadcast dimension
+  * joins, map-side partial aggregation, and top-k without a global sort.
+  * A refactor that silently loses one of these still passes the
+  * correctness gate but regresses 100 TB behavior; this suite catches it.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("q02 aggregation is partial (map-side combine before the shuffle)") {
+    assert(executedPlan("q02_grouped_sum").contains("partial_sum"))
+  }
+
+  test("q02 scan is column-pruned to the two referenced columns") {
+    val f = formatted("q02_grouped_sum")
+    assert(f.contains("struct<l_quantity:double,l_returnflag:string>"))
+  }
+
+  test("q11 pushes the shipdate predicate into the parquet scan") {
+    val f = formatted("q11_pricing_summary")
+    assert(f.contains("LessThanOrEqual(l_shipdate"))
+  }
+
+  test("q12/q13 dimension joins broadcast (no fact-side shuffle)") {
+    assert(executedPlan("q12_join_segment_revenue").contains("BroadcastHashJoin"))
+    assert(executedPlan("q13_star_join_region").contains("BroadcastHashJoin"))
+  }
+
+  test("q20 global top-k plans as TakeOrderedAndProject, not a full sort") {
+    assert(executedPlan("q20_global_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("whole-stage codegen covers the scan→aggregate pipeline") {
+    // AQE shows the final (codegen-wrapped) plan only after execution
+    val df = SparkEntry.queries("q02_grouped_sum")(spark, sf)
+    df.collect()
+    // "*(n)" prefixes mark WholeStageCodegen stages in simpleString
+    assert(df.queryExecution.executedPlan.toString.contains("*("))
+  }
+
+  test("q45 cosine path uses the native DotProduct expression") {
+    val p = SparkEntry.queries("q45_embedding_neardup")(spark, sf)
+      .queryExecution.analyzed.toString
+    assert(p.contains("graft_dot") || p.contains("dotproduct"),
+      "expected the registered graft_dot expression in the plan")
+  }
+}
