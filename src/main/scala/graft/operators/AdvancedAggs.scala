@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.{Q, QueryPack}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** Advanced aggregation surface: typed `Aggregator[IN, BUF, OUT]` (the
+  * idiomatic Spark form of the reference's reduce_fcn when it is
+  * associative — gets map-side partial aggregation the reference never
+  * had, SURVEY.md §2.1 O8), exact interpolated percentiles, and
+  * range-framed (not row-framed) window aggregation.
+  */
+object AdvancedAggs extends QueryPack {
+
+  /** Typed average over integer-cent fixed-point — exact, order-free, so
+    * partial aggregation can run in any order on any cluster size and the
+    * result stays deterministic. */
+  object CentAvg extends Aggregator[Double, (Long, Long), Double] {
+    override def zero: (Long, Long) = (0L, 0L)
+    override def reduce(b: (Long, Long), x: Double): (Long, Long) =
+      (b._1 + math.round(x * 100), b._2 + 1)
+    override def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+      (a._1 + b._1, a._2 + b._2)
+    override def finish(b: (Long, Long)): Double =
+      if (b._2 == 0) 0.0 else (b._1 / 100.0) / b._2
+    override def bufferEncoder: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** q38: typed Aggregator — average quantity per return flag. */
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(CentAvg.toColumn.name("avg_qty"))
+      .toDF("l_returnflag", "avg_qty")
+      .withColumn("avg_qty", round(col("avg_qty"), 6))
+      .orderBy("l_returnflag")
+  }
+
+  /** q39: exact interpolated percentiles (median, p90) per group. */
+  private def q39(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+      .orderBy("l_returnflag")
+
+  /** q49: RANGE-framed window — per order, how many orders of the same
+    * customer fall within ±30 days (value-range frame, not row frame). */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val day = 86400L
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("odate_s")
+      .rangeBetween(-30 * day, 30 * day)
+    Tables.orders(s, dir)
+      .withColumn("odate_s",
+        expr("unix_micros(cast(o_orderdate AS timestamp)) div 1000000"))
+      .withColumn("n_nearby", count(lit(1)).over(w) - 1)
+      .select("o_orderkey", "o_custkey", "n_nearby")
+      .orderBy("o_orderkey")
+  }
+
+  override def queries: Seq[Q] = Seq(
+    Q("q38_typed_aggregator", q38, Some(
+      """SELECT l_returnflag,
+        |  round((CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)) / count(*), 6) AS avg_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q39_percentiles", q39, Some(
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q49_range_window", q49, Some(
+      """SELECT o_orderkey, o_custkey,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate) // 1000000
+        |    RANGE BETWEEN 2592000 PRECEDING AND 2592000 FOLLOWING) - 1 AS n_nearby
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+  )
+}

@@ -60,7 +60,40 @@ object Multimodal extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** q61: frame sampling — treat each payload as a media container and
+    * cut fixed-size frames (explode), extracting per-frame features. The
+    * shape (binary → frame explode → per-frame map) is exactly a video
+    * frame-sample pipeline; the codec call is the same stub boundary as
+    * q60. */
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    val frameLen = 64
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L),
+          floor((length(col("text")) - 1) / frameLen).cast("long"))).as("frame_id"))
+      .select(col("doc_id"), col("frame_id"),
+        expr(s"substring(text, CAST(1 + $frameLen * frame_id AS INT), $frameLen)").as("frame_txt"))
+      .select(col("doc_id"), col("frame_id"),
+        length(col("frame_txt")).as("frame_len"),
+        aggregate(
+          transform(regexp_extract_all(col("frame_txt"), lit("."), lit(0)),
+            c => ascii(c).cast("long")),
+          lit(0L), (acc, c) => (acc * 31 + c) % 1000000000000000L).as("frame_checksum"))
+      .orderBy("doc_id", "frame_id")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q61_frame_sample", q61, Some(
+      """WITH f AS (
+        |  SELECT doc_id, [{'fid': i, 'txt': substring(text, CAST(1 + 64*i AS INT), 64)}
+        |    FOR i IN generate_series(0, CAST(floor((length(text)-1)/64) AS BIGINT))] AS frames
+        |  FROM documents)
+        |SELECT doc_id, u.fid AS frame_id, length(u.txt) AS frame_len,
+        |  list_reduce(list_prepend(0, list_transform(regexp_extract_all(u.txt, '.'),
+        |    c -> CAST(ascii(c) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000000000000) AS frame_checksum
+        |FROM (SELECT doc_id, unnest(frames) AS u FROM f)
+        |ORDER BY doc_id, frame_id""".stripMargin)),
     Q("q60_multimodal_decode", q60, Some(
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS payload_len,
