@@ -68,7 +68,28 @@ object AdvancedAggs extends QueryPack {
       .orderBy("o_orderkey")
   }
 
+  /** q54: salted two-phase aggregation — the skew pattern for hot keys.
+    * events has only ~5 event types, so at 100 TB a single-phase groupBy
+    * funnels everything through 5 reducers; salting fans each hot key out
+    * over 16 shards, partially aggregates, then merges 5×16 tiny rows.
+    * Result is identical to the direct aggregate (exact decimal sums). */
+  private def q54(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy("event_type", "salt")
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).as("sv"))
+      .groupBy("event_type")
+      .agg(sum("n").as("n"), round(sum("sv").cast("double"), 2).as("sum_value"))
+      .orderBy("event_type")
+
+  private def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast("decimal(18,2)")
+
   override def queries: Seq[Q] = Seq(
+    Q("q54_salted_agg", q54, Some(
+      """SELECT event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q38_typed_aggregator", q38, Some(
       """SELECT l_returnflag,
         |  round((CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)) / count(*), 6) AS avg_qty
