@@ -12,8 +12,9 @@ import graft.streaming.StreamingQueries
   */
 object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
-    RefWorkload, Relational, ScalarFunctions, AdvancedAggs, Temporal,
-    Dedup, Similarity, TextAnalysis, Multimodal, StreamingQueries)
+    RefWorkload, Relational, ScalarFunctions, AdvancedAggs, Reshape,
+    TpchLike, Temporal, Dedup, Similarity, TextAnalysis, Multimodal,
+    StreamingQueries)
 
   lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.queries)

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.{Q, QueryPack}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reshaping + statistical moments: pivot (long→wide), unpivot
+  * (wide→long), and exact second-moment statistics (stddev, correlation)
+  * computed from decimal power sums so results are independent of
+  * aggregation order — the same trick that makes plain sums
+  * oracle-exact (see Relational).
+  */
+object Reshape extends QueryPack {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** q55: pivot — monthly counts fanned into one column per event type.
+    * Values are enumerated explicitly: at scale this avoids the extra
+    * distinct-scan job and keeps the output schema stable. */
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM").as("month"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("month")
+
+  /** q56: unpivot (melt) — wide order attributes into (metric, value). */
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_custkey").cast("double").as("o_custkey_d"))
+      .unpivot(Array(col("o_orderkey")),
+        Array(col("o_totalprice"), col("o_custkey_d")),
+        "metric", "value")
+      .orderBy("o_orderkey", "metric")
+
+  /** q58: exact moments — mean, sample stddev, and corr(quantity, price)
+    * per return flag from DECIMAL power sums (Σx, Σx², Σxy exact), final
+    * formula evaluated in double with an identical expression tree to the
+    * oracle. Built-in stddev/corr use streaming float accumulators whose
+    * results depend on partition order — unusable for hash-compare. */
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec(x)).cast("double").as("sx"),
+        sum(dec(x) * dec(x)).cast("double").as("sxx"),
+        sum(dec(y)).cast("double").as("sy"),
+        sum(dec(y) * dec(y)).cast("double").as("syy"),
+        sum(dec(x) * dec(y)).cast("double").as("sxy"))
+      .select(col("l_returnflag"),
+        col("n"),
+        round(col("sx") / col("n"), 6).as("mean_qty"),
+        round(sqrt((col("n") * col("sxx") - col("sx") * col("sx")) /
+          (col("n") * (col("n") - 1))), 6).as("std_qty"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  override def queries: Seq[Q] = Seq(
+    Q("q55_pivot", q55, Some(
+      """SELECT strftime(ts, '%Y-%m') AS month,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q56_unpivot", q56, Some(
+      """SELECT o_orderkey, 'o_totalprice' AS metric, o_totalprice AS value FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, 'o_custkey_d', CAST(o_custkey AS DOUBLE) FROM orders
+        |ORDER BY o_orderkey, metric""".stripMargin)),
+    Q("q58_exact_moments", q58, Some(
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  round(sx / n, 6) AS mean_qty,
+        |  round(sqrt((n * sxx - sx * sx) / (n * (n - 1))), 6) AS std_qty,
+        |  round((n * sxy - sx * sy) /
+        |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
+        |FROM s ORDER BY l_returnflag""".stripMargin)),
+  )
+}
