@@ -212,6 +212,34 @@ object Relational extends QueryPack {
         col("n"), col("sum_value"))
       .orderBy("event_type", "month")
 
+  /** q64: full-outer join — both unmatched sides survive with nulls;
+    * right-outer is the same plan mirrored, exercised in the oracle. */
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 400000)
+      .select("o_orderkey", "o_custkey")
+    val richCust = Tables.customer(s, dir)
+      .filter(col("c_acctbal") > 8000)
+      .select("c_custkey", "c_mktsegment")
+    bigOrders.join(richCust, col("o_custkey") === col("c_custkey"), "full_outer")
+      .select(coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+        col("o_orderkey"), col("c_mktsegment"))
+      .orderBy("custkey", "o_orderkey", "c_mktsegment")
+  }
+
+  /** q65: multiset set ops — INTERSECT ALL / EXCEPT ALL keep duplicate
+    * multiplicity (min / difference of counts respectively). */
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    val noDisc = Tables.lineitem(s, dir)
+      .filter(col("l_discount") === 0.0).select(col("l_suppkey"))
+    val noTax = Tables.lineitem(s, dir)
+      .filter(col("l_tax") === 0.0).select(col("l_suppkey"))
+    noDisc.intersectAll(noTax)
+      .withColumn("op", lit("intersect_all"))
+      .union(noDisc.exceptAll(noTax).withColumn("op", lit("except_all")))
+      .orderBy("op", "l_suppkey")
+  }
+
   /** GROUPING SETS via SQL (only surface Spark's Dataset API lacks). */
   private def q28(s: SparkSession, dir: String): DataFrame = {
     Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
@@ -316,6 +344,23 @@ object Relational extends QueryPack {
         |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
         |FROM events GROUP BY CUBE (event_type, strftime(ts, '%Y-%m'))
         |ORDER BY event_type, month""".stripMargin)),
+    Q("q64_full_outer_join", q64, Some(
+      """SELECT coalesce(o_custkey, c_custkey) AS custkey, o_orderkey, c_mktsegment
+        |FROM (SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 400000) o
+        |FULL OUTER JOIN (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 8000) c
+        |  ON o_custkey = c_custkey
+        |ORDER BY custkey, o_orderkey, c_mktsegment""".stripMargin)),
+    Q("q65_setops_all", q65, Some(
+      """SELECT l_suppkey, 'intersect_all' AS op FROM (
+        |  SELECT l_suppkey FROM lineitem WHERE l_discount = 0.0
+        |  INTERSECT ALL
+        |  SELECT l_suppkey FROM lineitem WHERE l_tax = 0.0)
+        |UNION ALL
+        |SELECT l_suppkey, 'except_all' FROM (
+        |  SELECT l_suppkey FROM lineitem WHERE l_discount = 0.0
+        |  EXCEPT ALL
+        |  SELECT l_suppkey FROM lineitem WHERE l_tax = 0.0)
+        |ORDER BY op, l_suppkey""".stripMargin)),
     Q("q28_grouping_sets", q28, Some(
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,
