@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 60+ codegen-heavy queries in one JVM overflow the default ~240MB
+  // JIT code cache; once full the JIT disables itself and everything
+  // runs interpreted (observed 2-7x slowdowns on late queries).
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -169,6 +169,44 @@ object Dedup extends QueryPack {
       .orderBy("id_a", "id_b")
   }
 
+  /** q66: near-dup groups — connected components over the exact-Jaccard
+    * pair graph, labeling every involved doc with the min doc_id of its
+    * component (the canonical representative to keep). Implemented as
+    * min-label propagation: alternate "take the min label among my
+    * neighbors" joins until fixpoint — the DataFrame version of the
+    * large-star/small-star CC algorithm; each iteration is one shuffle
+    * and the iteration count is the graph diameter (tiny for dup
+    * clusters), so it scales to billions of edges. */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val pairs = q44(s, dir).select(col("id_a"), col("id_b"))
+    // localCheckpoint truncates lineage: without it every iteration's
+    // logical plan embeds the whole pair-pipeline again and Catalyst
+    // re-optimization time grows without bound (observed 49s → ~2s).
+    val edges = pairs
+      .union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min("comp").as("ncomp"))
+      val next = labels.join(prop, labels("id") === prop("src"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          col("comp").as("prev"))
+        .localCheckpoint(true)
+      converged = next.filter(col("comp") < col("prev")).isEmpty
+      labels = next.select("id", "comp")
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("comp").as("component"))
+      .orderBy("doc_id")
+  }
+
   /** Shared oracle for q42/q43/q44: exact all-pairs word-3-gram Jaccard.
     * LSH candidate generation only affects recall; the planted near-dups
     * sit at Jaccard ≥ 0.9 where MinHash (32×4 bands) and SimHash
@@ -202,6 +240,28 @@ object Dedup extends QueryPack {
     Q("q42_minhash_lsh", q42, Some(exactJaccardSql)),
     Q("q43_simhash", q43, Some(exactJaccardSql)),
     Q("q44_ngram_jaccard", q44, Some(exactJaccardSql)),
+    Q("q66_dedup_groups", q66, Some(
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |         [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |          FOR i IN generate_series(1, len(w) - 2)])) AS s FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM p
+        |  JOIN sizes na ON na.doc_id = p.id_a
+        |  JOIN sizes nb ON nb.doc_id = p.id_b
+        |  WHERE round(inter * 1.0 / (na.n + nb.n - inter), 4) >= 0.7),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+        |SELECT src AS doc_id, least(src, min(dst)) AS component
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)),
     Q("q45_embedding_neardup", q45, Some(
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
