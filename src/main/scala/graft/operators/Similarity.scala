@@ -90,7 +90,7 @@ object Similarity extends QueryPack {
   }
 
   /** Random hyperplanes for LSH: fixed seed, L tables × b bits. */
-  private[operators] val LshTables = 8
+  private[operators] val LshTables = 16
   private[operators] val LshBits = 6
   private[operators] lazy val hyperplanes: Array[Array[Array[Double]]] = {
     val rnd = new scala.util.Random(7)

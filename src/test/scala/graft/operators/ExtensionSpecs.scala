@@ -31,11 +31,11 @@ class ExtensionSpecs extends AnyFunSuite {
     val lsh = run("q48_ann_lsh").collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = (truth & lsh).size.toDouble / truth.size
-    // hyperplane LSH on weakly-correlated synthetic vectors: modest but
-    // non-trivial recall is expected; the floor guards against the
-    // bucketing silently degenerating (recall≈0) or the candidate set
-    // degenerating to the full corpus.
-    assert(recall >= 0.2, s"recall@5 = $recall")
+    // hyperplane LSH (16 tables × 6 bits) on weakly-correlated synthetic
+    // vectors: the floor guards against the bucketing silently
+    // degenerating (recall≈0) or the candidate set degenerating to the
+    // full corpus.
+    assert(recall >= 0.4, s"recall@5 = $recall")
     assert(lsh.nonEmpty)
   }
 
