@@ -2,7 +2,6 @@ package graft.core
 
 import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.functions.col
-import scala.collection.mutable
 
 /** The generic user-function-driven MapReduce surface of the reference
   * engine (`/root/reference/mapreduce.py:139-187`), re-expressed on Spark.
@@ -53,17 +52,30 @@ object MapReduce {
         mapped.groupByKey(_._1).mapGroups((k, it) => reduceFcn(k, it.map(_._2)))
       case Some(n) =>
         // Exact reference topology: hash-partition by key into n shards
-        // (one shuffle), then a per-shard hash group-by — every value of a
-        // key is guaranteed co-located because repartition(n, key) hashes
-        // on the full key.
+        // (one shuffle — every value of a key co-locates because
+        // repartition(n, key) hashes the full key), then sort within the
+        // shard and stream each key's run to reduceFcn. Spark's sort
+        // spills, so a shard larger than executor memory still works —
+        // nothing is buffered per key unless reduceFcn itself does.
+        // Requires an orderable key type (all atomics and case classes).
         mapped
           .repartition(n, col("_1"))
+          .sortWithinPartitions("_1")
           .mapPartitions { it =>
-            val groups = mutable.LinkedHashMap.empty[K, mutable.ArrayBuffer[V]]
-            it.foreach { case (k, v) =>
-              groups.getOrElseUpdate(k, mutable.ArrayBuffer.empty[V]) += v
+            val buf = it.buffered
+            new Iterator[R] {
+              override def hasNext: Boolean = buf.hasNext
+              override def next(): R = {
+                val k = buf.head._1
+                val run = new Iterator[V] {
+                  override def hasNext: Boolean = buf.hasNext && buf.head._1 == k
+                  override def next(): V = buf.next()._2
+                }
+                val r = reduceFcn(k, run)
+                while (run.hasNext) run.next() // drain if fn under-consumed
+                r
+              }
             }
-            groups.iterator.map { case (k, vs) => reduceFcn(k, vs.iterator) }
           }
     }
   }

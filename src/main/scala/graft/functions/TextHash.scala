@@ -21,9 +21,11 @@ object TextHash extends Serializable {
     Array.fill(NumHashes)((rnd.nextLong().abs % (P - 1)) + 1, rnd.nextLong().abs % P)
   }
 
-  /** Word k-shingles of a token sequence (distinct, order-free). */
+  /** Word k-shingles of a token sequence (distinct, order-free). Documents
+    * shorter than k tokens yield NO shingles — matching the oracle's
+    * generate_series construction, which is empty for len < k. */
   def shingles(tokens: Seq[String], k: Int): Set[String] =
-    if (tokens.length < k) Set(tokens.mkString(" "))
+    if (tokens.length < k) Set.empty
     else tokens.sliding(k).map(_.mkString(" ")).toSet
 
   private def baseHash(s: String): Long =

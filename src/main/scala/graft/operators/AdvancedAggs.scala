@@ -14,6 +14,8 @@ import org.apache.spark.sql.functions._
   */
 object AdvancedAggs extends QueryPack {
 
+  import graft.functions.Exact.dec
+
   /** Typed average over integer-cent fixed-point — exact, order-free, so
     * partial aggregation can run in any order on any cluster size and the
     * result stays deterministic. */
@@ -81,9 +83,6 @@ object AdvancedAggs extends QueryPack {
       .groupBy("event_type")
       .agg(sum("n").as("n"), round(sum("sv").cast("double"), 2).as("sum_value"))
       .orderBy("event_type")
-
-  private def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    c.cast("decimal(18,2)")
 
   override def queries: Seq[Q] = Seq(
     Q("q54_salted_agg", q54, Some(

@@ -20,10 +20,12 @@ import org.apache.spark.sql.functions._
   *     a production run. Candidates are verified with EXACT Jaccard before
   *     reporting, so LSH only affects recall, never precision — and makes
   *     results oracle-checkable.
-  *   - SimHash: 64-bit fingerprint, 8×8-bit LSH chunks (pigeonhole:
-  *     hamming ≤ 7 pairs always share a chunk), hamming + exact verify.
-  *   - n-gram Jaccard: exact algorithm via inverted index — a pair is
-  *     produced only if it shares ≥1 shingle, counted in one groupBy.
+  *   - SimHash: 64-bit fingerprint, 16×4-bit LSH chunks (pigeonhole:
+  *     hamming ≤ 15 pairs always share a chunk), hamming + exact verify.
+  *   - n-gram Jaccard: exact via a prefix-filtered inverted index
+  *     (PPJoin-family, see q44).
+  *   - Grouping: connected components by min-label propagation with
+  *     pointer jumping (q66).
   */
 object Dedup extends QueryPack {
 
@@ -50,7 +52,8 @@ object Dedup extends QueryPack {
       .withColumn("sh", shingleUdf(col("tokens")))
 
   /** Join candidate (id_a, id_b) pairs back to shingle sets and keep the
-    * exactly-verified near-dups. */
+    * exactly-verified near-dups (unsorted — callers add presentation
+    * order; graph consumers like q66 skip the useless global sort). */
   private def verifyPairs(cand: DataFrame, shSets: DataFrame, minJac: Double): DataFrame = {
     val a = shSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = shSets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
@@ -60,7 +63,6 @@ object Dedup extends QueryPack {
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
       .filter(col("jaccard") >= minJac)
       .select("id_a", "id_b", "jaccard")
-      .orderBy("id_a", "id_b")
   }
 
   /** q40: exact dedup via SHA-256 content digest — group, count, pick a
@@ -93,6 +95,7 @@ object Dedup extends QueryPack {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     verifyPairs(cand, docs.select("doc_id", "sh"), 0.7)
+      .orderBy("id_a", "id_b")
   }
 
   /** q43: SimHash near-dedup — 16×4-bit chunk LSH (pigeonhole: every pair
@@ -117,6 +120,7 @@ object Dedup extends QueryPack {
       .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 15)
       .select("id_a", "id_b").distinct()
     verifyPairs(cand, docs.select("doc_id", "sh"), 0.7)
+      .orderBy("id_a", "id_b")
   }
 
   /** q44: exact word-3-gram Jaccard ≥ 0.7 via a PREFIX-FILTERED inverted
@@ -148,6 +152,10 @@ object Dedup extends QueryPack {
       .select("id_a", "id_b").distinct()
     verifyPairs(cand, docs.select("doc_id", "sh"), t)
   }
+
+  /** q44 with presentation order (the oracle-compared output). */
+  private def q44Sorted(s: SparkSession, dir: String): DataFrame =
+    q44(s, dir).orderBy("id_a", "id_b")
 
   /** q45: embedding near-dup — cosine ≥ 0.4 pairs, double-precision dot
     * products (brute force here; the LSH-bucketed scale path is
@@ -191,18 +199,32 @@ object Dedup extends QueryPack {
       .localCheckpoint(true)
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    val maxIter = 64
+    while (!converged && iter < maxIter) {
+      // (1) neighbor-min: take the smallest label among my neighbors.
+      // Checkpoint eagerly — it's consumed twice by the pointer-jump join
+      // and re-optimizing/recomputing it doubles iteration cost.
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min("comp").as("ncomp"))
-      val next = labels.join(prop, labels("id") === prop("src"), "left")
+      val relaxed = labels.join(prop, labels("id") === prop("src"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
           col("comp").as("prev"))
         .localCheckpoint(true)
+      // (2) pointer jumping: follow my label's label (path compression) —
+      // turns the per-hop propagation into O(log diameter) iterations, so
+      // long chains can't exhaust the iteration budget
+      val byId = relaxed.select(col("id").as("pid"), col("comp").as("pcomp"))
+      val next = relaxed.join(byId, relaxed("comp") === byId("pid"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"),
+          col("prev"))
       converged = next.filter(col("comp") < col("prev")).isEmpty
-      labels = next.select("id", "comp")
+      labels = next.select("id", "comp").localCheckpoint(true)
       iter += 1
     }
+    require(converged,
+      s"connected components did not converge within $maxIter iterations")
     labels.select(col("id").as("doc_id"), col("comp").as("component"))
       .orderBy("doc_id")
   }
@@ -239,7 +261,7 @@ object Dedup extends QueryPack {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q42_minhash_lsh", q42, Some(exactJaccardSql)),
     Q("q43_simhash", q43, Some(exactJaccardSql)),
-    Q("q44_ngram_jaccard", q44, Some(exactJaccardSql)),
+    Q("q44_ngram_jaccard", q44Sorted, Some(exactJaccardSql)),
     Q("q66_dedup_groups", q66, Some(
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(

@@ -32,6 +32,12 @@ object AsOfJoin {
       leftTime: Column,
       rightTime: Column): DataFrame = {
     val payloadCols = right.columns.filterNot(_ == rightKey).toSeq
+    val reserved = Seq("_k", "_t", "_side") ++ payloadCols.map("_r_" + _)
+    require(!left.columns.exists(reserved.contains),
+      s"left input uses reserved working column names: ${reserved.mkString(",")}")
+    require(payloadCols.intersect(left.columns).isEmpty,
+      "left and right payload column names must be disjoint: " +
+        payloadCols.intersect(left.columns).mkString(","))
     val lSide = left
       .withColumn("_k", col(leftKey))
       .withColumn("_t", leftTime)
@@ -86,6 +92,9 @@ object RangeJoin {
       rightTimeCol: String,
       tolerance: Long,
       rPrefix: String = "r_"): DataFrame = {
+    require(tolerance > 0,
+      "tolerance must be positive (a zero tolerance would divide by zero " +
+        "in the bucketing; use an equi-join on the time column for exact matches)")
     val l = left.withColumn("_t", col(leftTimeCol).cast("long"))
       .withColumn("_bucket", floor(col("_t") / tolerance).cast("long"))
     val rBase = right.columns.foldLeft(right)(

@@ -34,7 +34,8 @@ object Multimodal extends QueryPack {
     var checksum = 0L
     var i = 0
     while (i < m.payload.length) {
-      checksum = (checksum * 31 + (m.payload(i) & 0xff)) % 1000000000000000L
+      checksum = (checksum * 31 + (m.payload(i) & 0xff)) %
+        graft.functions.Exact.RollingHashMod
       i += 1
     }
     MediaFeature(m.doc_id, m.payload.length,
@@ -44,8 +45,10 @@ object Multimodal extends QueryPack {
 
   /** q60: binary ingestion → metadata struct → per-partition batch decode
     * → typed feature frame. Payload here is the utf-8 text bytes (the
-    * container has no real media), so every byte-level feature is
-    * SQL-checkable. */
+    * container has no real media), so byte-level features are
+    * SQL-checkable for the ASCII fixtures (the oracle checksums
+    * codepoints, which equal bytes only for ASCII — a non-ASCII corpus
+    * would need a byte-level oracle). */
   private def q60(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, dir)
@@ -68,6 +71,10 @@ object Multimodal extends QueryPack {
   private def q61(s: SparkSession, dir: String): DataFrame = {
     val frameLen = 64
     Tables.documents(s, dir)
+      // empty docs produce no frames; without this filter Spark's
+      // sequence(0, floor(-1/64)) yields a DESCENDING [0, -1] while the
+      // oracle's generate_series(0, -1) is empty
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0L),
           floor((length(col("text")) - 1) / frameLen).cast("long"))).as("frame_id"))
@@ -75,10 +82,9 @@ object Multimodal extends QueryPack {
         expr(s"substring(text, CAST(1 + $frameLen * frame_id AS INT), $frameLen)").as("frame_txt"))
       .select(col("doc_id"), col("frame_id"),
         length(col("frame_txt")).as("frame_len"),
-        aggregate(
+        graft.functions.Exact.rollingHash(
           transform(regexp_extract_all(col("frame_txt"), lit("."), lit(0)),
-            c => ascii(c).cast("long")),
-          lit(0L), (acc, c) => (acc * 31 + c) % 1000000000000000L).as("frame_checksum"))
+            c => ascii(c).cast("long"))).as("frame_checksum"))
       .orderBy("doc_id", "frame_id")
   }
 
@@ -87,7 +93,7 @@ object Multimodal extends QueryPack {
       """WITH f AS (
         |  SELECT doc_id, [{'fid': i, 'txt': substring(text, CAST(1 + 64*i AS INT), 64)}
         |    FOR i IN generate_series(0, CAST(floor((length(text)-1)/64) AS BIGINT))] AS frames
-        |  FROM documents)
+        |  FROM documents WHERE length(text) > 0)
         |SELECT doc_id, u.fid AS frame_id, length(u.txt) AS frame_len,
         |  list_reduce(list_prepend(0, list_transform(regexp_extract_all(u.txt, '.'),
         |    c -> CAST(ascii(c) AS BIGINT))),
@@ -97,7 +103,8 @@ object Multimodal extends QueryPack {
     Q("q60_multimodal_decode", q60, Some(
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INT) AS payload_len,
-        |  ascii(substring(text, 1, 1)) AS first_byte,
+        |  CASE WHEN length(text) = 0 THEN -1
+        |       ELSE ascii(substring(text, 1, 1)) END AS first_byte,
         |  CAST(n_chars % 640 AS INT) AS width,
         |  CAST(n_chars % 480 AS INT) AS height,
         |  list_reduce(

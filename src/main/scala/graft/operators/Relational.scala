@@ -22,8 +22,7 @@ import org.apache.spark.sql.functions._
   */
 object Relational extends QueryPack {
 
-  /** Exact money arithmetic: cast to decimal before summing. */
-  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  import graft.functions.Exact.dec
   /** Exact decimal sum rendered as a rounded double for output parity. */
   private def moneySum(c: Column): Column = sum(dec(c)).cast("double")
 

@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   */
 object Reshape extends QueryPack {
 
-  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  import graft.functions.Exact.dec
 
   /** q55: pivot — monthly counts fanned into one column per event type.
     * Values are enumerated explicitly: at scale this avoids the extra

@@ -80,8 +80,7 @@ object TextAnalysis extends QueryPack {
     val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
     val chars = regexp_extract_all(norm, lit("."), lit(0))
     val codes = transform(chars, c => ascii(c).cast("long"))
-    val fp = aggregate(codes, lit(0L),
-      (acc, c) => (acc * 31 + c) % 1000000000000000L)
+    val fp = graft.functions.Exact.rollingHash(codes)
     Tables.documents(s, dir)
       .select(col("doc_id"), fp.as("fingerprint"))
       .orderBy("doc_id")

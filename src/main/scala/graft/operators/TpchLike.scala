@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
   */
 object TpchLike extends QueryPack {
 
-  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  import graft.functions.Exact.dec
   private def revenue: Column =
     sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
 

@@ -45,7 +45,14 @@ object StreamingQueries extends QueryPack {
       .start()
     try query.processAllAvailable()
     finally query.stop()
-    s.table(name).orderBy("event_type", "month")
+    // materialize and drop the memory-sink view so repeated invocations
+    // (bench warm + measured passes) don't accumulate driver-side tables
+    val result = s.table(name).orderBy("event_type", "month")
+    val rows = result.collect()
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
+    s.catalog.dropTempView(name)
+    out
   }
 
   /** q71: session_window (30-minute gap) per user. */
