@@ -84,7 +84,35 @@ object AdvancedAggs extends QueryPack {
       .agg(sum("n").as("n"), round(sum("sv").cast("double"), 2).as("sum_value"))
       .orderBy("event_type")
 
+  /** q67: ranking-function family over a deterministic total order. */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(10).over(w).as("decile"),
+        round(percent_rank().over(w), 6).as("prank"),
+        round(cume_dist().over(w), 6).as("cdist"))
+      .filter(col("rnk") <= 100)
+      .orderBy("o_orderpriority", "rnk")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q67_ranking_functions", q67, Some(
+      """SELECT o_orderkey, o_orderpriority, rnk, drnk, decile, prank, cdist
+        |FROM (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    rank() OVER w AS rnk,
+        |    dense_rank() OVER w AS drnk,
+        |    ntile(10) OVER w AS decile,
+        |    round(percent_rank() OVER w, 6) AS prank,
+        |    round(cume_dist() OVER w, 6) AS cdist
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey)
+        |) WHERE rnk <= 100 ORDER BY o_orderpriority, rnk""".stripMargin)),
     Q("q54_salted_agg", q54, Some(
       """SELECT event_type, count(*) AS n,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
