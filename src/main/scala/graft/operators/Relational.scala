@@ -239,6 +239,18 @@ object Relational extends QueryPack {
       .orderBy("op", "l_suppkey")
   }
 
+  /** q68: correlated scalar subquery through the SQL entry point — each
+    * customer with the totalprice of their single largest order. */
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders68")
+    Tables.customer(s, dir).createOrReplaceTempView("graft_customer68")
+    s.sql(
+      """SELECT c_custkey,
+        |  (SELECT max(o_totalprice) FROM graft_orders68
+        |   WHERE o_custkey = c_custkey) AS max_order
+        |FROM graft_customer68 ORDER BY c_custkey""".stripMargin)
+  }
+
   /** GROUPING SETS via SQL (only surface Spark's Dataset API lacks). */
   private def q28(s: SparkSession, dir: String): DataFrame = {
     Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
@@ -360,6 +372,11 @@ object Relational extends QueryPack {
         |  EXCEPT ALL
         |  SELECT l_suppkey FROM lineitem WHERE l_tax = 0.0)
         |ORDER BY op, l_suppkey""".stripMargin)),
+    Q("q68_scalar_subquery", q68, Some(
+      """SELECT c_custkey,
+        |  (SELECT max(o_totalprice) FROM orders
+        |   WHERE o_custkey = c_custkey) AS max_order
+        |FROM customer ORDER BY c_custkey""".stripMargin)),
     Q("q28_grouping_sets", q28, Some(
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,
