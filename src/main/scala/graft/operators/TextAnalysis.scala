@@ -86,10 +86,53 @@ object TextAnalysis extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** q69: TF-IDF term weighting — tf·ln(N/df) per (doc, term); the
+    * classic corpus-statistics op (inverted index + two aggregations). */
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count() // corpus size: one cheap metadata-only count
+    val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(df, "term")
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+      .orderBy("doc_id", "term")
+  }
+
+  /** q72: the canonical MapReduce word count, run through the generic
+    * core API (flatMap generator → shuffle → holistic reduce) over the
+    * real corpus — the reference's programming model end to end. */
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val texts = Tables.documents(s, dir).select("text").as[String]
+    graft.core.MapReduce.run[String, String, Long, (String, Long)](
+      texts,
+      t => t.split(" ").iterator.map(w => (w, 1L)),
+      (w, counts) => (w, counts.sum))
+      .toDF("term", "n")
+      .orderBy("term")
+  }
+
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
   override def queries: Seq[Q] = Seq(
+    Q("q69_tfidf", q69, Some(
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, tf.term, tf,
+        |  round(tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+        |FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        |ORDER BY 1, 2""".stripMargin)),
+    Q("q72_wordcount_mr", q72, Some(
+      """SELECT term, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q50_quality_score", q50, Some(
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
          |SELECT doc_id, length(text) AS n_chars_text, len(w) AS n_tokens,
