@@ -229,6 +229,31 @@ object Dedup extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** q73: multi-signal near-dup — a pair is flagged if its TEXT shingle
+    * Jaccard ≥ 0.7 OR its EMBEDDING cosine ≥ 0.45 (doc_id ↔ vec_id),
+    * labeled by which signals fired. The realistic pipeline shape:
+    * independent signal generators unioned, grouped, and labeled — each
+    * signal stays independently scalable. */
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    val textPairs = q44(s, dir)
+      .select(col("id_a"), col("id_b"), lit(1).as("text_dup"), lit(0).as("emb_dup"))
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(graft.functions.VectorFunctions.dot(s, "v", "v")))
+    val a = e.toDF("id_a", "v_a", "nrm_a")
+    val b = e.toDF("id_b", "v_b", "nrm_b")
+    val embPairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(
+        graft.functions.VectorFunctions.dot(s, "v_a", "v_b") /
+          (col("nrm_a") * col("nrm_b")), 6))
+      .filter(col("cos") >= 0.45)
+      .select(col("id_a"), col("id_b"), lit(0).as("text_dup"), lit(1).as("emb_dup"))
+    textPairs.unionByName(embPairs)
+      .groupBy("id_a", "id_b")
+      .agg(max("text_dup").as("text_dup"), max("emb_dup").as("emb_dup"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Shared oracle for q42/q43/q44: exact all-pairs word-3-gram Jaccard.
     * LSH candidate generation only affects recall; the planted near-dups
     * sit at Jaccard ≥ 0.9 where MinHash (32×4 bands) and SimHash
@@ -262,6 +287,29 @@ object Dedup extends QueryPack {
     Q("q42_minhash_lsh", q42, Some(exactJaccardSql)),
     Q("q43_simhash", q43, Some(exactJaccardSql)),
     Q("q44_ngram_jaccard", q44Sorted, Some(exactJaccardSql)),
+    Q("q73_multisignal_dedup", q73, Some(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |         [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |          FOR i IN generate_series(1, len(w) - 2)])) AS s FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |tpairs AS (
+        |  SELECT id_a, id_b, 1 AS text_dup, 0 AS emb_dup FROM p
+        |  JOIN sizes na ON na.doc_id = p.id_a
+        |  JOIN sizes nb ON nb.doc_id = p.id_b
+        |  WHERE round(inter * 1.0 / (na.n + nb.n - inter), 4) >= 0.7),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |epairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, 0 AS text_dup, 1 AS emb_dup
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45),
+        |u AS (SELECT * FROM tpairs UNION ALL SELECT * FROM epairs)
+        |SELECT id_a, id_b, max(text_dup) AS text_dup, max(emb_dup) AS emb_dup
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     Q("q66_dedup_groups", q66, Some(
       """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(
