@@ -16,10 +16,15 @@ import pandas as pd
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize dtypes for compare: timestamps -> ns, floats stay float64
+    # Normalize only what the driver's hash also normalizes: timestamps
+    # -> ns, integer WIDTHS -> int64 (the r1 gate accepted Spark int32 vs
+    # DuckDB int64). int <-> float stays a mismatch (q37 r1 lesson:
+    # DuckDB HUGEINT arrives as float64 and the driver flags it).
     for c in df.columns:
         if str(df[c].dtype).startswith('datetime64'):
             df[c] = pd.to_datetime(df[c]).astype('datetime64[ns]')
+        elif pd.api.types.is_integer_dtype(df[c].dtype):
+            df[c] = df[c].astype('int64')
     return df.reset_index(drop=True)
 
 def main():
@@ -55,19 +60,28 @@ def main():
         elif len(got) != len(exp):
             results[name] = f'ROWCOUNT got={len(got)} exp={len(exp)}'
         else:
+            # dtype-STRICT (mirrors the driver's hash, which is
+            # dtype-sensitive — q37 r1 lesson): values-equal but
+            # dtype-different is a FAIL here too.
             try:
-                pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                pd.testing.assert_frame_equal(got, exp, check_dtype=True,
                                               check_exact=True)
                 results[name] = f'OK({len(got)})'
             except AssertionError as e:
-                # retry with tolerance to report severity
                 try:
                     pd.testing.assert_frame_equal(got, exp, check_dtype=False,
-                                                  check_exact=False, rtol=1e-9)
-                    results[name] = f'OK_APPROX({len(got)}) — exact diff: {str(e).splitlines()[-1][:120]}'
+                                                  check_exact=True)
+                    results[name] = 'DTYPE_MISMATCH: ' + ' | '.join(
+                        str(e).splitlines()[:4])[:300]
                 except AssertionError:
-                    results[name] = 'VALUES_MISMATCH: ' + ' | '.join(
-                        str(e).splitlines()[:6])[:400]
+                    # retry with tolerance to report severity
+                    try:
+                        pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                                      check_exact=False, rtol=1e-9)
+                        results[name] = f'OK_APPROX({len(got)}) — exact diff: {str(e).splitlines()[-1][:120]}'
+                    except AssertionError:
+                        results[name] = 'VALUES_MISMATCH: ' + ' | '.join(
+                            str(e).splitlines()[:6])[:400]
     fails = 0
     for name in sorted(results):
         r = results[name]

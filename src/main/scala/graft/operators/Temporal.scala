@@ -95,8 +95,8 @@ object Temporal extends QueryPack {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
         |), s AS (
         |  SELECT user_id, event_id, us,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
         |  FROM t
         |)
         |SELECT user_id, session_no, count(*) AS n_events, min(us) AS start_us,
