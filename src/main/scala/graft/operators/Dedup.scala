@@ -145,10 +145,16 @@ object Dedup extends QueryPack {
     val prefix = inv.join(freq, "s")
       .withColumn("rk", row_number().over(wDoc))
       .filter(col("rk") <= col("sz") - ceil(col("sz") * t) + 1)
-      .select("doc_id", "s")
-    val cand = prefix.toDF("id_a", "s")
-      .join(prefix.toDF("id_b", "s"), "s")
+      .select("doc_id", "sz", "s")
+    // Length filter: jaccard(A,B) >= t forces t*|A| <= |B| <= |A|/t, so
+    // prune bucket pairs before the (much heavier) set-intersection
+    // verify. t = 0.7 written as the exact rational 7/10 to keep the
+    // boundary integer-exact (0.7 is not representable in binary).
+    val cand = prefix.toDF("id_a", "sz_a", "s")
+      .join(prefix.toDF("id_b", "sz_b", "s"), "s")
       .filter(col("id_a") < col("id_b"))
+      .filter(col("sz_b") * 10L >= col("sz_a") * 7L &&
+        col("sz_a") * 10L >= col("sz_b") * 7L)
       .select("id_a", "id_b").distinct()
     verifyPairs(cand, docs.select("doc_id", "sh"), t)
   }
@@ -194,33 +200,38 @@ object Dedup extends QueryPack {
       .union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst")
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // Seed with min(id, min neighbor): the first relax round comes free
+    // with the label initialization (edges are symmetric, so every node
+    // appears as src).
+    var labels = edges.groupBy("src")
+      .agg(least(col("src"), min(col("dst"))).as("comp"))
+      .toDF("id", "comp")
       .localCheckpoint(true)
     var converged = false
     var iter = 0
     val maxIter = 64
     while (!converged && iter < maxIter) {
-      // (1) neighbor-min: take the smallest label among my neighbors.
-      // Checkpoint eagerly — it's consumed twice by the pointer-jump join
-      // and re-optimizing/recomputing it doubles iteration cost.
+      // ONE materialization per iteration: neighbor-min relax and pointer
+      // jump both read the same already-materialized `labels`, fused into
+      // a single plan and checkpointed once. Jumping on the pre-relax
+      // labels (instead of sequentially after) keeps the O(log diameter)
+      // bound and halves the per-iteration job count.
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min("comp").as("ncomp"))
-      val relaxed = labels.join(prop, labels("id") === prop("src"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
-          col("comp").as("prev"))
+      val jump = labels.toDF("pid", "pcomp")
+      val next = labels
+        .join(prop, labels("id") === prop("src"), "left")
+        .join(jump, labels("comp") === jump("pid"), "left")
+        .select(labels("id"),
+          least(labels("comp"),
+            coalesce(col("ncomp"), labels("comp")),
+            coalesce(col("pcomp"), labels("comp"))).as("comp"),
+          labels("comp").as("prev"))
         .localCheckpoint(true)
-      // (2) pointer jumping: follow my label's label (path compression) —
-      // turns the per-hop propagation into O(log diameter) iterations, so
-      // long chains can't exhaust the iteration budget
-      val byId = relaxed.select(col("id").as("pid"), col("comp").as("pcomp"))
-      val next = relaxed.join(byId, relaxed("comp") === byId("pid"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"),
-          col("prev"))
-      converged = next.filter(col("comp") < col("prev")).isEmpty
-      labels = next.select("id", "comp").localCheckpoint(true)
+      // convergence read off the frame we just materialized — a cheap
+      // scan, not a recompute (labels only ever decrease)
+      converged = next.filter(col("comp") < col("prev")).count() == 0L
+      labels = next.select("id", "comp")
       iter += 1
     }
     require(converged,
