@@ -148,13 +148,19 @@ object Dedup extends QueryPack {
       .select("doc_id", "sz", "s")
     // Length filter: jaccard(A,B) >= t forces t*|A| <= |B| <= |A|/t, so
     // prune bucket pairs before the (much heavier) set-intersection
-    // verify. t = 0.7 written as the exact rational 7/10 to keep the
-    // boundary integer-exact (0.7 is not representable in binary).
+    // verify. The threshold is applied as the exact rational tNum/tDen
+    // DERIVED from t (0.7 is not representable in binary; deriving keeps
+    // the two thresholds from silently diverging if t ever changes).
+    val (tNum, tDen) = {
+      val bd = BigDecimal(t.toString)
+      (bd.underlying.unscaledValue.longValueExact,
+        BigDecimal(10).pow(bd.scale).toLongExact)
+    }
     val cand = prefix.toDF("id_a", "sz_a", "s")
       .join(prefix.toDF("id_b", "sz_b", "s"), "s")
       .filter(col("id_a") < col("id_b"))
-      .filter(col("sz_b") * 10L >= col("sz_a") * 7L &&
-        col("sz_a") * 10L >= col("sz_b") * 7L)
+      .filter(col("sz_b") * tDen >= col("sz_a") * tNum &&
+        col("sz_a") * tDen >= col("sz_b") * tNum)
       .select("id_a", "id_b").distinct()
     verifyPairs(cand, docs.select("doc_id", "sh"), t)
   }
@@ -240,24 +246,61 @@ object Dedup extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** All embedding pairs with cosine ≥ thresh, via a TILED exact
+    * self-join (no CartesianProduct node): rows are hashed into B tiles;
+    * the unordered tile pair (i ≤ j) is the join key, so the plan is a
+    * shuffled equi-join whose tasks each hold exactly two tiles (bounded
+    * memory at any corpus size) and the i ≤ j symmetry halves the pair
+    * evaluations vs a crossJoin. Exact by construction on ANY data.
+    *
+    * Why not an LSH pre-filter here (the obvious idea): the qualifying
+    * pairs in this workload sit at cos 0.45–0.52 (θ ≈ 60°, per-bit
+    * hyperplane collision p ≈ 0.65). Driving the per-pair miss rate to
+    * ~1e-9 (what an exact oracle needs) at b = 16 bits costs
+    * L ≈ 20.7/0.65¹⁶ ≈ 2×10⁴ tables — far more work than the exact join.
+    * LSH only wins when the threshold is tight (q42/q43/q48 territory);
+    * at loose thresholds the exact answer IS near-quadratic, and the
+    * scalable form of near-quadratic is this tiling: B grows with the
+    * cluster so each task stays constant-size, and a clustered real-world
+    * corpus can layer IVF cell-feasibility pruning on the tile pairs. */
+  private def embeddingPairsTiled(s: SparkSession, dir: String,
+      thresh: Double, tiles: Int): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(graft.functions.VectorFunctions.dot(s, "v", "v")))
+      .withColumn("tile", pmod(hash(col("vec_id")), lit(tiles)))
+    val allTiles = array((0 until tiles).map(lit(_)): _*)
+    val left = e
+      .select(col("vec_id").as("ida"), col("v").as("va"), col("nrm").as("nrma"),
+        col("tile").as("ti"), explode(allTiles).as("tj"))
+      .filter(col("tj") >= col("ti"))
+    val right = e
+      .select(col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nrmb"),
+        explode(allTiles).as("ti"), col("tile").as("tj"))
+      .filter(col("ti") <= col("tj"))
+    left.join(right, Seq("ti", "tj"))
+      // diagonal tiles see both orders of a pair — keep one; off-diagonal
+      // tiles see each cross pair exactly once (left from tile i, right
+      // from tile j)
+      .filter(col("ti") =!= col("tj") || col("ida") < col("idb"))
+      .withColumn("cos", round(
+        graft.functions.VectorFunctions.dot(s, "va", "vb") /
+          (col("nrma") * col("nrmb")), 6))
+      .filter(col("cos") >= thresh)
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"), col("cos"))
+  }
+
   /** q73: multi-signal near-dup — a pair is flagged if its TEXT shingle
     * Jaccard ≥ 0.7 OR its EMBEDDING cosine ≥ 0.45 (doc_id ↔ vec_id),
     * labeled by which signals fired. The realistic pipeline shape:
     * independent signal generators unioned, grouped, and labeled — each
-    * signal stays independently scalable. */
+    * signal stays independently scalable (text: prefix-filtered inverted
+    * index; embedding: tiled exact self-join, no crossJoin). */
   private def q73(s: SparkSession, dir: String): DataFrame = {
     val textPairs = q44(s, dir)
       .select(col("id_a"), col("id_b"), lit(1).as("text_dup"), lit(0).as("emb_dup"))
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(graft.functions.VectorFunctions.dot(s, "v", "v")))
-    val a = e.toDF("id_a", "v_a", "nrm_a")
-    val b = e.toDF("id_b", "v_b", "nrm_b")
-    val embPairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(
-        graft.functions.VectorFunctions.dot(s, "v_a", "v_b") /
-          (col("nrm_a") * col("nrm_b")), 6))
-      .filter(col("cos") >= 0.45)
+    val embPairs = embeddingPairsTiled(s, dir, 0.45, tiles = 8)
       .select(col("id_a"), col("id_b"), lit(0).as("text_dup"), lit(1).as("emb_dup"))
     textPairs.unionByName(embPairs)
       .groupBy("id_a", "id_b")

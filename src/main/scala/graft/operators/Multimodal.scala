@@ -17,9 +17,9 @@ import org.apache.spark.sql.functions._
   * [[Multimodal.decodeStub]] where a JNI/javacpp codec would slot in.
   *
   * Scale notes: decode is the expensive step at 100 TB — it's map-only,
-  * so it scales linearly; the repartition spreads documents evenly so one
-  * executor never holds a skewed byte volume; payloads stream through the
-  * iterator without materializing a partition in memory.
+  * so it scales linearly over input splits (no shuffle anywhere in the
+  * pipeline); payloads stream through the iterator without materializing
+  * a partition in memory.
   */
 object Multimodal extends QueryPack {
 
@@ -56,7 +56,10 @@ object Multimodal extends QueryPack {
         encode(col("text"), "UTF-8").as("payload"),
         (col("n_chars") % 640).cast("int").as("width"),
         (col("n_chars") % 480).cast("int").as("height"))
-      .repartition(col("doc_id"))
+      // no repartition: decode is map-only, and input splits already
+      // spread payload bytes evenly — a hash repartition here would
+      // shuffle the entire byte volume for zero semantic benefit (at
+      // 100 TB that shuffle would dominate the query).
       .as[MediaRow]
     media.mapPartitions(_.map(decodeStub))
       .toDF()

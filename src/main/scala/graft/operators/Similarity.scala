@@ -111,16 +111,23 @@ object Similarity extends QueryPack {
         }
       }
     }
-    val e = corpus(s, dir).withColumn("codes", codeUdf(col("v")))
-    val buckets = e.select(col("vec_id"), col("v"), col("nrm"), posexplode(col("codes")))
-      .toDF("vec_id", "v", "nrm", "table_id", "bucket")
+    val e = corpus(s, dir)
+    // Buckets carry ONLY ids — the 64-dim vectors would otherwise ride
+    // through the bucket join and the candidate-dedup shuffle 16× (once
+    // per table). Vectors are re-joined once per distinct candidate pair.
+    val buckets = e.withColumn("codes", codeUdf(col("v")))
+      .select(col("vec_id"), posexplode(col("codes")))
+      .toDF("vec_id", "table_id", "bucket")
     val qb = buckets.filter(col("vec_id") < 10)
-      .toDF("query_id", "qv", "qnrm", "table_id", "bucket")
-    val cand = qb.join(buckets.toDF("neighbor_id", "v", "nrm", "table_id", "bucket"),
+      .toDF("query_id", "table_id", "bucket")
+    val candIds = qb.join(buckets.toDF("neighbor_id", "table_id", "bucket"),
         Seq("table_id", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "qv", "qnrm", "neighbor_id", "v", "nrm")
+      .select("query_id", "neighbor_id")
       .dropDuplicates("query_id", "neighbor_id")
+    val cand = candIds
+      .join(e.toDF("query_id", "qv", "qnrm"), "query_id")
+      .join(e.toDF("neighbor_id", "v", "nrm"), "neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     cand.withColumn("cos", cos6(s, "qv", "v", "qnrm", "nrm"))
