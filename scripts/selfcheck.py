@@ -59,29 +59,31 @@ def main():
             results[name] = f'SCHEMA_MISMATCH got={list(got.columns)} exp={list(exp.columns)}'
         elif len(got) != len(exp):
             results[name] = f'ROWCOUNT got={len(got)} exp={len(exp)}'
+        elif [str(t) for t in got.dtypes] != [str(t) for t in exp.dtypes]:
+            # dtype gate FIRST, unconditionally (mirrors the driver's
+            # dtype-sensitive hash — q37 r1 lesson). Checking it before
+            # any value comparison means no tolerance fallback can ever
+            # mask a dtype difference.
+            results[name] = (f'DTYPE_MISMATCH got={[str(t) for t in got.dtypes]} '
+                             f'exp={[str(t) for t in exp.dtypes]}')
         else:
-            # dtype-STRICT (mirrors the driver's hash, which is
-            # dtype-sensitive — q37 r1 lesson): values-equal but
-            # dtype-different is a FAIL here too.
             try:
                 pd.testing.assert_frame_equal(got, exp, check_dtype=True,
                                               check_exact=True)
                 results[name] = f'OK({len(got)})'
             except AssertionError as e:
+                # severity triage only — the driver hashes EXACT values,
+                # so a within-rtol diff still fails there and must fail
+                # here (no OK_APPROX escape hatch).
                 try:
-                    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
-                                                  check_exact=True)
-                    results[name] = 'DTYPE_MISMATCH: ' + ' | '.join(
-                        str(e).splitlines()[:4])[:300]
+                    pd.testing.assert_frame_equal(got, exp, check_dtype=True,
+                                                  check_exact=False, rtol=1e-9)
+                    results[name] = ('APPROX_DIFF (within 1e-9, but the driver '
+                                     'hash is exact): '
+                                     + str(e).splitlines()[-1][:200])
                 except AssertionError:
-                    # retry with tolerance to report severity
-                    try:
-                        pd.testing.assert_frame_equal(got, exp, check_dtype=False,
-                                                      check_exact=False, rtol=1e-9)
-                        results[name] = f'OK_APPROX({len(got)}) — exact diff: {str(e).splitlines()[-1][:120]}'
-                    except AssertionError:
-                        results[name] = 'VALUES_MISMATCH: ' + ' | '.join(
-                            str(e).splitlines()[:6])[:400]
+                    results[name] = 'VALUES_MISMATCH: ' + ' | '.join(
+                        str(e).splitlines()[:6])[:400]
     fails = 0
     for name in sorted(results):
         r = results[name]

@@ -48,13 +48,22 @@ object Bench {
       spark.catalog.clearCache()
     }
     clearState()
+    // Per-query MEDIAN of N runs: the host shows 2-3× timing noise
+    // between identical runs (external CPU load, GC), so a single sample
+    // can misrank a query by an order of magnitude. Median-of-3 keeps
+    // round-over-round comparisons honest at 3× the wall cost.
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      clearState()
-      (name, dt, ok)
+      val samples = (1 to repeats).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        clearState()
+        (dt, ok)
+      }
+      val med = samples.map(_._1).sorted.apply(samples.size / 2)
+      (name, med, samples.forall(_._2))
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

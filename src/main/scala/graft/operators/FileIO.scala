@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.{Q, QueryPack}
+import graft.core.MapReduce
+import graft.sources.Tables
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+
+/** File-input MapReduce entry points and sink round-trips, gated by the
+  * correctness oracle (SURVEY.md §2.1 O4/O12/O13 file variants, §2.3
+  * sinks). These are the reference engine's actual front doors — a
+  * text/CSV file (`mapreduce.py:167-173`, with optional header skip,
+  * `:119-127`) or an index file listing data files (`mapreduce.py:
+  * 176-187`) — so they deserve gated queries, not just unit specs.
+  *
+  * Each query materializes its own input by DUMPING an sf parquet table
+  * through a Spark sink first, then runs the file-based API over the
+  * dump and aggregates. The oracle runs against the original table, so
+  * the gate covers the whole loop: sink write → text scan → header skip
+  * → parse → shuffle → reduce. Scratch files live under java.io.tmpdir
+  * (never the read-only testdata), addressed per-sfDir so scale factors
+  * don't collide, written through the Hadoop FS API (same code path
+  * works on HDFS/S3 at cluster scale).
+  *
+  * Scale notes: the dumps here are small dims by design (the gate is
+  * about plumbing, not volume); the file APIs themselves split files
+  * into byte-range tasks, so a 100 TB text corpus scans in parallel —
+  * the single-driver streaming bottleneck of the reference
+  * (mapreduce.py:25-26) does not exist here.
+  */
+object FileIO extends QueryPack {
+
+  /** Per-sfDir scratch root so sf0.001/sf0.01/sf0.1 runs don't collide. */
+  private def scratch(dir: String, name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_fileio_${math.abs(dir.hashCode)}/$name"
+
+  /** q74: header-skipping text-file MapReduce (O4+O12). Dump customer as
+    * a single headered TSV, then count + min(name) per market segment via
+    * `runOnTextFile(ignoreFirstLine = true)`. The header line does not
+    * parse as a real segment, so a broken header skip fails the oracle. */
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = scratch(dir, "customer_tsv")
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_name"))
+      .coalesce(1) // one part file ⇒ exactly one header line to skip
+      .write.mode("overwrite").option("sep", "\t").option("header", "true")
+      .csv(out)
+    MapReduce.runOnTextFile[String, String, (String, Long, String)](
+      s, s"$out/part-*", // glob part files; skips the _SUCCESS marker
+      line => {
+        val t = line.split("\t", -1)
+        Iterator((t(0), t(1)))
+      },
+      (seg, names) => {
+        var n = 0L
+        var first: String = null
+        names.foreach { v => n += 1; if (first == null || v < first) first = v }
+        (seg, n, first)
+      },
+      ignoreFirstLine = true)
+      .toDF("c_mktsegment", "n", "first_name")
+      .orderBy("c_mktsegment")
+  }
+
+  /** q75: file-index MapReduce (O13, the reference's only data-parallel
+    * scan — `basic_mr_month_count.py:40-45`). Dump orders as several
+    * headerless CSV shards, write an index file listing the shard URIs
+    * (exactly the reference's input contract), and count orders per
+    * priority via `runOnFileIndex`. */
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = scratch(dir, "orders_csv")
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"))
+      .repartition(4) // several shards: the index must list more than one
+      .write.mode("overwrite").csv(out)
+    val fs = FileSystem.get(new java.net.URI(out), s.sparkContext.hadoopConfiguration)
+    val shards = fs.listStatus(new Path(out))
+      .map(_.getPath.toString)
+      .filter(_.contains("part-"))
+      .sorted
+    val indexPath = new Path(scratch(dir, "orders_index.txt"))
+    val os = fs.create(indexPath, true)
+    try os.write(shards.mkString("\n").getBytes("UTF-8")) finally os.close()
+    MapReduce.runOnFileIndex[String, Long, (String, Long)](
+      s, indexPath.toString,
+      line => Iterator((line.split(",", -1)(0), 1L)),
+      (prio, ones) => (prio, ones.sum))
+      .toDF("o_orderpriority", "n")
+      .orderBy("o_orderpriority")
+  }
+
+  private val sinkSchema = StructType(Seq(
+    StructField("l_returnflag", StringType),
+    StructField("sum_qty", DoubleType),
+    StructField("n", LongType)))
+
+  /** q76: sink round-trip (§2.3 sinks). A grouped aggregate is written
+    * through BOTH the parquet and the csv sink, each read back, and the
+    * two read-backs intersected — so a value corrupted by either writer
+    * (or either reader) drops the row and fails the oracle. The returned
+    * frame must equal the aggregate itself. */
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2)
+          .as("sum_qty"),
+        count(lit(1)).as("n"))
+    val pqOut = scratch(dir, "sink_parquet")
+    val csvOut = scratch(dir, "sink_csv")
+    agg.write.mode("overwrite").parquet(pqOut)
+    agg.write.mode("overwrite").option("header", "true").csv(csvOut)
+    val backPq = s.read.parquet(pqOut)
+    val backCsv = s.read.schema(sinkSchema).option("header", "true").csv(csvOut)
+    backPq.intersect(backCsv).orderBy("l_returnflag")
+  }
+
+  override def queries: Seq[Q] = Seq(
+    Q("q74_mr_textfile", q74, Some(
+      """SELECT c_mktsegment, count(*) AS n, min(c_name) AS first_name
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q75_mr_file_index", q75, Some(
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q76_sink_roundtrip", q76, Some(
+      """SELECT l_returnflag,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+  )
+}

