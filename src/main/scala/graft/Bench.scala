@@ -26,6 +26,8 @@ object Bench {
       // default codegen class cache (100 entries) evicts the warm pass's
       // compiled stages across 66 queries; keep every compilation hot
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_warehouse_bench").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: JIT, codegen pipeline, parquet footer reads

@@ -14,6 +14,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // static conf — must be set at build; bucketed-table queries
+      // (q77) saveAsTable here rather than into the driver's cwd. Fresh
+      // per run: a REUSED dir + fresh in-memory catalog would make
+      // saveAsTable refuse ("managed table location already exists").
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft_warehouse_verify").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

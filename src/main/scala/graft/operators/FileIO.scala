@@ -119,6 +119,34 @@ object FileIO extends QueryPack {
     backPq.intersect(backCsv).orderBy("l_returnflag")
   }
 
+  /** q77: bucketed-table co-located join (§2.3 sinks + the 100 TB
+    * repeated-join strategy). Both sides are written `bucketBy` on the
+    * join key with the same bucket count, so the nightly fact⋈dim join
+    * reads pre-hashed buckets and needs NO shuffle exchange on either
+    * side — the layout pays its write cost back on every subsequent
+    * join. The merge hint (not a session-conf mutation, which would leak
+    * into later queries of the shared gate session) steers the planner
+    * to the sort-merge path where the bucketed distribution applies;
+    * FileIOSpec pins the exchange-free plan shape. */
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite").bucketBy(16, "o_custkey")
+      .sortBy("o_custkey").saveAsTable("graft_orders_bkt")
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .write.mode("overwrite").bucketBy(16, "c_custkey")
+      .sortBy("c_custkey").saveAsTable("graft_customer_bkt")
+    s.table("graft_orders_bkt").hint("merge")
+      .join(s.table("graft_customer_bkt"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+          .as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q74_mr_textfile", q74, Some(
       """SELECT c_mktsegment, count(*) AS n, min(c_name) AS first_name
@@ -131,5 +159,10 @@ object FileIO extends QueryPack {
         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q77_bucketed_join", q77, Some(
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

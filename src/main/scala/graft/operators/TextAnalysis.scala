@@ -90,14 +90,18 @@ object TextAnalysis extends QueryPack {
     * classic corpus-statistics op (inverted index + two aggregations). */
   private def q69(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val n = docs.count() // corpus size: one cheap metadata-only count
+    // corpus size as a broadcast 1-row aggregate, not a driver-side
+    // .count(): keeps the whole query one job/plan instead of forcing an
+    // eager scan before the plan is even built
+    val nDf = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val terms = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = terms.select("doc_id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(df, "term")
+      .crossJoin(broadcast(nDf))
       .select(col("doc_id"), col("term"), col("tf"),
-        round(col("tf") * log(lit(n.toDouble) / col("df")), 6).as("tfidf"))
+        round(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
       .orderBy("doc_id", "term")
   }
 

@@ -38,4 +38,13 @@ class FileIOSpec extends AnyFunSuite {
     assert(got.length === 3)
     assert(got.forall(r => r.getLong(2) > 0L))
   }
+
+  test("q77 bucketed join plans without a shuffle on either join key") {
+    val df = SparkEntry.queries("q77_bucketed_join")(spark, sf)
+    df.collect() // also materializes the bucketed tables
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(o_custkey") &&
+      !plan.contains("Exchange hashpartitioning(c_custkey"),
+      s"unexpected shuffle before bucketed join:\n$plan")
+  }
 }
