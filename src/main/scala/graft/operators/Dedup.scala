@@ -30,26 +30,25 @@ import org.apache.spark.sql.functions._
 object Dedup extends QueryPack {
 
   /** Word-3-gram shingle set (distinct), matching the oracle's
-    * list-comprehension construction exactly. */
-  private val shingleUdf = udf { (tokens: Seq[String]) =>
-    TextHash.shingles(tokens, 3).toSeq
-  }
-  private val minhashBandsUdf = udf { (sh: Seq[String]) =>
-    TextHash.bands(TextHash.minhash(sh))
-  }
-  // SimHash over shingles, not unigrams: this synthetic vocabulary is ~25
-  // words, so unigram token sets are near-identical across ALL docs and a
-  // unigram simhash collapses (every pair within small hamming → the
-  // verify join degenerates to all-pairs). 3-gram shingles are the
-  // discriminative feature set (non-dup shingle Jaccard < 0.3).
-  private val simhashUdf = udf { (sh: Seq[String]) =>
-    TextHash.simhash(sh)
-  }
-
-  private def docsWithShingles(s: SparkSession, dir: String): DataFrame =
+    * list-comprehension construction exactly. Computed through a TYPED
+    * map, not a scalar UDF: downstream queries explode/derive from `sh`,
+    * and Catalyst's InferFiltersFromGenerate would substitute a UDF's
+    * definition into an inferred `size(...) > 0` filter below the
+    * Generate — re-running the whole shingle computation per row on the
+    * interpreted path (measured as the dominant cost of q42/q43/q48
+    * before this). The object boundary of a typed map is a substitution
+    * barrier: the column is computed once, filters evaluate the column. */
+  private def docsWithShingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("tokens"))
-      .withColumn("sh", shingleUdf(col("tokens")))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      // split(_, -1) keeps trailing empty tokens — bitwise-identical to
+      // the SQL split() the oracle's string_split mirrors
+      .map { case (id, text) =>
+        (id, TextHash.shingles(text.split(" ", -1).toSeq, 3).toSeq) }
+      .toDF("doc_id", "sh")
+  }
 
   /** Join candidate (id_a, id_b) pairs back to shingle sets and keep the
     * exactly-verified near-dups (unsorted — callers add presentation
@@ -85,9 +84,16 @@ object Dedup extends QueryPack {
 
   /** q42: MinHash + LSH banding near-dedup, exact-verified. */
   private def q42(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val docs = docsWithShingles(s, dir)
-    val buckets = docs
-      .select(col("doc_id"), posexplode(minhashBandsUdf(col("sh"))))
+    // typed flatMap, not UDF+posexplode: the generator IS the engine's
+    // MapReduce map primitive, and it dodges the inferred-filter UDF
+    // re-evaluation described on docsWithShingles
+    val buckets = docs.select(col("doc_id"), col("sh"))
+      .as[(Long, Seq[String])]
+      .flatMap { case (id, sh) =>
+        TextHash.bands(TextHash.minhash(sh)).iterator.zipWithIndex
+          .map { case (bandVal, bandIdx) => (id, bandIdx, bandVal) } }
       .toDF("doc_id", "band_idx", "band_val")
     val a = buckets.toDF("id_a", "band_idx", "band_val")
     val b = buckets.toDF("id_b", "band_idx", "band_val")
@@ -107,10 +113,19 @@ object Dedup extends QueryPack {
     * (hamming ≤ 3, 4×16-bit chunks) trades this recall for fewer
     * candidates. */
   private def q43(s: SparkSession, dir: String): DataFrame = {
-    val docs = docsWithShingles(s, dir).withColumn("sim", simhashUdf(col("sh")))
-    val chunks = docs.select(col("doc_id"), col("sim"),
-      posexplode(array((0 until 16).map(i =>
-        shiftright(col("sim"), i * 4).bitwiseAND(lit(0xfL))): _*)))
+    import s.implicits._
+    val docs = docsWithShingles(s, dir)
+    // SimHash over shingles, not unigrams: this synthetic vocabulary is
+    // ~25 words, so unigram token sets are near-identical across ALL
+    // docs and a unigram simhash collapses (every pair within small
+    // hamming → the verify join degenerates to all-pairs). 3-gram
+    // shingles are the discriminative feature set (non-dup shingle
+    // Jaccard < 0.3). Chunk fan-out via typed flatMap (see q42).
+    val chunks = docs.select(col("doc_id"), col("sh"))
+      .as[(Long, Seq[String])]
+      .flatMap { case (id, sh) =>
+        val sim = TextHash.simhash(sh)
+        (0 until 16).iterator.map(i => (id, sim, i, (sim >>> (i * 4)) & 0xfL)) }
       .toDF("doc_id", "sim", "chunk_idx", "chunk_val")
     val a = chunks.toDF("id_a", "sim_a", "chunk_idx", "chunk_val")
     val b = chunks.toDF("id_b", "sim_b", "chunk_idx", "chunk_val")

@@ -100,23 +100,37 @@ object Similarity extends QueryPack {
   /** q48: hyperplane-LSH ANN — probabilistic recall, so rows-only check
     * here; recall is pinned against q46 in SimilaritySpec. */
   private def q48(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val planes = hyperplanes
-    val codeUdf = udf { (v: Seq[Double]) =>
-      planes.map { table =>
-        table.zipWithIndex.foldLeft(0L) { case (acc, (plane, bit)) =>
-          var d = 0.0
-          var i = 0
-          while (i < plane.length && i < v.length) { d += plane(i) * v(i); i += 1 }
-          if (d >= 0) acc | (1L << bit) else acc
-        }
-      }
-    }
     val e = corpus(s, dir)
     // Buckets carry ONLY ids — the 64-dim vectors would otherwise ride
     // through the bucket join and the candidate-dedup shuffle 16× (once
     // per table). Vectors are re-joined once per distinct candidate pair.
-    val buckets = e.withColumn("codes", codeUdf(col("v")))
-      .select(col("vec_id"), posexplode(col("codes")))
+    // Typed flatMap rather than UDF+posexplode: Catalyst infers a
+    // `size(...) > 0` filter under a Generate and would re-evaluate the
+    // UDF (plus the float→double transform, interpreted) once more per
+    // row; the typed boundary computes each code exactly once. Codes are
+    // hashed from the raw float vector — float→double widening is exact,
+    // so the signs (and buckets) are identical to hashing `v`.
+    val buckets = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])]
+      .flatMap { case (id, emb) =>
+        planes.iterator.zipWithIndex.map { case (table, tableId) =>
+          var code = 0L
+          var bit = 0
+          while (bit < table.length) {
+            val plane = table(bit)
+            var d = 0.0
+            var i = 0
+            while (i < plane.length && i < emb.length) {
+              d += plane(i) * emb(i); i += 1
+            }
+            if (d >= 0) code |= (1L << bit)
+            bit += 1
+          }
+          (id, tableId, code)
+        } }
       .toDF("vec_id", "table_id", "bucket")
     val qb = buckets.filter(col("vec_id") < 10)
       .toDF("query_id", "table_id", "bucket")
