@@ -55,6 +55,41 @@ object StreamingQueries extends QueryPack {
     out
   }
 
+  /** q78: streaming dedup — `dropDuplicates` keeps first-seen keys in
+    * state (the streaming counterpart of Dedup q40), then the deduped
+    * stream is aggregated batch-side. Exact vs the batch DISTINCT oracle:
+    * with a finite replay, first-seen-per-key is set-equal to DISTINCT
+    * regardless of arrival order. At scale the state store bounds memory;
+    * `dropDuplicatesWithinWatermark` is the knob when keys outlive the
+    * retention window (pinned in StreamingDedupSpec). */
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("event_type"), col("user_id"))
+      .dropDuplicates("event_type", "user_id")
+    val name = "graft_q78_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+    val result = s.table(name)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("event_type")
+    val rows = result.collect()
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
+    s.catalog.dropTempView(name)
+    out
+  }
+
   /** q71: session_window (30-minute gap) per user. */
   private def q71(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -86,5 +121,8 @@ object StreamingQueries extends QueryPack {
         |SELECT user_id, min(us) AS start_us,
         |  max(us) + 1800000000 AS end_us, count(*) AS n_events
         |FROM s GROUP BY user_id, session_no ORDER BY user_id, start_us""".stripMargin)),
+    Q("q78_stream_dedup", q78, Some(
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }
