@@ -56,4 +56,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("graft_dot") || p.contains("dotproduct"),
       "expected the registered graft_dot expression in the plan")
   }
+
+  test("no scalar ScalaUDF anywhere in the dedup/LSH plans") {
+    // Fan-out stages must stay typed flatMap, never UDF+posexplode:
+    // InferFiltersFromGenerate clones a UDF generator into an inferred
+    // interpreted filter and re-runs it per row (the dominant cost of
+    // q42/q43/q48 before the r3 rewrite). Zero UDFs in the plan means
+    // zero re-evaluation surface.
+    for (q <- Seq("q42_minhash_lsh", "q43_simhash", "q44_ngram_jaccard",
+        "q48_ann_lsh", "q66_dedup_groups", "q73_multisignal_dedup")) {
+      val p = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      val udfs = p.expressions.flatMap(_.collect {
+        case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+      }) ++ p.collect { case n => n }.flatMap(_.expressions).flatMap(_.collect {
+        case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+      })
+      assert(udfs.isEmpty, s"$q plan contains ScalaUDF: $udfs")
+    }
+  }
+
+  test("q73 embedding leg plans without a cartesian product") {
+    val df = SparkEntry.queries("q73_multisignal_dedup")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q73 must use the tiled equi-join, not an all-pairs join:\n$plan")
+  }
 }
