@@ -226,7 +226,14 @@ object Dedup extends QueryPack {
     * large-star/small-star CC algorithm; each iteration is one shuffle
     * and the iteration count is the graph diameter (tiny for dup
     * clusters), so it scales to billions of edges. */
-  private def q66(s: SparkSession, dir: String): DataFrame = {
+  private def q66(s: SparkSession, dir: String): DataFrame =
+    components(s, dir).orderBy("doc_id")
+
+  /** Near-dup components (doc_id → min-id component label) for every doc
+    * that appears in the exact-Jaccard pair graph; docs with no near-dup
+    * are absent (callers treat them as singleton components). Shared by
+    * q66 and the leakage-safe split (PipelineSplits q80). */
+  private[operators] def components(s: SparkSession, dir: String): DataFrame = {
     val pairs = q44(s, dir).select(col("id_a"), col("id_b"))
     // localCheckpoint truncates lineage: without it every iteration's
     // logical plan embeds the whole pair-pipeline again and Catalyst
@@ -272,7 +279,6 @@ object Dedup extends QueryPack {
     require(converged,
       s"connected components did not converge within $maxIter iterations")
     labels.select(col("id").as("doc_id"), col("comp").as("component"))
-      .orderBy("doc_id")
   }
 
   /** All embedding pairs with cosine ≥ thresh, via a TILED exact
