@@ -122,7 +122,87 @@ object TextAnalysis extends QueryPack {
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
+  /** q82: benchmark decontamination — drop every training doc sharing an
+    * 8-token run with the eval set (docs with doc_id < 10 stand in for a
+    * held-out benchmark). The standard n-gram-overlap decontamination:
+    * long n-grams only collide on genuine duplication, never by chance.
+    * Shape at scale: the eval-set n-gram index is tiny (benchmarks are
+    * thousands of docs) → broadcast it and LEFT ANTI join the corpus
+    * inverted index — map-side filtering, no corpus shuffle. Fan-out is
+    * typed flatMap (see Dedup: UDFs/HOFs under a Generate re-evaluate
+    * in inferred filters). */
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 8
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val w = text.split(" ", -1)
+        (0 to w.length - k).iterator
+          .map(i => (id, w.slice(i, i + k).mkString(" "))).distinct }
+      .toDF("doc_id", "g")
+    val evalGrams = grams.filter(col("doc_id") < 10).select("g").distinct()
+    val contaminated = grams.filter(col("doc_id") >= 10)
+      .join(broadcast(evalGrams), "g")
+      .select("doc_id").distinct()
+    Tables.documents(s, dir)
+      .filter(col("doc_id") >= 10)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** q83: repetition statistics (Gopher-style quality signals) — per doc,
+    * the duplicate-3-gram fraction and the hottest 3-gram's count.
+    * Non-distinct gram fan-out via typed flatMap, then two aggregations;
+    * scales as one hash shuffle on (doc, gram). */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val w = text.split(" ", -1)
+        (0 to w.length - 3).iterator
+          .map(i => (id, s"${w(i)} ${w(i + 1)} ${w(i + 2)}")) }
+      .toDF("doc_id", "g")
+    grams.groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max("cnt").as("max_gram_count"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        round(lit(1) - col("n_distinct").cast("double") / col("n_grams"), 4)
+          .as("dup_frac"),
+        col("max_gram_count"))
+      .orderBy("doc_id")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q82_decontaminate", q82, Some(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(
+        |        [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+        |         w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]
+        |         FOR i IN generate_series(1, len(w) - 7)])) AS g FROM toks),
+        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id < 10),
+        |bad AS (SELECT DISTINCT g.doc_id FROM g JOIN ev ON g.g = ev.g
+        |        WHERE g.doc_id >= 10)
+        |SELECT d.doc_id FROM documents d
+        |WHERE d.doc_id >= 10 AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY d.doc_id""".stripMargin)),
+    Q("q83_repetition_stats", q83, Some(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(
+        |        [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |         FOR i IN generate_series(1, len(w) - 2)]) AS g FROM toks),
+        |c AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+        |  count(*) AS n_distinct,
+        |  round(1 - count(*) * 1.0 / sum(cnt), 4) AS dup_frac,
+        |  CAST(max(cnt) AS BIGINT) AS max_gram_count
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
     Q("q69_tfidf", q69, Some(
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
