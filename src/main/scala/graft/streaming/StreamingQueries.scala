@@ -90,6 +90,66 @@ object StreamingQueries extends QueryPack {
     out
   }
 
+  /** q84: stream-stream inner join — purchases joined to the same user's
+    * clicks in the preceding hour, with event-time range condition and
+    * watermarks on BOTH sides (what bounds the join state at scale: each
+    * side buffers only rows younger than watermark + range). On a finite
+    * replay the inner join emits exactly the batch join, so the oracle is
+    * the plain SQL join. All time arithmetic happens at microsecond
+    * precision on both engines (events.ts is a nanos timestamp: Spark
+    * reads `ts div 1000` µs, the oracle compares `epoch_us(ts)`), so
+    * boundary rows land identically. */
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    def side(eventType: String, prefix: String) = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // deterministic 50% user stratum: the join's state cost grows with
+      // Σ_user (purchases × clicks), so the GATE runs a bounded slice —
+      // the machinery (two watermarked sides, range condition, state
+      // buffering) is identical at any volume
+      .filter(col("event_type") === eventType && pmod(col("user_id"), lit(2)) === 0)
+      .select(col("user_id").as(s"${prefix}_user"),
+        col("ts").as(s"${prefix}_ts"),
+        col("event_id").as(s"${prefix}_id"))
+      .withWatermark(s"${prefix}_ts", "2 hours")
+    val joined = side("purchase", "p").join(side("click", "c"),
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+    val name = "graft_q84_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // Stateful-operator parallelism = shuffle.partitions at stream start,
+    // and a two-sided join commits FOUR state stores per partition per
+    // batch — at 32 partitions the store-commit fsyncs dominate (measured
+    // ~18s regardless of data volume). This finite replay drains inside
+    // this call, so scope the stream to few partitions and restore; a
+    // real deployment sizes this to state volume, not core count.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val query =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "2")
+        joined.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(name)
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try query.processAllAvailable()
+    finally query.stop()
+    val result = s.table(name)
+      .select(col("p_id"), col("c_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+      .orderBy("p_id", "c_id")
+    val rows = result.collect()
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
+    s.catalog.dropTempView(name)
+    out
+  }
+
   /** q71: session_window (30-minute gap) per user. */
   private def q71(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -124,5 +184,15 @@ object StreamingQueries extends QueryPack {
     Q("q78_stream_dedup", q78, Some(
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q84_stream_stream_join", q84, Some(
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+        |           WHERE event_type = 'purchase' AND user_id % 2 = 0),
+        |c AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+        |      WHERE event_type = 'click' AND user_id % 2 = 0)
+        |SELECT p.event_id AS p_id, c.event_id AS c_id,
+        |  p.us - c.us AS gap_us
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.us >= p.us - 3600000000 AND c.us <= p.us
+        |ORDER BY p_id, c_id""".stripMargin)),
   )
 }
