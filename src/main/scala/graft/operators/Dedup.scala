@@ -299,9 +299,19 @@ object Dedup extends QueryPack {
     * cluster so each task stays constant-size, and a clustered real-world
     * corpus can layer IVF cell-feasibility pruning on the tile pairs. */
   private def embeddingPairsTiled(s: SparkSession, dir: String,
+      thresh: Double, tiles: Int): DataFrame =
+    cosinePairsTiled(s,
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v")),
+      thresh, tiles)
+
+  /** Tiled exact cosine self-join over (vec_id, v: array<double>) — see
+    * [[embeddingPairsTiled]] for the design rationale. Exposed to tests,
+    * which pin set-equality against the brute-force join for arbitrary
+    * corpora and tile counts. */
+  private[operators] def cosinePairsTiled(s: SparkSession, e0: DataFrame,
       thresh: Double, tiles: Int): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val e = e0
       .withColumn("nrm", sqrt(graft.functions.VectorFunctions.dot(s, "v", "v")))
       .withColumn("tile", pmod(hash(col("vec_id")), lit(tiles)))
     val allTiles = array((0 until tiles).map(lit(_)): _*)
