@@ -122,6 +122,25 @@ object TextAnalysis extends QueryPack {
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
+  /** q85: word count through the ASSOCIATIVE MapReduce fast path — same
+    * semantics and oracle as q72, but via [[graft.core.MapReduce
+    * .runAssociative]], which lets Spark partially aggregate map-side
+    * before the shuffle (the optimization the reference engine lacks
+    * entirely: its reducers receive every raw (word, 1) pair). At scale
+    * the shuffle carries O(distinct words) per partition instead of
+    * O(total words) — the difference between a wordcount that ships 100
+    * TB and one that ships megabytes. */
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val texts = Tables.documents(s, dir).select("text").as[String]
+    graft.core.MapReduce.runAssociative[String, String, Long](
+      texts,
+      t => t.split(" ").iterator.map(w => (w, 1L)),
+      _ + _)
+      .toDF("term", "n")
+      .orderBy("term")
+  }
+
   /** q82: benchmark decontamination — drop every training doc sharing an
     * 8-token run with the eval set (docs with doc_id < 10 stand in for a
     * held-out benchmark). The standard n-gram-overlap decontamination:
@@ -214,6 +233,10 @@ object TextAnalysis extends QueryPack {
         |FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
         |ORDER BY 1, 2""".stripMargin)),
     Q("q72_wordcount_mr", q72, Some(
+      """SELECT term, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q85_wordcount_assoc", q85, Some(
       """SELECT term, count(*) AS n FROM (
         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
