@@ -50,22 +50,28 @@ object Bench {
       spark.catalog.clearCache()
     }
     clearState()
-    // Per-query MEDIAN of N runs: the host shows 2-3× timing noise
-    // between identical runs (external CPU load, GC), so a single sample
-    // can misrank a query by an order of magnitude. Median-of-3 keeps
-    // round-over-round comparisons honest at 3× the wall cost.
+    // Per-query MEDIAN of N runs, INTERLEAVED (full query list per pass,
+    // N passes): the host shows 2-3× timing noise and multi-minute
+    // sustained load spikes; back-to-back repeats of one query all land
+    // inside the same spike (observed: one query's median 35s in one
+    // bench, 2.6s in the next). Interleaving spreads a query's samples
+    // minutes apart so the median rejects any spike shorter than a pass.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val samples = (1 to repeats).map { _ =>
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = (1 to repeats).flatMap { _ =>
+      named.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         clearState()
-        (dt, ok)
+        (name, dt, ok)
       }
-      val med = samples.map(_._1).sorted.apply(samples.size / 2)
-      (name, med, samples.forall(_._2))
+    }
+    val results = named.map { case (name, _) =>
+      val mine = samples.filter(_._1 == name)
+      val med = mine.map(_._2).sorted.apply(mine.size / 2)
+      (name, med, mine.forall(_._3))
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

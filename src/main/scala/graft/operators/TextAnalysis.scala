@@ -113,7 +113,8 @@ object TextAnalysis extends QueryPack {
     val texts = Tables.documents(s, dir).select("text").as[String]
     graft.core.MapReduce.run[String, String, Long, (String, Long)](
       texts,
-      t => t.split(" ").iterator.map(w => (w, 1L)),
+      // split(_, -1): trailing-empty-token parity with string_split
+      t => t.split(" ", -1).iterator.map(w => (w, 1L)),
       (w, counts) => (w, counts.sum))
       .toDF("term", "n")
       .orderBy("term")
@@ -135,7 +136,10 @@ object TextAnalysis extends QueryPack {
     val texts = Tables.documents(s, dir).select("text").as[String]
     graft.core.MapReduce.runAssociative[String, String, Long](
       texts,
-      t => t.split(" ").iterator.map(w => (w, 1L)),
+      // split(_, -1) keeps trailing empty tokens — parity with the
+      // oracle's string_split (which emits a '' term after a trailing
+      // space)
+      t => t.split(" ", -1).iterator.map(w => (w, 1L)),
       _ + _)
       .toDF("term", "n")
       .orderBy("term")
@@ -153,16 +157,21 @@ object TextAnalysis extends QueryPack {
   private def q82(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val k = 8
-    val grams = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val w = text.split(" ", -1)
-        (0 to w.length - k).iterator
-          .map(i => (id, w.slice(i, i + k).mkString(" "))).distinct }
-      .toDF("doc_id", "g")
-    val evalGrams = grams.filter(col("doc_id") < 10).select("g").distinct()
-    val contaminated = grams.filter(col("doc_id") >= 10)
+    def gramsOf(docs: DataFrame) = {
+      docs.select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val w = text.split(" ", -1)
+          (0 to w.length - k).iterator
+            .map(i => (id, w.slice(i, i + k).mkString(" "))).distinct }
+        .toDF("doc_id", "g")
+    }
+    // eval-side filter BEFORE the typed flatMap: the object boundary
+    // blocks predicate pushdown, so filtering the exploded grams would
+    // fan out the whole corpus just to build the tiny broadcast side
+    val evalGrams = gramsOf(Tables.documents(s, dir).filter(col("doc_id") < 10))
+      .select("g").distinct()
+    val contaminated = gramsOf(Tables.documents(s, dir).filter(col("doc_id") >= 10))
       .join(broadcast(evalGrams), "g")
       .select("doc_id").distinct()
     Tables.documents(s, dir)

@@ -66,11 +66,9 @@ class PlanSpec extends AnyFunSuite {
     for (q <- Seq("q42_minhash_lsh", "q43_simhash", "q44_ngram_jaccard",
         "q48_ann_lsh", "q66_dedup_groups", "q73_multisignal_dedup")) {
       val p = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
-      val udfs = p.expressions.flatMap(_.collect {
+      val udfs = p.flatMap(_.expressions.flatMap(_.collect {
         case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
-      }) ++ p.collect { case n => n }.flatMap(_.expressions).flatMap(_.collect {
-        case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
-      })
+      }))
       assert(udfs.isEmpty, s"$q plan contains ScalaUDF: $udfs")
     }
   }
