@@ -147,6 +147,26 @@ object FileIO extends QueryPack {
       .orderBy("c_mktsegment")
   }
 
+  /** q86: partitioned layout + partition-pruned scan (§2.3 sources — the
+    * other half of the 100 TB layout story next to bucketing). Events
+    * are written `partitionBy(day)`; the read-back filters one week, so
+    * the scan's PartitionFilters prune ~24 of 31 day directories before
+    * any byte is read (pinned in FileIOSpec). At warehouse scale this is
+    * the difference between scanning a day and scanning a year. */
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "events_by_day")
+    Tables.events(s, dir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .drop("ts") // nanos-derived ts not needed downstream; day carries it
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+    s.read.parquet(out)
+      .filter(col("day") >= "2024-01-08" && col("day") <= "2024-01-14")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q74_mr_textfile", q74, Some(
       """SELECT c_mktsegment, count(*) AS n, min(c_name) AS first_name
@@ -163,6 +183,12 @@ object FileIO extends QueryPack {
       """SELECT c_mktsegment, count(*) AS n,
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q86_partitioned_scan", q86, Some(
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-08' AND '2024-01-14'
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

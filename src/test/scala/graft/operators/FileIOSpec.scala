@@ -48,6 +48,16 @@ class FileIOSpec extends AnyFunSuite {
     assert(got === direct)
   }
 
+  test("q86 scan prunes to the filtered day partitions") {
+    val df = SparkEntry.queries("q86_partitioned_scan")(spark, sf)
+    df.collect() // materializes the partitioned layout
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pf = formatted.split("\n").filter(_.contains("PartitionFilters"))
+    assert(pf.exists(l => l.contains("2024-01-08") && l.contains("day#")),
+      s"expected the day range inside PartitionFilters, got:\n${pf.mkString("\n")}")
+  }
+
   test("q77 bucketed join plans without a shuffle on either join key") {
     val df = SparkEntry.queries("q77_bucketed_join")(spark, sf)
     df.collect() // also materializes the bucketed tables
