@@ -38,10 +38,13 @@ object Dedup extends QueryPack {
     * interpreted path (measured as the dominant cost of q42/q43/q48
     * before this). The object boundary of a typed map is a substitution
     * barrier: the column is computed once, filters evaluate the column. */
-  private def docsWithShingles(s: SparkSession, dir: String): DataFrame = {
+  private def docsWithShingles(s: SparkSession, dir: String): DataFrame =
+    shingleDocs(s, Tables.documents(s, dir).select(col("doc_id"), col("text")))
+
+  /** (doc_id, text) → (doc_id, sh) over any corpus frame. */
+  private[operators] def shingleDocs(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("text"))
+    docs
       .as[(Long, String)]
       // split(_, -1) keeps trailing empty tokens — bitwise-identical to
       // the SQL split() the oracle's string_split mirrors
@@ -149,9 +152,15 @@ object Dedup extends QueryPack {
     * naive inverted index) almost never enter a prefix. This is the
     * standard exact all-pairs similarity join at corpus scale.
     */
-  private def q44(s: SparkSession, dir: String): DataFrame = {
-    val t = 0.7
-    val docs = docsWithShingles(s, dir)
+  private def q44(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(s, docsWithShingles(s, dir), 0.7)
+
+  /** The prefix+length+positional-filtered exact Jaccard join over any
+    * (doc_id, sh) frame. Exposed to tests, which pin set-equality against
+    * the unfiltered brute-force join on random corpora — the filter
+    * math's soundness proof, checked empirically. */
+  private[operators] def jaccardPairs(s: SparkSession, docs: DataFrame,
+      t: Double): DataFrame = {
     val inv = docs.select(col("doc_id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("s"))
     val freq = inv.groupBy("s").agg(count(lit(1)).as("df"))
