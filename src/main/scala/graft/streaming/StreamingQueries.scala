@@ -150,6 +150,86 @@ object StreamingQueries extends QueryPack {
     out
   }
 
+  /** q87: explicit state management — gap-sessionization via
+    * `flatMapGroupsWithState` across REAL multiple micro-batches (events
+    * are re-sharded by day and fed `maxFilesPerTrigger` files at a time,
+    * so sessions genuinely persist and extend across batches). The state
+    * merge is ORDER-INDEPENDENT: sessions and new events are merged as
+    * intervals glued when the gap is under 30 min — the connected
+    * components of the "within 30 min" relation don't depend on arrival
+    * order, so the result is exact whatever the batch composition. Each
+    * batch emits the group's full current session list tagged with a
+    * per-group version; the final answer selects each user's
+    * highest-version emission. Must equal the batch session_window
+    * computation (same oracle as q71). */
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = 1800L * 1000000L
+    // shard by day, one file per day dir, so the file source can deliver
+    // a genuinely incremental replay
+    val out = s"${sys.props("java.io.tmpdir")}/graft_fileio_${math.abs(dir.hashCode)}/events_stream_days"
+    Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("day", from_unixtime(col("us") / 1000000L, "yyyy-MM-dd"))
+      .repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("user_id", "long").add("us", "long").add("day", "string")
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "8") // ~4 micro-batches over 31 days
+      .parquet(out)
+      .select(col("user_id"), col("us"))
+      .as[(Long, Long)]
+    // session summary = (start, lastEventUs, nEvents); plain tuples keep
+    // the state encoder on the well-trodden product path
+    val sessions = stream.groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, List[(Long, Long, Long)]), (Long, Int, Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[(Int, List[(Long, Long, Long)])]) =>
+          val (version, held) = state.getOption.getOrElse((0, Nil))
+          val pieces = (held ++ rows.map { case (_, t) => (t, t, 1L) })
+            .sortBy(p => (p._1, p._2))
+          val merged = pieces.foldLeft(List.empty[(Long, Long, Long)]) { (acc, p) =>
+            acc match {
+              case cur :: rest if p._1 - cur._2 < gapUs =>
+                (cur._1, math.max(cur._2, p._2), cur._3 + p._3) :: rest
+              case _ => p :: acc
+            }
+          }.reverse
+          state.update((version + 1, merged))
+          merged.iterator.map(m => (user, version + 1, m._1, m._2, m._3))
+      }
+    val name = "graft_q87_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // scope stateful parallelism down while the finite replay drains —
+    // state-store commits per partition per batch dominate otherwise
+    // (same sizing note as q84)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val query =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "2")
+        sessions.toDF("user_id", "version", "start_us", "last_us", "n_events")
+          .writeStream.outputMode("update").format("memory").queryName(name).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try query.processAllAvailable()
+    finally query.stop()
+    // windowed latest-version pick, not a self-join: memory-sink views
+    // reuse attribute ids, and a view self-join fails analysis with
+    // conflicting references
+    val wLatest = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val result = s.table(name)
+      .withColumn("maxv", max(col("version")).over(wLatest))
+      .filter(col("version") === col("maxv"))
+      .select(col("user_id"), col("start_us"),
+        (col("last_us") + gapUs).as("end_us"), col("n_events"))
+      .orderBy("user_id", "start_us")
+    val rows = result.collect()
+    val outDf = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
+    s.catalog.dropTempView(name)
+    outDf
+  }
+
   /** q71: session_window (30-minute gap) per user. */
   private def q71(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -194,5 +274,21 @@ object StreamingQueries extends QueryPack {
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c.us >= p.us - 3600000000 AND c.us <= p.us
         |ORDER BY p_id, c_id""".stripMargin)),
+    Q("q87_stateful_sessions", q87, Some(
+      """WITH t AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CASE WHEN us - lag(us) OVER w >= 1800000000 THEN 1
+        |         WHEN lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+        |), s AS (
+        |  SELECT user_id, us,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM t
+        |)
+        |SELECT user_id, min(us) AS start_us,
+        |  max(us) + 1800000000 AS end_us, count(*) AS n_events
+        |FROM s GROUP BY user_id, session_no ORDER BY user_id, start_us""".stripMargin)),
   )
 }
