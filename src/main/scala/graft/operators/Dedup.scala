@@ -166,20 +166,25 @@ object Dedup extends QueryPack {
     val freq = inv.groupBy("s").agg(count(lit(1)).as("df"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("df", "s") // global order: rarest first
-    val prefix = inv.join(freq, "s")
-      .withColumn("rk", row_number().over(wDoc))
-      .filter(col("rk") <= col("sz") - ceil(col("sz") * t) + 1)
-      .select("doc_id", "sz", "s", "df", "rk")
-    // Length filter: jaccard(A,B) >= t forces t*|A| <= |B| <= |A|/t, so
-    // prune bucket pairs before the (much heavier) set-intersection
-    // verify. The threshold is applied as the exact rational tNum/tDen
-    // DERIVED from t (0.7 is not representable in binary; deriving keeps
-    // the two thresholds from silently diverging if t ever changes).
+    // The ACCEPTANCE test (verify + oracle) is round(jaccard, 4) >= t,
+    // which admits true jaccard down to t − 5e-5. Every pruning filter
+    // below therefore uses the LOOSENED exact rational
+    //   tL = tNum/tDen = t − 1/(2·10⁴)
+    // (derived from t, integer-exact): pruning against t itself could
+    // drop a boundary pair that rounds up into the oracle's output.
     val (tNum, tDen) = {
       val bd = BigDecimal(t.toString)
-      (bd.underlying.unscaledValue.longValueExact,
-        BigDecimal(10).pow(bd.scale).toLongExact)
+      require(bd.scale <= 4, s"threshold $t needs scale <= 4")
+      (bd.underlying.unscaledValue.longValueExact *
+        2L * math.pow(10, 4 - bd.scale).toLong - 1L,
+        20000L)
     }
+    // prefix keeps ranks with ceil(sz·tL) <= sz − rk + 1, written
+    // integer-exactly as sz·tNum <= (sz − rk + 1)·tDen
+    val prefix = inv.join(freq, "s")
+      .withColumn("rk", row_number().over(wDoc))
+      .filter(col("sz") * tNum <= (col("sz") - col("rk") + 1) * tDen)
+      .select("doc_id", "sz", "s", "df", "rk")
     // POSITIONAL filter (PPJoin): per candidate pair take the first
     // prefix match under the global (df, s) order. That match IS the
     // smallest common shingle of the pair (anything smaller and common

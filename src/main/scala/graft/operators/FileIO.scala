@@ -32,8 +32,9 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField
   */
 object FileIO extends QueryPack {
 
-  /** Per-sfDir scratch root so sf0.001/sf0.01/sf0.1 runs don't collide. */
-  private def scratch(dir: String, name: String): String =
+  /** Per-sfDir scratch root so sf0.001/sf0.01/sf0.1 runs don't collide
+    * (shared with the streaming pack — one scheme, one place). */
+  private[graft] def scratch(dir: String, name: String): String =
     s"${sys.props("java.io.tmpdir")}/graft_fileio_${math.abs(dir.hashCode)}/$name"
 
   /** q74: header-skipping text-file MapReduce (O4+O12). Dump customer as

@@ -23,6 +23,10 @@ import org.apache.spark.sql.functions._
   */
 object StreamingQueries extends QueryPack {
 
+  /** Process-local record of q87 day-shard dumps (see q87). */
+  private val dumped =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** q70: month-count as a streaming aggregation. */
   private def q70(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -168,18 +172,19 @@ object StreamingQueries extends QueryPack {
     val gapUs = 1800L * 1000000L
     // shard by day, one file per day dir, so the file source can deliver
     // a genuinely incremental replay
-    val out = s"${sys.props("java.io.tmpdir")}/graft_fileio_${math.abs(dir.hashCode)}/events_stream_days"
+    val out = graft.operators.FileIO.scratch(dir, "events_stream_days")
     // the day-shard dump is deterministic input preparation — write it
-    // once per sf dir and reuse (repeated bench passes measure the
-    // stateful replay, not a redundant re-dump)
-    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(out),
-      s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(out + "/_SUCCESS"))) {
+    // once PER JVM per sf dir and reuse across repeated bench passes.
+    // The cache is process-local on purpose: a fresh process always
+    // rewrites, so a regenerated source table can never be shadowed by
+    // a stale on-disk dump from an earlier run.
+    if (!StreamingQueries.dumped.contains(out)) {
       Tables.events(s, dir)
         .select(col("user_id"), unix_micros(col("ts")).as("us"))
         .withColumn("day", from_unixtime(col("us") / 1000000L, "yyyy-MM-dd"))
         .repartition(col("day"))
         .write.mode("overwrite").partitionBy("day").parquet(out)
+      StreamingQueries.dumped.add(out)
     }
     val schema = new org.apache.spark.sql.types.StructType()
       .add("user_id", "long").add("us", "long").add("day", "string")
