@@ -1,0 +1,201 @@
+package graft.operators
+
+import graft.{Q, QueryPack}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data preparation operators (north-star extension): the
+  * document-to-training-set steps a 100 TB curation pipeline runs after
+  * cleaning — chunking, PII redaction, mixture sampling, latest-record
+  * compaction, inverted-index construction, cluster centroids, and
+  * histogramming.
+  *
+  * Scale notes per query are on each method; the common theme is that
+  * everything is either map-only (chunking, redaction, sampling) or a
+  * single hash shuffle on a high-cardinality key (index, centroids), and
+  * all randomness is content-hash-derived so results are reproducible on
+  * any cluster size and have exact DuckDB oracles.
+  */
+object DataPrep extends QueryPack {
+
+  /** q88: RAG-style overlapping chunking — fixed window of W=8 tokens
+    * with stride S=6 (overlap 2). Map-only fan-out: `sequence` +
+    * `explode` + `slice` are all native codegen expressions (no UDF under
+    * the Generate — see the InferFiltersFromGenerate trap in Dedup), so
+    * this runs at scan speed and parallelizes with the input splits. The
+    * chunk signature (prefix of sha-256) stands in for the chunk payload
+    * in the gate to keep output bounded. */
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    val W = 8
+    val St = 6
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0L),
+          floor((size(col("w")) - 1) / St))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("w"), (col("chunk_idx") * St + 1).cast("int"), lit(W)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).as("n_tokens"),
+        substring(sha2(array_join(col("chunk"), " "), 256), 1, 16).as("chunk_sig"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** q89: PII-style redaction — mask multi-digit runs in the event
+    * payload and count the redactions. Map-only `regexp_replace` /
+    * `regexp_extract_all` (codegen'd); the pattern set extends to
+    * emails/phones/IPs without changing the plan shape. */
+  private def q89(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        regexp_replace(col("props"), "[0-9]{2,}", "<NUM>").as("props_redacted"),
+        size(regexp_extract_all(col("props"), lit("[0-9]{2,}"), lit(0)))
+          .as("n_redacted"))
+      .orderBy("event_id")
+
+  /** q90: mixture (temperature) sampling — per-language keep rates
+    * (en 1, fr 3/4, de 1/2, es 1/4, zh 1/8) applied by comparing a
+    * content-hash prefix against the rate's exact 16-bit hex threshold.
+    * Deterministic by content: membership is engine- and
+    * cluster-size-independent, re-runs are stable, and rates are exact
+    * binary fractions so the hex string compare IS the Bernoulli draw.
+    * Map-only. */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val h4 = substring(
+      sha2(concat(col("doc_id").cast("string"), lit("|"), col("lang")), 256), 1, 4)
+    val thr = when(col("lang") === "fr", "c000")
+      .when(col("lang") === "de", "8000")
+      .when(col("lang") === "es", "4000")
+      .when(col("lang") === "zh", "2000")
+      .otherwise("0000")
+    Tables.documents(s, dir)
+      .filter(col("lang") === "en" || h4 < thr)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  /** q91: latest-record compaction (SCD-1 upsert / CDC merge): one row
+    * per user carrying the most recent event, ties at the same
+    * microsecond broken by event id. One hash shuffle on the key + a
+    * per-key sort — the standard log-compaction shape; at scale the
+    * window never sees more than one key's events in memory. */
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"), col("ts_us").as("last_ts_us"),
+        col("value").as("last_value"))
+      .orderBy("user_id")
+  }
+
+  /** q92: inverted-index construction — 3-gram shingle → document
+    * frequency + the first 20 postings (sorted doc ids). Typed flatMap
+    * fan-out (per-doc-distinct grams), one hash shuffle on the gram; the
+    * postings head keeps per-key output bounded, which is exactly how a
+    * real index shards hot terms. */
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val w = text.split(" ", -1)
+        (0 to w.length - 3).iterator
+          .map(i => (id, s"${w(i)} ${w(i + 1)} ${w(i + 2)}")).distinct }
+      .toDF("doc_id", "g")
+    grams.groupBy("g")
+      .agg(count(lit(1)).as("df"),
+        array_join(
+          transform(slice(array_sort(collect_list(col("doc_id"))), 1, 20),
+            x => x.cast("string")), ",").as("postings_head"))
+      .orderBy("g")
+  }
+
+  /** q93: per-cluster embedding centroids — mean vector per label, laid
+    * out as (label, pos, value) rows. The posexplode → two-level groupBy
+    * shape is the scalable way to average vectors: the shuffle key
+    * (label, pos) has cardinality labels×dims, so no single reducer ever
+    * holds a whole cluster's vectors (vs. collect_list of arrays). */
+  private def q93(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"), col("col").cast("double").as("v"))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"), round(avg(col("v")), 6).as("centroid_v"))
+      .orderBy("label", "pos")
+
+  /** q94: equi-width histogram of document lengths — 16 buckets between
+    * the global min/max. Two passes: a 1-row min/max aggregate broadcast
+    * back over the scan (never a driver-side collect), then bucket
+    * counts. Bucket arithmetic is all-integer so the cut points are
+    * bit-exact in any engine. */
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("n_chars"))
+    val mm = docs.agg(min("n_chars").as("mn"), max("n_chars").as("mx"))
+    docs.crossJoin(broadcast(mm))
+      .withColumn("bucket", expr("((n_chars - mn) * 16) div (mx - mn + 1)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"))
+      .orderBy("bucket")
+  }
+
+  override def queries: Seq[Q] = Seq(
+    Q("q88_chunk_overlap", q88, Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |k AS (SELECT doc_id, w, unnest(generate_series(0, (len(w) - 1) // 6)) AS chunk_idx FROM t),
+        |c AS (SELECT doc_id, chunk_idx,
+        |        w[chunk_idx * 6 + 1 : least(chunk_idx * 6 + 8, len(w))] AS chunk FROM k)
+        |SELECT doc_id, chunk_idx, len(chunk) AS n_tokens,
+        |  substring(sha256(array_to_string(chunk, ' ')), 1, 16) AS chunk_sig
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+    Q("q89_pii_redact", q89, Some(
+      """SELECT event_id,
+        |  regexp_replace(props, '[0-9]{2,}', '<NUM>', 'g') AS props_redacted,
+        |  len(regexp_extract_all(props, '[0-9]{2,}')) AS n_redacted
+        |FROM events ORDER BY event_id""".stripMargin)),
+    Q("q90_mixture_sample", q90, Some(
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE lang = 'en'
+        |   OR substring(sha256(CAST(doc_id AS VARCHAR) || '|' || lang), 1, 4) <
+        |      CASE lang WHEN 'fr' THEN 'c000' WHEN 'de' THEN '8000'
+        |                WHEN 'es' THEN '4000' WHEN 'zh' THEN '2000'
+        |                ELSE '0000' END
+        |ORDER BY doc_id""".stripMargin)),
+    Q("q91_upsert_latest", q91, Some(
+      """WITH r AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id AS last_event_id,
+        |  event_type AS last_event_type, ts_us AS last_ts_us,
+        |  value AS last_value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+    Q("q92_inverted_index", q92, Some(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |         [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |          FOR i IN generate_series(1, len(w) - 2)])) AS g FROM toks)
+        |SELECT g, count(*) AS df,
+        |  array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings_head
+        |FROM sh GROUP BY g ORDER BY g""".stripMargin)),
+    Q("q93_cluster_centroids", q93, Some(
+      """SELECT label, i - 1 AS pos, count(*) AS n,
+        |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_v
+        |FROM embeddings, generate_series(1, 64) t(i)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    Q("q94_length_histogram", q94, Some(
+      """WITH mm AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents)
+        |SELECT ((n_chars - mn) * 16) // (mx - mn + 1) AS bucket,
+        |  count(*) AS n_docs, min(n_chars) AS min_chars,
+        |  max(n_chars) AS max_chars
+        |FROM documents, mm GROUP BY 1 ORDER BY 1""".stripMargin)),
+  )
+}

@@ -120,6 +120,47 @@ object TextAnalysis extends QueryPack {
       .orderBy("term")
   }
 
+  /** q95: quality-filter funnel — the survivor count after each stage of
+    * a chained curation cascade (length → repetition → langid agreement
+    * → composite quality). All stages are map-only predicates folded into
+    * ONE scan and a 1-row conditional aggregate (`sum(cond)`), then
+    * unpivoted — the cheapest possible way to audit a filter chain at
+    * corpus scale (no per-stage jobs, no shuffle beyond the final
+    * 5-row stack). Thresholds share q50/q51's exact expressions, so the
+    * funnel is consistent with the gated per-doc scores. */
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val stopCount = size(filter(toks, t => t.isInCollection(enStop)))
+    val stopRatio = round(stopCount.cast("double") / nTok, 4)
+    val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+    val punctRatio = round(punct.cast("double") / length(col("text")), 4)
+    val quality = round((stopRatio + least(nTok, lit(100)).cast("double") / 100
+      - punctRatio + 1) / 3, 4)
+    val distinctRatio = round(size(array_distinct(toks)).cast("double") / nTok, 4)
+    val Seq(en, es, de, fr) = markers.map { case (_, ms) =>
+      size(filter(toks, t => t.isInCollection(ms)))
+    }
+    val pred = when(en >= greatest(es, de, fr) && en > 0, "en")
+      .when(es >= greatest(de, fr) && es > 0, "es")
+      .when(de >= fr && de > 0, "de")
+      .when(fr > 0, "fr")
+      .otherwise("und")
+    val c1 = col("n_chars").between(60, 400)
+    val c2 = c1 && distinctRatio >= 0.35
+    val c3 = c2 && (pred === col("lang") || col("lang") === "zh")
+    val c4 = c3 && quality >= 0.5
+    Tables.documents(s, dir)
+      .agg(count(lit(1)).as("c0"), sum(c1.cast("long")).as("c1"),
+        sum(c2.cast("long")).as("c2"), sum(c3.cast("long")).as("c3"),
+        sum(c4.cast("long")).as("c4"))
+      .select(expr(
+        """stack(5, 0, 'all', c0, 1, 'length', c1, 2, 'repetition', c2,
+          |3, 'langid', c3, 4, 'quality', c4) AS (stage_idx, stage, n_docs)"""
+          .stripMargin))
+      .orderBy("stage_idx")
+  }
+
   private def sqlList(xs: Seq[String]): String =
     xs.map(x => s"'$x'").mkString("[", ", ", "]")
 
@@ -280,6 +321,39 @@ object TextAnalysis extends QueryPack {
         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens,
         |  length(text) AS n_chars_text
         |FROM documents ORDER BY doc_id""".stripMargin)),
+    Q("q95_filter_funnel", q95, Some(
+      s"""WITH t AS (SELECT doc_id, lang, n_chars, text, string_split(text, ' ') AS w FROM documents),
+         |f AS (SELECT lang, n_chars, text,
+         |  round(len(list_distinct(w)) * 1.0 / len(w), 4) AS dr,
+         |  len(list_filter(w, t -> list_contains(${sqlList(markers(0)._2)}, t))) AS s_en,
+         |  len(list_filter(w, t -> list_contains(${sqlList(markers(1)._2)}, t))) AS s_es,
+         |  len(list_filter(w, t -> list_contains(${sqlList(markers(2)._2)}, t))) AS s_de,
+         |  len(list_filter(w, t -> list_contains(${sqlList(markers(3)._2)}, t))) AS s_fr,
+         |  round((round(len(list_filter(w, t -> list_contains(${sqlList(enStop)}, t))) * 1.0 / len(w), 4)
+         |    + least(len(w), 100) / 100.0
+         |    - round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0 / length(text), 4) + 1) / 3, 4) AS q
+         | FROM t),
+         |g AS (SELECT lang, n_chars, dr, q,
+         |  CASE WHEN s_en >= greatest(s_es, s_de, s_fr) AND s_en > 0 THEN 'en'
+         |       WHEN s_es >= greatest(s_de, s_fr) AND s_es > 0 THEN 'es'
+         |       WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+         |       WHEN s_fr > 0 THEN 'fr' ELSE 'und' END AS pred
+         | FROM f),
+         |c AS (SELECT count(*) AS c0,
+         |  count(*) FILTER (n_chars BETWEEN 60 AND 400) AS c1,
+         |  count(*) FILTER (n_chars BETWEEN 60 AND 400 AND dr >= 0.35) AS c2,
+         |  count(*) FILTER (n_chars BETWEEN 60 AND 400 AND dr >= 0.35
+         |    AND (pred = lang OR lang = 'zh')) AS c3,
+         |  count(*) FILTER (n_chars BETWEEN 60 AND 400 AND dr >= 0.35
+         |    AND (pred = lang OR lang = 'zh') AND q >= 0.5) AS c4
+         | FROM g)
+         |SELECT stage_idx, stage, n_docs FROM (
+         |  SELECT 0 AS stage_idx, 'all' AS stage, c0 AS n_docs FROM c
+         |  UNION ALL SELECT 1, 'length', c1 FROM c
+         |  UNION ALL SELECT 2, 'repetition', c2 FROM c
+         |  UNION ALL SELECT 3, 'langid', c3 FROM c
+         |  UNION ALL SELECT 4, 'quality', c4 FROM c)
+         |ORDER BY stage_idx""".stripMargin)),
     Q("q53_fingerprint", q53, Some(
       """SELECT doc_id,
         |  list_reduce(
