@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.{SparkEntry, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spark-side invariants for the DataPrep pack (q88–q95). The DuckDB
+  * oracle is the arbiter of exact values; these pin the semantic
+  * properties a value-hash can't express: chunk coverage/overlap, full
+  * redaction, split monotonicity of the funnel, and per-key uniqueness
+  * of the compaction.
+  */
+class DataPrepSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("q88 chunks cover every token with stride-6 windows") {
+    val chunks = SparkEntry.queries("q88_chunk_overlap")(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+    // chunk count per doc = floor((n_tok-1)/stride)+1, indices contiguous,
+    // no chunk exceeds the window, and some chunk reaches the final token
+    // (stride < window makes inner coverage gap-free by construction)
+    val agg = chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), max("chunk_idx").as("max_idx"),
+        max(col("chunk_idx") * 6 + col("n_tokens")).as("reach"),
+        max("n_tokens").as("max_len"), min("n_tokens").as("min_len"))
+      .join(docs, "doc_id")
+    val bad = agg.filter(
+      col("n_chunks") =!= floor((col("n_tok") - 1) / 6) + 1 ||
+      col("max_idx") =!= col("n_chunks") - 1 ||
+      col("reach") =!= col("n_tok") ||
+      col("max_len") > 8 || col("min_len") < 1)
+    assert(bad.count() === 0)
+  }
+
+  test("q89 leaves no multi-digit run unredacted and counts them") {
+    val got = SparkEntry.queries("q89_pii_redact")(spark, sf)
+    assert(got.filter(col("props_redacted").rlike("[0-9]{2,}")).count() === 0)
+    // counted occurrences must equal the number of <NUM> masks inserted
+    val bad = got.filter(
+      size(split(col("props_redacted"), "<NUM>", -1)) - 1 =!= col("n_redacted"))
+    assert(bad.count() === 0)
+  }
+
+  test("q90 keeps all English docs and subsets of the rest") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val kept = SparkEntry.queries("q90_mixture_sample")(spark, sf)
+    val en = docs.filter(col("lang") === "en").count()
+    assert(kept.filter(col("lang") === "en").count() === en)
+    // per-language keep counts never exceed the corpus counts, and the
+    // aggressive-downsample languages (es 1/4, zh 1/8) keep strictly less
+    val keptBy = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val allBy = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((l, n) <- keptBy) assert(n <= allBy(l), s"lang $l")
+    for (l <- Seq("es", "zh") if allBy.contains(l))
+      assert(keptBy.getOrElse(l, 0L) < allBy(l), s"lang $l not downsampled")
+  }
+
+  test("q91 emits one row per user carrying that user's max timestamp") {
+    val got = SparkEntry.queries("q91_upsert_latest")(spark, sf)
+    assert(got.groupBy("user_id").count().filter(col("count") > 1).count() === 0)
+    val maxTs = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .groupBy("user_id").agg(max("us").as("mx"))
+    val bad = got.join(maxTs, "user_id").filter(col("last_ts_us") =!= col("mx"))
+    assert(bad.count() === 0)
+  }
+
+  test("q93 centroid groups count every vector exactly once per position") {
+    val got = SparkEntry.queries("q93_cluster_centroids")(spark, sf)
+    val perLabel = graft.sources.Tables.embeddings(spark, sf)
+      .groupBy("label").count()
+    // each label must have exactly 64 positions, each counting that
+    // label's full vector population
+    val bad = got.groupBy("label")
+      .agg(count(lit(1)).as("n_pos"), min("n").as("mn"), max("n").as("mx"))
+      .join(perLabel, "label")
+      .filter(col("n_pos") =!= 64 || col("mn") =!= col("count") ||
+        col("mx") =!= col("count"))
+    assert(bad.count() === 0)
+  }
+
+  test("q94 histogram partitions the corpus") {
+    val got = SparkEntry.queries("q94_length_histogram")(spark, sf).collect()
+    val total = graft.sources.Tables.documents(spark, sf).count()
+    assert(got.map(_.getLong(1)).sum === total)
+    assert(got.forall { r => val b = r.getLong(0); b >= 0 && b < 16 })
+    // bucket ranges must not overlap: max_chars of bucket i < min_chars of i+1
+    val sorted = got.sortBy(_.getLong(0))
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(3) < b.getLong(2))
+      case _ => ()
+    }
+  }
+
+  test("q95 funnel is monotone non-increasing") {
+    val got = SparkEntry.queries("q95_filter_funnel")(spark, sf)
+      .orderBy("stage_idx").collect().map(_.getLong(2))
+    assert(got.length === 5)
+    got.sliding(2).foreach {
+      case Array(a, b) => assert(b <= a)
+      case _ => ()
+    }
+    assert(got.head === graft.sources.Tables.documents(spark, sf).count())
+  }
+}
