@@ -112,7 +112,7 @@ object Similarity extends QueryPack {
     // row; the typed boundary computes each code exactly once. Codes are
     // hashed from the raw float vector — float→double widening is exact,
     // so the signs (and buckets) are identical to hashing `v`.
-    val buckets = Tables.embeddings(s, dir)
+    def codesOf(in: DataFrame): DataFrame = in
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])]
       .flatMap { case (id, emb) =>
@@ -132,8 +132,13 @@ object Similarity extends QueryPack {
           (id, tableId, code)
         } }
       .toDF("vec_id", "table_id", "bucket")
-    val qb = buckets.filter(col("vec_id") < 10)
-      .toDF("query_id", "table_id", "bucket")
+    val buckets = codesOf(Tables.embeddings(s, dir))
+    // query-side codes from the 10-row filtered scan (pushdown reaches
+    // parquet), not by re-hashing the whole corpus a second time; the
+    // 160-row result broadcasts, so the bucket join is map-side
+    val qb = broadcast(
+      codesOf(Tables.embeddings(s, dir).filter(col("vec_id") < 10))
+        .toDF("query_id", "table_id", "bucket"))
     val candIds = qb.join(buckets.toDF("neighbor_id", "table_id", "bucket"),
         Seq("table_id", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
