@@ -97,9 +97,19 @@ object DataPrep extends QueryPack {
 
   /** q92: inverted-index construction — 3-gram shingle → document
     * frequency + the first 20 postings (sorted doc ids). Typed flatMap
-    * fan-out (per-doc-distinct grams), one hash shuffle on the gram; the
-    * postings head keeps per-key output bounded, which is exactly how a
-    * real index shards hot terms. */
+    * fan-out (per-doc-distinct grams), one hash shuffle on the gram.
+    *
+    * The postings head is RANKED BEFORE AGGREGATION: `row_number` over
+    * (gram, doc_id) marks the 20 smallest doc ids per gram, and the
+    * `collect_list` only ever buffers those ≤ 20 survivors
+    * (`when(rn ≤ 20)` — collect_list drops nulls). Slicing AFTER a bare
+    * collect_list would materialize a hot gram's entire postings list in
+    * one aggregation buffer — at 100 TB a stop-word 3-gram has df in the
+    * billions, so the bound is the difference between an index build and
+    * an OOM. `df` still counts every row. The window's hash partitioning
+    * on `g` is reused by the groupBy (one shuffle total), and the window
+    * itself spills per-partition rather than buffering per-key.
+    * Bounded-buffer shape pinned in PlanSpec. */
   private def q92(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val grams = Tables.documents(s, dir)
@@ -109,10 +119,13 @@ object DataPrep extends QueryPack {
         (0 to w.length - 3).iterator
           .map(i => (id, s"${w(i)} ${w(i + 1)} ${w(i + 2)}")).distinct }
       .toDF("doc_id", "g")
-    grams.groupBy("g")
+    val wHead = Window.partitionBy("g").orderBy("doc_id")
+    grams
+      .withColumn("rn", row_number().over(wHead))
+      .groupBy("g")
       .agg(count(lit(1)).as("df"),
         array_join(
-          transform(slice(array_sort(collect_list(col("doc_id"))), 1, 20),
+          transform(array_sort(collect_list(when(col("rn") <= 20, col("doc_id")))),
             x => x.cast("string")), ",").as("postings_head"))
       .orderBy("g")
   }

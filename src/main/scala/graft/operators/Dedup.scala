@@ -212,25 +212,18 @@ object Dedup extends QueryPack {
   private def q44Sorted(s: SparkSession, dir: String): DataFrame =
     q44(s, dir).orderBy("id_a", "id_b")
 
-  /** q45: embedding near-dup — cosine ≥ 0.4 pairs, double-precision dot
-    * products (brute force here; the LSH-bucketed scale path is
-    * Similarity.q47). */
-  private def q45(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-      // norm computed ONCE per vector, not per pair; graft_dot is the
-      // codegen'd DotProduct expression (graft.functions.DotProduct)
-      .withColumn("nrm", sqrt(graft.functions.VectorFunctions.dot(s, "v", "v")))
-    val a = e.toDF("id_a", "v_a", "nrm_a")
-    val b = e.toDF("id_b", "v_b", "nrm_b")
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(
-        graft.functions.VectorFunctions.dot(s, "v_a", "v_b") /
-          (col("nrm_a") * col("nrm_b")), 6))
-      .filter(col("cos") >= 0.4)
-      .select("id_a", "id_b", "cos")
+  /** q45: embedding near-dup — all cosine ≥ 0.4 pairs, double-precision
+    * dot products, via the tiled exact self-join (see
+    * [[cosinePairsTiled]]). Exact on any data — the tiling is a physical
+    * rearrangement, not an approximation (set-equality vs brute force
+    * pinned in TiledJoinPropertySpec) — so the plan has NO
+    * CartesianProduct node: tasks each hold two bounded tiles and the
+    * i ≤ j tile symmetry halves the pair evaluations a crossJoin would
+    * do. This retired the repo's last cartesian (pinned repo-wide in
+    * PlanSpec). */
+  private def q45(s: SparkSession, dir: String): DataFrame =
+    embeddingPairsTiled(s, dir, 0.4, tiles = 8)
       .orderBy("id_a", "id_b")
-  }
 
   /** q66: near-dup groups — connected components over the exact-Jaccard
     * pair graph, labeling every involved doc with the min doc_id of its

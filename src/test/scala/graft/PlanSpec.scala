@@ -81,4 +81,48 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"q73 must use the tiled equi-join, not an all-pairs join:\n$plan")
   }
+
+  test("q92 postings buffer is bounded (rank-then-aggregate, never a bare collect_list)") {
+    // A bare collect_list materializes a hot gram's ENTIRE postings list
+    // in one aggregation buffer — the classic 100 TB skew bomb. The
+    // bounded form ranks first and collects only `when(rn <= 20, ...)`,
+    // so every CollectList in the plan must sit behind the rank guard.
+    val p = SparkEntry.queries("q92_inverted_index")(spark, sf)
+      .queryExecution.optimizedPlan
+    val lists = p.flatMap(_.expressions.flatMap(_.collect {
+      case c: org.apache.spark.sql.catalyst.expressions.aggregate.CollectList => c
+    }))
+    assert(lists.nonEmpty, "q92 should build its postings head via collect_list")
+    lists.foreach { c =>
+      assert(c.child.isInstanceOf[org.apache.spark.sql.catalyst.expressions.CaseWhen],
+        s"collect_list input must be the rank-bounded CASE WHEN, got: ${c.child}")
+    }
+    assert(p.toString.contains("row_number"),
+      "q92 must rank postings per gram before aggregating")
+  }
+
+  test("NO query plans a cartesian / nested-loop join (bounded-broadcast baselines exempt)") {
+    // Repo-wide scale pin: every join must be an equi-join (hash/sort) —
+    // a CartesianProduct or BroadcastNestedLoopJoin node anywhere else is
+    // a 100 TB non-starter. Exemptions, each a deliberately bounded
+    // broadcast of a handful of rows against one corpus scan:
+    //   q46 — the labeled ANN brute-force baseline: 10 query vectors
+    //         broadcast (its non-equi `neighbor != query` condition).
+    //   q47 — IVF cell assignment/probing: 16 centroids broadcast.
+    //   q94 — histogram bounds: a 1-row global min/max broadcast.
+    //   q69 — TF-IDF corpus size: a 1-row count broadcast.
+    val exempt = Set("q46_ann_bruteforce", "q47_ann_ivf", "q94_length_histogram",
+      "q69_tfidf")
+    // Streaming queries execute a full drain in fn(); their batch-side
+    // shapes are pinned by their own specs — skip the expensive drains.
+    val skip = SparkEntry.all.map(_.name).filter(_.matches(
+      "q70_.*|q71_.*|q78_.*|q84_.*|q87_.*")).toSet
+    for (q <- SparkEntry.all.map(_.name) if !exempt(q) && !skip(q)) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q plans an all-pairs join:\n$plan")
+    }
+  }
 }
