@@ -181,12 +181,24 @@ object Relational extends QueryPack {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
-  /** HLL approximate distinct — sketch differs from DuckDB's, so no SQL
-    * oracle (rows-only check); accuracy pinned by RelationalSpec. */
+  /** HLL approximate distinct — SELF-VERIFYING gate. Spark's HLL sketch
+    * differs from DuckDB's, so the approximate VALUE has no SQL oracle;
+    * what IS oracle-able is the accuracy contract: compute approx and
+    * exact in one aggregation and emit `|approx − exact|/exact ≤ bound`
+    * as a checked column. The oracle pins the exact count and
+    * `within_bound = true` — a sketch regression now hash-fails the
+    * driver gate instead of hiding in a rows-only row. Bound 0.05 =
+    * 2.5σ of the requested rsd 0.02. At scale this stays one partial-agg
+    * shuffle: HLL buffers and the distinct-count expand merge map-side. */
   private def q25(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        lit(0.05).as("rel_err_bound"),
+        (abs(col("approx") - col("exact_parts")).cast("double") /
+          col("exact_parts") <= 0.05).as("within_bound"))
       .orderBy("l_returnflag")
 
   /** ROLLUP with exact decimal sums; NULL subtotal keys labeled 'ALL'. */
@@ -340,7 +352,13 @@ object Relational extends QueryPack {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
-    Q("q25_approx_distinct", q25, None),
+    // Self-verifying: oracle pins the exact count and the accuracy
+    // contract (see q25 scaladoc).
+    Q("q25_approx_distinct", q25, Some(
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  CAST(0.05 AS DOUBLE) AS rel_err_bound, true AS within_bound
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q26_rollup", q26, Some(
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         |  coalesce(l_linestatus, 'ALL') AS status,

@@ -97,9 +97,11 @@ object Similarity extends QueryPack {
     Array.fill(LshTables, LshBits)(Array.fill(64)(rnd.nextGaussian()))
   }
 
-  /** q48: hyperplane-LSH ANN — probabilistic recall, so rows-only check
-    * here; recall is pinned against q46 in SimilaritySpec. */
-  private def q48(s: SparkSession, dir: String): DataFrame = {
+  /** Hyperplane-LSH ANN top-5 — the probabilistic scale path. Candidate
+    * generation is bucketed (L tables × b sign-bits); ranking among
+    * candidates is exact cosine. This is the user-facing result frame;
+    * the gated q48 wraps it in a self-verifying recall check. */
+  private[operators] def lshTop5(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val planes = hyperplanes
     val e = corpus(s, dir)
@@ -156,6 +158,38 @@ object Similarity extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  /** Pooled recall@5 floor for the q48 gate. Measured recall of the
+    * (seeded, deterministic) 16×6 hyperplane family on this corpus is
+    * 0.62–0.70 at sf0.001/0.01/0.1; 0.4 guards against the bucketing
+    * silently degenerating (recall ≈ 0) or the hash family drifting,
+    * with margin for unseen data. Same floor as ExtensionSpecs' per-pair
+    * pin. */
+  private[operators] val LshRecallFloor = 0.4
+
+  /** q48: hyperplane-LSH ANN — SELF-VERIFYING gate. LSH output is
+    * probabilistic (no exact SQL oracle can reproduce which neighbors
+    * the buckets surface), so the gated frame is the verification
+    * itself: join [[lshTop5]] against the exact top-5 (q46's semantics,
+    * which DuckDB CAN compute) and emit pooled recall ≥ floor as a
+    * checked column. The oracle pins n_queries/n_exact from the data and
+    * `recall_ok = true` — a recall collapse now hash-FAILS the driver
+    * gate instead of hiding in a rows-only row. Per-pair recall detail
+    * stays pinned in ExtensionSpecs. */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val lsh = lshTop5(s, dir).select(col("query_id"), col("neighbor_id"))
+      .withColumn("found", lit(1L))
+    val exact = q46(s, dir).select("query_id", "neighbor_id")
+    exact.join(lsh, Seq("query_id", "neighbor_id"), "left")
+      .agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("found"), lit(0L))).as("hits"))
+      .select(col("n_queries"), col("n_exact"),
+        lit(LshRecallFloor).as("recall_floor"),
+        (col("hits").cast("double") / col("n_exact") >= LshRecallFloor)
+          .as("recall_ok"))
+  }
+
   private val cosSql =
     "round(list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s))), 6)"
   private def cs(a: String, b: String) = cosSql.format(a, b, a, a, b, b)
@@ -197,6 +231,13 @@ object Similarity extends QueryPack {
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY ${cs("qv", "v")} DESC, neighbor_id) AS rank
          |  FROM cand) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
-    Q("q48_ann_lsh", q48, None),
+    // Self-verifying: the oracle pins the corpus-derived counts and the
+    // recall bound; Spark's recall_ok column must come out true or the
+    // value hash mismatches (see q48 scaladoc).
+    Q("q48_ann_lsh", q48, Some(
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(count(*) * 5 AS BIGINT) AS n_exact,
+        |  CAST(0.4 AS DOUBLE) AS recall_floor, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin)),
   )
 }
