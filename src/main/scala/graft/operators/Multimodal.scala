@@ -8,13 +8,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing (north-star extension): media as opaque
   * `binary` payloads with typed metadata, batch-decoded per partition.
   *
-  * The Spark-side architecture is the real thing — binary columns,
-  * metadata struct, hash-partitioned batch iteration via typed
-  * `mapPartitions` (the Scala analog of `mapInPandas` batch UDFs), and a
-  * deterministic feature schema out. Only the codec call itself is
-  * STUBBED (this container ships no image/audio libraries): the "decode"
-  * is a deterministic byte-level fake, cleanly isolated in
-  * [[Multimodal.decodeStub]] where a JNI/javacpp codec would slot in.
+  * The pipeline is the real thing end to end — binary columns, metadata
+  * struct, hash-partition-free batch iteration via typed `mapPartitions`
+  * (the Scala analog of `mapInPandas` batch UDFs), and a REAL codec:
+  * payloads are genuine PNG bytes and the decode step is JDK
+  * `javax.imageio.ImageIO` (no external dependency). Because the fixture
+  * images are generated from a closed-form integer pixel function, the
+  * DuckDB oracle recomputes the decoded features independently — the
+  * gate is a full encode→PNG→decode round-trip check, and a codec or
+  * color-model regression (channel order, alpha, bit depth) fails the
+  * hash.
   *
   * Scale notes: decode is the expensive step at 100 TB — it's map-only,
   * so it scales linearly over input splits (no shuffle anywhere in the
@@ -23,45 +26,72 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal extends QueryPack {
 
-  case class MediaRow(doc_id: Long, payload: Array[Byte], width: Int, height: Int)
-  case class MediaFeature(doc_id: Long, payload_len: Int, first_byte: Int,
-      width: Int, height: Int, checksum: Long)
+  case class MediaRow(doc_id: Long, payload: Array[Byte])
+  case class MediaFeature(doc_id: Long, width: Int, height: Int,
+      n_pixels: Int, payload_kind: String, pix_checksum: Long)
 
-  /** STUB — stands in for a real image/audio decoder (not available in
-    * this environment). Deterministic over bytes so results are
-    * verifiable end-to-end. */
-  def decodeStub(m: MediaRow): MediaFeature = {
-    var checksum = 0L
-    var i = 0
-    while (i < m.payload.length) {
-      checksum = (checksum * 31 + (m.payload(i) & 0xff)) %
-        graft.functions.Exact.RollingHashMod
-      i += 1
-    }
-    MediaFeature(m.doc_id, m.payload.length,
-      if (m.payload.nonEmpty) m.payload(0) & 0xff else -1,
-      m.width, m.height, checksum)
+  /** Deterministic fixture pixel: an integer function of (doc, x, y),
+    * mirrored verbatim in the oracle SQL. 8-bit channels survive a PNG
+    * round-trip losslessly, so decode must reproduce these exact values. */
+  private def pixel(docId: Long, x: Int, y: Int): Int = {
+    val v = ((docId * 31 + x * 7 + y * 13) % 256).toInt
+    (v << 16) | (((v * 5 + 11) % 256) << 8) | ((v * 3 + 7) % 256)
   }
 
-  /** q60: binary ingestion → metadata struct → per-partition batch decode
-    * → typed feature frame. Payload here is the utf-8 text bytes (the
-    * container has no real media), so byte-level features are
-    * SQL-checkable for the ASCII fixtures (the oracle checksums
-    * codepoints, which equal bytes only for ASCII — a non-ASCII corpus
-    * would need a byte-level oracle). */
+  /** Encode the fixture image for a doc as real PNG bytes (the ingest
+    * side a production pipeline replaces with reading media files). */
+  private def pngEncode(docId: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, pixel(docId, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL codec call: ImageIO PNG decode. Width/height/pixels all come
+    * from the decoded image — nothing is carried around the codec. */
+  def decodePng(m: MediaRow): MediaFeature = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(m.payload))
+    val (w, h) = (img.getWidth, img.getHeight)
+    var checksum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        checksum = (checksum * 31 + (img.getRGB(x, y) & 0xffffff)) %
+          graft.functions.Exact.RollingHashMod
+        x += 1
+      }
+      y += 1
+    }
+    val kind = if (m.payload.length >= 8 && (m.payload(0) & 0xff) == 0x89 &&
+      m.payload(1) == 'P' && m.payload(2) == 'N' && m.payload(3) == 'G')
+      "png" else "unknown"
+    MediaFeature(m.doc_id, w, h, w * h, kind, checksum)
+  }
+
+  /** q60: binary ingestion → real PNG payload → per-partition batch
+    * decode (ImageIO) → typed feature frame. Image dimensions derive
+    * from doc metadata (1 + n_chars mod 16/8), pixels from the fixture
+    * function, so the oracle can verify the decoded output bit-exactly
+    * without running a codec itself. */
   private def q60(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        encode(col("text"), "UTF-8").as("payload"),
-        (col("n_chars") % 640).cast("int").as("width"),
-        (col("n_chars") % 480).cast("int").as("height"))
-      // no repartition: decode is map-only, and input splits already
-      // spread payload bytes evenly — a hash repartition here would
-      // shuffle the entire byte volume for zero semantic benefit (at
-      // 100 TB that shuffle would dominate the query).
-      .as[MediaRow]
-    media.mapPartitions(_.map(decodeStub))
+      .select(col("doc_id"), (lit(1) + col("n_chars") % 16).cast("int").as("w"),
+        (lit(1) + col("n_chars") % 8).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      // encode step: typed map, no shuffle — payload bytes are born
+      // co-located with their input split
+      .map { case (id, w, h) => MediaRow(id, pngEncode(id, w, h)) }
+    media.mapPartitions(_.map(decodePng))
       .toDF()
       .orderBy("doc_id")
   }
@@ -69,8 +99,8 @@ object Multimodal extends QueryPack {
   /** q61: frame sampling — treat each payload as a media container and
     * cut fixed-size frames (explode), extracting per-frame features. The
     * shape (binary → frame explode → per-frame map) is exactly a video
-    * frame-sample pipeline; the codec call is the same stub boundary as
-    * q60. */
+    * frame-sample pipeline; the per-frame feature extraction is the same
+    * checksum scheme as q60's decoded-pixel pass. */
   private def q61(s: SparkSession, dir: String): DataFrame = {
     val frameLen = 64
     Tables.documents(s, dir)
@@ -103,17 +133,25 @@ object Multimodal extends QueryPack {
         |    (a, b) -> (a * 31 + b) % 1000000000000000) AS frame_checksum
         |FROM (SELECT doc_id, unnest(frames) AS u FROM f)
         |ORDER BY doc_id, frame_id""".stripMargin)),
+    // Oracle recomputes the decoded pixels from the closed-form fixture
+    // function — the Spark side must push real bytes through a real PNG
+    // encode+decode to reproduce them.
     Q("q60_multimodal_decode", q60, Some(
-      """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS INT) AS payload_len,
-        |  CASE WHEN length(text) = 0 THEN -1
-        |       ELSE ascii(substring(text, 1, 1)) END AS first_byte,
-        |  CAST(n_chars % 640 AS INT) AS width,
-        |  CAST(n_chars % 480 AS INT) AS height,
-        |  list_reduce(
-        |    list_prepend(0, list_transform(regexp_extract_all(text, '.'),
-        |      c -> CAST(ascii(c) AS BIGINT))),
-        |    (a, b) -> (a * 31 + b) % 1000000000000000) AS checksum
-        |FROM documents ORDER BY doc_id""".stripMargin)),
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(1 + n_chars % 16 AS INT) AS width,
+        |    CAST(1 + n_chars % 8 AS INT) AS height
+        |  FROM documents),
+        |pix AS (
+        |  SELECT doc_id, width, height,
+        |    [CAST((v * 65536 + ((v * 5 + 11) % 256) * 256 + (v * 3 + 7) % 256) AS BIGINT)
+        |     FOR v IN [(doc_id * 31 + (i % width) * 7 + (i // width) * 13) % 256
+        |               FOR i IN generate_series(0, width * height - 1)]] AS pxs
+        |  FROM dims)
+        |SELECT doc_id, width, height,
+        |  CAST(width * height AS INT) AS n_pixels,
+        |  'png' AS payload_kind,
+        |  list_reduce(list_prepend(0, pxs),
+        |    (a, b) -> (a * 31 + b) % 1000000000000000) AS pix_checksum
+        |FROM pix ORDER BY doc_id""".stripMargin)),
   )
 }
