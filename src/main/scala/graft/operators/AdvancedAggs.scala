@@ -55,6 +55,30 @@ object AdvancedAggs extends QueryPack {
         round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
       .orderBy("l_returnflag")
 
+  /** q57: approx_percentile with a SELF-VERIFYING accuracy gate (the
+    * sketch-percentile sibling of q25's HLL gate). approx_percentile's
+    * contract is a RANK guarantee: with accuracy=1000 the returned
+    * element's rank is within n/1000 of the target rank. The gate
+    * brackets it by value — the approx median must land between the
+    * exact p49 and p51 (rank slack 0.01, 10× the sketch's guarantee) —
+    * and emits the verdict as a checked column; the oracle pins the
+    * exact median (quantile_cont ≡ Spark percentile) and
+    * within_bound = true. At scale approx_percentile is the one that
+    * matters: its sketch merges map-side, while exact percentile is a
+    * holistic per-group sort. */
+  private def q57(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap"),
+        expr("percentile(l_extendedprice, 0.49)").as("lo"),
+        expr("percentile(l_extendedprice, 0.51)").as("hi"))
+      .select(col("l_returnflag"), col("exact_p50"),
+        lit(0.01).as("rank_eps"),
+        (col("ap") >= col("lo") && col("ap") <= col("hi")).as("within_bound"))
+      .orderBy("l_returnflag")
+
   /** q49: RANGE-framed window — per order, how many orders of the same
     * customer fall within ±30 days (value-range frame, not row frame). */
   private def q49(s: SparkSession, dir: String): DataFrame = {
@@ -120,6 +144,13 @@ object AdvancedAggs extends QueryPack {
     Q("q38_typed_aggregator", q38, Some(
       """SELECT l_returnflag,
         |  round((CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)) / count(*), 6) AS avg_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+    // Self-verifying: oracle pins the exact median and the rank-accuracy
+    // contract (see q57 scaladoc).
+    Q("q57_approx_percentile_bound", q57, Some(
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+        |  CAST(0.01 AS DOUBLE) AS rank_eps, true AS within_bound
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q39_percentiles", q39, Some(
       """SELECT l_returnflag,

@@ -79,6 +79,28 @@ object ScalarFunctions extends QueryPack {
         (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_mod10"))
       .orderBy("event_id")
 
+  /** q59: schema-full JSON parse + typed struct flatten — the JSON
+    * direction q33 doesn't cover. q33 is stringly path extraction
+    * (get_json_object); here `from_json` parses the payload against a
+    * declared schema into a real struct column (typed, codegen-friendly,
+    * one parse feeding N field reads), the struct is flattened to
+    * columns, and `to_json(struct(...))` exercises the serialize
+    * direction on a canonical field order. All map-only. */
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val pSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "k", org.apache.spark.sql.types.LongType)))
+    Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        from_json(col("props"), pSchema).as("p"))
+      .select(col("event_id"),
+        col("p.k").as("k"),
+        (col("p.k") % 7).as("k_mod7"),
+        to_json(struct(col("event_type").as("t"), col("p.k").as("k")))
+          .as("roundtrip_json"))
+      .orderBy("event_id")
+  }
+
   /** CASE/WHEN bucketing + conditional aggregation. */
   private def q34(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -130,6 +152,13 @@ object ScalarFunctions extends QueryPack {
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod10
+        |FROM events ORDER BY event_id""".stripMargin)),
+    Q("q59_json_roundtrip", q59, Some(
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod7,
+        |  '{"t":"' || event_type || '","k":' ||
+        |    json_extract_string(props, '$.k') || '}' AS roundtrip_json
         |FROM events ORDER BY event_id""".stripMargin)),
     Q("q34_case_buckets", q34, Some(
       """SELECT event_type,
