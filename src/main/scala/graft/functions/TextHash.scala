@@ -103,4 +103,31 @@ object TextHash extends Serializable {
   }
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** 64-bit SimHash whose per-token hash is the top 64 bits of SHA-256
+    * (big-endian, = the first 16 hex chars of the digest). Unlike
+    * [[simhash]]'s murmur-based family, sha256 is a cross-engine
+    * primitive, so a SQL oracle can recompute this fingerprint exactly
+    * (DuckDB: ('0x' || substr(sha256(t),1,16))::UBIGINT) — which is what
+    * makes the tight-radius dedup variant (q96) fully hash-gateable.
+    * Ties (bit balance 0) round UP, matching the oracle's sum >= 0. */
+  def simhashSha(tokens: Iterable[String]): Long = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val d = md.digest(t.getBytes("UTF-8"))
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+        j += 1
+      }
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (acc(j) >= 0) out |= (1L << j); j += 1 }
+    out
+  }
 }

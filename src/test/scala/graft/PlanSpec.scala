@@ -111,8 +111,9 @@ class PlanSpec extends AnyFunSuite {
     //   q47 — IVF cell assignment/probing: 16 centroids broadcast.
     //   q94 — histogram bounds: a 1-row global min/max broadcast.
     //   q69 — TF-IDF corpus size: a 1-row count broadcast.
+    //   q48 — its self-verifying gate embeds q46's exact baseline.
     val exempt = Set("q46_ann_bruteforce", "q47_ann_ivf", "q94_length_histogram",
-      "q69_tfidf")
+      "q69_tfidf", "q48_ann_lsh")
     // Streaming queries execute a full drain in fn(); their batch-side
     // shapes are pinned by their own specs — skip the expensive drains.
     val skip = SparkEntry.all.map(_.name).filter(_.matches(
