@@ -51,6 +51,12 @@ object FileIO extends QueryPack {
   private val layoutSource =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** TEST-ONLY: forget this process's layout writes, simulating a fresh
+    * process. The cache contract above says a fresh process must rewrite
+    * every layout rather than trust what's on disk; FileIOSpec poisons
+    * the on-disk layouts and uses this to prove the rewrite happens. */
+  private[operators] def forgetLayoutsForTest(): Unit = layoutSource.clear()
+
   /** q74: header-skipping text-file MapReduce (O4+O12). Dump customer as
     * a single headered TSV, then count + min(name) per market segment via
     * `runOnTextFile(ignoreFirstLine = true)`. The header line does not

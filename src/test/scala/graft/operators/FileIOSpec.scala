@@ -58,6 +58,38 @@ class FileIOSpec extends AnyFunSuite {
       s"expected the day range inside PartitionFilters, got:\n${pf.mkString("\n")}")
   }
 
+  test("fresh process rewrites layouts — stale on-disk data is never trusted") {
+    import org.apache.spark.sql.functions._
+    // The layout cache is process-local BY CONTRACT: a fresh process must
+    // rewrite, so a regenerated source table can never be shadowed by a
+    // stale on-disk layout. This poisons the layouts behind the cache's
+    // back (as an earlier process run against different data would have
+    // left them), simulates the fresh process, and asserts the answers
+    // still come from the true source.
+    val good86 = SparkEntry.queries("q86_partitioned_scan")(spark, sf)
+      .collect().map(_.toString).sorted
+    val good77 = SparkEntry.queries("q77_bucketed_join")(spark, sf)
+      .collect().map(_.toString).sorted
+    // poison q86's partitioned dump and q77's bucketed tables
+    val out = FileIO.scratch(sf, "events_by_day")
+    spark.range(3)
+      .select(lit("poison").as("event_type"), col("id").as("user_id"),
+        lit("2024-01-09").as("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+    spark.range(3)
+      .select(col("id").as("o_orderkey"), col("id").as("o_custkey"),
+        lit(1.0).as("o_totalprice"))
+      .write.mode("overwrite").saveAsTable("graft_orders_bkt")
+    // prove the poison took (a cache-trusting read WOULD see it)
+    assert(spark.read.parquet(out).filter(col("event_type") === "poison").count() == 3)
+    // fresh process: the cache starts empty
+    FileIO.forgetLayoutsForTest()
+    assert(SparkEntry.queries("q86_partitioned_scan")(spark, sf)
+      .collect().map(_.toString).sorted === good86)
+    assert(SparkEntry.queries("q77_bucketed_join")(spark, sf)
+      .collect().map(_.toString).sorted === good77)
+  }
+
   test("q77 bucketed join plans without a shuffle on either join key") {
     val df = SparkEntry.queries("q77_bucketed_join")(spark, sf)
     df.collect() // also materializes the bucketed tables
