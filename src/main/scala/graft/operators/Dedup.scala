@@ -210,9 +210,21 @@ object Dedup extends QueryPack {
   /** The prefix+length+positional-filtered exact Jaccard join over any
     * (doc_id, sh) frame. Exposed to tests, which pin set-equality against
     * the unfiltered brute-force join on random corpora — the filter
-    * math's soundness proof, checked empirically. */
+    * math's soundness proof, checked empirically.
+    *
+    * `probeFilter` (on the prefix rows, e.g. `col("id_a") % 5 === 0`)
+    * switches the join ASYMMETRIC for incremental dedup: only prefixes
+    * of the probe (new-batch) docs drive the join, against the full
+    * corpus index — candidate volume then scales with |batch|·|corpus|
+    * bucket overlap instead of |corpus|², which is the shape an
+    * incremental 100 TB ingest needs. Recall stays exact: the pigeonhole
+    * prefix property is per-document under the one global (df, s) order,
+    * so any qualifying pair with a probe-side member is found through
+    * the probe doc's own prefix. Both-probe pairs arrive in both
+    * orientations; every pruning filter below is symmetric in (a, b), so
+    * normalize + distinct after pruning loses nothing. */
   private[operators] def jaccardPairs(s: SparkSession, docs0: DataFrame,
-      t: Double): DataFrame = {
+      t: Double, probeFilter: Option[Column] = None): DataFrame = {
     // materialize the shingle frame once: it feeds the inverted index,
     // the prefix build and both verify sides (see q43)
     val docs = docs0.localCheckpoint(true)
@@ -249,9 +261,13 @@ object Dedup extends QueryPack {
     // jaccard ≥ t ⟺ (1+t)·inter ≥ t·(sz_a+sz_b) this prunes, exactly,
     // 3× of the candidates (measured 104k → 33k at sf0.1) before the
     // shingle arrays ever travel to the verify join.
-    val cand = prefix.toDF("id_a", "sz_a", "s", "df", "rk_a")
+    val probePrefix = prefix.toDF("id_a", "sz_a", "s", "df", "rk_a")
+    val candRaw = probeFilter.map(f => probePrefix.filter(f)).getOrElse(probePrefix)
       .join(prefix.toDF("id_b", "sz_b", "s", "df_b", "rk_b"), "s")
-      .filter(col("id_a") < col("id_b"))
+      // symmetric mode: one orientation; asymmetric: both may appear (for
+      // probe×probe pairs) and are normalized after the symmetric filters
+      .filter(if (probeFilter.isEmpty) col("id_a") < col("id_b")
+              else col("id_a") =!= col("id_b"))
       .filter(col("sz_b") * tDen >= col("sz_a") * tNum &&
         col("sz_a") * tDen >= col("sz_b") * tNum)
       .groupBy("id_a", "sz_a", "id_b", "sz_b")
@@ -259,13 +275,33 @@ object Dedup extends QueryPack {
       .filter((lit(1L) + least(col("sz_a") - col("m.rk_a"),
           col("sz_b") - col("m.rk_b"))) * (tDen + tNum)
         >= (col("sz_a") + col("sz_b")) * tNum)
-      .select("id_a", "id_b")
+    val cand =
+      if (probeFilter.isEmpty) candRaw.select("id_a", "id_b")
+      else candRaw
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+        .distinct()
     verifyPairs(cand, docs.select("doc_id", "sh"), t)
   }
 
   /** q44 with presentation order (the oracle-compared output). */
   private def q44Sorted(s: SparkSession, dir: String): DataFrame =
     q44(s, dir).orderBy("id_a", "id_b")
+
+  /** q97: INCREMENTAL near-dedup — the realistic 100 TB ingest shape.
+    * A "new batch" (here: doc_id ≡ 0 mod 5, ~20% of the corpus) is
+    * deduped against the ENTIRE corpus by probing only the new docs'
+    * prefixes into the shared inverted index (see jaccardPairs'
+    * probeFilter): work scales with the batch, not corpus², yet recall
+    * over all (new × corpus) pairs is exact — the output is every
+    * Jaccard ≥ 0.7 pair touching the batch, which is exactly what an
+    * ingest job must quarantine. Equality with the full self-join
+    * restricted to batch-touching pairs is also property-pinned in
+    * PPJoinPropertySpec. */
+  private def q97(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(s, docsWithShingles(s, dir), 0.7,
+      probeFilter = Some(col("id_a") % 5 === 0))
+      .orderBy("id_a", "id_b")
 
   /** q45: embedding near-dup — all cosine ≥ 0.4 pairs, double-precision
     * dot products, via the tiled exact self-join (see
@@ -454,6 +490,26 @@ object Dedup extends QueryPack {
     Q("q42_minhash_lsh", q42, Some(exactJaccardSql)),
     Q("q43_simhash", q43, Some(exactJaccardSql)),
     Q("q44_ngram_jaccard", q44Sorted, Some(exactJaccardSql)),
+    // q97's oracle: the exact all-pairs join restricted to pairs touching
+    // the new batch (doc_id ≡ 0 mod 5) — the incremental probe must find
+    // exactly these.
+    Q("q97_incremental_dedup", q97, Some(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |         [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |          FOR i IN generate_series(1, len(w) - 2)])) AS s FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(inter * 1.0 / (na.n + nb.n - inter), 4) AS jaccard
+        |FROM pairs
+        |JOIN sizes na ON na.doc_id = pairs.id_a
+        |JOIN sizes nb ON nb.doc_id = pairs.id_b
+        |WHERE round(inter * 1.0 / (na.n + nb.n - inter), 4) >= 0.7
+        |  AND (id_a % 5 = 0 OR id_b % 5 = 0)
+        |ORDER BY id_a, id_b""".stripMargin)),
     Q("q73_multisignal_dedup", q73, Some(
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id, unnest(list_distinct(

@@ -55,4 +55,22 @@ class PPJoinPropertySpec extends AnyFunSuite {
       assert(got === expected, s"seed=$seed filter stack diverged")
     }
   }
+
+  test("incremental probe finds exactly the batch-touching brute-force pairs") {
+    // the asymmetric (probeFilter) mode must emit every qualifying pair
+    // with at least one member in the probe batch — and nothing else —
+    // on the same adversarial corpora
+    for (seed <- Seq(3L, 11L)) {
+      val corpus = randomCorpus(n = 120, vocab = 12, seed = seed)
+      val sh = Dedup.shingleDocs(spark, corpus)
+      val expected = bruteForce(sh, 0.7)
+        .filter(col("id_a") % 3 === 0 || col("id_b") % 3 === 0)
+        .collect().map(_.toString).sorted
+      assert(expected.nonEmpty, s"seed=$seed produced no batch-touching pairs")
+      val got = Dedup.jaccardPairs(spark, sh, 0.7,
+          probeFilter = Some(col("id_a") % 3 === 0))
+        .collect().map(_.toString).sorted
+      assert(got === expected, s"seed=$seed incremental probe diverged")
+    }
+  }
 }
