@@ -159,6 +159,37 @@ object DataPrep extends QueryPack {
       .orderBy("bucket")
   }
 
+  /** q98: one spherical k-means (Lloyd) iteration over the embedding
+    * corpus — the clustering primitive behind cluster-then-curate
+    * pipelines (SemDeDup-style pruning, diversity sampling): assign every
+    * vector to its nearest of 16 deterministic centroids by cosine
+    * (broadcast argmin — the corpus never shuffles for assignment), then
+    * recompute centroids as dimension-wise means via posexplode →
+    * (cid, pos) groupBy, so the shuffle key cardinality is
+    * centroids×dims and no reducer ever holds whole vectors. Iterating
+    * this query IS k-means at 100 TB: per step, one broadcast + one
+    * bounded-key shuffle. */
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => bcast}
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(graft.functions.VectorFunctions.dot(s, "v", "v")))
+    val cents = e.filter(col("vec_id") < 16).toDF("cid", "cv", "cnrm")
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid"))
+    val assign = e.crossJoin(bcast(cents))
+      .withColumn("ccos", round(
+        graft.functions.VectorFunctions.dot(s, "v", "cv") /
+          (col("nrm") * col("cnrm")), 6))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select("vec_id", "v", "cid")
+    assign.select(col("cid"), posexplode(col("v")))
+      .groupBy("cid", "pos")
+      .agg(count(lit(1)).as("n"), round(avg(col("col")), 6).as("centroid_v"))
+      .orderBy("cid", "pos")
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q88_chunk_overlap", q88, Some(
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -203,6 +234,21 @@ object DataPrep extends QueryPack {
       """SELECT label, i - 1 AS pos, count(*) AS n,
         |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_v
         |FROM embeddings, generate_series(1, 64) t(i)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    Q("q98_kmeans_step", q98, Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |assign AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY round(list_dot_product(e.v, c.cv) /
+        |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+        |          c.cid) AS rn
+        |    FROM e, c) WHERE rn = 1)
+        |SELECT cid, i - 1 AS pos, count(*) AS n,
+        |  round(avg(v[i]), 6) AS centroid_v
+        |FROM assign, generate_series(1, 64) t(i)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     Q("q94_length_histogram", q94, Some(
       """WITH mm AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents)

@@ -112,8 +112,9 @@ class PlanSpec extends AnyFunSuite {
     //   q94 — histogram bounds: a 1-row global min/max broadcast.
     //   q69 — TF-IDF corpus size: a 1-row count broadcast.
     //   q48 — its self-verifying gate embeds q46's exact baseline.
+    //   q98 — k-means assignment: 16 centroids broadcast.
     val exempt = Set("q46_ann_bruteforce", "q47_ann_ivf", "q94_length_histogram",
-      "q69_tfidf", "q48_ann_lsh")
+      "q69_tfidf", "q48_ann_lsh", "q98_kmeans_step")
     // Streaming queries execute a full drain in fn(); their batch-side
     // shapes are pinned by their own specs — skip the expensive drains.
     val skip = SparkEntry.all.map(_.name).filter(_.matches(
