@@ -173,6 +173,35 @@ object FileIO extends QueryPack {
       .orderBy("c_mktsegment")
   }
 
+  /** q99: ORC sink + source round-trip with predicate pushdown — the
+    * third columnar-capable format next to parquet (q76) and the
+    * partitioned/bucketed layouts (q86/q77). The fact table is dumped to
+    * ORC once per process (layout cache, one-time ETL), and the gated
+    * read filters BEFORE aggregating so the predicate reaches the ORC
+    * scan as a PushedFilter (pinned in FileIOSpec) — at 100 TB the
+    * format's row-group stats skip non-qualifying stripes exactly like
+    * parquet's. Oracle runs on the original parquet source, so a
+    * round-trip type mangling (decimal widths, nulls) fails the hash. */
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "lineitem_orc")
+    if (layoutSource.get(out) != dir) {
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite").orc(out)
+      layoutSource.put(out, dir)
+    }
+    s.read.orc(out)
+      .filter(col("l_quantity") <= 25)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2)
+          .as("sum_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2)
+          .as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   /** q86: partitioned layout + partition-pruned scan (§2.3 sources — the
     * other half of the 100 TB layout story next to bucketing). Events
     * are written `partitionBy(day)`; the read-back filters one week, so
@@ -208,6 +237,14 @@ object FileIO extends QueryPack {
         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+    // q99's oracle reads the ORIGINAL parquet source — the ORC round
+    // trip must be value-transparent.
+    Q("q99_orc_roundtrip", q99, Some(
+      """SELECT l_returnflag,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
+        |  count(*) AS n
+        |FROM lineitem WHERE l_quantity <= 25 GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q77_bucketed_join", q77, Some(
       """SELECT c_mktsegment, count(*) AS n,
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue

@@ -90,6 +90,16 @@ class FileIOSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted === good77)
   }
 
+  test("q99 quantity predicate is pushed into the ORC scan") {
+    val df = SparkEntry.queries("q99_orc_roundtrip")(spark, sf)
+    df.collect() // materializes the ORC layout
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("PushedFilters") &&
+      formatted.contains("LessThanOrEqual(l_quantity"),
+      s"expected l_quantity pushdown in the ORC scan:\n$formatted")
+  }
+
   test("q77 bucketed join plans without a shuffle on either join key") {
     val df = SparkEntry.queries("q77_bucketed_join")(spark, sf)
     df.collect() // also materializes the bucketed tables
