@@ -154,6 +154,85 @@ object StreamingQueries extends QueryPack {
     out
   }
 
+  /** q100: streaming into a REAL file sink — the production shape the
+    * memory-sink gates deliberately avoid: `writeStream.format("parquet")`
+    * with a checkpoint location (exactly-once via the sink's file
+    * manifest + source offsets in the checkpoint), append output mode,
+    * and a watermark that actually gates emission. Per-day × event-type
+    * counts stream over a multi-batch day-shard replay; append mode only
+    * writes a window once the watermark passes its end, so after the
+    * main drain a SENTINEL event 3 days past the corpus maximum is
+    * appended to the source directory and a second drain pushes the
+    * watermark past every real window — the standard way to flush a
+    * bounded replay through an append-mode aggregation. The sentinel's
+    * own window stays open forever and is therefore never emitted, so
+    * the file sink holds exactly the real windows; a watermark or
+    * flush-semantics regression surfaces as missing/extra rows against
+    * the batch oracle. Scale: state = open windows × event types, file
+    * manifest grows with emitted windows only. */
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    // day shards carrying (event_type, us), partitioned by day — richer
+    // than q87's (user_id, us) shards, same dump-once contract
+    val shards = graft.operators.FileIO.scratch(dir, "events_stream_days_typed")
+    if (!StreamingQueries.dumped.contains(shards)) {
+      Tables.events(s, dir)
+        .select(col("event_type"), unix_micros(col("ts")).as("us"))
+        .withColumn("day", from_unixtime(col("us") / 1000000L, "yyyy-MM-dd"))
+        .repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(shards)
+      StreamingQueries.dumped.add(shards)
+    }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("event_type", "string").add("us", "long").add("day", "string")
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val sinkOut = graft.operators.FileIO.scratch(dir, s"q100_sink_$uid")
+    val cp = graft.operators.FileIO.scratch(dir, s"q100_cp_$uid")
+    val agg = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "12")
+      .parquet(shards)
+      .select(col("event_type"), expr("timestamp_micros(us)").as("ts"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val query = agg.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", sinkOut)
+      .option("checkpointLocation", cp)
+      .start()
+    try {
+      query.processAllAvailable()
+      // flush: one sentinel event far past the corpus max pushes the
+      // watermark beyond every real window on the next micro-batch
+      val maxUs = Tables.events(s, dir)
+        .agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val flushUs = maxUs + 3L * 86400L * 1000000L
+      s.range(1)
+        .select(lit("__flush").as("event_type"), lit(flushUs).as("us"),
+          from_unixtime(lit(flushUs / 1000000L), "yyyy-MM-dd").as("day"))
+        .write.mode("append").partitionBy("day").parquet(shards)
+      query.processAllAvailable()
+    } finally query.stop()
+    val result = s.read.parquet(sinkOut)
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"))
+      .orderBy("day", "event_type")
+    val rows = result.collect()
+    // detach from the sink files, then clean up the per-run dirs; the
+    // sentinel also poisoned the shard dump, so invalidate its cache
+    // entry — the next run rewrites the pristine replay (overwrite mode)
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
+    def rmrf(path: String): Unit = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    }
+    rmrf(sinkOut); rmrf(cp)
+    StreamingQueries.dumped.remove(shards)
+    out
+  }
+
   /** q87: explicit state management — gap-sessionization via
     * `flatMapGroupsWithState` across REAL multiple micro-batches (events
     * are re-sharded by day and fed `maxFilesPerTrigger` files at a time,
@@ -286,6 +365,12 @@ object StreamingQueries extends QueryPack {
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c.us >= p.us - 3600000000 AND c.us <= p.us
         |ORDER BY p_id, c_id""".stripMargin)),
+    // q100's oracle is the plain batch aggregation: the file-sink stream
+    // must emit exactly the real day windows (sentinel's window never
+    // closes, so it never appears).
+    Q("q100_stream_file_sink", q100, Some(
+      """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     Q("q87_stateful_sessions", q87, Some(
       """WITH t AS (
         |  SELECT user_id, epoch_us(ts) AS us,
