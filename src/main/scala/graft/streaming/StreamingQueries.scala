@@ -194,22 +194,32 @@ object StreamingQueries extends QueryPack {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-    val query = agg.writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", sinkOut)
-      .option("checkpointLocation", cp)
-      .start()
+    // scope stateful parallelism down while the finite replay drains —
+    // per-partition state-store + sink-manifest commits dominate
+    // otherwise (same sizing note as q84/q87)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val query =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "2")
+        agg.writeStream
+          .outputMode("append")
+          .format("parquet")
+          .option("path", sinkOut)
+          .option("checkpointLocation", cp)
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // flush sentinel: one event far past the corpus max pushes the
+    // watermark beyond every real window on the next micro-batch
+    val maxUs = Tables.events(s, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val flushUs = maxUs + 3L * 86400L * 1000000L
+    val flushDay = java.time.Instant.ofEpochSecond(flushUs / 1000000L)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
     try {
       query.processAllAvailable()
-      // flush: one sentinel event far past the corpus max pushes the
-      // watermark beyond every real window on the next micro-batch
-      val maxUs = Tables.events(s, dir)
-        .agg(max(unix_micros(col("ts")))).head().getLong(0)
-      val flushUs = maxUs + 3L * 86400L * 1000000L
       s.range(1)
         .select(lit("__flush").as("event_type"), lit(flushUs).as("us"),
-          from_unixtime(lit(flushUs / 1000000L), "yyyy-MM-dd").as("day"))
+          lit(flushDay).as("day"))
         .write.mode("append").partitionBy("day").parquet(shards)
       query.processAllAvailable()
     } finally query.stop()
@@ -218,9 +228,9 @@ object StreamingQueries extends QueryPack {
         col("event_type"), col("n"))
       .orderBy("day", "event_type")
     val rows = result.collect()
-    // detach from the sink files, then clean up the per-run dirs; the
-    // sentinel also poisoned the shard dump, so invalidate its cache
-    // entry — the next run rewrites the pristine replay (overwrite mode)
+    // detach from the sink files, then clean up the per-run dirs and the
+    // sentinel's day partition (the rest of the dump stays pristine and
+    // cached for repeated passes — same reuse contract as the layouts)
     val out = s.createDataFrame(
       java.util.Arrays.asList(rows: _*), result.schema)
     def rmrf(path: String): Unit = {
@@ -228,8 +238,7 @@ object StreamingQueries extends QueryPack {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(path), true)
     }
-    rmrf(sinkOut); rmrf(cp)
-    StreamingQueries.dumped.remove(shards)
+    rmrf(sinkOut); rmrf(cp); rmrf(s"$shards/day=$flushDay")
     out
   }
 
