@@ -161,10 +161,14 @@ object StreamingQueries extends QueryPack {
     * and a watermark that actually gates emission. Per-day × event-type
     * counts stream over a multi-batch day-shard replay; append mode only
     * writes a window once the watermark passes its end, so after the
-    * main drain a SENTINEL event 3 days past the corpus maximum is
-    * appended to the source directory and a second drain pushes the
-    * watermark past every real window — the standard way to flush a
-    * bounded replay through an append-mode aggregation. The sentinel's
+    * main drain a SENTINEL event past `maxUs + delay` is appended to the
+    * source directory and a second drain pushes the watermark past every
+    * real window — the standard way to flush a bounded replay through an
+    * append-mode aggregation. The watermark delay (40 days) exceeds the
+    * corpus span, so the drain is ORDER-INDEPENDENT: whatever order the
+    * file source delivers day shards (delivery is by file mtime, an
+    * unpinned artifact of the local write), no real event is ever behind
+    * the watermark, and only the sentinel closes windows. The sentinel's
     * own window stays open forever and is therefore never emitted, so
     * the file sink holds exactly the real windows; a watermark or
     * flush-semantics regression surfaces as missing/extra rows against
@@ -191,7 +195,7 @@ object StreamingQueries extends QueryPack {
       .option("maxFilesPerTrigger", "12")
       .parquet(shards)
       .select(col("event_type"), expr("timestamp_micros(us)").as("ts"))
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", "40 days") // > corpus span ⇒ order-independent
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     // scope stateful parallelism down while the finite replay drains —
@@ -208,39 +212,49 @@ object StreamingQueries extends QueryPack {
           .option("checkpointLocation", cp)
           .start()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    // flush sentinel: one event far past the corpus max pushes the
-    // watermark beyond every real window on the next micro-batch
+    // flush sentinel: one event past maxUs + delay pushes the watermark
+    // beyond every real window on the next micro-batch (real windows end
+    // ≤ maxDay+1; watermark after the sentinel = maxUs + 2 days)
     val maxUs = Tables.events(s, dir)
       .agg(max(unix_micros(col("ts")))).head().getLong(0)
-    val flushUs = maxUs + 3L * 86400L * 1000000L
+    val flushUs = maxUs + 42L * 86400L * 1000000L
     val flushDay = java.time.Instant.ofEpochSecond(flushUs / 1000000L)
       .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
-    try {
-      query.processAllAvailable()
-      s.range(1)
-        .select(lit("__flush").as("event_type"), lit(flushUs).as("us"),
-          lit(flushDay).as("day"))
-        .write.mode("append").partitionBy("day").parquet(shards)
-      query.processAllAvailable()
-    } finally query.stop()
-    val result = s.read.parquet(sinkOut)
-      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
-        col("event_type"), col("n"))
-      .orderBy("day", "event_type")
-    val rows = result.collect()
-    // detach from the sink files, then clean up the per-run dirs and the
-    // sentinel's day partition (the rest of the dump stays pristine and
-    // cached for repeated passes — same reuse contract as the layouts)
-    val out = s.createDataFrame(
-      java.util.Arrays.asList(rows: _*), result.schema)
     def rmrf(path: String): Unit = {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(path), true)
     }
-    rmrf(sinkOut); rmrf(cp); rmrf(s"$shards/day=$flushDay")
-    out
+    // everything past this point cleans up in the finally — especially
+    // the sentinel's day partition, so a failed drain can never leave a
+    // stale sentinel inside the cached shard dump for later runs
+    try {
+      try {
+        query.processAllAvailable()
+        s.range(1)
+          .select(lit("__flush").as("event_type"), lit(flushUs).as("us"),
+            lit(flushDay).as("day"))
+          .write.mode("append").partitionBy("day").parquet(shards)
+        query.processAllAvailable()
+      } finally query.stop()
+      val result = s.read.parquet(sinkOut)
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n"))
+        .orderBy("day", "event_type")
+      val rows = result.collect()
+      // detach from the sink files before the dirs are removed (the rest
+      // of the dump stays pristine and cached for repeated passes — same
+      // reuse contract as the layouts)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally {
+      rmrf(sinkOut); rmrf(cp); rmrf(s"$shards/day=$flushDay")
+    }
   }
+
+  /** State rows remaining after the most recent q87 drain, read off the
+    * final StreamingQueryProgress (spec pin: must equal the number of
+    * groups still holding OPEN sessions — i.e. 1, the flush sentinel). */
+  @volatile private[graft] var q87FinalStateRows: Long = -1L
 
   /** q87: explicit state management — gap-sessionization via
     * `flatMapGroupsWithState` across REAL multiple micro-batches (events
@@ -249,15 +263,31 @@ object StreamingQueries extends QueryPack {
     * merge is ORDER-INDEPENDENT: sessions and new events are merged as
     * intervals glued when the gap is under 30 min — the connected
     * components of the "within 30 min" relation don't depend on arrival
-    * order, so the result is exact whatever the batch composition. Each
-    * batch emits the group's full current session list tagged with a
-    * per-group version; the final answer selects each user's
-    * highest-version emission. Must equal the batch session_window
+    * order, so the result is exact whatever the batch composition.
+    *
+    * State is WATERMARK-EVICTED (the 100 TB contract): once the event-time
+    * watermark passes `last_us + gap`, no arrivable event (all ≥ watermark)
+    * can extend that session, so it is emitted EXACTLY ONCE (append mode)
+    * and dropped from state; a group whose sessions all closed is removed
+    * entirely (`state.remove`). Groups with no new data are woken by
+    * `EventTimeTimeout` set to the earliest possible close among their open
+    * sessions. State therefore holds only open sessions at every instant —
+    * bounded by active users × gap, NOT by stream history (the unbounded
+    * per-key buffering of the reference's reducer, mapreduce.py:118-128,
+    * is exactly what this avoids). The watermark delay (40 days) exceeds
+    * the corpus span, so the finite replay is order-independent: no real
+    * event is ever late whatever order the file source delivers day
+    * shards. Real windows are flushed by two sentinel events (user −1)
+    * past `maxUs + delay`: the first advances the watermark beyond every
+    * real session close, the second triggers the batch in which that
+    * watermark fires the timeouts (sentinel sessions themselves stay open
+    * and are filtered out). Must equal the batch session_window
     * computation (same oracle as q71). */
   private def q87(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val gapUs = 1800L * 1000000L
+    val dayUs = 86400L * 1000000L
     // shard by day, one file per day dir, so the file source can deliver
     // a genuinely incremental replay
     val out = graft.operators.FileIO.scratch(dir, "events_stream_days")
@@ -276,19 +306,24 @@ object StreamingQueries extends QueryPack {
     }
     val schema = new org.apache.spark.sql.types.StructType()
       .add("user_id", "long").add("us", "long").add("day", "string")
+    // the watermarked ts column must ride into the stateful operator's
+    // input (the event-time-timeout check reads the watermark metadata
+    // off the child's output attributes), so keep it alongside us
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "12") // ~3 micro-batches over 31 days
       .parquet(out)
-      .select(col("user_id"), col("us"))
-      .as[(Long, Long)]
+      .withColumn("ts", expr("timestamp_micros(us)"))
+      .withWatermark("ts", "40 days") // > corpus span ⇒ order-independent
+      .select(col("user_id"), col("us"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
     // session summary = (start, lastEventUs, nEvents); plain tuples keep
     // the state encoder on the well-trodden product path
     val sessions = stream.groupByKey(_._1)
-      .flatMapGroupsWithState[(Int, List[(Long, Long, Long)]), (Long, Int, Long, Long, Long)](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        case (user, rows, state: GroupState[(Int, List[(Long, Long, Long)])]) =>
-          val (version, held) = state.getOption.getOrElse((0, Nil))
-          val pieces = (held ++ rows.map { case (_, t) => (t, t, 1L) })
+      .flatMapGroupsWithState[List[(Long, Long, Long)], (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, rows, state: GroupState[List[(Long, Long, Long)]]) =>
+          val held = state.getOption.getOrElse(Nil)
+          val pieces = (held ++ rows.map { case (_, t, _) => (t, t, 1L) })
             .sortBy(p => (p._1, p._2))
           val merged = pieces.foldLeft(List.empty[(Long, Long, Long)]) { (acc, p) =>
             acc match {
@@ -297,8 +332,17 @@ object StreamingQueries extends QueryPack {
               case _ => p :: acc
             }
           }.reverse
-          state.update((version + 1, merged))
-          merged.iterator.map(m => (user, version + 1, m._1, m._2, m._3))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // closed = can never merge again: any extending event would have
+          // ts < last + gap ≤ watermark, and such events no longer arrive
+          val (closed, open) = merged.partition(_._2 + gapUs <= wmUs)
+          if (open.nonEmpty) {
+            state.update(open)
+            // earliest possible close, µs→ms rounded UP so the timeout
+            // timestamp is strictly beyond the current watermark
+            state.setTimeoutTimestamp((open.map(_._2).min + gapUs + 999L) / 1000L)
+          } else state.remove()
+          closed.iterator.map(m => (user, m._1, m._2, m._3))
       }
     val name = "graft_q87_" + java.util.UUID.randomUUID().toString.replace("-", "")
     // scope stateful parallelism down while the finite replay drains —
@@ -308,24 +352,50 @@ object StreamingQueries extends QueryPack {
     val query =
       try {
         s.conf.set("spark.sql.shuffle.partitions", "2")
-        sessions.toDF("user_id", "version", "start_us", "last_us", "n_events")
-          .writeStream.outputMode("update").format("memory").queryName(name).start()
+        sessions.toDF("user_id", "start_us", "last_us", "n_events")
+          .writeStream.outputMode("append").format("memory").queryName(name).start()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    try query.processAllAvailable()
-    finally query.stop()
-    // windowed latest-version pick, not a self-join: memory-sink views
-    // reuse attribute ids, and a view self-join fails analysis with
-    // conflicting references
-    val wLatest = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
-    val result = s.table(name)
-      .withColumn("maxv", max(col("version")).over(wLatest))
-      .filter(col("version") === col("maxv"))
-      .select(col("user_id"), col("start_us"),
-        (col("last_us") + gapUs).as("end_us"), col("n_events"))
-      .orderBy("user_id", "start_us")
-    val rows = result.collect()
-    val outDf = s.createDataFrame(
-      java.util.Arrays.asList(rows: _*), result.schema)
+    // flush sentinels (cleaned up in the finally below, so the cached
+    // day-shard dump is always restored to pristine state)
+    val maxUs = Tables.events(s, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val flush1Us = maxUs + 42L * dayUs // watermark after = maxUs + 2 days
+    val flush2Us = flush1Us + 600L * 1000000L // merges into the same open session
+    def dayOf(us: Long): String = java.time.Instant
+      .ofEpochSecond(us / 1000000L).atZone(java.time.ZoneOffset.UTC)
+      .toLocalDate.toString
+    val outDf =
+      try {
+        def appendSentinel(us: Long): Unit = s.range(1)
+          .select(lit(-1L).as("user_id"), lit(us).as("us"),
+            lit(dayOf(us)).as("day"))
+          .write.mode("append").partitionBy("day").parquet(out)
+        try {
+          query.processAllAvailable()
+          appendSentinel(flush1Us)
+          query.processAllAvailable()
+          appendSentinel(flush2Us)
+          query.processAllAvailable()
+          // pin material: state rows surviving the full drain (groups
+          // still holding open sessions — the sentinel user only)
+          q87FinalStateRows = query.recentProgress.reverseIterator
+            .map(_.stateOperators).collectFirst {
+              case ops if ops.nonEmpty => ops.map(_.numRowsTotal).sum
+            }.getOrElse(-1L)
+        } finally query.stop()
+        val result = s.table(name)
+          .filter(col("user_id") >= 0) // drop the sentinel's emissions (none)
+          .select(col("user_id"), col("start_us"),
+            (col("last_us") + gapUs).as("end_us"), col("n_events"))
+          .orderBy("user_id", "start_us")
+        val rows = result.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+      } finally {
+        Seq(dayOf(flush1Us), dayOf(flush2Us)).distinct.foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(s"$out/day=$d")
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        }
+      }
     s.catalog.dropTempView(name)
     outDf
   }

@@ -46,6 +46,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted === closed)
   }
 
+  test("q87 evicts closed sessions: post-drain state holds only open sessions") {
+    // The 100 TB contract (VERDICT r5 #1): once the watermark passes
+    // last_us + gap a session is emitted exactly once and dropped, and a
+    // group with no open sessions is removed entirely. After the full
+    // drain every real user's sessions have closed, so the state store
+    // must hold exactly ONE row — the flush sentinel's group (its own
+    // session never closes). A regression back to accumulate-forever
+    // state shows up here as state rows ≈ user count instead of 1.
+    val result = graft.SparkEntry.queries("q87_stateful_sessions")(spark, sf)
+    val rows = result.collect()
+    assert(rows.nonEmpty)
+    assert(StreamingQueries.q87FinalStateRows == 1L,
+      s"expected 1 surviving state row (sentinel only), " +
+        s"got ${StreamingQueries.q87FinalStateRows}")
+    // and emit-exactly-once append output must still equal the batch
+    // session_window computation (same oracle as q71)
+    val batch = graft.SparkEntry.queries("q71_session_window")(spark, sf)
+      .collect()
+    assert(rows.map(_.toString).toSeq === batch.map(_.toString).toSeq)
+  }
+
   test("mapGroupsWithState session counting matches the window-based q37") {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
