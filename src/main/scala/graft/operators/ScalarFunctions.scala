@@ -85,7 +85,13 @@ object ScalarFunctions extends QueryPack {
     * declared schema into a real struct column (typed, codegen-friendly,
     * one parse feeding N field reads), the struct is flattened to
     * columns, and `to_json(struct(...))` exercises the serialize
-    * direction on a canonical field order. All map-only. */
+    * direction on a canonical field order. All map-only.
+    *
+    * Null contract: `to_json` DROPS null struct fields while a string
+    * concatenation yields NULL, so the serialized column is defined (on
+    * both engines) only when every field is present — rows missing
+    * `props.k` or `event_type` get `roundtrip_json = NULL` explicitly
+    * rather than depending on the fixture never producing them. */
   private def q59(s: SparkSession, dir: String): DataFrame = {
     val pSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(
@@ -96,7 +102,8 @@ object ScalarFunctions extends QueryPack {
       .select(col("event_id"),
         col("p.k").as("k"),
         (col("p.k") % 7).as("k_mod7"),
-        to_json(struct(col("event_type").as("t"), col("p.k").as("k")))
+        when(col("p.k").isNotNull && col("event_type").isNotNull,
+          to_json(struct(col("event_type").as("t"), col("p.k").as("k"))))
           .as("roundtrip_json"))
       .orderBy("event_id")
   }
@@ -157,8 +164,11 @@ object ScalarFunctions extends QueryPack {
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod7,
-        |  '{"t":"' || event_type || '","k":' ||
-        |    json_extract_string(props, '$.k') || '}' AS roundtrip_json
+        |  CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+        |            AND event_type IS NOT NULL
+        |       THEN '{"t":"' || event_type || '","k":' ||
+        |            json_extract_string(props, '$.k') || '}'
+        |       ELSE NULL END AS roundtrip_json
         |FROM events ORDER BY event_id""".stripMargin)),
     Q("q34_case_buckets", q34, Some(
       """SELECT event_type,
