@@ -13,8 +13,8 @@ import graft.streaming.StreamingQueries
 object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     RefWorkload, Relational, ScalarFunctions, AdvancedAggs, Reshape,
-    TpchLike, Temporal, Dedup, Similarity, TextAnalysis, Multimodal,
-    FileIO, PipelineSplits, DataPrep, StreamingQueries)
+    TpchLike, Temporal, Dedup, Similarity, Clustering, TextAnalysis,
+    Multimodal, FileIO, PipelineSplits, DataPrep, StreamingQueries)
 
   lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.queries)

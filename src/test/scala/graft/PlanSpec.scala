@@ -113,8 +113,11 @@ class PlanSpec extends AnyFunSuite {
     //   q69 — TF-IDF corpus size: a 1-row count broadcast.
     //   q48 — its self-verifying gate embeds q46's exact baseline.
     //   q98 — k-means assignment: 16 centroids broadcast.
+    //   q102/q103 — fitted k-means / fitted IVF: same 16-centroid
+    //         broadcast assignment (and q103's gate embeds q46).
     val exempt = Set("q46_ann_bruteforce", "q47_ann_ivf", "q94_length_histogram",
-      "q69_tfidf", "q48_ann_lsh", "q98_kmeans_step")
+      "q69_tfidf", "q48_ann_lsh", "q98_kmeans_step",
+      "q102_kmeans_fit", "q103_ann_ivf_fitted")
     // Streaming queries execute a full drain in fn(); their batch-side
     // shapes are pinned by their own specs — skip the expensive drains.
     val skip = SparkEntry.all.map(_.name).filter(_.matches(
