@@ -202,6 +202,38 @@ object FileIO extends QueryPack {
       .orderBy("l_returnflag")
   }
 
+  /** q101: JSON-lines sink + source round-trip — the last mainstream
+    * self-describing format without a gated read path (parquet/csv q76,
+    * text q74/q75, ORC q99; the reference's `smart_open[all]`,
+    * requirements.txt:2, advertises format-agnostic ingestion). Orders
+    * are dumped once per process as JSON lines (layout cache, one-time
+    * ETL); the read-back declares its schema EXPLICITLY — at 100 TB,
+    * schema inference is a full extra pass over the corpus that a
+    * production pipeline never pays — then filters and aggregates. The
+    * oracle reads the original parquet, so any value mangled by either
+    * the JSON writer or reader (long precision, doubles, string quoting)
+    * fails the hash. */
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "orders_json")
+    if (layoutSource.get(out) != dir) {
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite").json(out)
+      layoutSource.put(out, dir)
+    }
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderpriority", StringType),
+      StructField("o_totalprice", DoubleType)))
+    s.read.schema(schema).json(out)
+      .filter(col("o_orderkey") % 3 === 0)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+          .as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   /** q86: partitioned layout + partition-pruned scan (§2.3 sources — the
     * other half of the 100 TB layout story next to bucketing). Events
     * are written `partitionBy(day)`; the read-back filters one week, so
@@ -245,6 +277,13 @@ object FileIO extends QueryPack {
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
         |  count(*) AS n
         |FROM lineitem WHERE l_quantity <= 25 GROUP BY 1 ORDER BY 1""".stripMargin)),
+    // q101's oracle reads the ORIGINAL parquet source — the JSON round
+    // trip must be value-transparent.
+    Q("q101_json_roundtrip", q101, Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q77_bucketed_join", q77, Some(
       """SELECT c_mktsegment, count(*) AS n,
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
