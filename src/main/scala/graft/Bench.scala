@@ -88,6 +88,15 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    // Append-only history of full per-query medians (wall-clock-stamped):
+    // BENCH_FULL.json is overwritten per run, so cross-round regression
+    // diffs need this retained trail (VERDICT r5 ask #6).
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+      (s"""{"wall_ms":${System.currentTimeMillis()},""" + fullLine.drop(1) + "\n")
+        .getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    catch { case _: Throwable => () }
     val top = results.sortBy(-_._2).take(12)
       .map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
