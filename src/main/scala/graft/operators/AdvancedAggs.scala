@@ -79,6 +79,44 @@ object AdvancedAggs extends QueryPack {
         (col("ap") >= col("lo") && col("ap") <= col("hi")).as("within_bound"))
       .orderBy("l_returnflag")
 
+  /** q105: count-min-sketch heavy hitters — the mergeable frequency
+    * sketch next to q25's HLL and q57's percentile sketch. One corpus
+    * pass tree-aggregates a seeded CMS (width 2/eps ≈ 2000 × depth ~7 —
+    * model-sized driver state, merged map-side like any sketch at
+    * 100 TB); the gate probes it with the exact top-10 tokens and
+    * emits the CMS one-sided error contract as a checked column:
+    * estimate ≥ exact (CMS never undercounts) and ≤ exact + eps·N.
+    * The oracle pins the exact top-10 (which DuckDB CAN compute) and
+    * `true` for the contract — a sketch regression (bad merge, seed
+    * drift, undercount) hash-fails the gate. At scale this is how you
+    * get "how often does this token/URL/fingerprint occur" for a probe
+    * set without shuffling a full groupBy. */
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    val eps = 0.001
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val cms = toks.stat.countMinSketch(col("tok"), eps, 0.99, 42)
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_n")).persist()
+    try {
+      val top = exact.orderBy(col("exact_n").desc, col("tok")).limit(10).collect()
+      val total = exact.agg(sum("exact_n")).head().getLong(0)
+      val slack = (eps * total).toLong
+      val rows = top.map { r =>
+        val est = cms.estimateCount(r.getString(0))
+        org.apache.spark.sql.Row(r.getString(0), r.getLong(1),
+          est >= r.getLong(1) && est <= r.getLong(1) + slack)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tok",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("exact_n",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cms_ok",
+          org.apache.spark.sql.types.BooleanType)))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    } finally exact.unpersist()
+  }
+
   /** q49: RANGE-framed window — per order, how many orders of the same
     * customer fall within ±30 days (value-range frame, not row frame). */
   private def q49(s: SparkSession, dir: String): DataFrame = {
@@ -157,6 +195,12 @@ object AdvancedAggs extends QueryPack {
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+    // Self-verifying: oracle pins the exact top-10 and the CMS
+    // one-sided error contract (see q105 scaladoc).
+    Q("q105_cms_heavy_hitters", q105, Some(
+      """SELECT tok, count(*) AS exact_n, true AS cms_ok
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY exact_n DESC, tok LIMIT 10""".stripMargin)),
     Q("q49_range_window", q49, Some(
       """SELECT o_orderkey, o_custkey,
         |  count(*) OVER (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate) // 1000000

@@ -108,6 +108,22 @@ object ScalarFunctions extends QueryPack {
       .orderBy("event_id")
   }
 
+  /** q104: VARIANT semi-structured extraction — Spark 4's open
+    * semi-structured type next to q33's stringly paths and q59's
+    * schema-full structs: `parse_json` binarizes the payload ONCE into a
+    * variant (shredded, typed access without a declared schema — the
+    * right 100 TB shape when payloads are heterogeneous), then
+    * `variant_get` extracts typed fields; `try_variant_get` of a
+    * missing path must be NULL, not an error. */
+  private def q104(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"), parse_json(col("props")).as("v"))
+      .select(col("event_id"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        (expr("variant_get(v, '$.k', 'bigint')") % 5).as("k_mod5"),
+        expr("try_variant_get(v, '$.absent', 'string')").as("absent"))
+      .orderBy("event_id")
+
   /** CASE/WHEN bucketing + conditional aggregation. */
   private def q34(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -169,6 +185,12 @@ object ScalarFunctions extends QueryPack {
         |       THEN '{"t":"' || event_type || '","k":' ||
         |            json_extract_string(props, '$.k') || '}'
         |       ELSE NULL END AS roundtrip_json
+        |FROM events ORDER BY event_id""".stripMargin)),
+    Q("q104_variant_extract", q104, Some(
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS k_mod5,
+        |  CAST(NULL AS VARCHAR) AS absent
         |FROM events ORDER BY event_id""".stripMargin)),
     Q("q34_case_buckets", q34, Some(
       """SELECT event_type,

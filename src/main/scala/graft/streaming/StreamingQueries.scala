@@ -94,6 +94,47 @@ object StreamingQueries extends QueryPack {
     out
   }
 
+  /** q106: streaming dedup with BOUNDED state —
+    * `dropDuplicatesWithinWatermark`, the production form of q78: state
+    * evicts a key once the watermark passes its event time + delay, so
+    * memory is bounded by the key arrival rate × delay window instead of
+    * total distinct keys forever (q78's `dropDuplicates` holds state for
+    * the stream's lifetime — fine for bounded key domains, an OOM for
+    * unbounded ones). Dedup is only guaranteed among duplicates whose
+    * event times fall within the delay of each other; the gate's delay
+    * (40 days) exceeds the corpus span, so on this finite replay the
+    * result is exactly global first-seen-per-key and the batch DISTINCT
+    * oracle applies. */
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "40 days")
+      .select(col("event_type"), col("user_id"), col("ts"))
+      .dropDuplicatesWithinWatermark("event_type", "user_id")
+    val name = "graft_q106_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+    val result = s.table(name)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("event_type")
+    val rows = result.collect()
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
+    s.catalog.dropTempView(name)
+    out
+  }
+
   /** q84: stream-stream inner join — purchases joined to the same user's
     * clicks in the preceding hour, with event-time range condition and
     * watermarks on BOTH sides (what bounds the join state at scale: each
@@ -432,6 +473,9 @@ object StreamingQueries extends QueryPack {
         |  max(us) + 1800000000 AS end_us, count(*) AS n_events
         |FROM s GROUP BY user_id, session_no ORDER BY user_id, start_us""".stripMargin)),
     Q("q78_stream_dedup", q78, Some(
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q106_stream_dedup_bounded", q106, Some(
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q84_stream_stream_join", q84, Some(
