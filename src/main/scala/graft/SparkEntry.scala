@@ -14,7 +14,7 @@ object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     RefWorkload, Relational, ScalarFunctions, AdvancedAggs, Reshape,
     TpchLike, Temporal, Dedup, Similarity, Clustering, TextAnalysis,
-    Multimodal, FileIO, PipelineSplits, DataPrep, StreamingQueries)
+    Multimodal, FileIO, PipelineSplits, DataPrep, ScaleOps, StreamingQueries)
 
   lazy val all: Seq[Q] = {
     val qs = packs.flatMap(_.queries)

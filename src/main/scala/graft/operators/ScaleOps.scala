@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.{Q, QueryPack}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cluster-scale execution patterns as first-class, gated operators —
+  * the three techniques a 100 TB deployment leans on hardest, each
+  * verified against an exact DuckDB oracle:
+  *
+  *   - q107: runtime Bloom-filter join pruning — build a compact sketch
+  *     of the surviving build-side keys and ship it to the fact scan, so
+  *     the shuffle only carries probable matches. (The reference joins by
+  *     shuffling the full fact table, mapreduce.py:139-187's shuffle has
+  *     no semi-join reduction; at 100 TB the pre-filter is the difference
+  *     between shuffling terabytes and shuffling gigabytes.)
+  *   - q108: Z-order (Morton) clustering keys — the multi-dimensional
+  *     data-layout primitive behind Delta/Iceberg Z-ORDER: bit-interleave
+  *     two dimensions so range-partitioned files get tight min/max stats
+  *     on BOTH columns and either predicate prunes row groups.
+  *   - q110: salted skew join — rewrite a hot-key shuffle join into
+  *     (key, salt) so one pathological key spreads over N reducers
+  *     instead of stalling the stage on a single straggler task.
+  *
+  * All three are result-transparent: the oracle is the plain declarative
+  * query, and the spec layer (ScaleOpsSpec) pins the plan-shape claims
+  * (filter before the join, no broadcast on the salted path, interleave
+  * bit-exactness).
+  */
+object ScaleOps extends QueryPack {
+
+  /** q107: Bloom-filter runtime pre-filter ahead of a fact-dim join.
+    *
+    * The build side (parts with `p_size <= 3`) is sketched with
+    * `stat.bloomFilter` — a few hundred KB regardless of fact size — and
+    * applied to `lineitem` BEFORE the exchange, mirroring what Spark's
+    * AQE-injected runtime filters do for star joins. False positives are
+    * harmless: the exact equi-join afterwards is what the result hashes
+    * against; the sketch only reduces shuffle volume (here ~94% of fact
+    * rows drop before the exchange). Decimal-cast sums keep the
+    * aggregation order-independent so the gate is hash-exact.
+    */
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.part(s, dir)
+      .filter(col("p_size") <= 3)
+      .select("p_partkey", "p_brand")
+    // ~2k keys at sf0.1; size the sketch for 16x headroom so fpp holds
+    // if the dim grows with sf. The sketch is built in one pass and
+    // closed over by a scalar predicate (broadcast with the task binary).
+    val bloom = dims.stat.bloomFilter("p_partkey", 1 << 15, 0.01)
+    val mightContain = udf((k: Long) => bloom.mightContain(k))
+    val fact = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .filter(mightContain(col("l_partkey")))
+    fact.join(dims, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount")).cast("decimal(18,2)")).cast("double"), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
+  /** Interleave the low 16 bits of `c` with zeros (Morton spread) using
+    * only codegen'd builtins — the classic magic-number doubling scheme.
+    */
+  private def spreadBits16(c: Column): Column = {
+    val v0 = c.bitwiseAND(lit(0xFFFFL))
+    val v1 = (v0.bitwiseOR(shiftleft(v0, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val v2 = (v1.bitwiseOR(shiftleft(v1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val v3 = (v2.bitwiseOR(shiftleft(v2, 2))).bitwiseAND(lit(0x33333333L))
+    (v3.bitwiseOR(shiftleft(v3, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Morton code of two 16-bit dimensions (x in even bits, y in
+    * odd bits). Pure column arithmetic — whole-stage-codegen'd, no UDF.
+    */
+  def mortonCode(x: Column, y: Column): Column =
+    spreadBits16(x).bitwiseOR(shiftleft(spreadBits16(y), 1))
+
+  /** q108: Z-order clustering layout audit.
+    *
+    * Computes the Morton key over (l_partkey, l_suppkey) and summarizes
+    * each of the 1024 top-level Z-buckets (key >> 22): row count plus the
+    * min/max of BOTH dimensions. The payoff the gate makes visible: every
+    * bucket covers a narrow rectangle in (partkey, suppkey) space, so a
+    * write path that does `repartitionByRange($"zkey")` + sorted parquet
+    * gets row-group min/max stats that prune on EITHER column — the
+    * standard multi-dimensional layout trick for 100 TB scan-heavy
+    * tables. One hash-shuffle on the bucket id; everything upstream is
+    * map-only codegen.
+    */
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    // Multiplicative spreading maps the dense key ranges onto the full
+    // 16-bit Z-space at ANY scale factor (raw keys at small sf would all
+    // land in bucket 0 and exercise nothing); odd multipliers keep the
+    // map injective mod 2^16 so no locality is an artifact of collisions.
+    val li = Tables.lineitem(s, dir)
+      .select(((col("l_partkey") * 131) % 65536).as("x"),
+        ((col("l_suppkey") * 7919) % 65536).as("y"))
+    li.withColumn("zkey", mortonCode(col("x"), col("y")))
+      .withColumn("zbucket", shiftright(col("zkey"), 22))
+      .groupBy("zbucket")
+      .agg(count(lit(1)).as("n"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+      .orderBy("zbucket")
+  }
+
+  /** q110: salted shuffle join over a pathologically skewed key.
+    *
+    * The fact side funnels 75% of rows onto one supplier key (a
+    * deterministic CASE, so the oracle sees the same data). A plain
+    * shuffle join would hash all of those rows to one reducer; instead
+    * the fact side salts with `l_orderkey % 16` and the supplier side
+    * replicates each row across all 16 salts, so the hot key spreads over
+    * 16 tasks. The SHUFFLE_HASH hint keeps the exercise honest (Spark
+    * would otherwise broadcast the small dim and hide the skew); at real
+    * scale the dim side is too big to broadcast and this rewrite — or
+    * AQE's skew-join split, which only kicks in for sort-merge — is what
+    * keeps the stage from stalling on a straggler. Replication cost is
+    * 16x the SMALL side only.
+    */
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    val nSalt = 16
+    val fact = Tables.lineitem(s, dir)
+      .select(
+        when(col("l_orderkey") % 4 < 3, lit(1L))
+          .otherwise(col("l_suppkey")).as("k"),
+        // salt must be decorrelated from the hot-key predicate (which
+        // reads the LOW 2 bits of the orderkey), so shift those out first
+        (shiftright(col("l_orderkey"), 2) % nSalt).as("salt"),
+        col("l_extendedprice"))
+    val dim = Tables.supplier(s, dir)
+      .select(col("s_suppkey"), col("s_name"))
+      .withColumn("salt", explode(array((0 until nSalt).map(i => lit(i.toLong)): _*)))
+    fact.join(dim.hint("SHUFFLE_HASH"),
+        fact("k") === dim("s_suppkey") && fact("salt") === dim("salt"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2)
+          .as("revenue"))
+      .orderBy("s_name")
+  }
+
+  override def queries: Seq[Q] = Seq(
+    Q("q107_bloom_prefilter_join", q107, Some(
+      """SELECT p_brand,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q108_zorder_layout", q108, Some(
+      """WITH b  AS (SELECT (l_partkey * 131) % 65536 AS x, (l_suppkey * 7919) % 65536 AS y FROM lineitem),
+        | s1 AS (SELECT x, y, (x | (x << 8)) & 16711935 AS sx, (y | (y << 8)) & 16711935 AS sy FROM b),
+        | s2 AS (SELECT x, y, (sx | (sx << 4)) & 252645135 AS sx, (sy | (sy << 4)) & 252645135 AS sy FROM s1),
+        | s3 AS (SELECT x, y, (sx | (sx << 2)) & 858993459 AS sx, (sy | (sy << 2)) & 858993459 AS sy FROM s2),
+        | s4 AS (SELECT x, y, (sx | (sx << 1)) & 1431655765 AS sx, (sy | (sy << 1)) & 1431655765 AS sy FROM s3),
+        | z  AS (SELECT x, y, (sx | (sy << 1)) >> 22 AS zbucket FROM s4)
+        |SELECT zbucket, count(*) AS n,
+        |  min(x) AS min_x, max(x) AS max_x,
+        |  min(y) AS min_y, max(y) AS max_y
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q110_salted_skew_join", q110, Some(
+      """SELECT s_name, count(*) AS n_items,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+        |FROM (SELECT CASE WHEN l_orderkey % 4 < 3 THEN 1 ELSE l_suppkey END AS k,
+        |             l_extendedprice
+        |      FROM lineitem) f
+        |JOIN supplier ON k = s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)))
+}

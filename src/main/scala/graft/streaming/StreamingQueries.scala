@@ -135,6 +135,49 @@ object StreamingQueries extends QueryPack {
     out
   }
 
+  /** q109: sliding-window streaming aggregation — 2-day windows sliding
+    * by 1 day, so every event lands in exactly 2 overlapping windows
+    * (`size/slide`); this is the windowing shape behind rolling-rate
+    * dashboards and trailing-window quality monitors. Spark aligns
+    * window starts to epoch multiples of the slide, which the oracle
+    * reproduces with integer floor-division on `epoch_us`, and each
+    * event is fanned to its `size/slide` windows with a 2-row cross
+    * product. State at scale: complete mode here is gate plumbing only —
+    * the production shape is `withWatermark` + append (q100's sink
+    * pattern), where state holds just the open windows per type
+    * (windows × types, independent of event volume). Decimal-cast sum
+    * keeps the value aggregation order-independent and hash-exact. */
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val agg = stream
+      .groupBy(window(col("ts"), "2 days", "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4)
+          .as("sum_value"))
+      .select(unix_micros(col("window.start")).as("ws_us"),
+        col("event_type"), col("n"), col("sum_value"))
+    val name = "graft_q109_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+    val result = s.table(name).orderBy("ws_us", "event_type")
+    val rows = result.collect()
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
+    s.catalog.dropTempView(name)
+    out
+  }
+
   /** q84: stream-stream inner join — purchases joined to the same user's
     * clicks in the preceding hour, with event-time range condition and
     * watermarks on BOTH sides (what bounds the join state at scale: each
@@ -478,6 +521,14 @@ object StreamingQueries extends QueryPack {
     Q("q106_stream_dedup_bounded", q106, Some(
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q109_sliding_window", q109, Some(
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+        |w AS (SELECT ((us // 86400000000) - k) * 86400000000 AS ws_us,
+        |             event_type, value
+        |      FROM e CROSS JOIN (VALUES (0), (1)) t(k))
+        |SELECT ws_us, event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     Q("q84_stream_stream_join", q84, Some(
       """WITH p AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events
         |           WHERE event_type = 'purchase' AND user_id % 2 = 0),

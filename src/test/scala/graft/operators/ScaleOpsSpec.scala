@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.{SparkEntry, TestSpark}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the cluster-scale pattern pack: the plan-shape claims each
+  * scaladoc makes (pre-filter below the join, shuffle join on the salted
+  * path) and the bit-exactness + locality contract of the Morton key.
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("q107 applies the Bloom pre-filter on the fact side BELOW the join") {
+    val plan = SparkEntry.queries("q107_bloom_prefilter_join")(spark, sf)
+      .queryExecution.executedPlan
+    // the UDF filter must sit under the join, attached to the lineitem
+    // scan side — i.e. some Filter node containing the UDF exists and
+    // the join is above it.
+    val planStr = plan.toString
+    val filterIdx = planStr.indexOf("UDF(knownnotnull(l_partkey")
+    val joinIdx = planStr.indexOf("Join")
+    assert(filterIdx >= 0, s"no bloom UDF filter in plan:\n$planStr")
+    assert(joinIdx >= 0 && joinIdx < filterIdx,
+      "bloom filter must be below (after, in tree print order) the join")
+  }
+
+  test("q107 bloom pre-filter is selective but lossless") {
+    val dims = Tables.part(spark, sf).filter(col("p_size") <= 3)
+      .select("p_partkey")
+    val keys = dims.collect().map(_.getLong(0)).toSet
+    val bloom = dims.stat.bloomFilter("p_partkey", 1 << 15, 0.01)
+    // no false negatives, ever
+    keys.foreach(k => assert(bloom.mightContain(k)))
+    // and the pass-through rate on the fact side is close to the true
+    // match rate (fpp 1% of non-matching rows may leak through)
+    val fact = Tables.lineitem(spark, sf).select("l_partkey").collect()
+      .map(_.getLong(0))
+    val trueMatches = fact.count(keys.contains)
+    val bloomPass = fact.count(bloom.mightContain)
+    assert(bloomPass >= trueMatches)
+    assert(bloomPass <= trueMatches + (fact.length - trueMatches) * 0.05 + 10,
+      s"bloom passes $bloomPass vs $trueMatches true matches on ${fact.length} rows")
+  }
+
+  test("mortonCode bit-interleaves exactly (vs a bit-twiddling reference)") {
+    def ref(x: Long, y: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 16) {
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val samples = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (40000L, 7L), (32768L, 32767L))
+    val df = spark.createDataFrame(samples).toDF("x", "y")
+      .withColumn("z", ScaleOps.mortonCode(col("x"), col("y")))
+    df.collect().foreach { r =>
+      assert(r.getLong(2) == ref(r.getLong(0), r.getLong(1)),
+        s"morton(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
+  test("q108 buckets are tight rectangles in BOTH dimensions") {
+    // 1024 top-level buckets = 5 high bits per dimension, so each bucket
+    // spans at most 2^11 values of x and of y. This is the property that
+    // makes z-ordered row-group stats prunable on either column.
+    val rows = SparkEntry.queries("q108_zorder_layout")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (minX, maxX) = (r.getLong(2), r.getLong(3))
+      val (minY, maxY) = (r.getLong(4), r.getLong(5))
+      assert(maxX - minX < 2048, s"bucket ${r.getLong(0)} x-span too wide")
+      assert(maxY - minY < 2048, s"bucket ${r.getLong(0)} y-span too wide")
+    }
+  }
+
+  test("q110 takes the shuffled (not broadcast) join path") {
+    val plan = SparkEntry.queries("q110_salted_skew_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"salted join must be a shuffled hash join:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "broadcast would bypass the skew the salt is there to spread")
+  }
+
+  test("q110 salt spreads the hot key across all 16 salts") {
+    val nSalt = 16
+    val salted = Tables.lineitem(spark, sf)
+      .filter(col("l_orderkey") % 4 < 3) // the hot-key rows only
+      .select((shiftright(col("l_orderkey"), 2) % nSalt).as("salt"))
+      .groupBy("salt").count().collect()
+    assert(salted.length == nSalt, s"hot key present in ${salted.length}/16 salts")
+    val counts = salted.map(_.getLong(1))
+    assert(counts.max < counts.min * 3,
+      s"salted partitions unbalanced: min=${counts.min} max=${counts.max}")
+  }
+}
