@@ -190,6 +190,38 @@ object DataPrep extends QueryPack {
       .orderBy("cid", "pos")
   }
 
+  /** q111: stratified fixed-quota sample — exactly `Quota` documents per
+    * source, chosen by content-hash order so the draw is deterministic at
+    * any parallelism (the per-source counterpart of q90's per-language
+    * Bernoulli rates; quotas are what mixture specs actually pin).
+    *
+    * Scale shape: a naive `row_number() OVER (PARTITION BY source)` hash-
+    * shuffles EVERY row of a stratum to one reducer — a straggler when one
+    * source dominates the corpus. Instead, two-level top-k: rank within
+    * (source, input-partition) first — balanced by construction, prunes
+    * each partition to ≤ Quota rows per source — then rank the ≤
+    * Quota×partitions survivors per source. The global top-Quota of each
+    * stratum is contained in the union of per-partition top-Quotas, so
+    * the result is EXACTLY the single-window answer the oracle computes.
+    */
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    val quota = 40
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("pid", spark_partition_id())
+    val w1 = Window.partitionBy("source", "pid").orderBy(col("h"), col("doc_id"))
+    val pruned = base
+      .withColumn("rk1", row_number().over(w1))
+      .filter(col("rk1") <= quota)
+    val w2 = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    pruned
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= quota)
+      .select("doc_id", "source", "rk")
+      .orderBy("source", "rk")
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q88_chunk_overlap", q88, Some(
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -212,6 +244,14 @@ object DataPrep extends QueryPack {
         |                WHEN 'es' THEN '4000' WHEN 'zh' THEN '2000'
         |                ELSE '0000' END
         |ORDER BY doc_id""".stripMargin)),
+    Q("q111_stratified_quota", q111, Some(
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source, rk FROM r WHERE rk <= 40
+        |ORDER BY source, rk""".stripMargin)),
     Q("q91_upsert_latest", q91, Some(
       """WITH r AS (
         |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,

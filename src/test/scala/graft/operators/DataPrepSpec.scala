@@ -106,4 +106,26 @@ class DataPrepSpec extends AnyFunSuite {
     }
     assert(got.head === graft.sources.Tables.documents(spark, sf).count())
   }
+
+  test("q111 two-level top-k equals the naive single-window rank") {
+    import org.apache.spark.sql.expressions.Window
+    val quota = 40
+    val naive = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("h"), col("doc_id"))))
+      .filter(col("rk") <= quota)
+      .select("doc_id", "source", "rk")
+    val got = SparkEntry.queries("q111_stratified_quota")(spark, sf)
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+      "two-level quota sample diverges from the single-window rank")
+    // and each stratum is exactly min(quota, stratum size)
+    val sizes = graft.sources.Tables.documents(spark, sf)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.groupBy("source").count().collect().foreach { r =>
+      assert(r.getLong(1) == math.min(quota.toLong, sizes(r.getString(0))))
+    }
+  }
 }
