@@ -191,6 +191,73 @@ object Similarity extends QueryPack {
           .as("recall_ok"))
   }
 
+  /** Product-quantization geometry: 64 dims → 8 sub-vectors of 8 dims,
+    * 16 codes per subspace. Codebook = the sub-vectors of vec_id < 16
+    * (deterministic, like q47's centroids — a trained codebook is an
+    * offline job upstream; the index mechanics are what's under test). */
+  private val PqSub = 8
+  private val PqDim = 8
+
+  /** Squared L2 between two 8-dim array columns, sequential fold (index
+    * order), rounded to 6 — bit-reproducible by the oracle's ordered
+    * list_sum, and the rounding makes argmin tie-breaks (by code id)
+    * land identically on both engines. */
+  private def d2r6(a: String, b: String): Column =
+    round(expr(s"aggregate(sequence(0, ${PqDim - 1}), 0.0D, " +
+      s"(acc, i) -> acc + ($a[i] - $b[i]) * ($a[i] - $b[i]))"), 6)
+
+  /** q113: product-quantization ANN (ADC — asymmetric distance). The
+    * missing quarter of the ANN suite: q46 exact / q47 IVF (prune
+    * candidates) / q48 LSH (probabilistic) / q113 PQ (compress the
+    * corpus). Index build: each vector's 8 sub-vectors are quantized to
+    * the nearest codebook entry — the 64-dim float vector becomes 8
+    * small codes (512 bytes → 8 at production bit-widths). Search: a
+    * query precomputes a 16×8 lookup table of sub-distances; a
+    * candidate's distance is then 8 LUT adds — no vector arithmetic
+    * against the corpus at all.
+    *
+    * Scale shape (100 TB): code assignment is one corpus pass against a
+    * broadcast 128-row codebook with a map-side-combinable argmin
+    * (`min(struct(d2, c))` — no window sort); the scan phase joins codes
+    * to a broadcast 1,280-row LUT, so the corpus never shuffles until
+    * the final per-query top-k. Everything is equi-join — no cartesian.
+    * Fully deterministic ⇒ exact DuckDB oracle. */
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    // (id, j, sv): the j-th 8-dim sub-vector of every vector
+    def subVecs(in: DataFrame): DataFrame = in
+      .select(col("vec_id"), col("v"),
+        explode(sequence(lit(0), lit(PqSub - 1))).as("j"))
+      .select(col("vec_id"), col("j"),
+        expr(s"slice(v, j * $PqDim + 1, $PqDim)").as("sv"))
+    val cb = subVecs(e.filter(col("vec_id") < 16))
+      .select(col("vec_id").as("c"), col("j"), col("sv").as("cv"))
+    // index build: nearest code per (vector, subspace); the aggregate
+    // argmin combines map-side, unlike a row_number window
+    val codes = subVecs(e)
+      .join(broadcast(cb), Seq("j"))
+      .withColumn("d2", d2r6("sv", "cv"))
+      .groupBy("vec_id", "j")
+      .agg(min(struct(col("d2"), col("c"))).as("m"))
+      .select(col("vec_id"), col("j"), col("m.c").as("code"))
+    // query LUT: distance from each query sub-vector to every code
+    val lut = subVecs(e.filter(col("vec_id") < 10))
+      .select(col("vec_id").as("query_id"), col("j"), col("sv"))
+      .join(broadcast(cb), Seq("j"))
+      .withColumn("d2", d2r6("sv", "cv"))
+      .select("query_id", "j", "c", "d2")
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
+    codes.join(broadcast(lut), codes("j") === lut("j") && codes("code") === lut("c"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(round(sum("d2"), 6).as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "neighbor_id", "adc")
+      .orderBy("query_id", "rank")
+  }
+
   private val cosSql =
     "round(list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s))), 6)"
   private def cs(a: String, b: String) = cosSql.format(a, b, a, a, b, b)
@@ -240,5 +307,33 @@ object Similarity extends QueryPack {
         |  CAST(count(*) * 5 AS BIGINT) AS n_exact,
         |  CAST(0.55 AS DOUBLE) AS recall_floor, true AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin)),
+    // The oracle's list_sum comprehension folds sub-distances in index
+    // order, matching Spark's sequential `aggregate` fold exactly; both
+    // sides round d2 to 6 before the argmin so code ties break by id
+    // identically (see q113 scaladoc).
+    Q("q113_pq_ann", q113, Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sub AS (SELECT vec_id, j, v[(j*8+1):(j*8+8)] AS sv
+        |        FROM e, generate_series(0, 7) t(j)),
+        |cb AS (SELECT vec_id AS c, j, sv AS cv FROM sub WHERE vec_id < 16),
+        |d AS (SELECT s.vec_id, s.j, cb.c,
+        |        round(list_sum([ (s.sv[i] - cb.cv[i]) * (s.sv[i] - cb.cv[i])
+        |                         FOR i IN generate_series(1, 8) ]), 6) AS d2
+        |      FROM sub s JOIN cb ON cb.j = s.j),
+        |codes AS (SELECT vec_id, j, c AS code FROM (
+        |    SELECT vec_id, j, c,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) AS rn
+        |    FROM d) WHERE rn = 1),
+        |lut AS (SELECT vec_id AS query_id, j, c, d2 FROM d WHERE vec_id < 10),
+        |adc AS (SELECT l.query_id, codes.vec_id AS neighbor_id,
+        |          round(sum(l.d2), 6) AS adc
+        |        FROM codes JOIN lut l ON l.j = codes.j AND l.c = codes.code
+        |        WHERE codes.vec_id != l.query_id
+        |        GROUP BY 1, 2)
+        |SELECT query_id, rank, neighbor_id, adc FROM (
+        |  SELECT query_id, neighbor_id, adc,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adc, neighbor_id) AS rank
+        |  FROM adc) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
   )
 }
