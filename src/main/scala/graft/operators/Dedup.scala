@@ -316,6 +316,86 @@ object Dedup extends QueryPack {
     embeddingPairsTiled(s, dir, 0.4, tiles = 8)
       .orderBy("id_a", "id_b")
 
+  /** q112 geometry: 8-token grams, spans reported at ≥ 20 tokens, grams
+    * appearing in > 50 docs dropped as stop-grams (boilerplate caps the
+    * posting lists — the scale guard; the oracle applies the same cap). */
+  private val SpanK = 8
+  private val SpanMin = 20
+  private val SpanDfCap = 50
+
+  /** q112: exact substring-span dedup — for each doc pair, the length
+    * (in tokens) of the longest exactly-shared token span, reported when
+    * ≥ [[SpanMin]]. This is the "train-set memorization" dedup shape
+    * (long verbatim overlaps), complementary to q44's bag-of-shingles
+    * Jaccard: a 90-token quote inside two otherwise-different docs is
+    * invisible to Jaccard but decisive here.
+    *
+    * Method: positioned 8-token grams; matching grams between two docs
+    * at positions (pa, pb) lie on diagonal pa−pb, and a maximal run of
+    * consecutive pa values on one diagonal is a shared span of
+    * run + K − 1 tokens (gap-and-islands via pa − row_number). Exact —
+    * every span ≥ K surfaces as such a run.
+    *
+    * Scale shape (100 TB): gram construction is map-only; the
+    * document-frequency cap bounds every posting list before the
+    * self-join (the same rarest-first economics as q44 — boilerplate
+    * grams are precisely the ones that explode candidate volume and
+    * carry no dedup signal); the diagonal-run window partitions by
+    * (pair, diag), so state per task is one posting intersection. */
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+      .filter(size(col("w")) >= SpanK)
+    val grams = toks
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - (SpanK - 1))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"array_join(slice(w, pos, $SpanK), ' ')").as("gram"))
+    // stop-gram cap: the groupBy and the join share the `gram` hash
+    // partitioning, so the cap costs one shuffle, not two
+    val keptGrams = grams.groupBy("gram")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") <= SpanDfCap)
+      .select("gram")
+    val k = grams.join(keptGrams, "gram")
+    val m = k.select(col("gram"), col("doc_id").as("id_a"), col("pos").as("pa"))
+      .join(k.select(col("gram"), col("doc_id").as("id_b"), col("pos").as("pb")),
+        "gram")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("diag", col("pa") - col("pb"))
+    val wRun = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    m.withColumn("grp", col("pa") - row_number().over(wRun))
+      .groupBy("id_a", "id_b", "diag", "grp")
+      .agg((count(lit(1)) + (SpanK - 1)).as("span"))
+      .groupBy("id_a", "id_b")
+      .agg(max("span").as("max_span_tokens"))
+      .filter(col("max_span_tokens") >= SpanMin)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q114: canonical-document selection — the step after detection (q44)
+    * and grouping (q66): per near-dup component, keep exactly one doc
+    * (longest text wins, ties to the smallest doc_id — "keep the most
+    * complete copy") and report what was dropped. One broadcast-sized
+    * join against the component labels and one argmax per component;
+    * the argmax is `min(struct(−n_chars, doc_id))`, map-side
+    * combinable. */
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    val comp = components(s, dir)
+    val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
+    comp.join(docs, "doc_id")
+      .groupBy("component")
+      .agg(
+        min(struct((-col("n_chars")).as("neg"), col("doc_id").as("id")))
+          .as("best"),
+        count(lit(1)).as("n_docs"))
+      .select(col("component"), col("best.id").as("kept_doc"),
+        (-col("best.neg")).as("kept_chars"), col("n_docs"),
+        (col("n_docs") - 1).as("n_dropped"))
+      .orderBy("component")
+  }
+
   /** q66: near-dup groups — connected components over the exact-Jaccard
     * pair graph, labeling every involved doc with the min doc_id of its
     * component (the canonical representative to keep). Implemented as
@@ -457,6 +537,29 @@ object Dedup extends QueryPack {
       .orderBy("id_a", "id_b")
   }
 
+  /** Shared CTE prefix for the q66/q114 oracles: the exact-Jaccard pair
+    * graph closed under reachability (DuckDB recursive CTE). */
+  private val componentCte: String =
+    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(
+      |         [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |          FOR i IN generate_series(1, len(w) - 2)])) AS s FROM toks),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM p
+      |  JOIN sizes na ON na.doc_id = p.id_a
+      |  JOIN sizes nb ON nb.doc_id = p.id_b
+      |  WHERE round(inter * 1.0 / (na.n + nb.n - inter), 4) >= 0.7),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+      |          UNION SELECT id_b, id_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)""".stripMargin
+
   /** Shared oracle for q42/q43/q44: exact all-pairs word-3-gram Jaccard.
     * LSH candidate generation only affects recall; the planted near-dups
     * sit at Jaccard ≥ 0.9 where MinHash (32×4 bands) and SimHash
@@ -534,27 +637,43 @@ object Dedup extends QueryPack {
         |SELECT id_a, id_b, max(text_dup) AS text_dup, max(emb_dup) AS emb_dup
         |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     Q("q66_dedup_groups", q66, Some(
-      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(
-        |         [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-        |          FOR i IN generate_series(1, len(w) - 2)])) AS s FROM toks),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |      GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT id_a, id_b FROM p
-        |  JOIN sizes na ON na.doc_id = p.id_a
-        |  JOIN sizes nb ON nb.doc_id = p.id_b
-        |  WHERE round(inter * 1.0 / (na.n + nb.n - inter), 4) >= 0.7),
-        |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-        |          UNION SELECT id_b, id_a FROM pairs),
-        |reach(src, dst) AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
-        |SELECT src AS doc_id, least(src, min(dst)) AS component
-        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)),
+      s"""$componentCte
+         |SELECT src AS doc_id, least(src, min(dst)) AS component
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)),
+    Q("q114_canonical_pick", q114, Some(
+      s"""$componentCte,
+         |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+         |         FROM reach GROUP BY src),
+         |r AS (SELECT component, c.doc_id, d.n_chars,
+         |        row_number() OVER (PARTITION BY component
+         |          ORDER BY d.n_chars DESC, c.doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY component) AS n_docs
+         |      FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+         |SELECT component, doc_id AS kept_doc, n_chars AS kept_chars,
+         |  n_docs, n_docs - 1 AS n_dropped
+         |FROM r WHERE rn = 1 ORDER BY component""".stripMargin)),
+    Q("q112_substring_spans", q112, Some(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, pos, array_to_string(w[pos:pos+7], ' ') AS gram
+        |      FROM (SELECT doc_id, w,
+        |              unnest(generate_series(1, len(w) - 7)) AS pos
+        |            FROM toks WHERE len(w) >= 8)),
+        |keep AS (SELECT gram FROM (
+        |    SELECT gram, count(DISTINCT doc_id) AS df FROM g GROUP BY 1)
+        |  WHERE df <= 50),
+        |k AS (SELECT g.* FROM g JOIN keep USING (gram)),
+        |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        a.pos AS pa, a.pos - b.pos AS diag
+        |      FROM k a JOIN k b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |runs AS (SELECT id_a, id_b, diag, pa,
+        |           pa - row_number() OVER (PARTITION BY id_a, id_b, diag
+        |             ORDER BY pa) AS grp
+        |         FROM m),
+        |spans AS (SELECT id_a, id_b, count(*) + 7 AS span
+        |          FROM runs GROUP BY id_a, id_b, diag, grp)
+        |SELECT id_a, id_b, max(span) AS max_span_tokens
+        |FROM spans GROUP BY 1, 2 HAVING max(span) >= 20
+        |ORDER BY id_a, id_b""".stripMargin)),
     // q96's oracle recomputes the sha256-based simhash, the hamming
     // distances and the exact-Jaccard verification entirely in SQL (the
     // point of simhashSha — see its scaladoc).
