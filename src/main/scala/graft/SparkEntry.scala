@@ -13,7 +13,7 @@ import graft.streaming.StreamingQueries
 object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     RefWorkload, Relational, ScalarFunctions, AdvancedAggs, Reshape,
-    TpchLike, Temporal, Dedup, Similarity, Clustering, TextAnalysis,
+    TpchLike, Temporal, Dedup, Similarity, Clustering, GraphOps, TextAnalysis,
     Multimodal, FileIO, PipelineSplits, DataPrep, ScaleOps, StreamingQueries)
 
   lazy val all: Seq[Q] = {
