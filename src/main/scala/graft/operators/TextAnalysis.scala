@@ -248,6 +248,66 @@ object TextAnalysis extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** q116: cross-source contamination matrix — for every source pair,
+    * how many distinct 8-token grams they share, plus the gram-set
+    * Jaccard. The corpus-audit companion to q82's per-doc
+    * decontamination: before mixing sources into a training run you want
+    * the pairwise-overlap picture, not just doc-level hits.
+    *
+    * Scale shape: distinct (source, gram) is one map-side-combined
+    * shuffle on gram; a gram's posting list is bounded by the number of
+    * sources (single digits), so the self-join fan-out per gram is
+    * O(sources²) — constant — and the result is sources² rows. */
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 8
+    val grams = Tables.documents(s, dir)
+      .select(col("source"), col("text"))
+      .as[(String, String)]
+      .flatMap { case (src, text) =>
+        val w = text.split(" ", -1)
+        (0 to w.length - k).iterator
+          .map(i => (src, w.slice(i, i + k).mkString(" "))).distinct }
+      .toDF("source", "g")
+      .distinct()
+    val sizes = grams.groupBy("source").agg(count(lit(1)).as("n"))
+    grams.toDF("source_a", "g")
+      .join(grams.toDF("source_b", "gb"), col("g") === col("gb"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared_grams"))
+      .join(broadcast(sizes).toDF("source_a", "na"), "source_a")
+      .join(broadcast(sizes).toDF("source_b", "nb"), "source_b")
+      .select(col("source_a"), col("source_b"), col("shared_grams"),
+        round(col("shared_grams").cast("double") /
+          (col("na") + col("nb") - col("shared_grams")), 4).as("overlap_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** q117: character-entropy quality signal — per doc, the Shannon
+    * entropy (bits/char) of its character distribution plus the distinct
+    * character count. Low entropy flags degenerate text (repeated
+    * boilerplate, padding, single-char floods) that length or stopword
+    * heuristics miss; it approximates compressibility without running a
+    * compressor. One map-side-combined shuffle on (doc, char).
+    *
+    * Uses H = (ln n − Σ cnt·ln cnt / n) / ln 2 on BOTH engines — single
+    * natural-log form, so the only cross-engine fp drift is sum order
+    * (~1e-13), absorbed by the 6-decimal rounding. */
+  private def q117(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy("doc_id", "ch")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_chars_total"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("cnt") * log(col("cnt"))).as("s"))
+      .select(col("doc_id"), col("n_chars_total"), col("n_distinct_chars"),
+        round((log(col("n_chars_total")) - col("s") / col("n_chars_total")) /
+          lit(math.log(2.0)), 6).as("entropy_bits"))
+      .orderBy("doc_id")
+
   override def queries: Seq[Q] = Seq(
     Q("q82_decontaminate", q82, Some(
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -261,6 +321,34 @@ object TextAnalysis extends QueryPack {
         |SELECT d.doc_id FROM documents d
         |WHERE d.doc_id >= 10 AND d.doc_id NOT IN (SELECT doc_id FROM bad)
         |ORDER BY d.doc_id""".stripMargin)),
+    Q("q116_source_overlap", q116, Some(
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT source, g FROM (
+        |  SELECT source, unnest(
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+        |     w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]
+        |     FOR i IN generate_series(1, len(w) - 7)]) AS g FROM toks)),
+        |sizes AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |        count(*) AS shared_grams
+        |      FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT source_a, source_b, shared_grams,
+        |  round(shared_grams * 1.0 / (na.n + nb.n - shared_grams), 4)
+        |    AS overlap_jaccard
+        |FROM p
+        |JOIN sizes na ON na.source = p.source_a
+        |JOIN sizes nb ON nb.source = p.source_b
+        |ORDER BY source_a, source_b""".stripMargin)),
+    Q("q117_char_entropy", q117, Some(
+      """WITH chars AS (SELECT doc_id, unnest(regexp_split_to_array(text, '')) AS ch
+        |               FROM documents),
+        |c AS (SELECT doc_id, ch, count(*) AS cnt FROM chars GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars_total,
+        |  count(*) AS n_distinct_chars,
+        |  round((ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt)) / ln(2), 6)
+        |    AS entropy_bits
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
     Q("q83_repetition_stats", q83, Some(
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g AS (SELECT doc_id, unnest(
