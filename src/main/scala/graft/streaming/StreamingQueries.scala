@@ -484,6 +484,93 @@ object StreamingQueries extends QueryPack {
     outDf
   }
 
+  /** q118: streaming MERGE/upsert sink via `foreachBatch` — the CDC
+    * "apply the change stream to a table" shape that the append-mode file
+    * sink (q100) can't express: each micro-batch is folded into a keyed
+    * parquet target holding one latest row per user. The per-batch merge
+    * (old state ∪ batch, keep max by (ts, event_id)) is ASSOCIATIVE and
+    * IDEMPOTENT, so the final table is the global latest-per-key whatever
+    * the batch composition — and a replayed batch (failure/restart with
+    * the same checkpoint) converges to the same state, which is the
+    * exactly-once story for an overwrite-merge sink. The argmax is
+    * `max(struct(ts, id, …))` — map-side combinable, no window sort.
+    *
+    * Scale shape: a real deployment swaps the full-rewrite target for a
+    * partitioned/bucketed table and rewrites only touched partitions
+    * (the merge logic is unchanged); state lives in the TARGET, not the
+    * stream — the streaming operator itself is stateless. Gated against
+    * the batch latest-record compaction (q91's oracle). */
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    val shards = graft.operators.FileIO.scratch(dir, "events_stream_days_upsert")
+    if (!StreamingQueries.dumped.contains(shards)) {
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("us"))
+        .withColumn("day", from_unixtime(col("us") / 1000000L, "yyyy-MM-dd"))
+        .repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(shards)
+      StreamingQueries.dumped.add(shards)
+    }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("user_id", "long").add("event_id", "long").add("event_type", "string")
+      .add("value", "double").add("us", "long").add("day", "string")
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val target = graft.operators.FileIO.scratch(dir, s"q118_target_$uid")
+    val tmp = graft.operators.FileIO.scratch(dir, s"q118_tmp_$uid")
+    val cp = graft.operators.FileIO.scratch(dir, s"q118_cp_$uid")
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
+    def rmrf(p: String): Unit = fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    // one latest row per user within any frame, by (ts, event_id)
+    def latest(df: DataFrame): DataFrame = df
+      .groupBy("user_id")
+      .agg(max(struct(col("last_ts_us"), col("last_event_id"),
+        col("last_event_type"), col("last_value"))).as("m"))
+      .select(col("user_id"), col("m.last_event_id").as("last_event_id"),
+        col("m.last_event_type").as("last_event_type"),
+        col("m.last_ts_us").as("last_ts_us"),
+        col("m.last_value").as("last_value"))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "12") // several genuine merge batches
+      .parquet(shards)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"), col("us").as("last_ts_us"),
+        col("value").as("last_value"))
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val query =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "2")
+        stream.writeStream
+          .option("checkpointLocation", cp)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val sp = batch.sparkSession
+            val merged =
+              if (exists(target)) latest(sp.read.parquet(target).unionByName(batch))
+              else latest(batch)
+            // write-then-swap: the target is never half-written, and the
+            // read above finished before the old copy is dropped
+            merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+            rmrf(target)
+            if (!fs.rename(new org.apache.hadoop.fs.Path(tmp),
+                new org.apache.hadoop.fs.Path(target)))
+              sys.error(s"q118: rename $tmp -> $target failed")
+            ()
+          }
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try {
+      try query.processAllAvailable()
+      finally query.stop()
+      val result = s.read.parquet(target)
+        .select("user_id", "last_event_id", "last_event_type",
+          "last_ts_us", "last_value")
+        .orderBy("user_id")
+      val rows = result.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally { rmrf(target); rmrf(tmp); rmrf(cp) }
+  }
+
   /** q71: session_window (30-minute gap) per user. */
   private def q71(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -545,6 +632,18 @@ object StreamingQueries extends QueryPack {
     Q("q100_stream_file_sink", q100, Some(
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    // q118's oracle is q91's batch compaction: the streamed merge must
+    // land on exactly the global latest row per user.
+    Q("q118_stream_upsert_sink", q118, Some(
+      """WITH r AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id AS last_event_id,
+        |  event_type AS last_event_type, ts_us AS last_ts_us,
+        |  value AS last_value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
     Q("q87_stateful_sessions", q87, Some(
       """WITH t AS (
         |  SELECT user_id, epoch_us(ts) AS us,
