@@ -342,21 +342,30 @@ object Dedup extends QueryPack {
     * grams are precisely the ones that explode candidate volume and
     * carry no dedup signal); the diagonal-run window partitions by
     * (pair, diag), so state per task is one posting intersection. */
-  private def q112(s: SparkSession, dir: String): DataFrame = {
+  private def q112(s: SparkSession, dir: String): DataFrame =
+    substringSpans(Tables.documents(s, dir).select("doc_id", "text"),
+      SpanK, SpanMin, SpanDfCap)
+      .orderBy("id_a", "id_b")
+
+  /** (id_a, id_b, max_span_tokens) over any (doc_id, text) corpus — the
+    * diagonal-run machinery behind q112 (property-pinned against a
+    * direct longest-common-substring computation in CurationOpsSpec). */
+  private[operators] def substringSpans(docs: DataFrame, spanK: Int,
+      minSpan: Int, dfCap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(s, dir)
+    val toks = docs
       .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
-      .filter(size(col("w")) >= SpanK)
+      .filter(size(col("w")) >= spanK)
     val grams = toks
       .select(col("doc_id"), col("w"),
-        explode(sequence(lit(1), size(col("w")) - (SpanK - 1))).as("pos"))
+        explode(sequence(lit(1), size(col("w")) - (spanK - 1))).as("pos"))
       .select(col("doc_id"), col("pos"),
-        expr(s"array_join(slice(w, pos, $SpanK), ' ')").as("gram"))
+        expr(s"array_join(slice(w, pos, $spanK), ' ')").as("gram"))
     // stop-gram cap: the groupBy and the join share the `gram` hash
     // partitioning, so the cap costs one shuffle, not two
     val keptGrams = grams.groupBy("gram")
       .agg(countDistinct("doc_id").as("df"))
-      .filter(col("df") <= SpanDfCap)
+      .filter(col("df") <= dfCap)
       .select("gram")
     val k = grams.join(keptGrams, "gram")
     val m = k.select(col("gram"), col("doc_id").as("id_a"), col("pos").as("pa"))
@@ -367,11 +376,10 @@ object Dedup extends QueryPack {
     val wRun = Window.partitionBy("id_a", "id_b", "diag").orderBy("pa")
     m.withColumn("grp", col("pa") - row_number().over(wRun))
       .groupBy("id_a", "id_b", "diag", "grp")
-      .agg((count(lit(1)) + (SpanK - 1)).as("span"))
+      .agg((count(lit(1)) + (spanK - 1)).as("span"))
       .groupBy("id_a", "id_b")
       .agg(max("span").as("max_span_tokens"))
-      .filter(col("max_span_tokens") >= SpanMin)
-      .orderBy("id_a", "id_b")
+      .filter(col("max_span_tokens") >= minSpan)
   }
 
   /** q114: canonical-document selection — the step after detection (q44)

@@ -206,22 +206,33 @@ object Similarity extends QueryPack {
     round(expr(s"aggregate(sequence(0, ${PqDim - 1}), 0.0D, " +
       s"(acc, i) -> acc + ($a[i] - $b[i]) * ($a[i] - $b[i]))"), 6)
 
-  /** q113: product-quantization ANN (ADC — asymmetric distance). The
-    * missing quarter of the ANN suite: q46 exact / q47 IVF (prune
-    * candidates) / q48 LSH (probabilistic) / q113 PQ (compress the
-    * corpus). Index build: each vector's 8 sub-vectors are quantized to
-    * the nearest codebook entry — the 64-dim float vector becomes 8
-    * small codes (512 bytes → 8 at production bit-widths). Search: a
-    * query precomputes a 16×8 lookup table of sub-distances; a
-    * candidate's distance is then 8 LUT adds — no vector arithmetic
-    * against the corpus at all.
+  /** ADC shortlist size for q113: the exact-rerank candidate budget per
+    * query. 100-of-corpus keeps pooled recall@5 ≈ 0.9 at sf0.01 (0.72 at
+    * 50, 0.46 at 20 — CurationOpsSpec pins the floor); at production
+    * scale this is the usual fixed shortlist the rerank stage can afford
+    * to read full vectors for. */
+  private val PqShortlist = 100
+
+  /** q113: product-quantization ANN (ADC — asymmetric distance — plus
+    * exact rerank). The missing quarter of the ANN suite: q46 exact /
+    * q47 IVF (prune candidates) / q48 LSH (probabilistic) / q113 PQ
+    * (compress the corpus). Index build: each vector's 8 sub-vectors are
+    * quantized to the nearest codebook entry — the 64-dim float vector
+    * becomes 8 small codes (512 bytes → 8 at production bit-widths).
+    * Search: a query precomputes a 16×8 lookup table of sub-distances,
+    * scores every candidate with 8 LUT adds (no vector arithmetic
+    * against the corpus), keeps the [[PqShortlist]] best, and reranks
+    * ONLY those with exact cosine — the standard two-stage ADC+rerank
+    * deployment, where the full vectors are read for 100 candidates
+    * instead of the whole corpus.
     *
     * Scale shape (100 TB): code assignment is one corpus pass against a
     * broadcast 128-row codebook with a map-side-combinable argmin
     * (`min(struct(d2, c))` — no window sort); the scan phase joins codes
     * to a broadcast 1,280-row LUT, so the corpus never shuffles until
-    * the final per-query top-k. Everything is equi-join — no cartesian.
-    * Fully deterministic ⇒ exact DuckDB oracle. */
+    * the per-query shortlist; the rerank join touches shortlist-sized
+    * data only. Everything is equi-join — no cartesian. Fully
+    * deterministic ⇒ exact DuckDB oracle. */
   private def q113(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
@@ -247,14 +258,28 @@ object Similarity extends QueryPack {
       .join(broadcast(cb), Seq("j"))
       .withColumn("d2", d2r6("sv", "cv"))
       .select("query_id", "j", "c", "d2")
-    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
-    codes.join(broadcast(lut), codes("j") === lut("j") && codes("code") === lut("c"))
+    val wShort = Window.partitionBy("query_id")
+      .orderBy(col("adc"), col("neighbor_id"))
+    val shortlist = codes
+      .join(broadcast(lut), codes("j") === lut("j") && codes("code") === lut("c"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(round(sum("d2"), 6).as("adc"))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("srank", row_number().over(wShort))
+      .filter(col("srank") <= PqShortlist)
+      .select("query_id", "neighbor_id", "adc")
+    // exact rerank over the shortlist only: full vectors are fetched for
+    // |queries| × shortlist rows, never the whole corpus
+    val withNorm = corpus(s, dir)
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(shortlist)
+      .join(withNorm.toDF("neighbor_id", "v", "nrm"), "neighbor_id")
+      .join(withNorm.toDF("query_id", "qv", "qnrm"), "query_id")
+      .withColumn("cos", cos6(s, "qv", "v", "qnrm", "nrm"))
+      .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= 5)
-      .select("query_id", "rank", "neighbor_id", "adc")
+      .select("query_id", "rank", "neighbor_id", "cos", "adc")
       .orderBy("query_id", "rank")
   }
 
@@ -329,11 +354,23 @@ object Similarity extends QueryPack {
         |          round(sum(l.d2), 6) AS adc
         |        FROM codes JOIN lut l ON l.j = codes.j AND l.c = codes.code
         |        WHERE codes.vec_id != l.query_id
-        |        GROUP BY 1, 2)
-        |SELECT query_id, rank, neighbor_id, adc FROM (
-        |  SELECT query_id, neighbor_id, adc,
+        |        GROUP BY 1, 2),
+        |short AS (SELECT query_id, neighbor_id, adc FROM (
+        |    SELECT query_id, neighbor_id, adc,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY adc, neighbor_id) AS srank
+        |    FROM adc) WHERE srank <= 100),
+        |rr AS (SELECT s.query_id, s.neighbor_id,
+        |         round(list_dot_product(q.v, n.v) /
+        |           (sqrt(list_dot_product(q.v, q.v)) *
+        |            sqrt(list_dot_product(n.v, n.v))), 6) AS cos, s.adc
+        |       FROM short s
+        |       JOIN e q ON q.vec_id = s.query_id
+        |       JOIN e n ON n.vec_id = s.neighbor_id)
+        |SELECT query_id, rank, neighbor_id, cos, adc FROM (
+        |  SELECT query_id, neighbor_id, cos, adc,
         |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY adc, neighbor_id) AS rank
-        |  FROM adc) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+        |      ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM rr) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
   )
 }

@@ -500,6 +500,19 @@ object StreamingQueries extends QueryPack {
     * (the merge logic is unchanged); state lives in the TARGET, not the
     * stream — the streaming operator itself is stateless. Gated against
     * the batch latest-record compaction (q91's oracle). */
+  /** One latest row per user by (ts, event_id) — q118's per-batch merge
+    * kernel. Associative + idempotent over unions (property-pinned in
+    * StreamingSpec), which is what makes the fold over micro-batches
+    * order-insensitive and replay-safe. */
+  private[streaming] def latestPerUser(df: DataFrame): DataFrame = df
+    .groupBy("user_id")
+    .agg(max(struct(col("last_ts_us"), col("last_event_id"),
+      col("last_event_type"), col("last_value"))).as("m"))
+    .select(col("user_id"), col("m.last_event_id").as("last_event_id"),
+      col("m.last_event_type").as("last_event_type"),
+      col("m.last_ts_us").as("last_ts_us"),
+      col("m.last_value").as("last_value"))
+
   private def q118(s: SparkSession, dir: String): DataFrame = {
     val shards = graft.operators.FileIO.scratch(dir, "events_stream_days_upsert")
     if (!StreamingQueries.dumped.contains(shards)) {
@@ -522,15 +535,6 @@ object StreamingQueries extends QueryPack {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     def exists(p: String) = fs.exists(new org.apache.hadoop.fs.Path(p))
     def rmrf(p: String): Unit = fs.delete(new org.apache.hadoop.fs.Path(p), true)
-    // one latest row per user within any frame, by (ts, event_id)
-    def latest(df: DataFrame): DataFrame = df
-      .groupBy("user_id")
-      .agg(max(struct(col("last_ts_us"), col("last_event_id"),
-        col("last_event_type"), col("last_value"))).as("m"))
-      .select(col("user_id"), col("m.last_event_id").as("last_event_id"),
-        col("m.last_event_type").as("last_event_type"),
-        col("m.last_ts_us").as("last_ts_us"),
-        col("m.last_value").as("last_value"))
     val stream = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "12") // several genuine merge batches
       .parquet(shards)
@@ -546,8 +550,9 @@ object StreamingQueries extends QueryPack {
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val sp = batch.sparkSession
             val merged =
-              if (exists(target)) latest(sp.read.parquet(target).unionByName(batch))
-              else latest(batch)
+              if (exists(target))
+                latestPerUser(sp.read.parquet(target).unionByName(batch))
+              else latestPerUser(batch)
             // write-then-swap: the target is never half-written, and the
             // read above finished before the old copy is dropped
             merged.coalesce(1).write.mode("overwrite").parquet(tmp)

@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property pins for the round-6 curation operators:
+  *
+  *   - q112's diagonal-run span detection must equal a direct O(n·m)
+  *     longest-common-substring computation on arbitrary token
+  *     sequences — the gap-and-islands algebra (diagonal grouping,
+  *     pa − row_number islands, run + K − 1 arithmetic) is where an
+  *     off-by-one would silently shorten every reported span.
+  *   - q113's PQ index is lossy by design; pin that its top-5 keeps
+  *     usable recall against the exact top-5 on the real corpus so a
+  *     codebook/LUT regression can't hide behind the (self-consistent)
+  *     oracle.
+  *   - q115's rank vector must satisfy the PageRank invariants that the
+  *     value-equality oracle can't distinguish from coincidence: every
+  *     node ≥ (1−d)/N, in-edge-less nodes exactly (1−d)/N (rounded), and
+  *     total mass ≤ 1 (< 1 here — dangling customers leak mass).
+  */
+class CurationOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Direct longest common token-substring, O(n·m) dynamic program. */
+  private def lcs(a: Array[String], b: Array[String]): Int = {
+    val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+    var best = 0
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      if (a(i - 1) == b(j - 1)) {
+        dp(i)(j) = dp(i - 1)(j - 1) + 1
+        best = math.max(best, dp(i)(j))
+      }
+    best
+  }
+
+  test("q112 spans equal the direct longest-common-substring on random docs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // small alphabet + planted shared runs → rich span structure,
+    // including repeated grams within one doc (the multi-diagonal case)
+    val vocab = Array("a", "b", "c", "d", "e")
+    val shared = Array.fill(30)(vocab(rnd.nextInt(vocab.length)))
+    def doc(): Array[String] = {
+      val own = Array.fill(40)(vocab(rnd.nextInt(vocab.length)))
+      val at = rnd.nextInt(own.length)
+      val take = 5 + rnd.nextInt(25)
+      own.take(at) ++ shared.take(take) ++ own.drop(at)
+    }
+    val docs = (0 until 12).map(i => (i.toLong, doc()))
+    val df = docs.map { case (id, w) => (id, w.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val k = 4
+    val got = Dedup.substringSpans(df, spanK = k, minSpan = k, dfCap = 1000)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    for {
+      (ia, wa) <- docs; (ib, wb) <- docs if ia < ib
+    } {
+      val expect = lcs(wa, wb)
+      val reported = got.getOrElse((ia, ib), 0L)
+      if (expect >= k)
+        assert(reported === expect.toLong,
+          s"pair ($ia,$ib): direct LCS $expect, diagonal-run said $reported")
+      else
+        assert(reported === 0L,
+          s"pair ($ia,$ib): no span ≥ $k exists but got $reported")
+    }
+  }
+
+  test("q112 stop-gram cap drops exactly the high-df grams") {
+    import spark.implicits._
+    // 5 docs all share gram "x x x x"; pair (0,1) also shares a rare run
+    val common = "x x x x"
+    val df = Seq(
+      (0L, s"$common p q r s t u v w"),
+      (1L, s"$common p q r s t z z z"),
+      (2L, s"$common k1 k2 k3 k4 k5"),
+      (3L, s"$common m1 m2 m3 m4 m5"),
+      (4L, s"$common n1 n2 n3 n4 n5")).toDF("doc_id", "text")
+    // uncapped: every pair shares the common gram (span 4); (0,1)'s true
+    // shared prefix is "x x x x p q r s t" = 9 tokens
+    val uncapped = Dedup.substringSpans(df, spanK = 4, minSpan = 4, dfCap = 1000)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(uncapped((0L, 1L)) === 9L)
+    assert(uncapped.size === 10, "all 10 pairs share the common gram")
+    // cap 3 < 5 docs: the df-5 gram "x x x x" is dropped; the df-2
+    // BOUNDARY grams straddling into (0,1)'s rare suffix survive, so
+    // (0,1) keeps a span of 8 (= 9 minus the one position whose gram
+    // lies fully inside the capped run) and every other pair vanishes
+    val spans = Dedup.substringSpans(df, spanK = 4, minSpan = 4, dfCap = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(spans === Map((0L, 1L) -> 8L))
+  }
+
+  test("q113 PQ+rerank top-5 keeps pooled recall ≥ 0.6 vs exact top-5") {
+    val pq = graft.SparkEntry.queries("q113_pq_ann")(spark, sf)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = graft.SparkEntry.queries("q46_ann_bruteforce")(spark, sf)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val hits = exact.count(pq.contains)
+    val recall = hits.toDouble / exact.length
+    // with the 100-candidate ADC shortlist + exact rerank, measured
+    // pooled recall is ~0.9 at sf0.01 and higher at sf0.001 (shortlist
+    // covers half the corpus); 0.6 catches a broken codebook/LUT/
+    // shortlist while tolerating quantization noise
+    assert(recall >= 0.6, s"PQ pooled recall collapsed: $recall")
+  }
+
+  test("q115 ranks satisfy PageRank mass invariants") {
+    val ranks = graft.SparkEntry.queries("q115_pagerank")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val n = ranks.length
+    val floor = 0.15 / n
+    assert(ranks.forall(_._2 >= floor - 1e-9),
+      "every node must receive at least the teleport mass")
+    // suppliers have no in-edges in the s→c bipartite graph: exactly the
+    // teleport mass, nothing else
+    val suppliers = ranks.filter(_._1.startsWith("s:"))
+    assert(suppliers.nonEmpty)
+    suppliers.foreach { case (node, r) =>
+      assert(math.abs(r - floor) < 1e-9, s"$node should hold bare teleport mass")
+    }
+    val total = ranks.map(_._2).sum
+    assert(total < 1.0 + 1e-6, s"rank mass exceeds 1: $total")
+    assert(total > 0.15, s"rank mass collapsed: $total")
+  }
+}

@@ -105,4 +105,35 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === expected)
   }
+
+  test("q118 merge kernel is associative and idempotent over any batch split") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 300).map { i =>
+      (rnd.nextInt(20).toLong, i.toLong, s"t${rnd.nextInt(3)}",
+        rnd.nextInt(1000).toLong * 1000L, rnd.nextDouble())
+    }
+    def frame(xs: Seq[(Long, Long, String, Long, Double)]) =
+      xs.toDF("user_id", "last_event_id", "last_event_type",
+        "last_ts_us", "last_value")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    val direct = canon(StreamingQueries.latestPerUser(frame(rows)))
+    // fold the same rows through different batch decompositions — the
+    // foreachBatch accumulation path must land on the identical table
+    for (nBatches <- Seq(1, 3, 7)) {
+      val folded = rows.grouped((rows.size + nBatches - 1) / nBatches)
+        .foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) { (acc, b) =>
+          Some(acc match {
+            case None => StreamingQueries.latestPerUser(frame(b))
+            case Some(st) =>
+              StreamingQueries.latestPerUser(st.unionByName(frame(b)))
+          })
+        }.get
+      assert(canon(folded) === direct, s"nBatches=$nBatches diverged")
+    }
+    // idempotent: replaying the final state through the merge is a no-op
+    val st = StreamingQueries.latestPerUser(frame(rows))
+    assert(canon(StreamingQueries.latestPerUser(st.unionByName(st))) === direct)
+  }
 }
