@@ -54,10 +54,20 @@ object GraphOps extends QueryPack {
     // |V| rides along as a broadcast 1-row aggregate (the q69 corpus-size
     // pattern) — never a driver-side collect
     val n = nodes.agg(count(lit(1)).cast("double").as("n"))
+    // degree inherits the edges' src-partitioning (no exchange) and is
+    // materialized once, not recomputed per iteration
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     var ranks = nodes.crossJoin(broadcast(n))
       .select(col("node"), (lit(1.0) / col("n")).as("rank"))
+      .localCheckpoint(true)
     for (_ <- 1 to Iters) {
+      // ONE materialization per iteration (the q66 discipline): without
+      // it the three iterations nest into a single self-referencing
+      // plan, and the attribute re-aliasing that dedups the repeated
+      // `edges` subtree discards its pre-shuffled partitioning — the
+      // checkpointed frame keeps each iteration's plan referencing
+      // `edges` exactly once, exchange-free on the big side
       val contribs = edges
         .join(ranks, edges("src") === ranks("node"))
         .join(outdeg, "src")
@@ -70,6 +80,7 @@ object GraphOps extends QueryPack {
         .select(col("node"),
           round(lit(1.0 - Damping) / col("n") +
             lit(Damping) * coalesce(col("in_sum"), lit(0.0)), 9).as("rank"))
+        .localCheckpoint(true)
     }
     ranks.orderBy("node")
   }
