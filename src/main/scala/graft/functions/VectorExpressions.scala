@@ -57,17 +57,73 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd squared-L2 distance — the PQ suite's (q113) inner loop.
+  * Same design notes as [[DotProduct]]; summation is sequential
+  * left-to-right, bit-identical to both the HOF fold it replaces and the
+  * oracle's ordered list_sum comprehension. */
+case class SquaredL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("l2N")
+      val s = ctx.freshName("l2Sum")
+      val i = ctx.freshName("l2I")
+      val d = ctx.freshName("l2D")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   private val fnName = "graft_dot"
+  private val l2Name = "graft_sql2"
 
   /** Register once per session, then build Columns via expr(). */
-  private def ensureRegistered(s: SparkSession): Unit =
+  private def ensureRegistered(s: SparkSession): Unit = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       fnName, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      l2Name, exprs => SquaredL2(exprs(0), exprs(1)), "built-in")
+  }
 
   /** dot(a, b) over two array<double> columns (by SQL-visible name). */
   def dot(s: SparkSession, a: String, b: String): Column = {
     ensureRegistered(s)
     expr(s"$fnName($a, $b)")
+  }
+
+  /** Σ (a_i − b_i)² over two array<double> columns (by SQL-visible name). */
+  def squaredL2(s: SparkSession, a: String, b: String): Column = {
+    ensureRegistered(s)
+    expr(s"$l2Name($a, $b)")
   }
 }

@@ -222,7 +222,59 @@ object DataPrep extends QueryPack {
       .orderBy("source", "rk")
   }
 
+  /** q120: equal-frequency length bucketing (exact ntile-8 semantics,
+    * computed scalably) — the batch-shaping step that groups documents
+    * of similar token counts so a training batch wastes minimal padding.
+    * A naive `ntile(8) OVER (ORDER BY tokens, doc_id)` needs a
+    * single-partition global sort — a 100 TB non-starter. Same result,
+    * scalable shape: token counts are SMALL integers, so (1) a
+    * bounded-key histogram (one map-side-combined shuffle) gives each
+    * count's cumulative offset via a window over the tiny histogram,
+    * (2) each doc's rank WITHIN its count comes from a window
+    * partitioned by the bounded count key, and (3) global position =
+    * offset + rank feeds the closed-form ntile bucket formula (first
+    * N mod k buckets take ⌈N/k⌉ rows). No global sort ever happens;
+    * the oracle runs the naive ntile and must agree exactly. */
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("tokens"))
+    // bounded frame: one row per distinct token count
+    val wCum = Window.orderBy("tokens")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hist = docs.groupBy("tokens").agg(count(lit(1)).as("cnt"))
+      .withColumn("offset", coalesce(sum("cnt").over(wCum), lit(0L)))
+      .select("tokens", "offset")
+    val n = docs.agg(count(lit(1)).as("n"))
+    val wIn = Window.partitionBy("tokens").orderBy("doc_id")
+    docs
+      .withColumn("rn", row_number().over(wIn).cast("long"))
+      .join(hist, "tokens")
+      .crossJoin(broadcast(n))
+      .withColumn("p", col("offset") + col("rn"))
+      // integer `div`, not `/` (which widens to double on long operands)
+      .withColumn("small", expr(s"n div $k"))
+      .withColumn("r", col("n") % k)
+      .withColumn("bucket",
+        when(col("p") <= col("r") * (col("small") + 1),
+          expr("(p - 1) div (small + 1) + 1"))
+          .otherwise(expr("r + (p - r * (small + 1) - 1) div small + 1")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), min("tokens").as("min_tokens"),
+        max("tokens").as("max_tokens"), sum("tokens").as("sum_tokens"))
+      .orderBy("bucket")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q120_length_ntile", q120, Some(
+      """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+        |           FROM documents),
+        |b AS (SELECT doc_id, tokens,
+        |        ntile(8) OVER (ORDER BY tokens, doc_id) AS bucket FROM d)
+        |SELECT bucket, count(*) AS n_docs, min(tokens) AS min_tokens,
+        |  max(tokens) AS max_tokens, CAST(sum(tokens) AS BIGINT) AS sum_tokens
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
     Q("q88_chunk_overlap", q88, Some(
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |k AS (SELECT doc_id, w, unnest(generate_series(0, (len(w) - 1) // 6)) AS chunk_idx FROM t),

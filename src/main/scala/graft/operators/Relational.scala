@@ -263,6 +263,33 @@ object Relational extends QueryPack {
         |FROM graft_customer68 ORDER BY c_custkey""".stripMargin)
   }
 
+  /** q119: NULL-aware anti join — `NOT IN (subquery)` under SQL
+    * three-valued logic, the semantics a plain LEFT ANTI (q16) does NOT
+    * have: one NULL in the subquery makes `x NOT IN (...)` UNKNOWN for
+    * every x, so nothing survives. Two variants gate both halves: a
+    * null-free subquery (real survivors — p_size beyond any
+    * l_linenumber) and the same subquery with NULLs injected (zero
+    * survivors). Spark plans the single-column case as a broadcast
+    * null-aware anti join (isNullAware=true) rather than a nested-loop
+    * — the streamed side stays one scan at any scale. */
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("graft_part119")
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem119")
+    s.sql(
+      """SELECT variant, n_survivors FROM (
+        |  SELECT 'no_nulls' AS variant, count(*) AS n_survivors
+        |  FROM graft_part119
+        |  WHERE p_size NOT IN (SELECT l_linenumber FROM graft_lineitem119)
+        |  UNION ALL
+        |  SELECT 'with_null' AS variant, count(*) AS n_survivors
+        |  FROM graft_part119
+        |  WHERE p_size NOT IN (
+        |    SELECT CASE WHEN l_orderkey % 97 = 0 THEN NULL
+        |           ELSE l_linenumber END
+        |    FROM graft_lineitem119)
+        |) ORDER BY variant""".stripMargin)
+  }
+
   /** GROUPING SETS via SQL (only surface Spark's Dataset API lacks). */
   private def q28(s: SparkSession, dir: String): DataFrame = {
     Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
@@ -403,5 +430,18 @@ object Relational extends QueryPack {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority""".stripMargin)),
+    Q("q119_not_in_nulls", q119, Some(
+      """SELECT variant, n_survivors FROM (
+        |  SELECT 'no_nulls' AS variant, count(*) AS n_survivors
+        |  FROM part
+        |  WHERE p_size NOT IN (SELECT l_linenumber FROM lineitem)
+        |  UNION ALL
+        |  SELECT 'with_null' AS variant, count(*) AS n_survivors
+        |  FROM part
+        |  WHERE p_size NOT IN (
+        |    SELECT CASE WHEN l_orderkey % 97 = 0 THEN NULL
+        |           ELSE l_linenumber END
+        |    FROM lineitem)
+        |) ORDER BY variant""".stripMargin)),
   )
 }

@@ -198,13 +198,15 @@ object Similarity extends QueryPack {
   private val PqSub = 8
   private val PqDim = 8
 
-  /** Squared L2 between two 8-dim array columns, sequential fold (index
-    * order), rounded to 6 — bit-reproducible by the oracle's ordered
-    * list_sum, and the rounding makes argmin tie-breaks (by code id)
-    * land identically on both engines. */
-  private def d2r6(a: String, b: String): Column =
-    round(expr(s"aggregate(sequence(0, ${PqDim - 1}), 0.0D, " +
-      s"(acc, i) -> acc + ($a[i] - $b[i]) * ($a[i] - $b[i]))"), 6)
+  /** Squared L2 between two 8-dim array columns via the codegen'd
+    * [[graft.functions.SquaredL2]] expression (sequential left-to-right
+    * adds — bit-identical to the oracle's ordered list_sum), rounded to
+    * 6 so argmin tie-breaks (by code id) land identically on both
+    * engines. A native expression rather than an `aggregate` HOF: the
+    * HOF evaluates interpreted and would break the index build's
+    * whole-stage codegen. */
+  private def d2r6(s: SparkSession, a: String, b: String): Column =
+    round(graft.functions.VectorFunctions.squaredL2(s, a, b), 6)
 
   /** ADC shortlist size for q113: the exact-rerank candidate budget per
     * query. 100-of-corpus keeps pooled recall@5 ≈ 0.9 at sf0.01 (0.72 at
@@ -248,7 +250,7 @@ object Similarity extends QueryPack {
     // argmin combines map-side, unlike a row_number window
     val codes = subVecs(e)
       .join(broadcast(cb), Seq("j"))
-      .withColumn("d2", d2r6("sv", "cv"))
+      .withColumn("d2", d2r6(s, "sv", "cv"))
       .groupBy("vec_id", "j")
       .agg(min(struct(col("d2"), col("c"))).as("m"))
       .select(col("vec_id"), col("j"), col("m.c").as("code"))
@@ -256,7 +258,7 @@ object Similarity extends QueryPack {
     val lut = subVecs(e.filter(col("vec_id") < 10))
       .select(col("vec_id").as("query_id"), col("j"), col("sv"))
       .join(broadcast(cb), Seq("j"))
-      .withColumn("d2", d2r6("sv", "cv"))
+      .withColumn("d2", d2r6(s, "sv", "cv"))
       .select("query_id", "j", "c", "d2")
     val wShort = Window.partitionBy("query_id")
       .orderBy(col("adc"), col("neighbor_id"))

@@ -117,9 +117,12 @@ class PlanSpec extends AnyFunSuite {
     //         broadcast assignment (and q103's gate embeds q46).
     //   q115 — PageRank's |V|: a 1-row node-count broadcast (the q69
     //         corpus-size pattern), once per iteration.
+    //   q120 — exact-ntile bucketing: the same 1-row total-count
+    //         broadcast feeding the closed-form bucket arithmetic.
     val exempt = Set("q46_ann_bruteforce", "q47_ann_ivf", "q94_length_histogram",
       "q69_tfidf", "q48_ann_lsh", "q98_kmeans_step",
-      "q102_kmeans_fit", "q103_ann_ivf_fitted", "q115_pagerank")
+      "q102_kmeans_fit", "q103_ann_ivf_fitted", "q115_pagerank",
+      "q120_length_ntile")
     // Streaming queries execute a full drain in fn(); their batch-side
     // shapes are pinned by their own specs — skip the expensive drains.
     val skip = SparkEntry.all.map(_.name).filter(_.matches(
