@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, SquaredL2}
 
 /** Session extension point: installs graft's native Catalyst functions at
   * session build time, so SQL users get them without any per-session
@@ -25,5 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("graft_sql2"),
+      new ExpressionInfo(classOf[SquaredL2].getName, "graft_sql2"),
+      (exprs: Seq[Expression]) => SquaredL2(exprs(0), exprs(1))))
   }
 }

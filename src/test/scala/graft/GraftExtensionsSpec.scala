@@ -18,6 +18,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r === 11.0)
   }
 
+  test("graft_sql2 matches the HOF squared-L2 fold bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val df = Seq.fill(50)((Seq.fill(8)(rnd.nextGaussian()),
+      Seq.fill(8)(rnd.nextGaussian()))).toDF("a", "b")
+    graft.functions.VectorFunctions.squaredL2(spark, "a", "b")
+    val pairs = df.select(
+      expr("graft_sql2(a, b)").as("native"),
+      expr("aggregate(sequence(0, 7), 0.0D, " +
+        "(acc, i) -> acc + (a[i] - b[i]) * (a[i] - b[i]))").as("hof"))
+      .collect()
+    // exact double equality: the expression's sequential adds must be
+    // bit-identical to the left-to-right HOF fold (the q113 oracle
+    // contract rides on this)
+    pairs.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
   test("graft_dot codegen and interpreted paths agree") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
