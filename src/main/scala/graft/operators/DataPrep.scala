@@ -266,7 +266,44 @@ object DataPrep extends QueryPack {
       .orderBy("bucket")
   }
 
+  /** q121: weighted sampling WITHOUT replacement (Efraimidis–Spirakis) —
+    * draw 50 docs with inclusion odds ∝ n_chars, deterministically: each
+    * doc gets a content-hash uniform u ∈ (0,1) (md5, the q90 discipline —
+    * reproducible at any parallelism) and log-domain key ln(u)/w; the
+    * top-50 keys ARE the weighted sample. The heavy lifting is
+    * `orderBy(key).limit(50)` — Spark plans TakeOrderedAndProject
+    * (per-partition heaps + driver merge of 50-row heads, the q20 shape),
+    * NEVER a global sort; the rank window then runs on the 50 surviving
+    * rows. Keys round to 12 so the oracle's libm ln (vs the JVM's, each
+    * ≤ 1 ulp off) can never reorder the selection. */
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    val take = 50
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars").as("w"),
+        ((conv(substring(md5(concat(lit("ws:"), col("doc_id"))), 1, 8), 16, 10)
+          .cast("long") + 1).cast("double") / lit(4294967297.0)).as("u"))
+      .select(col("doc_id"), col("w"),
+        round(log(col("u")) / col("w"), 12).as("key"))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(take)
+    val w = Window.orderBy(col("key").desc, col("doc_id"))
+    // the rank window sees only the 50 survivors — bounded by `take`
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .select("rank", "doc_id", "w", "key")
+      .orderBy("rank")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q121_weighted_sample", q121, Some(
+      """WITH s AS (
+        |  SELECT doc_id, n_chars AS w,
+        |    round(ln((('0x' || substr(md5('ws:' || doc_id), 1, 8))::UBIGINT + 1)
+        |            / 4294967297.0) / n_chars, 12) AS key
+        |  FROM documents)
+        |SELECT rank, doc_id, w, key FROM (
+        |  SELECT doc_id, w, key,
+        |    row_number() OVER (ORDER BY key DESC, doc_id) AS rank FROM s)
+        |WHERE rank <= 50 ORDER BY rank""".stripMargin)),
     Q("q120_length_ntile", q120, Some(
       """WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
         |           FROM documents),

@@ -42,6 +42,12 @@ class PlanSpec extends AnyFunSuite {
     assert(executedPlan("q20_global_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("q121 weighted-sample selection plans as TakeOrderedAndProject") {
+    // the sample draw must be per-partition heaps + merge; a global sort
+    // under the rank window would be the 100 TB anti-pattern
+    assert(executedPlan("q121_weighted_sample").contains("TakeOrderedAndProject"))
+  }
+
   test("whole-stage codegen covers the scan→aggregate pipeline") {
     // AQE shows the final (codegen-wrapped) plan only after execution
     val df = SparkEntry.queries("q02_grouped_sum")(spark, sf)
