@@ -69,7 +69,56 @@ object Temporal extends QueryPack {
       .orderBy("user_id", "session_no")
   }
 
+  /** Decay base and window for q122. The coefficient table is built from
+    * EXACT DECIMAL powers of 0.8 (BigDecimal, not `math.pow` on the
+    * inexact binary 0.8) so the literals — and therefore every product —
+    * are the same doubles the oracle's spelled-out decimal list parses
+    * to. */
+  private val DecayN = 10
+  private val decayCoefs: Seq[java.math.BigDecimal] =
+    (0 until DecayN).map(j => new java.math.BigDecimal("0.8").pow(j))
+
+  /** q122: time-decayed rolling feature — per event, the exponentially
+    * decayed sum of the user's last 10 values (decay 0.8 per step,
+    * current event weighted 1). The standard online-feature shape
+    * (recency-weighted engagement) computed batch-side: a bounded
+    * 10-element `collect_list` window (state per row is fixed — never
+    * the user's history) followed by a sequential weighted fold, both
+    * engines evaluating the identical literal coefficients in the
+    * identical order. One hash shuffle on user_id; map-only after. */
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(-(DecayN - 1), Window.currentRow)
+    val coefArr = array(decayCoefs.map(c => lit(c.doubleValue)): _*)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("vs", collect_list("value").over(w))
+      .withColumn("coefs", coefArr)
+      .select(col("user_id"), col("event_id"),
+        size(col("vs")).cast("long").as("n_window"),
+        round(expr(
+          "aggregate(sequence(1, size(vs)), 0.0D, (acc, i) -> " +
+            "acc + element_at(vs, i) * element_at(coefs, size(vs) - i + 1))"),
+          6).as("decayed"))
+      .orderBy("user_id", "event_id")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q122_decayed_features", q122, Some {
+      val coefSql = decayCoefs.map(_.toPlainString).mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value
+         |           FROM events),
+         |w AS (SELECT user_id, event_id,
+         |        list(value) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vs
+         |      FROM e)
+         |SELECT user_id, event_id, CAST(len(vs) AS BIGINT) AS n_window,
+         |  round(list_sum([vs[i] * ($coefSql)[len(vs) - i + 1]
+         |                  FOR i IN generate_series(1, len(vs))]), 6) AS decayed
+         |FROM w ORDER BY user_id, event_id""".stripMargin
+    }),
     Q("q35_asof_join", q35, Some(
       """SELECT event_id, user_id, asof_orderkey FROM (
         |  SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey,
