@@ -145,7 +145,59 @@ object ScaleOps extends QueryPack {
       .orderBy("s_name")
   }
 
+  /** q123: SECONDARY SORT — the classic MapReduce pattern the reference's
+    * holistic reducer cannot do without buffering (its per-key reduce
+    * receives an in-memory list, mapreduce.py:118-128): process each
+    * key's values in a defined order with O(1) state per group.
+    * `repartition(key)` + `sortWithinPartitions(key, orderCols)` makes
+    * every partition a sequence of contiguous, internally-ordered runs;
+    * a single `mapPartitions` pass then folds each run as a stream —
+    * memory is one accumulator per OPEN group (exactly one at a time),
+    * never the group's contents, whatever the hottest key's cardinality.
+    * Gated per user: event count, the first 3 event ids in time order,
+    * and the last event id — positional facts only a defined value order
+    * can produce. */
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sorted = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "us", "event_id")
+      .as[(Long, Long, Long)]
+    sorted.mapPartitions { it =>
+      // streaming fold over contiguous sorted runs: rows of one user are
+      // adjacent and time-ordered, so a run boundary is just a key change
+      new Iterator[(Long, Long, String, Long)] {
+        private val buf = it.buffered
+        def hasNext: Boolean = buf.hasNext
+        def next(): (Long, Long, String, Long) = {
+          val (user, _, firstId) = buf.head
+          var n = 0L
+          var last = firstId
+          val first3 = new scala.collection.mutable.ArrayBuffer[Long](3)
+          while (buf.hasNext && buf.head._1 == user) {
+            val (_, _, id) = buf.next()
+            n += 1
+            if (first3.size < 3) first3 += id
+            last = id
+          }
+          (user, n, first3.mkString(","), last)
+        }
+      }
+    }.toDF("user_id", "n_events", "first3_ids", "last_id")
+      .orderBy("user_id")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q123_secondary_sort", q123, Some(
+      """WITH o AS (
+        |  SELECT user_id,
+        |    list(event_id ORDER BY epoch_us(ts), event_id) AS ids
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(len(ids) AS BIGINT) AS n_events,
+        |  array_to_string(ids[1:3], ',') AS first3_ids,
+        |  ids[len(ids)] AS last_id
+        |FROM o ORDER BY user_id""".stripMargin)),
     Q("q107_bloom_prefilter_join", q107, Some(
       """SELECT p_brand,
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue,
