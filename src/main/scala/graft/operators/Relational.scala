@@ -290,6 +290,31 @@ object Relational extends QueryPack {
         |) ORDER BY variant""".stripMargin)
   }
 
+  /** q124: RECURSIVE CTE (new SQL surface in Spark 4) — an
+    * installment-schedule expansion: every ~997th order's total is
+    * halved per step until it drops under 1, and the schedule is
+    * aggregated per order. Depth is data-dependent (log₂ of the
+    * largest total, ~19 here), which is exactly what a recursive CTE
+    * expresses and a static UNION chain (q115's fixed power iteration)
+    * cannot. Arithmetic uses floor(x·50)/100 rather than round(x/2, 2):
+    * floor on exactly-representable products is unambiguous across
+    * engines, where half-way decimal rounding of a halved value would
+    * sit on .005 boundaries every other step. */
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders124")
+    s.sql(
+      """WITH RECURSIVE pay(o_orderkey, k, remaining) AS (
+        |  SELECT o_orderkey, 0, floor(o_totalprice * 100) / 100
+        |  FROM graft_orders124 WHERE o_orderkey % 997 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, k + 1, floor(remaining * 50) / 100
+        |  FROM pay WHERE remaining >= 1
+        |)
+        |SELECT o_orderkey, count(*) AS n_installments,
+        |  round(sum(remaining), 2) AS total_scheduled
+        |FROM pay GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** GROUPING SETS via SQL (only surface Spark's Dataset API lacks). */
   private def q28(s: SparkSession, dir: String): DataFrame = {
     Tables.orders(s, dir).createOrReplaceTempView("graft_orders")
@@ -430,6 +455,17 @@ object Relational extends QueryPack {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority""".stripMargin)),
+    Q("q124_recursive_cte", q124, Some(
+      """WITH RECURSIVE pay(o_orderkey, k, remaining) AS (
+        |  SELECT o_orderkey, 0, floor(o_totalprice * 100) / 100
+        |  FROM orders WHERE o_orderkey % 997 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, k + 1, floor(remaining * 50) / 100
+        |  FROM pay WHERE remaining >= 1
+        |)
+        |SELECT o_orderkey, count(*) AS n_installments,
+        |  round(sum(remaining), 2) AS total_scheduled
+        |FROM pay GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)),
     Q("q119_not_in_nulls", q119, Some(
       """SELECT variant, n_survivors FROM (
         |  SELECT 'no_nulls' AS variant, count(*) AS n_survivors

@@ -576,6 +576,102 @@ object StreamingQueries extends QueryPack {
     } finally { rmrf(target); rmrf(tmp); rmrf(cp) }
   }
 
+  /** q125: `transformWithState` — Spark 4's arbitrary-state API (the
+    * successor to q87's flatMapGroupsWithState) on the RocksDB state
+    * store, its required production backend: per-user running stats
+    * (count / id-sum / min / max) held in a typed `ValueState` and
+    * re-emitted each update. Every accumulator is integer arithmetic,
+    * so the fold is order-independent across any batch composition —
+    * the memory-sink rows are per-batch snapshots, and the LATEST
+    * snapshot per user (max count wins; counts strictly increase) must
+    * equal the batch aggregation oracle. State is one fixed-width tuple
+    * per user — bounded by keyspace, not stream length — and RocksDB
+    * keeps it off-heap and spillable at production state volumes. */
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+    val shards = graft.operators.FileIO.scratch(dir, "events_stream_days_upsert")
+    if (!StreamingQueries.dumped.contains(shards)) {
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("us"))
+        .withColumn("day", from_unixtime(col("us") / 1000000L, "yyyy-MM-dd"))
+        .repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(shards)
+      StreamingQueries.dumped.add(shards)
+    }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("user_id", "long").add("event_id", "long").add("event_type", "string")
+      .add("value", "double").add("us", "long").add("day", "string")
+    val processor =
+      new StatefulProcessor[Long, (Long, Long), (Long, Long, Long, Long, Long)] {
+        @transient private var st: ValueState[(Long, Long, Long, Long)] = _
+        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+          st = getHandle.getValueState[(Long, Long, Long, Long)]("agg",
+            org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long)],
+            TTLConfig.NONE)
+        override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+            tv: TimerValues): Iterator[(Long, Long, Long, Long, Long)] = {
+          var (n, sum, mn, mx) = Option(st.get())
+            .getOrElse((0L, 0L, Long.MaxValue, Long.MinValue))
+          rows.foreach { case (_, id) =>
+            n += 1; sum += id; mn = math.min(mn, id); mx = math.max(mx, id)
+          }
+          st.update((n, sum, mn, mx))
+          Iterator.single((key, n, sum, mn, mx))
+        }
+      }
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "12")
+      .parquet(shards)
+      .select(col("user_id"), col("event_id"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(processor, TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_events", "sum_event_ids", "min_event_id", "max_event_id")
+    val name = "graft_q125_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // transformWithState requires the RocksDB provider; scope it (and the
+    // drain parallelism) to this finite replay and restore after
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provKey)
+    val query =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "2")
+        s.conf.set(provKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        stream.writeStream
+          .outputMode("update")
+          .format("memory")
+          .queryName(name)
+          .start()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        prevProv match {
+          case Some(p) => s.conf.set(provKey, p)
+          case None => s.conf.unset(provKey)
+        }
+      }
+    try query.processAllAvailable()
+    finally query.stop()
+    // latest snapshot per user: counts strictly increase, so max(n) is
+    // the final state — integer argmax, exact at any batch composition
+    val result = s.table(name)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("sum_event_ids"),
+        col("min_event_id"), col("max_event_id"))).as("m"))
+      .select(col("user_id"), col("m.n_events").as("n_events"),
+        col("m.sum_event_ids").as("sum_event_ids"),
+        col("m.min_event_id").as("min_event_id"),
+        col("m.max_event_id").as("max_event_id"))
+      .orderBy("user_id")
+    val rows = result.collect()
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
+    s.catalog.dropTempView(name)
+    out
+  }
+
   /** q71: session_window (30-minute gap) per user. */
   private def q71(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -637,6 +733,11 @@ object StreamingQueries extends QueryPack {
     Q("q100_stream_file_sink", q100, Some(
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    Q("q125_transform_with_state", q125, Some(
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_event_ids,
+        |  min(event_id) AS min_event_id, max(event_id) AS max_event_id
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
     // q118's oracle is q91's batch compaction: the streamed merge must
     // land on exactly the global latest row per user.
     Q("q118_stream_upsert_sink", q118, Some(

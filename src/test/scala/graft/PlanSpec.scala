@@ -132,7 +132,7 @@ class PlanSpec extends AnyFunSuite {
     // Streaming queries execute a full drain in fn(); their batch-side
     // shapes are pinned by their own specs — skip the expensive drains.
     val skip = SparkEntry.all.map(_.name).filter(_.matches(
-      "q70_.*|q71_.*|q78_.*|q84_.*|q87_.*|q100_.*|q106_.*|q109_.*|q118_.*")).toSet
+      "q70_.*|q71_.*|q78_.*|q84_.*|q87_.*|q100_.*|q106_.*|q109_.*|q118_.*|q125_.*")).toSet
     for (q <- SparkEntry.all.map(_.name) if !exempt(q) && !skip(q)) {
       val plan = SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
