@@ -404,6 +404,26 @@ object Dedup extends QueryPack {
       .orderBy("component")
   }
 
+  /** q128: edit-distance verification of near-dup candidates — the
+    * string-level second opinion on the shingle-level q44 pairs:
+    * Levenshtein distance and a normalized similarity ratio per pair.
+    * Fuzzy dedup pipelines use exactly this cascade (cheap set-based
+    * candidates → expensive exact edit distance on the survivors): the
+    * O(n·m) DP runs on ~|pairs| rows, never the corpus, and both engines
+    * implement the same classic metric so the gate is integer-exact. */
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    q44(s, dir)
+      .join(docs.toDF("id_a", "text_a"), "id_a")
+      .join(docs.toDF("id_b", "text_b"), "id_b")
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_distance"),
+        round(lit(1.0) - levenshtein(col("text_a"), col("text_b")) /
+          greatest(length(col("text_a")), length(col("text_b"))).cast("double"), 4)
+          .as("similarity"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** q66: near-dup groups — connected components over the exact-Jaccard
     * pair graph, labeling every involved doc with the min doc_id of its
     * component (the canonical representative to keep). Implemented as
@@ -660,6 +680,30 @@ object Dedup extends QueryPack {
          |SELECT component, doc_id AS kept_doc, n_chars AS kept_chars,
          |  n_docs, n_docs - 1 AS n_dropped
          |FROM r WHERE rn = 1 ORDER BY component""".stripMargin)),
+    Q("q128_edit_distance", q128, Some(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |         [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |          FOR i IN generate_series(1, len(w) - 2)])) AS s FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b,
+        |    round(inter * 1.0 / (na.n + nb.n - inter), 4) AS jaccard
+        |  FROM p
+        |  JOIN sizes na ON na.doc_id = p.id_a
+        |  JOIN sizes nb ON nb.doc_id = p.id_b
+        |  WHERE round(inter * 1.0 / (na.n + nb.n - inter), 4) >= 0.7)
+        |SELECT id_a, id_b, jaccard,
+        |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
+        |  round(1.0 - levenshtein(da.text, db.text) * 1.0 /
+        |    greatest(len(da.text), len(db.text)), 4) AS similarity
+        |FROM pairs
+        |JOIN documents da ON da.doc_id = pairs.id_a
+        |JOIN documents db ON db.doc_id = pairs.id_b
+        |ORDER BY id_a, id_b""".stripMargin)),
     Q("q112_substring_spans", q112, Some(
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g AS (SELECT doc_id, pos, array_to_string(w[pos:pos+7], ' ') AS gram

@@ -290,6 +290,24 @@ object Relational extends QueryPack {
         |) ORDER BY variant""".stripMargin)
   }
 
+  /** q126: NULL-SAFE equality join (`<=>` / IS NOT DISTINCT FROM) — the
+    * join that treats NULL as a matchable value, which plain `=` (and
+    * q16's LEFT ANTI) silently drops. Nullable keys are derived with
+    * NULLIF so the NULL<=>NULL group really exercises the path; the gate
+    * counts pairs per key INCLUDING the NULL key. Still a hash-join key
+    * (Spark normalizes `<=>` into EqualNullSafe keys — no nested loop,
+    * no skew surprise beyond an ordinary hot key). */
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir)
+      .select(nullif(col("s_nationkey") % 5, lit(0)).as("k"))
+    val cust = Tables.customer(s, dir)
+      .select(nullif(col("c_nationkey") % 5, lit(0)).as("ck"))
+    sup.join(cust, col("k") <=> col("ck"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("k").asc_nulls_first)
+  }
+
   /** q124: RECURSIVE CTE (new SQL surface in Spark 4) — an
     * installment-schedule expansion: every ~997th order's total is
     * halved per step until it drops under 1, and the schedule is
@@ -455,6 +473,13 @@ object Relational extends QueryPack {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority""".stripMargin)),
+    Q("q126_nullsafe_join", q126, Some(
+      """SELECT k, count(*) AS n_pairs FROM
+        |  (SELECT NULLIF(s_nationkey % 5, 0) AS k FROM supplier) a
+        |JOIN
+        |  (SELECT NULLIF(c_nationkey % 5, 0) AS ck FROM customer) b
+        |ON a.k IS NOT DISTINCT FROM b.ck
+        |GROUP BY k ORDER BY k NULLS FIRST""".stripMargin)),
     Q("q124_recursive_cte", q124, Some(
       """WITH RECURSIVE pay(o_orderkey, k, remaining) AS (
         |  SELECT o_orderkey, 0, floor(o_totalprice * 100) / 100

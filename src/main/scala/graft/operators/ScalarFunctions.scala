@@ -134,7 +134,28 @@ object ScalarFunctions extends QueryPack {
       .groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
       .orderBy("event_type", "bucket")
 
+  /** q127: generator NULL semantics — `explode_outer` keeps a parent row
+    * (with a NULL element) when its array is empty, where plain
+    * `explode` silently drops it. Long tokens (> 12 chars) are rare
+    * enough that many docs genuinely hit the empty-array path. The
+    * oracle reproduces outer-explode by substituting `[NULL]` for empty
+    * arrays before unnest — semantics, not syntax, are what's gated. */
+  private def q127(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        filter(split(col("text"), " ", -1), t => length(t) > 12).as("longs"))
+      .select(col("doc_id"), explode_outer(col("longs")).as("long_tok"))
+      .orderBy(col("doc_id"), col("long_tok").asc_nulls_first)
+
   override def queries: Seq[Q] = Seq(
+    Q("q127_explode_outer", q127, Some(
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> len(t) > 12) AS longs
+        |  FROM documents)
+        |SELECT doc_id,
+        |  unnest(CASE WHEN len(longs) = 0 THEN [NULL] ELSE longs END) AS long_tok
+        |FROM a ORDER BY doc_id, long_tok NULLS FIRST""".stripMargin)),
     Q("q29_string_funcs", q29, Some(
       """SELECT c_custkey, upper(c_mktsegment) AS seg_upper,
         |  lower(c_name) AS name_lower, length(c_name) AS name_len,
