@@ -308,7 +308,120 @@ object TextAnalysis extends QueryPack {
           lit(math.log(2.0)), 6).as("entropy_bits"))
       .orderBy("doc_id")
 
+  /** q129: BPE merge training (3 rounds) — the byte-pair-encoding loop
+    * every tokenizer build runs (Sennrich et al.): count
+    * frequency-weighted adjacent symbol pairs over the vocabulary, merge
+    * the most frequent pair LEFT-TO-RIGHT NON-OVERLAPPING in every word,
+    * repeat. The gate emits the 3 learned merge rules with their
+    * weighted counts — the actual tokenizer artifact.
+    *
+    * The subtle part is the merge rewrite: overlapping matches ("aaa"
+    * with rule a+a) must consume greedily from the left. That is pure
+    * gap-and-islands: within each maximal run of consecutive match
+    * positions, exactly the odd-ranked matches are applied, the symbol
+    * AFTER an applied match is consumed, and positions renumber for the
+    * next round — all window algebra over per-word partitions (bounded:
+    * a word's length), reproduced verbatim by the oracle.
+    *
+    * Scale: state is the (word, pos, sym) symbol table — vocabulary- not
+    * corpus-sized, shrinking every round; per round one bounded-key agg,
+    * a global top-1 (TakeOrdered), and per-word windows. The q66/q115
+    * checkpoint discipline keeps each round's plan flat. */
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ", -1)).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var syms = vocab
+      .select(col("word"), col("freq"),
+        posexplode(split(col("word"), "")).as(Seq("pos0", "sym")))
+      .select(col("word"), col("freq"), (col("pos0") + 1).as("pos"), col("sym"))
+      .localCheckpoint(true)
+    val wPos = Window.partitionBy("word").orderBy("pos")
+    var rules: DataFrame = null
+    for (round <- 1 to 3) {
+      val withNext = syms.withColumn("nsym", lead("sym", 1).over(wPos))
+      val top = withNext.filter(col("nsym").isNotNull)
+        .groupBy(col("sym").as("ma"), col("nsym").as("mb"))
+        .agg(sum("freq").as("weighted_count"))
+        .orderBy(col("weighted_count").desc, col("ma"), col("mb"))
+        .limit(1)
+        .localCheckpoint(true)
+      val rule = top.select(lit(round).as("round"), col("ma").as("sym_a"),
+        col("mb").as("sym_b"), col("weighted_count"))
+      rules = if (rules == null) rule else rules.unionByName(rule)
+      val merged = withNext
+        .crossJoin(broadcast(top.select("ma", "mb")))
+        .withColumn("m",
+          when(col("sym") === col("ma") && col("nsym") === col("mb"), 1)
+            .otherwise(0))
+        // islands of consecutive match positions; odd-ranked matches in
+        // each island are the greedy left-to-right applications
+        .withColumn("grp", col("pos") - sum("m").over(
+          wPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("rnm", row_number().over(
+          Window.partitionBy("word", "grp", "m").orderBy("pos")))
+        .withColumn("keep", col("m") === 1 && col("rnm") % 2 === 1)
+        .withColumn("consumed",
+          coalesce(lag("keep", 1).over(wPos), lit(false)))
+        .filter(!col("consumed"))
+        .select(col("word"), col("freq"),
+          row_number().over(wPos).as("pos"),
+          when(col("keep"), concat(col("sym"), col("nsym")))
+            .otherwise(col("sym")).as("sym"))
+      syms = merged.localCheckpoint(true)
+    }
+    rules.orderBy("round")
+  }
+
+  /** One oracle BPE round: syms$r → (top$r rule, syms${r+1}). */
+  private def bpeRoundSql(r: Int): String = {
+    val n = r + 1
+    s"""wn$r AS (SELECT word, freq, pos, sym,
+       |  lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nsym FROM syms$r),
+       |top$r AS (SELECT a, b, cnt FROM (
+       |    SELECT sym AS a, nsym AS b, sum(freq) AS cnt FROM wn$r
+       |    WHERE nsym IS NOT NULL GROUP BY 1, 2)
+       |  ORDER BY cnt DESC, a, b LIMIT 1),
+       |mk$r AS (SELECT w.*, CASE WHEN w.sym = t.a AND w.nsym = t.b
+       |                          THEN 1 ELSE 0 END AS m
+       |         FROM wn$r w, top$r t),
+       |isl$r AS (SELECT *, pos - sum(m) OVER (PARTITION BY word ORDER BY pos
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+       |          FROM mk$r),
+       |rn$r AS (SELECT *, row_number() OVER (PARTITION BY word, grp, m
+       |           ORDER BY pos) AS rnm FROM isl$r),
+       |kp$r AS (SELECT *, (m = 1 AND rnm % 2 = 1) AS keep FROM rn$r),
+       |cons$r AS (SELECT *, coalesce(lag(keep) OVER (PARTITION BY word
+       |             ORDER BY pos), false) AS consumed FROM kp$r),
+       |syms$n AS (SELECT word, freq,
+       |    row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+       |    CASE WHEN keep THEN sym || nsym ELSE sym END AS sym
+       |  FROM cons$r WHERE NOT consumed)""".stripMargin
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q129_bpe_merges", q129, Some(
+      s"""WITH vocab AS (
+         |  SELECT word, count(*) AS freq FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE len(word) > 0 GROUP BY word),
+         |syms1 AS (SELECT word, freq, i AS pos, substring(word, i, 1) AS sym
+         |          FROM (SELECT word, freq,
+         |                  unnest(generate_series(1, len(word))) AS i
+         |                FROM vocab)),
+         |${bpeRoundSql(1)},
+         |${bpeRoundSql(2)},
+         |${bpeRoundSql(3)}
+         |SELECT round, sym_a, sym_b,
+         |  CAST(weighted_count AS BIGINT) AS weighted_count FROM (
+         |  SELECT 1 AS round, a AS sym_a, b AS sym_b, cnt AS weighted_count FROM top1
+         |  UNION ALL
+         |  SELECT 2, a, b, cnt FROM top2
+         |  UNION ALL
+         |  SELECT 3, a, b, cnt FROM top3)
+         |ORDER BY round""".stripMargin)),
     Q("q82_decontaminate", q82, Some(
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g AS (SELECT doc_id, unnest(list_distinct(

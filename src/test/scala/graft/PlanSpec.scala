@@ -125,10 +125,12 @@ class PlanSpec extends AnyFunSuite {
     //         corpus-size pattern), once per iteration.
     //   q120 — exact-ntile bucketing: the same 1-row total-count
     //         broadcast feeding the closed-form bucket arithmetic.
+    //   q129 — BPE merges: the 1-row learned-rule broadcast applied to
+    //         the symbol table each round.
     val exempt = Set("q46_ann_bruteforce", "q47_ann_ivf", "q94_length_histogram",
       "q69_tfidf", "q48_ann_lsh", "q98_kmeans_step",
       "q102_kmeans_fit", "q103_ann_ivf_fitted", "q115_pagerank",
-      "q120_length_ntile")
+      "q120_length_ntile", "q129_bpe_merges")
     // Streaming queries execute a full drain in fn(); their batch-side
     // shapes are pinned by their own specs — skip the expensive drains.
     val skip = SparkEntry.all.map(_.name).filter(_.matches(
