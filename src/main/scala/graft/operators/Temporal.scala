@@ -105,7 +105,52 @@ object Temporal extends QueryPack {
       .orderBy("user_id", "event_id")
   }
 
+  /** q130: behavioral funnel via ordered-path pattern matching — which
+    * users performed click → view → purchase IN THAT ORDER (with
+    * anything between). There is no MATCH_RECOGNIZE in Spark; the
+    * portable formulation is the ordered event-type path per user (one
+    * shuffle + per-user sort, the sessionize shape) matched with a
+    * regex. The path string is bounded by a user's event count — for
+    * 100 TB clickstreams the same query runs per (user, day) partition
+    * to cap path length. Output: per-user funnel stage reached, counted.
+    */
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    val path = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .groupBy("user_id")
+      // first 8 events only: enough path for the funnel to differ across
+      // users (every long-enough history trivially matches everything)
+      .agg(concat_ws(",",
+        slice(array_sort(collect_list(struct(col("us"), col("event_id"),
+          col("event_type")))).getField("event_type"), 1, 8)).as("path"))
+    path.select(col("user_id"),
+      when(col("path").rlike("click.*view.*purchase"), "full_funnel")
+        .when(col("path").rlike("click.*view"), "click_view")
+        .when(col("path").rlike("click"), "click_only")
+        .otherwise("no_click").as("stage"))
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("stage")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q130_funnel_pattern", q130, Some(
+      """WITH p AS (
+        |  SELECT user_id,
+        |    array_to_string(
+        |      (list(event_type ORDER BY epoch_us(ts), event_id))[1:8], ',')
+        |      AS path
+        |  FROM events GROUP BY user_id),
+        |s AS (SELECT user_id,
+        |        CASE WHEN regexp_matches(path, 'click.*view.*purchase')
+        |               THEN 'full_funnel'
+        |             WHEN regexp_matches(path, 'click.*view') THEN 'click_view'
+        |             WHEN regexp_matches(path, 'click') THEN 'click_only'
+        |             ELSE 'no_click' END AS stage
+        |      FROM p)
+        |SELECT stage, count(*) AS n_users FROM s
+        |GROUP BY stage ORDER BY stage""".stripMargin)),
     Q("q122_decayed_features", q122, Some {
       val coefSql = decayCoefs.map(_.toPlainString).mkString("[", ", ", "]")
       s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value
