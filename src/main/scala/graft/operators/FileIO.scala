@@ -234,6 +234,66 @@ object FileIO extends QueryPack {
       .orderBy("o_orderpriority")
   }
 
+  /** q131: gzip-compressed text round-trip — real corpora arrive
+    * compressed; the text source must decompress transparently and the
+    * values must survive. Customer rows are dumped once per process as
+    * gzip CSV (several shards — gzip is NOT splittable, so at 100 TB the
+    * shard count IS the read parallelism: many ~100 MB-1 GB .gz files,
+    * never one giant one; that sizing decision is the whole scale story
+    * for compressed text). Read back with explicit schema, aggregated;
+    * the oracle reads the original parquet. */
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "customer_csv_gz")
+    if (layoutSource.get(out) != dir) {
+      Tables.customer(s, dir)
+        .select("c_custkey", "c_mktsegment", "c_nationkey")
+        .repartition(4) // shard count = read parallelism for .gz
+        .write.mode("overwrite").option("codec", "gzip")
+        .csv(out)
+      layoutSource.put(out, dir)
+    }
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_mktsegment", StringType),
+      StructField("c_nationkey", LongType)))
+    s.read.schema(schema).csv(out)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("c_custkey").as("key_sum"),
+        countDistinct("c_nationkey").as("n_nations"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** q132: schema-evolution read (`mergeSchema`) — the long-lived-table
+    * reality: early files lack columns later files carry. Two parquet
+    * drops under one root — an "old" shard (orderkey, priority) and a
+    * "new" shard (orderkey, priority, totalprice) — are read as one
+    * table with mergeSchema; rows from the old shard surface NULL
+    * totalprice, and the aggregation must account for both populations
+    * exactly (the oracle rebuilds the union with explicit NULLs). At
+    * 100 TB mergeSchema's footer-union pass is why production tables
+    * pin the schema in a catalog instead — the gate documents the
+    * mechanism AND its cost. */
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "orders_evolved")
+    if (layoutSource.get(root) != dir) {
+      val ord = Tables.orders(s, dir)
+      ord.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$root/drop=old")
+      ord.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$root/drop=new")
+      layoutSource.put(root, dir)
+    }
+    s.read.option("mergeSchema", "true").parquet(root)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_totalprice")).as("n_with_price"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+          .as("revenue_new_only"))
+      .orderBy("o_orderpriority")
+  }
+
   /** q86: partitioned layout + partition-pruned scan (§2.3 sources — the
     * other half of the 100 TB layout story next to bucketing). Events
     * are written `partitionBy(day)`; the read-back filters one week, so
@@ -284,6 +344,23 @@ object FileIO extends QueryPack {
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
         |FROM orders WHERE o_orderkey % 3 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q131_gzip_text_roundtrip", q131, Some(
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+        |  count(DISTINCT c_nationkey) AS n_nations
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q132_schema_merge", q132, Some(
+      """WITH u AS (
+        |  SELECT o_orderkey, o_orderpriority, NULL::DOUBLE AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT o_orderpriority, count(*) AS n_rows,
+        |  count(o_totalprice) AS n_with_price,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS revenue_new_only
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q77_bucketed_join", q77, Some(
       """SELECT c_mktsegment, count(*) AS n,
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
