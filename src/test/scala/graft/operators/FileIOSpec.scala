@@ -100,6 +100,18 @@ class FileIOSpec extends AnyFunSuite {
       s"expected l_quantity pushdown in the ORC scan:\n$formatted")
   }
 
+  test("q131 gzip shards drive read parallelism (one task per .gz file)") {
+    // gzip is not splittable: the scan MUST get one partition per shard
+    // (4 written) — if the shards collapsed into one partition the whole
+    // compressed corpus would decompress on a single task at 100 TB
+    SparkEntry.queries("q131_gzip_text_roundtrip")(spark, sf).collect()
+    val out = s"${sys.props("java.io.tmpdir")}/graft_fileio_${math.abs(sf.hashCode)}/customer_csv_gz"
+    val parts = spark.read
+      .schema("c_custkey LONG, c_mktsegment STRING, c_nationkey LONG")
+      .csv(out).rdd.getNumPartitions
+    assert(parts >= 4, s"expected >= 4 read partitions for 4 .gz shards, got $parts")
+  }
+
   test("q77 bucketed join plans without a shuffle on either join key") {
     val df = SparkEntry.queries("q77_bucketed_join")(spark, sf)
     df.collect() // also materializes the bucketed tables
