@@ -121,7 +121,60 @@ object Multimodal extends QueryPack {
       .orderBy("doc_id", "frame_id")
   }
 
+  /** q133: image RESIZE through the real codec — decode (ImageIO) →
+    * half-scale nearest-neighbor subsample (resized (x,y) := source
+    * (2x, 2y), the one resize kernel with a bit-exact contract) →
+    * RE-ENCODE to PNG → decode again → features. Every production
+    * thumbnailing pipeline is exactly this decode→transform→re-encode
+    * sandwich; running the checksum on the second decode means a
+    * regression in either codec direction or in the subsample indexing
+    * fails the hash. Map-only like q60 — the transform never shuffles. */
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), (lit(1) + col("n_chars") % 16).cast("int").as("w"),
+        (lit(1) + col("n_chars") % 8).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .map { case (id, w, h) => MediaRow(id, pngEncode(id, w, h)) }
+    media.mapPartitions(_.map { m =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(m.payload))
+      val nw = math.max(1, img.getWidth / 2)
+      val nh = math.max(1, img.getHeight / 2)
+      val small = new java.awt.image.BufferedImage(
+        nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < nh) {
+        var x = 0
+        while (x < nw) { small.setRGB(x, y, img.getRGB(2 * x, 2 * y)); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(small, "png", bos)
+      decodePng(MediaRow(m.doc_id, bos.toByteArray))
+    }).toDF()
+      .orderBy("doc_id")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q133_image_resize", q133, Some(
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    greatest(1, CAST(1 + n_chars % 16 AS INT) // 2) AS width,
+        |    greatest(1, CAST(1 + n_chars % 8 AS INT) // 2) AS height
+        |  FROM documents),
+        |pix AS (
+        |  SELECT doc_id, width, height,
+        |    [CAST((v * 65536 + ((v * 5 + 11) % 256) * 256 + (v * 3 + 7) % 256) AS BIGINT)
+        |     FOR v IN [(doc_id * 31 + (2 * (i % width)) * 7 + (2 * (i // width)) * 13) % 256
+        |               FOR i IN generate_series(0, width * height - 1)]] AS pxs
+        |  FROM dims)
+        |SELECT doc_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+        |  CAST(width * height AS INT) AS n_pixels,
+        |  'png' AS payload_kind,
+        |  list_reduce(list_prepend(0, pxs),
+        |    (a, b) -> (a * 31 + b) % 1000000000000000) AS pix_checksum
+        |FROM pix ORDER BY doc_id""".stripMargin)),
     Q("q61_frame_sample", q61, Some(
       """WITH f AS (
         |  SELECT doc_id, [{'fid': i, 'txt': substring(text, CAST(1 + 64*i AS INT), 64)}
