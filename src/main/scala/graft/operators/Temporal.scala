@@ -115,15 +115,22 @@ object Temporal extends QueryPack {
     * to cap path length. Output: per-user funnel stage reached, counted.
     */
   private def q130(s: SparkSession, dir: String): DataFrame = {
+    val wFirst = Window.partitionBy("user_id").orderBy("us", "event_id")
     val path = Tables.events(s, dir)
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         col("event_id"), col("event_type"))
+      // first 8 events only, RANKED BEFORE the aggregation (the q92
+      // discipline): the collect_list buffer holds ≤ 8 survivors, never
+      // a power user's full history — and 8 events is enough path for
+      // the funnel to differ across users (every long-enough history
+      // trivially matches everything). The window's hash partitioning
+      // is reused by the groupBy — one shuffle total.
+      .withColumn("rn", row_number().over(wFirst))
+      .filter(col("rn") <= 8)
       .groupBy("user_id")
-      // first 8 events only: enough path for the funnel to differ across
-      // users (every long-enough history trivially matches everything)
       .agg(concat_ws(",",
-        slice(array_sort(collect_list(struct(col("us"), col("event_id"),
-          col("event_type")))).getField("event_type"), 1, 8)).as("path"))
+        array_sort(collect_list(struct(col("rn"), col("event_type"))))
+          .getField("event_type")).as("path"))
     path.select(col("user_id"),
       when(col("path").rlike("click.*view.*purchase"), "full_funnel")
         .when(col("path").rlike("click.*view"), "click_view")
