@@ -327,12 +327,18 @@ object TextAnalysis extends QueryPack {
     * corpus-sized, shrinking every round; per round one bounded-key agg,
     * a global top-1 (TakeOrdered), and per-word windows. The q66/q115
     * checkpoint discipline keeps each round's plan flat. */
-  private def q129(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val vocab = Tables.documents(s, dir)
+  private def q129(s: SparkSession, dir: String): DataFrame =
+    bpeMerges(Tables.documents(s, dir)
       .select(explode(split(col("text"), " ", -1)).as("word"))
       .filter(length(col("word")) > 0)
-      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .groupBy("word").agg(count(lit(1)).as("freq")), rounds = 3)
+
+  /** The BPE training loop over any (word, freq) vocabulary — returns
+    * the learned (round, sym_a, sym_b, weighted_count) rules. Greedy
+    * non-overlap semantics property-pinned against a direct sequential
+    * reference implementation in CurationOpsSpec. */
+  private[operators] def bpeMerges(vocab: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     var syms = vocab
       .select(col("word"), col("freq"),
         posexplode(split(col("word"), "")).as(Seq("pos0", "sym")))
@@ -340,7 +346,7 @@ object TextAnalysis extends QueryPack {
       .localCheckpoint(true)
     val wPos = Window.partitionBy("word").orderBy("pos")
     var rules: DataFrame = null
-    for (round <- 1 to 3) {
+    for (round <- 1 to rounds) {
       val withNext = syms.withColumn("nsym", lead("sym", 1).over(wPos))
       val top = withNext.filter(col("nsym").isNotNull)
         .groupBy(col("sym").as("ma"), col("nsym").as("mb"))

@@ -112,6 +112,51 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"PQ pooled recall collapsed: $recall")
   }
 
+  /** Direct sequential BPE (Sennrich-style): overlapping pair stats,
+    * greedy left-to-right non-overlapping merge. */
+  private def refBpe(vocab: Seq[(String, Long)], rounds: Int)
+      : Seq[(Int, String, String, Long)] = {
+    var words: Seq[(Vector[String], Long)] =
+      vocab.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    (1 to rounds).map { r =>
+      val stats = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      for ((syms, f) <- words; i <- 0 until syms.length - 1)
+        stats((syms(i), syms(i + 1))) += f
+      val ((a, b), cnt) = stats.toSeq
+        .sortBy { case ((x, y), c) => (-c, x, y) }.head
+      words = words.map { case (syms, f) =>
+        val nb = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+            nb += (a + b); i += 2
+          } else { nb += syms(i); i += 1 }
+        }
+        (nb.result(), f)
+      }
+      (r, a, b, cnt)
+    }
+  }
+
+  test("q129 BPE rules equal the sequential reference on overlap-heavy input") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // tiny alphabet → long single-char runs, the adversarial case for
+    // the island-parity greedy merge ("aaaa" must merge twice, not 3×)
+    val vocab = (0 until 40).map { _ =>
+      val w = (0 until (3 + rnd.nextInt(6)))
+        .map(_ => if (rnd.nextBoolean()) "a" else "b").mkString
+      (w, 1L + rnd.nextInt(5))
+    }.groupMapReduce(_._1)(_._2)(_ + _).toSeq
+    val expected = refBpe(vocab, rounds = 3)
+    val got = TextAnalysis.bpeMerges(vocab.toDF("word", "freq"), rounds = 3)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(got === expected)
+  }
+
   test("q115 ranks satisfy PageRank mass invariants") {
     val ranks = graft.SparkEntry.queries("q115_pagerank")(spark, sf)
       .collect().map(r => (r.getString(0), r.getDouble(1)))
