@@ -156,7 +156,71 @@ object Multimodal extends QueryPack {
       .orderBy("doc_id")
   }
 
+  case class AudioFeature(doc_id: Long, n_samples: Int, peak: Int,
+      zero_crossings: Long, rms: Double)
+
+  /** q134: audio as opaque binary — REAL byte-level codec surface: the
+    * fixture waveform (a closed-form int16 function) is serialized as
+    * LITTLE-ENDIAN 16-bit PCM, and the decode step parses raw bytes back
+    * into samples before extracting features (RMS energy, peak,
+    * zero-crossing count — the standard VAD/quality trio). A byte-order
+    * or width mistake in either direction garbles every sample and fails
+    * the hash; the oracle recomputes features from the closed form
+    * without touching bytes. Completes the modality set: image (q60/
+    * q133), container frames (q61), audio (q134). Map-only, no shuffle.
+    * Energy sums are integer (sum of s²) so rms is fp-exact on both
+    * engines after one sqrt+round. */
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def sample(doc: Long, i: Int): Int = (((doc * 7 + i * 13) % 4096) - 2048).toInt
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), (lit(256) + col("n_chars") % 256).cast("int").as("n"))
+      .as[(Long, Int)]
+      .map { case (id, n) =>
+        val bb = java.nio.ByteBuffer.allocate(n * 2)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < n) { bb.putShort(sample(id, i).toShort); i += 1 }
+        MediaRow(id, bb.array())
+      }
+    media.mapPartitions(_.map { m =>
+      val bb = java.nio.ByteBuffer.wrap(m.payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val n = m.payload.length / 2
+      var energy = 0L
+      var peak = 0
+      var crossings = 0L
+      var prev = 0
+      var i = 0
+      while (i < n) {
+        val v = bb.getShort(i * 2).toInt
+        energy += v.toLong * v
+        if (math.abs(v) > peak) peak = math.abs(v)
+        if (i > 0 && prev * v < 0) crossings += 1
+        prev = v
+        i += 1
+      }
+      AudioFeature(m.doc_id, n, peak, crossings,
+        BigDecimal(math.sqrt(energy.toDouble / n))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }).toDF()
+      .orderBy("doc_id")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q134_audio_features", q134, Some(
+      """WITH w AS (
+        |  SELECT doc_id, CAST(256 + n_chars % 256 AS INT) AS n,
+        |    [CAST((doc_id * 7 + i * 13) % 4096 - 2048 AS BIGINT)
+        |     FOR i IN generate_series(0, CAST(256 + n_chars % 256 AS INT) - 1)] AS s
+        |  FROM documents)
+        |SELECT doc_id, n AS n_samples,
+        |  CAST(list_max(list_transform(s, x -> abs(x))) AS INT) AS peak,
+        |  CAST(len([i FOR i IN generate_series(1, n - 1)
+        |            IF s[i] * s[i + 1] < 0]) AS BIGINT) AS zero_crossings,
+        |  round(sqrt(CAST(list_sum(list_transform(s, x -> x * x)) AS DOUBLE)
+        |        / n), 6) AS rms
+        |FROM w ORDER BY doc_id""".stripMargin)),
     Q("q133_image_resize", q133, Some(
       """WITH dims AS (
         |  SELECT doc_id,
