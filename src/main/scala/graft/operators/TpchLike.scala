@@ -49,6 +49,46 @@ object TpchLike extends QueryPack {
         .cast("double"), 2).as("revenue"),
         count(lit(1)).as("n"))
 
+  /** q135 ~ TPC-H Q4: priority count over orders having at least one
+    * late-shipped lineitem — a correlated EXISTS subquery, expressed in
+    * SQL so Catalyst's RewritePredicateSubquery turns it into a LEFT SEMI
+    * join (the scale-correct plan: lineitem never duplicates orders, and
+    * the semi join build side is the filtered one-year order slice). */
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders135")
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem135")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM graft_orders135
+        |WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+        |  AND o_orderdate < TIMESTAMP '2001-01-01'
+        |  AND EXISTS (SELECT 1 FROM graft_lineitem135
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAYS)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** q136 ~ TPC-H Q17: revenue from small-quantity outlier lineitems,
+    * where "small" is relative to each part's own average — a correlated
+    * scalar aggregate subquery. Catalyst de-correlates it into a
+    * per-part aggregate joined back on `l_partkey` (one extra shuffle of
+    * the 2-column projection, not a per-row re-scan — the only plan that
+    * survives 100 TB). Determinism: `l_quantity` is integer-valued, so
+    * `avg` = exact-integer-sum / count is bit-identical in any engine
+    * regardless of summation order; the revenue sum goes through
+    * DECIMAL like every other TPC-H money aggregate here. */
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem136")
+    s.sql(
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    AS DOUBLE) / 7.0, 2) AS avg_yearly,
+        |  count(*) AS n
+        |FROM graft_lineitem136 l
+        |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM graft_lineitem136 l2
+        |                    WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q62_shipping_priority", q62, Some(
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
@@ -72,5 +112,22 @@ object TpchLike extends QueryPack {
         |  AND l_shipdate < TIMESTAMP '2001-01-01'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07
         |  AND l_quantity < 24""".stripMargin)),
+    Q("q135_exists_priority", q135, Some(
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+        |  AND o_orderdate < TIMESTAMP '2001-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+    Q("q136_below_avg_parts", q136, Some(
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    AS DOUBLE) / 7.0, 2) AS avg_yearly,
+        |  count(*) AS n
+        |FROM lineitem l
+        |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = l.l_partkey)""".stripMargin)),
   )
 }
