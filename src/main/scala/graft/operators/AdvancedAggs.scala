@@ -161,6 +161,41 @@ object AdvancedAggs extends QueryPack {
       .orderBy("o_orderpriority", "rnk")
   }
 
+  /** q149: exact DECIMAL arithmetic surfaced AS TEXT — the one place
+    * the repo's "decimal → rounded double" rendering convention is
+    * itself under test. Money sums stay in DECIMAL end-to-end and are
+    * emitted as fixed-scale strings, so not a single bit of double
+    * rounding is involved anywhere: any precision loss in either
+    * engine's decimal path flips the hash. */
+  private def q149(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact.dec
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        sum(dec(col("l_extendedprice"))).cast("decimal(38,2)").cast("string")
+          .as("revenue_exact"),
+        sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .cast("decimal(38,4)").cast("string").as("disc_revenue_exact"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q141: argmin/argmax aggregates — `min_by`/`max_by` pick a payload
+    * column by an ordering column in ONE pass (partial-aggregable, so
+    * map-side combine applies), where the window-function equivalent
+    * (row_number + filter) would shuffle whole rows and sort each group.
+    * Keys on the globally-unique `event_id`, so ties are impossible and
+    * the result is deterministic in any engine. */
+  private def q141(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(
+        min_by(col("event_type"), col("event_id")).as("first_type"),
+        max_by(col("event_type"), col("event_id")).as("last_type"),
+        max_by(col("value"), col("event_id")).as("last_value"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+
   override def queries: Seq[Q] = Seq(
     Q("q67_ranking_functions", q67, Some(
       """SELECT o_orderkey, o_orderpriority, rnk, drnk, decile, prank, cdist
@@ -206,5 +241,21 @@ object AdvancedAggs extends QueryPack {
         |  count(*) OVER (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate) // 1000000
         |    RANGE BETWEEN 2592000 PRECEDING AND 2592000 FOLLOWING) - 1 AS n_nearby
         |FROM orders ORDER BY o_orderkey""".stripMargin)),
+    Q("q149_decimal_exact", q149, Some(
+      """SELECT l_returnflag,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    AS DECIMAL(38,2)) AS VARCHAR) AS revenue_exact,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4))
+        |    AS VARCHAR) AS disc_revenue_exact,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q141_argminmax", q141, Some(
+      """SELECT user_id,
+        |  arg_min(event_type, event_id) AS first_type,
+        |  arg_max(event_type, event_id) AS last_type,
+        |  arg_max(value, event_id) AS last_value,
+        |  count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
   )
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, QueryPack}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational algebra breadth the reference lacks entirely (SURVEY.md
@@ -346,6 +347,50 @@ object Relational extends QueryPack {
         |ORDER BY status, priority""".stripMargin)
   }
 
+  /** q146: value-picking window functions — lag/lead WITH DEFAULTS,
+    * first_value over a running frame, nth_value over the full
+    * partition. Completes the window surface next to the rank family
+    * (q67) and running/range frames (q18/q49). One exchange on
+    * o_custkey serves all four functions (same partition + order), and
+    * the defaults make edge rows deterministic without null-handling
+    * divergence between engines. */
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lag(col("o_totalprice"), 1, -1.0).over(w).as("prev_price"),
+        lead(col("o_orderkey"), 1, -1L).over(w).as("next_key"),
+        first(col("o_totalprice")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("first_price"),
+        nth_value(col("o_totalprice"), 3).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("third_price"))
+      .orderBy("o_orderkey")
+  }
+
+  /** q148: null-skipping aggregate semantics — the count(*) vs count(x)
+    * distinction, null-skipping avg through exact DECIMAL, coalesced
+    * min over a sparse column, and boolean aggregates. Nulls are
+    * MANUFACTURED (every third order) so the gate exercises the skip
+    * path on every group rather than relying on fixture nulls. */
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact.dec
+    val v = when(col("o_orderkey") % 3 =!= 0, col("o_totalprice"))
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), v.as("v"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_all"),
+        count(col("v")).as("n_present"),
+        round(sum(dec(col("v"))).cast("double") / count(col("v")), 6)
+          .as("avg_present"),
+        round(coalesce(min(col("v")), lit(-1.0)), 2).as("min_or_default"),
+        bool_and(col("v").isNull || col("v") > 0).as("all_pos_or_null"),
+        bool_or(col("v") > 400000).as("any_big"))
+      .orderBy("o_orderpriority")
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q11_pricing_summary", q11, Some(
       """SELECT l_returnflag, l_linestatus,
@@ -504,5 +549,31 @@ object Relational extends QueryPack {
         |           ELSE l_linenumber END
         |    FROM lineitem)
         |) ORDER BY variant""".stripMargin)),
+    Q("q146_value_windows", q146, Some(
+      """SELECT o_orderkey, o_custkey,
+        |  lag(o_totalprice, 1, -1.0) OVER w AS prev_price,
+        |  lead(o_orderkey, 1, -1) OVER w AS next_key,
+        |  first_value(o_totalprice) OVER
+        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS first_price,
+        |  nth_value(o_totalprice, 3) OVER
+        |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS third_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin)),
+    Q("q148_null_aggregates", q148, Some(
+      """WITH t AS (SELECT o_orderpriority,
+        |  CASE WHEN o_orderkey % 3 != 0 THEN o_totalprice END AS v
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  count(*) AS n_all,
+        |  count(v) AS n_present,
+        |  round(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) / count(v), 6)
+        |    AS avg_present,
+        |  round(coalesce(min(v), -1.0), 2) AS min_or_default,
+        |  bool_and(v IS NULL OR v > 0) AS all_pos_or_null,
+        |  bool_or(v > 400000) AS any_big
+        |FROM t GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
   )
 }

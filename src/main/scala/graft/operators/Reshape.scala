@@ -64,7 +64,41 @@ object Reshape extends QueryPack {
       .orderBy("l_returnflag")
   }
 
+  /** q147: `unionByName(allowMissingColumns = true)` — schema-drift
+    * union IN MEMORY (the read-side twin is q132's mergeSchema): a lean
+    * historical projection and a wide current projection combine by
+    * column NAME, with the missing column null-filled. Position-based
+    * union would silently misalign here; the gate pins the name-based
+    * semantics and the null accounting per population. */
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    val old = ord.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val neu = ord.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderpriority"), col("o_totalprice"),
+        col("o_orderkey")) // deliberately different column ORDER
+    old.unionByName(neu, allowMissingColumns = true)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_totalprice")).as("n_priced"),
+        round(sum(dec(col("o_totalprice"))).cast("double"), 2)
+          .as("priced_total"))
+      .orderBy("o_orderpriority")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q147_union_by_name", q147, Some(
+      """WITH u AS (
+        |  SELECT o_orderkey, o_orderpriority, NULL::DOUBLE AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT o_orderpriority, count(*) AS n_rows,
+        |  count(o_totalprice) AS n_priced,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS priced_total
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q55_pivot", q55, Some(
       """SELECT strftime(ts, '%Y-%m') AS month,
         |  count(*) FILTER (WHERE event_type = 'click') AS click,

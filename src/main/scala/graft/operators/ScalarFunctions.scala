@@ -147,6 +147,75 @@ object ScalarFunctions extends QueryPack {
       .select(col("doc_id"), explode_outer(col("longs")).as("long_tok"))
       .orderBy(col("doc_id"), col("long_tok").asc_nulls_first)
 
+  /** q137: higher-order array lambdas — `transform` / `filter` /
+    * `exists` / `aggregate` over the tokenized document text. These are
+    * Catalyst `HigherOrderFunction`s evaluated inline per row (no UDF,
+    * no serialization boundary), so the whole pipeline stays one
+    * map-only codegen stage — the per-document shape every tokenizer /
+    * feature pass at 100 TB wants. Spark's `split` keeps interior empty
+    * strings exactly like DuckDB's `string_split`, so the two engines
+    * tokenize identically. */
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(words).as("n_words"),
+        size(filter(words, w => length(w) > lit(3))).as("n_long"),
+        aggregate(transform(words, w => length(w)), lit(0),
+          (acc, x) => acc + x).as("total_chars"),
+        array_max(transform(words, w => length(w))).as("longest"),
+        exists(words, w => w.rlike("^[0-9]+$")).as("has_number"))
+      .orderBy("doc_id")
+  }
+
+  /** q138: MapType construction + map lambdas — per-user event-type
+    * histograms built with `map_from_entries`, pruned with `map_filter`,
+    * rescored with `transform_values`, annotated via `map_concat`, and
+    * exploded back to rows. The map never leaves the executor row — the
+    * only shuffles are the two aggregations — and the oracle verifies
+    * the exploded relational image of the final map, which is the
+    * engine-neutral meaning of the operator. */
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .groupBy("user_id")
+      .agg(map_from_entries(collect_list(struct(col("event_type"), col("cnt"))))
+        .as("hist"))
+      .select(col("user_id"), {
+        val kept = map_filter(col("hist"), (_, v) => v >= lit(3))
+        explode(map_concat(
+          transform_values(kept, (k, v) => v * lit(10) + length(k)),
+          map(lit("_kept"), size(kept).cast("long"))))
+      })
+      .orderBy("user_id", "key")
+  }
+
+  /** q144: XML parsing — `from_xml` (new SQL surface in Spark 4) over
+    * per-row XML documents assembled from order fields: one attribute
+    * (`id` → `_id` under the default attributePrefix) and two element
+    * children. Map-only and codegen-adjacent like from_json (q59); the
+    * oracle verifies the parsed fields round-trip to the source columns.
+    * Long-typed fields only — float formatting differs across engines,
+    * string/long never does. */
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val xml = concat(lit("<o id=\""), col("o_orderkey"), lit("\"><p>"),
+      col("o_orderpriority"), lit("</p><c>"), col("o_custkey"),
+      lit("</c></o>"))
+    val schema = StructType(Seq(
+      StructField("_id", LongType),
+      StructField("p", StringType),
+      StructField("c", LongType)))
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"), from_xml(xml, schema).as("x"))
+      .select(col("o_orderkey"), col("x._id").as("id_parsed"),
+        col("x.p").as("p_parsed"), col("x.c").as("c_parsed"))
+      .orderBy("o_orderkey")
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q127_explode_outer", q127, Some(
       """WITH a AS (
@@ -219,5 +288,36 @@ object ScalarFunctions extends QueryPack {
         |       ELSE 'high' END AS bucket,
         |  count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    Q("q137_higher_order", q137, Some(
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_words,
+        |  len(list_filter(string_split(text, ' '),
+        |      w -> length(w) > 3)) AS n_long,
+        |  CAST(list_aggregate(list_transform(string_split(text, ' '),
+        |      w -> length(w)), 'sum') AS INT) AS total_chars,
+        |  CAST(list_max(list_transform(string_split(text, ' '),
+        |      w -> length(w))) AS INT) AS longest,
+        |  len(list_filter(string_split(text, ' '),
+        |      w -> regexp_matches(w, '^[0-9]+$'))) > 0 AS has_number
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+    Q("q138_map_funcs", q138, Some(
+      """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+        |           FROM events GROUP BY 1, 2)
+        |SELECT user_id, key, value FROM (
+        |  SELECT user_id, event_type AS key,
+        |         cnt * 10 + length(event_type) AS value
+        |  FROM c WHERE cnt >= 3
+        |  UNION ALL
+        |  SELECT user_id, '_kept' AS key,
+        |         count(*) FILTER (WHERE cnt >= 3) AS value
+        |  FROM c GROUP BY user_id
+        |) ORDER BY user_id, key""".stripMargin)),
+    Q("q144_xml_extract", q144, Some(
+      """SELECT o_orderkey,
+        |  o_orderkey AS id_parsed,
+        |  o_orderpriority AS p_parsed,
+        |  o_custkey AS c_parsed
+        |FROM orders WHERE o_orderkey % 97 = 0
+        |ORDER BY o_orderkey""".stripMargin)),
   )
 }
