@@ -293,6 +293,31 @@ object DataPrep extends QueryPack {
       .orderBy("rank")
   }
 
+  /** q142: per-group feature standardization (z-score) — the classic
+    * train-data normalization pass. Per-source moments come from ONE
+    * small aggregate that is broadcast back onto the full scan, so the
+    * big side never shuffles: at 100 TB this is a map-only second pass
+    * over the documents.
+    *
+    * Determinism: variance is computed EXPLICITLY as
+    * sum(x²)/n − (sum(x)/n)² on integer-valued `n_chars` — both sums
+    * are exact integers in any engine, so mean/var/sqrt/round are
+    * bit-identical; a builtin `stddev_pop` (Welford accumulation,
+    * engine-specific merge order) could differ in the last ulp right at
+    * a rounding boundary. */
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      col("n_chars").cast("double").as("x"))
+    val stats = d.groupBy("source").agg(
+      (sum("x") / count(lit(1))).as("mu"),
+      sqrt(sum(col("x") * col("x")) / count(lit(1)) -
+        (sum("x") / count(lit(1))) * (sum("x") / count(lit(1)))).as("sigma"))
+    d.join(broadcast(stats), "source")
+      .select(col("doc_id"), col("source"),
+        round((col("x") - col("mu")) / col("sigma"), 6).as("z"))
+      .orderBy("doc_id")
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q121_weighted_sample", q121, Some(
       """WITH s AS (
@@ -385,5 +410,17 @@ object DataPrep extends QueryPack {
         |  count(*) AS n_docs, min(n_chars) AS min_chars,
         |  max(n_chars) AS max_chars
         |FROM documents, mm GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q142_zscore", q142, Some(
+      """WITH st AS (
+        |  SELECT source,
+        |    sum(n_chars::DOUBLE) / count(*) AS mu,
+        |    sqrt(sum(n_chars::DOUBLE * n_chars::DOUBLE) / count(*) -
+        |      (sum(n_chars::DOUBLE) / count(*)) *
+        |      (sum(n_chars::DOUBLE) / count(*))) AS sigma
+        |  FROM documents GROUP BY source)
+        |SELECT doc_id, source,
+        |  round((n_chars::DOUBLE - mu) / sigma, 6) AS z
+        |FROM documents JOIN st USING (source)
+        |ORDER BY doc_id""".stripMargin)),
   )
 }

@@ -317,7 +317,45 @@ object FileIO extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** q145: adversarial CSV round-trip — every row's payload embeds the
+    * three characters that break naive CSV handling: the delimiter, the
+    * quote character, and a NEWLINE. Written RFC-4180 style (quote
+    * doubling via escape='"'), read back with `multiLine=true`, and
+    * hash-compared field-exact against the oracle's reconstruction of
+    * the same strings from parquet — any quoting/escaping/line-split
+    * defect flips the hash. Scale note: multiLine CSV is NOT splittable
+    * (a record can straddle any byte offset), so the shard count set at
+    * write time is the read parallelism — same contract as the gzip
+    * gate (q131); at 100 TB embedded-newline data belongs in parquet,
+    * and this gate is the documented escape hatch for ingesting it. */
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    val tricky = concat(col("c_name"), lit(",\""), col("c_mktsegment"),
+      lit("\"\n"), col("c_nationkey"))
+    val out = scratch(dir, "customer_csv_quoted")
+    if (layoutSource.get(out) != dir) {
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), tricky.as("tricky"))
+        .repartition(4)
+        .write.mode("overwrite")
+        .option("escape", "\"").option("multiLine", "true")
+        .csv(out)
+      layoutSource.put(out, dir)
+    }
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("tricky", StringType)))
+    s.read.schema(schema)
+      .option("escape", "\"").option("multiLine", "true")
+      .csv(out)
+      .orderBy("c_custkey")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q145_csv_quoted", q145, Some(
+      """SELECT c_custkey,
+        |  c_name || ',"' || c_mktsegment || '"' || chr(10) || c_nationkey
+        |    AS tricky
+        |FROM customer ORDER BY c_custkey""".stripMargin)),
     Q("q74_mr_textfile", q74, Some(
       """SELECT c_mktsegment, count(*) AS n, min(c_name) AS first_name
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),

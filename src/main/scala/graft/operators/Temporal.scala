@@ -141,7 +141,81 @@ object Temporal extends QueryPack {
       .orderBy("stage")
   }
 
+  /** q140: cohort retention — the canonical product-analytics matrix.
+    * The qualifying activity is the sparse high-value subset (value >
+    * 190 — a pushed-down scan filter), because the fixture's users fire
+    * every day and an unfiltered daily cohort would be degenerate. Each
+    * user's cohort is their first qualifying DAY (a per-user min — one
+    * shuffle on user_id); retention cell (cohort, days_since) counts
+    * distinct users qualifying that many days later. At 100 TB the
+    * expensive step is the distinct-users count, and it rides on the
+    * SAME user_id-keyed exchange as the cohort min; the matrix itself is
+    * tiny (days × days). Day-truncated timestamp difference is exact
+    * integer arithmetic — no sub-day fraction wobble. */
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("value") > 190)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .distinct()
+    val cohort = ev.groupBy("user_id").agg(min("d").as("cohort_d"))
+    ev.join(cohort, "user_id")
+      .groupBy(date_format(col("cohort_d"), "yyyy-MM-dd").as("cohort"),
+        datediff(col("d"), col("cohort_d")).cast("long").as("days_since"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort", "days_since")
+  }
+
+  /** q143: gaps-and-islands — per-user runs of CONSECUTIVE qualifying
+    * days, via the classic `value − dense_rank()` grouping trick (a
+    * constant within each island). Qualifying days are the same sparse
+    * high-value subset as q140 (unfiltered, the fixture's users are
+    * active every day and every streak would be the full span).
+    * Everything after the initial distinct stays partitioned on
+    * user_id — the window, both aggregates, and the final sort feed off
+    * one exchange. The output is per-user streak stats, the shape
+    * engagement pipelines feed into churn models. */
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.events(s, dir)
+      .filter(col("value") > 190)
+      .select(col("user_id"),
+        datediff(date_trunc("day", col("ts")),
+          lit("2024-01-01").cast("date")).as("dn"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("dn")
+    m.withColumn("grp", col("dn") - dense_rank().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_streaks"),
+        max("len").as("longest_streak"),
+        sum("len").as("n_active_days"))
+      .orderBy("user_id")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q143_streaks", q143, Some(
+      """WITH m AS (SELECT DISTINCT user_id,
+        |             datediff('day', DATE '2024-01-01',
+        |                      date_trunc('day', ts)) AS dn
+        |           FROM events WHERE value > 190),
+        |g AS (SELECT user_id, dn,
+        |        dn - dense_rank() OVER (PARTITION BY user_id ORDER BY dn)
+        |          AS grp
+        |      FROM m),
+        |st AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_streaks,
+        |  max(len) AS longest_streak,
+        |  CAST(sum(len) AS BIGINT) AS n_active_days
+        |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin)),
+    Q("q140_cohort_retention", q140, Some(
+      """WITH ev AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS d
+        |            FROM events WHERE value > 190),
+        |c AS (SELECT user_id, min(d) AS cohort_d FROM ev GROUP BY 1)
+        |SELECT strftime(c.cohort_d, '%Y-%m-%d') AS cohort,
+        |  CAST(datediff('day', c.cohort_d, ev.d) AS BIGINT) AS days_since,
+        |  count(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     Q("q130_funnel_pattern", q130, Some(
       """WITH p AS (
         |  SELECT user_id,
