@@ -127,10 +127,13 @@ class PlanSpec extends AnyFunSuite {
     //         broadcast feeding the closed-form bucket arithmetic.
     //   q129 — BPE merges: the 1-row learned-rule broadcast applied to
     //         the symbol table each round.
+    //   q139 — triangle count: the final single-row result zips three
+    //         1-row count aggregates (edges/wedges/triangles) via
+    //         broadcast; the graph joins themselves are all equi.
     val exempt = Set("q46_ann_bruteforce", "q47_ann_ivf", "q94_length_histogram",
       "q69_tfidf", "q48_ann_lsh", "q98_kmeans_step",
       "q102_kmeans_fit", "q103_ann_ivf_fitted", "q115_pagerank",
-      "q120_length_ntile", "q129_bpe_merges")
+      "q120_length_ntile", "q129_bpe_merges", "q139_triangle_count")
     // Streaming queries execute a full drain in fn(); their batch-side
     // shapes are pinned by their own specs — skip the expensive drains.
     val skip = SparkEntry.all.map(_.name).filter(_.matches(
