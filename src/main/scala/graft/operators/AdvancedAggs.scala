@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Q, QueryPack}
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
@@ -161,6 +161,36 @@ object AdvancedAggs extends QueryPack {
       .orderBy("o_orderpriority", "rnk")
   }
 
+  /** q151: Datasketches HLL (Spark 4 surface) — the MERGEABLE sketch
+    * family q25's approx_count_distinct doesn't expose: per-group
+    * sketches built with `hll_sketch_agg` are later UNIONED with
+    * `hll_union_agg` into a global estimate without touching the data
+    * again. That mergeability is the whole 100 TB story: per-partition
+    * / per-day sketches combine associatively, so distinct counts roll
+    * up across any hierarchy for free. Self-verifying like q25: each
+    * row emits the exact distinct count plus a checked ±5% bound on the
+    * sketch estimate (lgK=12 ⇒ ~1.6% σ, so the bound is ≈3σ), and the
+    * oracle pins both. HLL registers are max-merged, so the sketch is
+    * insertion-order-independent — deterministic at any parallelism. */
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_returnflag", "l_partkey")
+    val perFlag = li.groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("exact_distinct"),
+        hll_sketch_agg(col("l_partkey"), lit(12)).as("sk"))
+      .localCheckpoint(true)
+    def gated(est: Column, exact: Column): Column =
+      abs(est.cast("double") - exact) <= exact * lit(0.05)
+    val flagRows = perFlag.select(col("l_returnflag"), col("exact_distinct"),
+      gated(hll_sketch_estimate(col("sk")), col("exact_distinct")).as("est_ok"))
+    val allRow = perFlag.agg(hll_union_agg(col("sk"), lit(true)).as("sk"))
+      .crossJoin(broadcast(
+        li.agg(countDistinct("l_partkey").as("exact_distinct"))))
+      .select(lit("ALL").as("l_returnflag"), col("exact_distinct"),
+        gated(hll_sketch_estimate(col("sk")), col("exact_distinct"))
+          .as("est_ok"))
+    flagRows.unionByName(allRow).orderBy("l_returnflag")
+  }
+
   /** q149: exact DECIMAL arithmetic surfaced AS TEXT — the one place
     * the repo's "decimal → rounded double" rendering convention is
     * itself under test. Money sums stay in DECIMAL end-to-end and are
@@ -241,6 +271,14 @@ object AdvancedAggs extends QueryPack {
         |  count(*) OVER (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate) // 1000000
         |    RANGE BETWEEN 2592000 PRECEDING AND 2592000 FOLLOWING) - 1 AS n_nearby
         |FROM orders ORDER BY o_orderkey""".stripMargin)),
+    Q("q151_hll_sketch", q151, Some(
+      """SELECT l_returnflag, exact_distinct, true AS est_ok FROM (
+        |  SELECT l_returnflag,
+        |    count(DISTINCT l_partkey) AS exact_distinct
+        |  FROM lineitem GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'ALL', count(DISTINCT l_partkey) FROM lineitem)
+        |ORDER BY l_returnflag""".stripMargin)),
     Q("q149_decimal_exact", q149, Some(
       """SELECT l_returnflag,
         |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))

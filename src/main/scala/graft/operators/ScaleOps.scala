@@ -188,7 +188,36 @@ object ScaleOps extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** q152: the `Observation` metrics API — production pipelines need
+    * row counts / invariant checks WITHOUT a second pass over the data,
+    * and `df.observe` computes named aggregates as a side effect of the
+    * action already running (an AggregatingAccumulator riding the
+    * existing tasks — zero extra scans, zero extra shuffles; the
+    * difference between auditing 100 TB for free and re-reading it).
+    * The gated result IS the observed metrics map, so the oracle's
+    * recomputation pins that the side channel reports exactly what a
+    * dedicated aggregation would. */
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    val obs = new org.apache.spark.sql.Observation()
+    val d = Tables.documents(s, dir).observe(obs,
+      count(lit(1)).as("n_docs"),
+      sum("n_chars").as("total_chars"),
+      min("doc_id").as("min_doc"),
+      max("doc_id").as("max_doc"))
+    d.foreach(_ => ()) // the "real" job the metrics piggyback on
+    val m = obs.get
+    import s.implicits._
+    Seq((m("n_docs").asInstanceOf[Long], m("total_chars").asInstanceOf[Long],
+      m("min_doc").asInstanceOf[Long], m("max_doc").asInstanceOf[Long]))
+      .toDF("n_docs", "total_chars", "min_doc", "max_doc")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q152_observe_metrics", q152, Some(
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents""".stripMargin)),
     Q("q123_secondary_sort", q123, Some(
       """WITH o AS (
         |  SELECT user_id,

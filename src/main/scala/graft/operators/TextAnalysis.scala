@@ -337,7 +337,16 @@ object TextAnalysis extends QueryPack {
     * the learned (round, sym_a, sym_b, weighted_count) rules. Greedy
     * non-overlap semantics property-pinned against a direct sequential
     * reference implementation in CurationOpsSpec. */
-  private[operators] def bpeMerges(vocab: DataFrame, rounds: Int): DataFrame = {
+  private[operators] def bpeMerges(vocab: DataFrame, rounds: Int): DataFrame =
+    bpeLoop(vocab, rounds)._1
+
+  /** Training loop core, also exposing the final symbol table — after
+    * `rounds` merges the table IS the BPE encoding of every unique
+    * word, which is how encode (q150) reuses train (q129) without a
+    * second pass: tokenization of a 100 TB corpus is a join against
+    * the vocabulary-sized (word → n_tokens) map, never a re-walk of
+    * the documents. */
+  private[operators] def bpeLoop(vocab: DataFrame, rounds: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     var syms = vocab
       .select(col("word"), col("freq"),
@@ -378,7 +387,57 @@ object TextAnalysis extends QueryPack {
             .otherwise(col("sym")).as("sym"))
       syms = merged.localCheckpoint(true)
     }
-    rules.orderBy("round")
+    (rules.orderBy("round"), syms)
+  }
+
+  /** q150: BPE ENCODE with the q129-trained merges — the apply half of
+    * the tokenizer story. The final symbol table from 3 training rounds
+    * maps each unique word to its token count; per-document stats are
+    * then one join of the corpus' (doc_id, word) pairs against that
+    * vocabulary-sized map plus one aggregation. Compression is measured
+    * against the summed word lengths (integer-exact; the ratio is the
+    * only double and it divides two exact longs). */
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("word"))
+      .filter(length(col("word")) > 0)
+    val vocab = words.groupBy("word").agg(count(lit(1)).as("freq"))
+    val (_, syms) = bpeLoop(vocab, 3)
+    val wordTok = syms.groupBy("word").agg(count(lit(1)).as("n_tok"))
+    words.join(wordTok, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).as("n_chars_tok"),
+        sum("n_tok").as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens") * lit(1.0) / col("n_chars_tok"), 6)
+          .as("tokens_per_char"))
+      .orderBy("doc_id")
+  }
+
+  /** q153: unigram-LM perplexity proxy — mean negative log-likelihood
+    * of each document under the corpus' own unigram distribution, the
+    * classic cheap quality/outlier score before a real LM pass. The
+    * token-frequency table is vocabulary-sized; the corpus total rides
+    * the q69 1-row broadcast pattern (never a driver collect); scoring
+    * is a map-side join + one aggregation. Determinism: each token's
+    * −ln p is rounded to 12 decimals (identical addends cross-engine,
+    * the q115 fixed-point discipline) and the final mean to 6, which
+    * absorbs summation-order wobble. */
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("word"))
+      .filter(length(col("word")) > 0)
+    val freq = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum("cnt").cast("double").as("t"))
+    val scored = words.join(freq, "word")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(-log(col("cnt") / col("t")), 12).as("nll"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum("nll") / count(lit(1)), 6).as("mean_nll"))
+      .orderBy("doc_id")
   }
 
   /** One oracle BPE round: syms$r → (top$r rule, syms${r+1}). */
@@ -428,6 +487,40 @@ object TextAnalysis extends QueryPack {
          |  UNION ALL
          |  SELECT 3, a, b, cnt FROM top3)
          |ORDER BY round""".stripMargin)),
+    Q("q150_bpe_encode", q150, Some(
+      s"""WITH vocab AS (
+         |  SELECT word, count(*) AS freq FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE len(word) > 0 GROUP BY word),
+         |syms1 AS (SELECT word, freq, i AS pos, substring(word, i, 1) AS sym
+         |          FROM (SELECT word, freq,
+         |                  unnest(generate_series(1, len(word))) AS i
+         |                FROM vocab)),
+         |${bpeRoundSql(1)},
+         |${bpeRoundSql(2)},
+         |${bpeRoundSql(3)},
+         |wt AS (SELECT word, count(*) AS n_tok FROM syms4 GROUP BY 1),
+         |dw AS (SELECT doc_id, word FROM (
+         |         SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |         FROM documents)
+         |       WHERE len(word) > 0)
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens,
+         |  round(sum(n_tok) * 1.0 / sum(length(word)), 6) AS tokens_per_char
+         |FROM dw JOIN wt USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    Q("q153_perplexity", q153, Some(
+      """WITH dw AS (SELECT doc_id, word FROM (
+        |         SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |         FROM documents)
+        |       WHERE len(word) > 0),
+        |f AS (SELECT word, count(*) AS cnt FROM dw GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM f),
+        |sc AS (SELECT doc_id, round(-ln(cnt / t.t), 12) AS nll
+        |       FROM dw JOIN f USING (word), t)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(sum(nll) / count(*), 6) AS mean_nll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
     Q("q82_decontaminate", q82, Some(
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g AS (SELECT doc_id, unnest(list_distinct(
