@@ -216,6 +216,41 @@ object ScalarFunctions extends QueryPack {
       .orderBy("o_orderkey")
   }
 
+  /** q155: regexp_extract_all — multi-match extraction into arrays,
+    * composed with array ops (the single-match regexp_extract lives in
+    * q29's string pack). Map-only; the digit runs in c_name and the
+    * synthesized tail give every row ≥2 matches. */
+  private def q155(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        regexp_extract_all(
+          concat(col("c_name"), lit(" lot#"), col("c_nationkey")),
+          lit("[0-9]+"), lit(0)).as("nums"))
+      .select(col("c_custkey"),
+        size(col("nums")).as("n_matches"),
+        element_at(col("nums"), 1).as("first_num"),
+        element_at(col("nums"), -1).as("last_num"),
+        array_join(col("nums"), "|").as("all_nums"))
+      .orderBy("c_custkey")
+
+  /** q157: try_* error-safe arithmetic — NULL-on-failure semantics for
+    * division by zero, bigint overflow, and invalid casts (the
+    * expression-level counterpart of q08's row-level error routing).
+    * Under ANSI mode plain operators would THROW mid-job at 100 TB;
+    * try_* keeps the pipeline running and surfaces failures as
+    * countable NULLs. The oracle reproduces overflow exactly by
+    * computing in HUGEINT and NULLing past the int64 boundary. */
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    val k = 4611686018427387903L // 2^62 - 1: x*k overflows for x >= 3
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        round(try_divide(col("o_totalprice"), col("o_custkey") % 7), 6)
+          .as("safe_div"),
+        try_multiply(col("o_orderkey"), lit(k)).as("safe_mul"),
+        col("o_orderpriority").try_cast("int").as("bad_cast"))
+      .orderBy("o_orderkey")
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q127_explode_outer", q127, Some(
       """WITH a AS (
@@ -312,6 +347,25 @@ object ScalarFunctions extends QueryPack {
         |         count(*) FILTER (WHERE cnt >= 3) AS value
         |  FROM c GROUP BY user_id
         |) ORDER BY user_id, key""".stripMargin)),
+    Q("q155_regexp_all", q155, Some(
+      """WITH m AS (SELECT c_custkey,
+        |  regexp_extract_all(c_name || ' lot#' || c_nationkey, '[0-9]+')
+        |    AS nums
+        |  FROM customer)
+        |SELECT c_custkey, len(nums) AS n_matches,
+        |  nums[1] AS first_num, nums[len(nums)] AS last_num,
+        |  array_to_string(nums, '|') AS all_nums
+        |FROM m ORDER BY c_custkey""".stripMargin)),
+    Q("q157_try_arithmetic", q157, Some(
+      """SELECT o_orderkey,
+        |  CASE WHEN o_custkey % 7 = 0 THEN NULL
+        |       ELSE round(o_totalprice / (o_custkey % 7), 6) END AS safe_div,
+        |  CAST(CASE WHEN CAST(o_orderkey AS HUGEINT) * 4611686018427387903
+        |              <= 9223372036854775807
+        |            THEN CAST(o_orderkey AS HUGEINT) * 4611686018427387903
+        |       END AS BIGINT) AS safe_mul,
+        |  TRY_CAST(o_orderpriority AS INT) AS bad_cast
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
     Q("q144_xml_extract", q144, Some(
       """SELECT o_orderkey,
         |  o_orderkey AS id_parsed,

@@ -192,7 +192,84 @@ object Temporal extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** q154: interval concurrency via SWEEP-LINE — how many orders are
+    * "active" at once, where each order is active for 1 + o_orderkey%5
+    * days. The naive plan explodes every interval into its covered days
+    * (per-row fan-out ∝ duration — unbounded at 100 TB); the sweep-line
+    * instead emits ±1 deltas at interval endpoints and takes a running
+    * sum, so work is 2 rows per interval REGARDLESS of duration. The
+    * running window partitions by priority — concurrency is tracked per
+    * key, never through one global single-partition sort. */
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderpriority").as("prio"),
+      to_date(col("o_orderdate")).as("start_d"),
+      date_add(to_date(col("o_orderdate")),
+        (lit(1) + col("o_orderkey") % 5).cast("int")).as("end_d"))
+    val deltas = o.select(col("prio"), col("start_d").as("d"), lit(1L).as("delta"))
+      .unionByName(o.select(col("prio"), col("end_d").as("d"),
+        lit(-1L).as("delta")))
+      .groupBy("prio", "d").agg(sum("delta").as("net"))
+    val w = Window.partitionBy("prio").orderBy("d")
+    deltas.withColumn("active", sum("net").over(w))
+      .select(col("prio"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("net"), col("active"))
+      .orderBy("prio", "day")
+  }
+
+  /** q156: date-spine gap filling — the time-series completion pattern:
+    * LEFT-join daily counts onto a generated continuous day spine so
+    * zero-activity days surface as explicit rows (rolling averages and
+    * downstream models need the zeros). The spine generates from each
+    * priority's OWN min/max via `sequence` — one row per priority
+    * explodes into its span, so there is no global 1-row broadcast and
+    * no driver collect; spine size is days × priorities, trivially
+    * bounded. */
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderpriority").as("prio"),
+      to_date(col("o_orderdate")).as("d"))
+    val daily = o.groupBy("prio", "d").agg(count(lit(1)).as("n"))
+    val spine = o.groupBy("prio")
+      .agg(min("d").as("min_d"), max("d").as("max_d"))
+      .select(col("prio"),
+        explode(expr("sequence(min_d, max_d, interval 1 day)")).as("d"))
+    spine.join(daily, Seq("prio", "d"), "left")
+      .select(col("prio"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n"), lit(0L)).as("n_orders"))
+      .orderBy("prio", "day")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q154_concurrency_sweep", q154, Some(
+      """WITH o AS (SELECT o_orderpriority AS prio,
+        |             CAST(o_orderdate AS DATE) AS start_d,
+        |             CAST(o_orderdate AS DATE) +
+        |               CAST(1 + o_orderkey % 5 AS INT) * INTERVAL 1 DAY
+        |               AS end_d
+        |           FROM orders),
+        |del AS (SELECT prio, d, CAST(sum(delta) AS BIGINT) AS net FROM (
+        |          SELECT prio, start_d AS d, 1 AS delta FROM o
+        |          UNION ALL
+        |          SELECT prio, CAST(end_d AS DATE), -1 FROM o)
+        |        GROUP BY 1, 2)
+        |SELECT prio, strftime(d, '%Y-%m-%d') AS day, net,
+        |  CAST(sum(net) OVER (PARTITION BY prio ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS active
+        |FROM del ORDER BY prio, day""".stripMargin)),
+    Q("q156_date_spine", q156, Some(
+      """WITH o AS (SELECT o_orderpriority AS prio,
+        |             CAST(o_orderdate AS DATE) AS d FROM orders),
+        |daily AS (SELECT prio, d, count(*) AS n FROM o GROUP BY 1, 2),
+        |spine AS (SELECT prio, CAST(unnest(generate_series(
+        |            CAST(min_d AS TIMESTAMP), CAST(max_d AS TIMESTAMP),
+        |            INTERVAL 1 DAY)) AS DATE) AS d
+        |          FROM (SELECT prio, min(d) AS min_d, max(d) AS max_d
+        |                FROM o GROUP BY 1))
+        |SELECT spine.prio, strftime(spine.d, '%Y-%m-%d') AS day,
+        |  coalesce(n, 0) AS n_orders
+        |FROM spine LEFT JOIN daily
+        |  ON spine.prio = daily.prio AND spine.d = daily.d
+        |ORDER BY 1, 2""".stripMargin)),
     Q("q143_streaks", q143, Some(
       """WITH m AS (SELECT DISTINCT user_id,
         |             datediff('day', DATE '2024-01-01',
