@@ -161,6 +161,23 @@ object AdvancedAggs extends QueryPack {
       .orderBy("o_orderpriority", "rnk")
   }
 
+  /** q160: bitwise aggregates + scalar bit ops — bit_and/bit_or/bit_xor
+    * fold per group (associative/commutative ⇒ partial-aggregable and
+    * order-free, so they're deterministic at any parallelism — the same
+    * property that makes them useful as cheap distributed checksums,
+    * which is exactly the xor's role here), over masked/shifted keys. */
+  private def q160(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        (col("l_orderkey").bitwiseAND(lit(255L))).as("k"),
+        shiftleft(col("l_linenumber"), 2).as("sl"))
+      .groupBy("l_returnflag")
+      .agg(bit_and(col("k")).as("band"),
+        bit_or(col("k")).as("bor"),
+        bit_xor(col("k").bitwiseXOR(col("sl"))).as("bxor_check"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** q151: Datasketches HLL (Spark 4 surface) — the MERGEABLE sketch
     * family q25's approx_count_distinct doesn't expose: per-group
     * sketches built with `hll_sketch_agg` are later UNIONED with
@@ -271,6 +288,13 @@ object AdvancedAggs extends QueryPack {
         |  count(*) OVER (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate) // 1000000
         |    RANGE BETWEEN 2592000 PRECEDING AND 2592000 FOLLOWING) - 1 AS n_nearby
         |FROM orders ORDER BY o_orderkey""".stripMargin)),
+    Q("q160_bit_aggs", q160, Some(
+      """SELECT l_returnflag,
+        |  bit_and(l_orderkey & 255) AS band,
+        |  bit_or(l_orderkey & 255) AS bor,
+        |  bit_xor(xor(l_orderkey & 255, l_linenumber << 2)) AS bxor_check,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q151_hll_sketch", q151, Some(
       """SELECT l_returnflag, exact_distinct, true AS est_ok FROM (
         |  SELECT l_returnflag,

@@ -350,7 +350,45 @@ object FileIO extends QueryPack {
       .orderBy("c_custkey")
   }
 
+  /** q158: DYNAMIC partition overwrite — the incremental-reload sink
+    * contract: a second write in `partitionOverwriteMode=dynamic`
+    * replaces ONLY the partitions it contains rows for (here the
+    * corrected 1-URGENT reload, prices doubled) and must leave every
+    * other partition's files untouched. Static overwrite mode would
+    * truncate the whole table first — the gate's other four priorities
+    * surviving with their ORIGINAL sums is exactly the semantics a
+    * daily 100 TB reload depends on (rewrite one day, never the
+    * table). */
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact.dec
+    val root = scratch(dir, "orders_dynpart")
+    if (layoutSource.get(root) != dir) {
+      val ord = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority").as("prio"))
+      ord.write.mode("overwrite").partitionBy("prio").parquet(root)
+      ord.filter(col("prio") === "1-URGENT")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("prio").parquet(root)
+      layoutSource.put(root, dir)
+    }
+    s.read.parquet(root)
+      .groupBy("prio")
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec(col("o_totalprice"))).cast("double"), 2).as("total"))
+      .orderBy("prio")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q158_dynamic_overwrite", q158, Some(
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(CAST(sum(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+        |                            THEN o_totalprice * 2
+        |                            ELSE o_totalprice END
+        |                      AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q145_csv_quoted", q145, Some(
       """SELECT c_custkey,
         |  c_name || ',"' || c_mktsegment || '"' || chr(10) || c_nationkey

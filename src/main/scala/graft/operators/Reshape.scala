@@ -86,7 +86,56 @@ object Reshape extends QueryPack {
       .orderBy("o_orderpriority")
   }
 
+  /** q161: per-group ordinary least squares (y = extendedprice on
+    * x = quantity) from exact DECIMAL power sums — slope, intercept,
+    * and r² in the closed forms that need only (n, Σx, Σy, Σx², Σxy,
+    * Σy²). One aggregation over the scan computes all five sums
+    * map-side-partially; the regression arithmetic happens on five
+    * exact decimals per group, so both engines evaluate the identical
+    * expression tree on identical operands (the q58 moments
+    * discipline — a builtin regr_slope's double accumulation would be
+    * summation-order-dependent). */
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(y * y).cast("double").as("syy"))
+      .select(col("l_returnflag"), col("n").cast("long").as("n"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))), 6).as("slope"),
+        round(((col("sy") * col("sxx") - col("sx") * col("sxy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))), 6).as("intercept"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) *
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+           (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q161_linear_regression", q161, Some(
+      """WITH s AS (SELECT l_returnflag,
+        |  CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) *
+        |           CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) *
+        |           CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 6) AS intercept,
+        |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+        |        ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM s ORDER BY l_returnflag""".stripMargin)),
     Q("q147_union_by_name", q147, Some(
       """WITH u AS (
         |  SELECT o_orderkey, o_orderpriority, NULL::DOUBLE AS o_totalprice

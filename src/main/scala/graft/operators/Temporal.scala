@@ -238,7 +238,56 @@ object Temporal extends QueryPack {
       .orderBy("prio", "day")
   }
 
+  /** q159: forward fill (LOCF — last observation carried forward) over
+    * the q156 date spine: gap days surface NULL, then
+    * `last(ignoreNulls)` over a running frame carries the previous
+    * observed value forward — the standard time-series imputation
+    * before feature extraction. The window shares the spine's key
+    * partitioning; days before the first observation stay at the -1
+    * sentinel. Observed values are raw-double maxima (no arithmetic),
+    * so the carry is bit-exact. */
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderpriority").as("prio"),
+      to_date(col("o_orderdate")).as("d"), col("o_totalprice"))
+    val daily = o.groupBy("prio", "d").agg(max("o_totalprice").as("v"))
+    val spine = o.groupBy("prio")
+      .agg(min("d").as("min_d"), max("d").as("max_d"))
+      .select(col("prio"),
+        explode(expr("sequence(min_d, max_d, interval 1 day)")).as("d"))
+    val w = Window.partitionBy("prio").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("prio", "d"), "left")
+      .select(col("prio"), col("d"), col("v"),
+        coalesce(last(col("v"), ignoreNulls = true).over(w), lit(-1.0))
+          .as("filled"),
+        col("v").isNotNull.as("observed"))
+      .select(col("prio"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("filled"), col("observed"))
+      .orderBy("prio", "day")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q159_locf_fill", q159, Some(
+      """WITH o AS (SELECT o_orderpriority AS prio,
+        |             CAST(o_orderdate AS DATE) AS d, o_totalprice
+        |           FROM orders),
+        |daily AS (SELECT prio, d, max(o_totalprice) AS v
+        |          FROM o GROUP BY 1, 2),
+        |spine AS (SELECT prio, CAST(unnest(generate_series(
+        |            CAST(min_d AS TIMESTAMP), CAST(max_d AS TIMESTAMP),
+        |            INTERVAL 1 DAY)) AS DATE) AS d
+        |          FROM (SELECT prio, min(d) AS min_d, max(d) AS max_d
+        |                FROM o GROUP BY 1)),
+        |j AS (SELECT spine.prio AS prio, spine.d AS d, v
+        |      FROM spine LEFT JOIN daily
+        |        ON spine.prio = daily.prio AND spine.d = daily.d)
+        |SELECT prio, strftime(d, '%Y-%m-%d') AS day,
+        |  coalesce(last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY prio ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0)
+        |    AS filled,
+        |  v IS NOT NULL AS observed
+        |FROM j ORDER BY 1, 2""".stripMargin)),
     Q("q154_concurrency_sweep", q154, Some(
       """WITH o AS (SELECT o_orderpriority AS prio,
         |             CAST(o_orderdate AS DATE) AS start_d,
