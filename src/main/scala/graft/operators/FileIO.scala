@@ -381,7 +381,78 @@ object FileIO extends QueryPack {
       .orderBy("prio")
   }
 
+  /** q162: PERMISSIVE source-level malformed-record routing — the CSV
+    * reader's three-mode contract, gated on the mode a 100 TB ingest
+    * actually runs: PERMISSIVE with `columnNameOfCorruptRecord`, where
+    * a bad row NULLs its typed fields and lands verbatim in the corrupt
+    * column instead of killing the job (FAILFAST) or silently vanishing
+    * (DROPMALFORMED — silent data loss at scale is the worst failure
+    * mode). Malformed rows are MANUFACTURED deterministically (every
+    * 7th row writes text into the numeric column), and the gate
+    * accounts for every row: good ones by value, bad ones by their
+    * preserved raw form. */
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "customer_csv_malformed")
+    if (layoutSource.get(out) != dir) {
+      Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 7 === 0,
+            concat(lit("oops_"), col("c_mktsegment")))
+            .otherwise(col("c_nationkey").cast("string")).as("natkey"))
+        .repartition(4)
+        .write.mode("overwrite").csv(out)
+      layoutSource.put(out, dir)
+    }
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("natkey", LongType),
+      StructField("_bad", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .csv(out)
+      .select(col("c_custkey"), col("natkey"),
+        col("_bad").isNotNull.as("is_bad"),
+        regexp_extract(coalesce(col("_bad"), lit("")), "oops_[A-Z]+", 0)
+          .as("bad_payload"))
+      .orderBy("c_custkey")
+  }
+
+  /** q163: hidden `_metadata` file columns — provenance without a
+    * layout change: every file-source row can surface the physical file
+    * it came from, which is how incremental pipelines audit partition
+    * lineage at 100 TB (which files fed this result?) with zero extra
+    * scans. File NAMES are nondeterministic (task UUIDs), so the gate
+    * projects the stable part: the partition directory extracted from
+    * `_metadata.file_path`, verified against the partition values the
+    * q86-style layout encoded. */
+  private def q163(s: SparkSession, dir: String): DataFrame = {
+    val root = scratch(dir, "orders_dynpart") // q158's partitioned layout
+    if (layoutSource.get(root) != dir) { q158(s, dir).collect(); () }
+    s.read.parquet(root)
+      .select(col("prio"),
+        // partition values are URL-encoded in paths ("4-NOT%20SPECIFIED")
+        url_decode(regexp_extract(col("_metadata.file_path"),
+          "prio=([^/]+)/", 1)).as("dir_prio"))
+      .groupBy("prio", "dir_prio")
+      .agg(count(lit(1)).as("n"))
+      .select(col("prio"), (col("prio") === col("dir_prio")).as("path_matches"),
+        col("n"))
+      .orderBy("prio")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q162_permissive_csv", q162, Some(
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 7 != 0 THEN c_nationkey END AS natkey,
+        |  c_custkey % 7 = 0 AS is_bad,
+        |  CASE WHEN c_custkey % 7 = 0 THEN 'oops_' || c_mktsegment
+        |       ELSE '' END AS bad_payload
+        |FROM customer ORDER BY c_custkey""".stripMargin)),
+    Q("q163_file_metadata", q163, Some(
+      """SELECT o_orderpriority AS prio, true AS path_matches,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q158_dynamic_overwrite", q158, Some(
       """SELECT o_orderpriority AS prio, count(*) AS n,
         |  round(CAST(sum(CAST(CASE WHEN o_orderpriority = '1-URGENT'
