@@ -112,6 +112,40 @@ class FileIOSpec extends AnyFunSuite {
     assert(parts >= 4, s"expected >= 4 read partitions for 4 .gz shards, got $parts")
   }
 
+  test("q158 dynamic overwrite leaves untouched partitions' files intact") {
+    // The reload writes ONLY prio=1-URGENT; every other partition must
+    // keep its ORIGINAL files (same paths — dynamic mode never
+    // truncates siblings). A static overwrite would have replaced all
+    // directories in the second write.
+    FileIO.forgetLayoutsForTest()
+    val root = s"${sys.props("java.io.tmpdir")}/graft_fileio_${math.abs(sf.hashCode)}/orders_dynpart"
+    SparkEntry.queries("q158_dynamic_overwrite")(spark, sf).collect()
+    def files(p: String): Set[String] = {
+      val d = new java.io.File(s"$root/prio=$p")
+      d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    val lowBefore = files("5-LOW")
+    val urgentFiles = files("1-URGENT")
+    // rewrite the urgent partition again via a fresh dynamic write
+    spark.read.parquet(root).where("prio = '1-URGENT'")
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("prio").parquet(root)
+    assert(files("5-LOW") === lowBefore,
+      "dynamic overwrite must not touch sibling partitions")
+    assert(files("1-URGENT") !== urgentFiles,
+      "the targeted partition must actually be rewritten")
+  }
+
+  test("q145 multiLine quoted CSV reads embedded newlines without row splits") {
+    val got = SparkEntry.queries("q145_csv_quoted")(spark, sf)
+    val rows = got.collect()
+    val expected = graft.sources.Tables.customer(spark, sf).count()
+    assert(rows.length == expected,
+      s"row count must survive embedded newlines: ${rows.length} vs $expected")
+    assert(rows.forall(_.getString(1).contains("\n")),
+      "every payload must retain its embedded newline")
+  }
+
   test("q77 bucketed join plans without a shuffle on either join key") {
     val df = SparkEntry.queries("q77_bucketed_join")(spark, sf)
     df.collect() // also materializes the bucketed tables
