@@ -391,6 +391,50 @@ object Relational extends QueryPack {
       .orderBy("o_orderpriority")
   }
 
+  /** q164: grouping() / grouping_id() — the disambiguation functions
+    * that make CUBE results machine-consumable: a NULL group key can
+    * mean "subtotal row" or "the key really was NULL", and only the
+    * grouping flags tell them apart (q26–q28 produce the lattices;
+    * this gate pins the flag semantics downstream pivots rely on).
+    * The id is emitted via the explicit flag arithmetic so the gate is
+    * independent of any engine's internal bit convention. */
+  private def q164(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("long").as("gid"),
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"))
+      .select(coalesce(col("l_returnflag"), lit("~")).as("flag"),
+        coalesce(col("l_linestatus"), lit("~")).as("status"),
+        col("n"), col("gid"), col("g_flag"), col("g_status"))
+      .orderBy("gid", "flag", "status")
+
+  /** q166: LATERAL correlated table subquery (Spark SQL surface) — the
+    * per-row dependent subquery relational algebra can't express as a
+    * plain join: for every region, its top-2 nations by customer count,
+    * with the ORDER BY + LIMIT scoped INSIDE the lateral. Catalyst
+    * plans it via DecorrelateInnerQuery into a ranked join — no
+    * per-region re-scan survives into the physical plan. */
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    Tables.region(s, dir).createOrReplaceTempView("graft_region166")
+    Tables.nation(s, dir).createOrReplaceTempView("graft_nation166")
+    Tables.customer(s, dir).createOrReplaceTempView("graft_customer166")
+    s.sql(
+      """SELECT r_name, n_name, n_cust
+        |FROM graft_region166 r,
+        |LATERAL (
+        |  SELECT n_name, count(*) AS n_cust
+        |  FROM graft_nation166 n
+        |  JOIN graft_customer166 c ON c_nationkey = n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  GROUP BY n_name
+        |  ORDER BY n_cust DESC, n_name LIMIT 2
+        |)
+        |ORDER BY r_name, n_cust DESC, n_name""".stripMargin)
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q11_pricing_summary", q11, Some(
       """SELECT l_returnflag, l_linestatus,
@@ -549,6 +593,29 @@ object Relational extends QueryPack {
         |           ELSE l_linenumber END
         |    FROM lineitem)
         |) ORDER BY variant""".stripMargin)),
+    Q("q164_grouping_id", q164, Some(
+      """SELECT coalesce(l_returnflag, '~') AS flag,
+        |  coalesce(l_linestatus, '~') AS status,
+        |  count(*) AS n,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+        |    AS BIGINT) AS gid,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_status
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, flag, status""".stripMargin)),
+    Q("q166_lateral_topk", q166, Some(
+      """SELECT r_name, n_name, n_cust
+        |FROM region r,
+        |LATERAL (
+        |  SELECT n_name, count(*) AS n_cust
+        |  FROM nation n
+        |  JOIN customer c ON c_nationkey = n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  GROUP BY n_name
+        |  ORDER BY n_cust DESC, n_name LIMIT 2
+        |)
+        |ORDER BY r_name, n_cust DESC, n_name""".stripMargin)),
     Q("q146_value_windows", q146, Some(
       """SELECT o_orderkey, o_custkey,
         |  lag(o_totalprice, 1, -1.0) OVER w AS prev_price,

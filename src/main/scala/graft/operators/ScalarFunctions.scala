@@ -251,6 +251,27 @@ object ScalarFunctions extends QueryPack {
       .orderBy("o_orderkey")
   }
 
+  /** q167: vector lambda algebra over the embedding column —
+    * `zip_with` / `reverse` / `slice` / `array_max` composed per row,
+    * all Catalyst HigherOrderFunctions (no UDF). Floats are widened to
+    * double BEFORE any arithmetic (float→double is exact), and both
+    * engines fold the product lists in list order, so the sums are
+    * bit-identical; the final round(6) is belt-and-braces. This is the
+    * declarative counterpart of the codegen DotProduct expression the
+    * ANN suite uses (functions/VectorExpressions.scala). */
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    val e = transform(col("embedding"), x => x.cast("double"))
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        round(aggregate(zip_with(e, reverse(e), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x), 6).as("rev_dot"),
+        round(aggregate(slice(e, 1, 4), lit(0.0), (acc, x) => acc + x), 6)
+          .as("head4_sum"),
+        round(array_max(e), 6).as("max_elem"),
+        size(filter(e, x => x > lit(0.0))).as("n_positive"))
+      .orderBy("vec_id")
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q127_explode_outer", q127, Some(
       """WITH a AS (
@@ -347,6 +368,18 @@ object ScalarFunctions extends QueryPack {
         |         count(*) FILTER (WHERE cnt >= 3) AS value
         |  FROM c GROUP BY user_id
         |) ORDER BY user_id, key""".stripMargin)),
+    Q("q167_vector_zip", q167, Some(
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  round(list_aggregate(
+        |    [v[i] * v[len(v) - i + 1] FOR i IN generate_series(1, len(v))],
+        |    'sum'), 6) AS rev_dot,
+        |  round(list_aggregate(v[1:4], 'sum'), 6) AS head4_sum,
+        |  round(list_max(v), 6) AS max_elem,
+        |  CAST(len(list_filter(v, x -> x > 0.0)) AS INT) AS n_positive
+        |FROM e ORDER BY vec_id""".stripMargin)),
     Q("q155_regexp_all", q155, Some(
       """WITH m AS (SELECT c_custkey,
         |  regexp_extract_all(c_name || ' lot#' || c_nationkey, '[0-9]+')
