@@ -161,6 +161,30 @@ object AdvancedAggs extends QueryPack {
       .orderBy("o_orderpriority", "rnk")
   }
 
+  /** q170: categorical distribution diagnostics — Shannon entropy and
+    * Gini impurity of each user's event-type mix, the label-balance
+    * stats a training-data audit reports per slice. Per-user totals
+    * come from a window over the SAME user partitioning as the
+    * aggregate (one exchange); the log terms use the q153 fixed-point
+    * discipline (round 12 per term, round 6 after the sum) so the
+    * entropy hash is stable across engines and summation order. */
+  private def q170(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("user_id")
+    val p = col("cnt") / col("tot")
+    counts.withColumn("tot", sum("cnt").over(w))
+      .select(col("user_id"),
+        round(-p * log(p), 12).as("h_term"),
+        round(p * p, 12).as("p2"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_types"),
+        round(sum("h_term"), 6).as("entropy"),
+        round(lit(1.0) - sum("p2"), 6).as("gini"))
+      .orderBy("user_id")
+  }
+
   /** q160: bitwise aggregates + scalar bit ops — bit_and/bit_or/bit_xor
     * fold per group (associative/commutative ⇒ partial-aggregable and
     * order-free, so they're deterministic at any parallelism — the same
@@ -288,6 +312,21 @@ object AdvancedAggs extends QueryPack {
         |  count(*) OVER (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate) // 1000000
         |    RANGE BETWEEN 2592000 PRECEDING AND 2592000 FOLLOWING) - 1 AS n_nearby
         |FROM orders ORDER BY o_orderkey""".stripMargin)),
+    Q("q170_type_entropy", q170, Some(
+      """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, event_type, cnt,
+        |        sum(cnt) OVER (PARTITION BY user_id) AS tot FROM c),
+        |terms AS (SELECT user_id,
+        |            round(-(cnt / CAST(tot AS DOUBLE)) *
+        |              ln(cnt / CAST(tot AS DOUBLE)), 12) AS h_term,
+        |            round((cnt / CAST(tot AS DOUBLE)) *
+        |              (cnt / CAST(tot AS DOUBLE)), 12) AS p2
+        |          FROM t)
+        |SELECT user_id, count(*) AS n_types,
+        |  round(sum(h_term), 6) AS entropy,
+        |  round(1.0 - sum(p2), 6) AS gini
+        |FROM terms GROUP BY user_id ORDER BY user_id""".stripMargin)),
     Q("q160_bit_aggs", q160, Some(
       """SELECT l_returnflag,
         |  bit_and(l_orderkey & 255) AS band,

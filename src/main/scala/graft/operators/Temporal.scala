@@ -266,7 +266,57 @@ object Temporal extends QueryPack {
       .orderBy("prio", "day")
   }
 
+  /** q169: market-basket co-occurrence with lift — association mining
+    * over (user, day) baskets: for every event-type pair, support and
+    * lift = P(ab)/(P(a)P(b)). The pair join keys on the basket id and
+    * the type alphabet is tiny, so pair fan-out per basket is C(k,2)
+    * with k ≤ |event types| — bounded by the VOCABULARY, not the data;
+    * the basket total rides the 1-row broadcast (q69 pattern). Lift
+    * arithmetic happens on exact integer counts; one final rounded
+    * division. */
+  private def q169(s: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+      .distinct()
+      .localCheckpoint(true)
+    val nBaskets = baskets.select("user_id", "d").distinct()
+      .agg(count(lit(1)).as("nb"))
+    val typeCounts = baskets.groupBy(col("event_type").as("t"))
+      .agg(count(lit(1)).as("n_t"))
+    val pairs = baskets.as("x")
+      .join(baskets.as("y"),
+        col("x.user_id") === col("y.user_id") && col("x.d") === col("y.d") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(typeCounts.withColumnRenamed("t", "ta")
+        .withColumnRenamed("n_t", "n_a")), "ta")
+      .join(broadcast(typeCounts.withColumnRenamed("t", "tb")
+        .withColumnRenamed("n_t", "n_b")), "tb")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("ta"), col("tb"), col("n_ab"), col("n_a"), col("n_b"),
+        round(col("n_ab") * col("nb") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+      .orderBy("ta", "tb")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q169_basket_lift", q169, Some(
+      """WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d,
+        |             event_type FROM events),
+        |nb AS (SELECT count(*) AS nb FROM
+        |         (SELECT DISTINCT user_id, d FROM b)),
+        |tc AS (SELECT event_type AS t, count(*) AS n_t FROM b GROUP BY 1),
+        |p AS (SELECT x.event_type AS ta, y.event_type AS tb,
+        |        count(*) AS n_ab
+        |      FROM b x JOIN b y ON x.user_id = y.user_id AND x.d = y.d
+        |        AND x.event_type < y.event_type
+        |      GROUP BY 1, 2)
+        |SELECT ta, tb, n_ab, a.n_t AS n_a, c.n_t AS n_b,
+        |  round(n_ab * nb.nb / CAST(a.n_t * c.n_t AS DOUBLE), 6) AS lift
+        |FROM p JOIN tc a ON a.t = ta JOIN tc c ON c.t = tb, nb
+        |ORDER BY ta, tb""".stripMargin)),
     Q("q159_locf_fill", q159, Some(
       """WITH o AS (SELECT o_orderpriority AS prio,
         |             CAST(o_orderdate AS DATE) AS d, o_totalprice

@@ -683,7 +683,56 @@ object StreamingQueries extends QueryPack {
         col("n_events"))
       .orderBy("user_id", "start_us")
 
+  /** q168: stream-STATIC dimension enrichment — the most common
+    * production streaming shape: an unbounded fact stream joined to a
+    * bounded dimension table loaded batch-side. The dim side is
+    * broadcast (no state store involved — unlike stream-stream q84,
+    * a static join needs no watermark and holds no join state; the
+    * dimension simply ships with the tasks), then the enriched stream
+    * aggregates in complete mode. LEFT join + UNKNOWN default keeps
+    * the gate deterministic at every scale factor regardless of key
+    * coverage. Money sums go through the exact-DECIMAL discipline. */
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact.dec
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val dim = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = stream
+      .join(broadcast(dim), col("user_id") === col("c_custkey"), "left")
+      .select(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+        col("event_type"), col("value"))
+      .groupBy("segment", "event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec(col("value"))).cast("double"), 2).as("total_value"))
+    val name = "graft_q168_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+    val result = s.table(name).orderBy("segment", "event_type")
+    val rows = result.collect()
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
+    s.catalog.dropTempView(name)
+    out
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q168_stream_enrich", q168, Some(
+      """SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment, event_type,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS total_value
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     Q("q70_stream_month_count", q70, Some(
       """SELECT event_type, strftime(ts, '%Y-%m') AS month, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
