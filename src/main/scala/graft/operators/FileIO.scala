@@ -441,7 +441,43 @@ object FileIO extends QueryPack {
       .orderBy("prio")
   }
 
+  /** q172: the managed-table catalog flow — `saveAsTable` +
+    * `insertInto` + `spark.table`, the name-based access path every
+    * path-based gate above skips. The table is (re)created from the
+    * even-key half of customer and APPENDED with the odd-key half via
+    * insertInto, so the read-back must see exactly the full table —
+    * append atomicity and by-name resolution are what a shared catalog
+    * buys a 1000-executor deployment over raw paths (plus the schema
+    * pinning q132 showed mergeSchema pays for). Database-qualified so
+    * repeated runs at different sfs can't collide. */
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    val db = s"graft_cat_${math.abs(dir.hashCode)}"
+    val tbl = s"$db.customer_managed"
+    if (layoutSource.get(tbl) != dir) {
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val c = Tables.customer(s, dir)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+      c.filter(col("c_custkey") % 2 === 0)
+        .write.saveAsTable(tbl)
+      c.filter(col("c_custkey") % 2 === 1)
+        .write.insertInto(tbl)
+      layoutSource.put(tbl, dir)
+    }
+    import graft.functions.Exact.dec
+    s.table(tbl)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec(col("c_acctbal"))).cast("double"), 2).as("balance"))
+      .orderBy("c_mktsegment")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q172_managed_table", q172, Some(
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS balance
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q162_permissive_csv", q162, Some(
       """SELECT c_custkey,
         |  CASE WHEN c_custkey % 7 != 0 THEN c_nationkey END AS natkey,

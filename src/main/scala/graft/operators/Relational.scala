@@ -435,6 +435,27 @@ object Relational extends QueryPack {
         |ORDER BY r_name, n_cust DESC, n_name""".stripMargin)
   }
 
+  /** q171: parameterized SQL — named-parameter binding
+    * (`spark.sql(text, args)`) plus a SQL session variable (DECLARE /
+    * SET VAR, Spark 4 surface), the injection-safe way to template the
+    * same plan over changing thresholds (plan cache keys stay stable;
+    * string-spliced literals would defeat both safety and caching at
+    * 100 TB orchestration scale). The oracle is the identical query
+    * with the values inlined — binding must be semantically invisible. */
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders171")
+    s.sql("DECLARE OR REPLACE VARIABLE graft_prio STRING DEFAULT '1-URGENT'")
+    s.sql("SET VAR graft_prio = '2-HIGH'")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS total
+        |FROM graft_orders171
+        |WHERE o_totalprice > :floor AND o_orderpriority <> graft_prio
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      Map("floor" -> 50000))
+  }
+
   override def queries: Seq[Q] = Seq(
     Q("q11_pricing_summary", q11, Some(
       """SELECT l_returnflag, l_linestatus,
@@ -593,6 +614,13 @@ object Relational extends QueryPack {
         |           ELSE l_linenumber END
         |    FROM lineitem)
         |) ORDER BY variant""".stripMargin)),
+    Q("q171_sql_params", q171, Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS total
+        |FROM orders
+        |WHERE o_totalprice > 50000 AND o_orderpriority <> '2-HIGH'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
     Q("q164_grouping_id", q164, Some(
       """SELECT coalesce(l_returnflag, '~') AS flag,
         |  coalesce(l_linestatus, '~') AS status,
