@@ -179,8 +179,11 @@ object AdvancedAggs extends QueryPack {
         round(-p * log(p), 12).as("h_term"),
         round(p * p, 12).as("p2"))
       .groupBy("user_id")
+      // + 0.0 maps a single-type user's -0.0 entropy (-1·ln 1 = -0.0) to
+      // +0.0 identically on both engines; Spark's round normalizes -0.0
+      // but DuckDB's keeps it, which would render 0.0 vs -0.0 (ADVICE r6)
       .agg(count(lit(1)).as("n_types"),
-        round(sum("h_term"), 6).as("entropy"),
+        round(sum("h_term") + lit(0.0), 6).as("entropy"),
         round(lit(1.0) - sum("p2"), 6).as("gini"))
       .orderBy("user_id")
   }
@@ -324,7 +327,7 @@ object AdvancedAggs extends QueryPack {
         |              (cnt / CAST(tot AS DOUBLE)), 12) AS p2
         |          FROM t)
         |SELECT user_id, count(*) AS n_types,
-        |  round(sum(h_term), 6) AS entropy,
+        |  round(sum(h_term) + 0.0, 6) AS entropy,
         |  round(1.0 - sum(p2), 6) AS gini
         |FROM terms GROUP BY user_id ORDER BY user_id""".stripMargin)),
     Q("q160_bit_aggs", q160, Some(

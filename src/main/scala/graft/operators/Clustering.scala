@@ -180,9 +180,10 @@ object Clustering extends QueryPack {
 
   /** Pooled recall@5 floor for q103. Fitted cells follow the data, so
     * recall beats the arbitrary-subset baseline; measured ≥ 0.86 across
-    * sf0.001/0.01/0.1 — 0.7 fails on degradation, passes normal
-    * variation. */
-  private[operators] val IvfFittedRecallFloor = 0.7
+    * sf0.001/0.01/0.1 — 0.8 fails on degradation while clearing the
+    * measured band (raised from 0.7, VERDICT r6 #4: the slack left a
+    * silent-degradation window, same reasoning that moved q48 to 0.55). */
+  private[operators] val IvfFittedRecallFloor = 0.8
 
   /** q103: fitted-IVF ANN — SELF-VERIFYING recall gate (same pattern as
     * q48): the fitted centroids are float-order sensitive, so no exact
@@ -213,7 +214,7 @@ object Clustering extends QueryPack {
     Q("q103_ann_ivf_fitted", q103, Some(
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |  CAST(count(*) * 5 AS BIGINT) AS n_exact,
-        |  CAST(0.7 AS DOUBLE) AS recall_floor, true AS recall_ok
+        |  CAST(0.8 AS DOUBLE) AS recall_floor, true AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin)),
   )
 }

@@ -312,9 +312,14 @@ object DataPrep extends QueryPack {
       (sum("x") / count(lit(1))).as("mu"),
       sqrt(sum(col("x") * col("x")) / count(lit(1)) -
         (sum("x") / count(lit(1))) * (sum("x") / count(lit(1)))).as("sigma"))
+    // degenerate groups (constant or single-doc source ⇒ sigma = 0) pin
+    // to NULL explicitly on both engines: Spark's x/0.0 gives NaN while
+    // DuckDB's differs by version, so an unguarded division would flip
+    // the hash the day a fixture gains such a source (ADVICE r6)
     d.join(broadcast(stats), "source")
       .select(col("doc_id"), col("source"),
-        round((col("x") - col("mu")) / col("sigma"), 6).as("z"))
+        when(col("sigma") > 0,
+          round((col("x") - col("mu")) / col("sigma"), 6)).as("z"))
       .orderBy("doc_id")
   }
 
@@ -419,7 +424,8 @@ object DataPrep extends QueryPack {
         |      (sum(n_chars::DOUBLE) / count(*))) AS sigma
         |  FROM documents GROUP BY source)
         |SELECT doc_id, source,
-        |  round((n_chars::DOUBLE - mu) / sigma, 6) AS z
+        |  CASE WHEN sigma > 0
+        |       THEN round((n_chars::DOUBLE - mu) / sigma, 6) END AS z
         |FROM documents JOIN st USING (source)
         |ORDER BY doc_id""".stripMargin)),
   )

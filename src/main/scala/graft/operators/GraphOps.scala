@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
 object GraphOps extends QueryPack {
 
   private val Damping = 0.85
+  // explicit restart-mass literal, NOT computed as 1.0 - Damping: that
+  // expression evaluates to 0.15000000000000002 (1 ulp above the
+  // oracle's 0.15::DOUBLE), violating the identical-literals fixed-point
+  // discipline the q115 scaladoc claims (ADVICE r6)
+  private val RestartMass = 0.15
   private val Iters = 3
 
   /** q115: PageRank (3 power iterations, d = 0.85) on the bipartite
@@ -78,7 +83,7 @@ object GraphOps extends QueryPack {
         .join(contribs, col("node") === col("dst"), "left")
         .crossJoin(broadcast(n))
         .select(col("node"),
-          round(lit(1.0 - Damping) / col("n") +
+          round(lit(RestartMass) / col("n") +
             lit(Damping) * coalesce(col("in_sum"), lit(0.0)), 9).as("rank"))
         .localCheckpoint(true)
     }

@@ -98,6 +98,10 @@ object Reshape extends QueryPack {
   private def q161(s: SparkSession, dir: String): DataFrame = {
     val x = dec(col("l_quantity"))
     val y = dec(col("l_extendedprice"))
+    // n·Σx² − (Σx)² and the y twin — the denominators every closed form
+    // below divides by
+    val dxCol = col("n") * col("sxx") - col("sx") * col("sx")
+    val dyCol = col("n") * col("syy") - col("sy") * col("sy")
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).cast("double").as("n"),
@@ -106,14 +110,21 @@ object Reshape extends QueryPack {
         sum(x * y).cast("double").as("sxy"),
         sum(y * y).cast("double").as("syy"))
       .select(col("l_returnflag"), col("n").cast("long").as("n"),
-        round(((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx"))), 6).as("slope"),
-        round(((col("sy") * col("sxx") - col("sx") * col("sxy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx"))), 6).as("intercept"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")) *
-          (col("n") * col("sxy") - col("sx") * col("sy")) /
-          ((col("n") * col("sxx") - col("sx") * col("sx")) *
-           (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+        // degenerate groups (zero x- or y-variance: constant or single
+        // observation) pin slope/intercept/r² to NULL explicitly on both
+        // engines rather than relying on engine-specific x/0 behavior
+        // (ADVICE r6 — same latent shape as q142's sigma guard)
+        when(dxCol > 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")) / dxCol, 6))
+          .as("slope"),
+        when(dxCol > 0,
+          round((col("sy") * col("sxx") - col("sx") * col("sxy")) / dxCol, 6))
+          .as("intercept"),
+        when(dxCol * dyCol > 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")) *
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (dxCol * dyCol), 6))
+          .as("r2"))
       .orderBy("l_returnflag")
   }
 
@@ -131,10 +142,13 @@ object Reshape extends QueryPack {
         |           CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
         |  FROM lineitem GROUP BY 1)
         |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-        |  round((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 6) AS intercept,
-        |  round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
-        |        ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |  CASE WHEN n * sxx - sx * sx > 0 THEN
+        |    round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END AS slope,
+        |  CASE WHEN n * sxx - sx * sx > 0 THEN
+        |    round((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 6) END AS intercept,
+        |  CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
+        |    round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
+        |          ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS r2
         |FROM s ORDER BY l_returnflag""".stripMargin)),
     Q("q147_union_by_name", q147, Some(
       """WITH u AS (

@@ -27,9 +27,22 @@ object StreamingQueries extends QueryPack {
   private val dumped =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Run `body` with the legacy nanos-as-long parquet conf set (the
+    * events table stores a nanos timestamp), restoring the caller's
+    * value on exit. Every streaming gate drains its query synchronously
+    * and collects the result into a local frame before returning, so no
+    * lazy parquet read escapes the scope — unlike q125's provider confs
+    * this one previously leaked session-wide (VERDICT r6 #5). */
+  private def withNanosAsLong[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try body
+    finally prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
+  }
+
   /** q70: month-count as a streaming aggregation. */
-  private def q70(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def q70(s: SparkSession, dir: String): DataFrame = withNanosAsLong(s) {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     // The file-stream source wants a directory; select just the events
     // table out of the sf dir with a glob filter.
@@ -66,8 +79,7 @@ object StreamingQueries extends QueryPack {
     * regardless of arrival order. At scale the state store bounds memory;
     * `dropDuplicatesWithinWatermark` is the knob when keys outlive the
     * retention window (pinned in StreamingDedupSpec). */
-  private def q78(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def q78(s: SparkSession, dir: String): DataFrame = withNanosAsLong(s) {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val stream = s.readStream
       .schema(schema)
@@ -105,8 +117,7 @@ object StreamingQueries extends QueryPack {
     * (40 days) exceeds the corpus span, so on this finite replay the
     * result is exactly global first-seen-per-key and the batch DISTINCT
     * oracle applies. */
-  private def q106(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def q106(s: SparkSession, dir: String): DataFrame = withNanosAsLong(s) {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val stream = s.readStream
       .schema(schema)
@@ -147,8 +158,7 @@ object StreamingQueries extends QueryPack {
     * pattern), where state holds just the open windows per type
     * (windows × types, independent of event volume). Decimal-cast sum
     * keeps the value aggregation order-independent and hash-exact. */
-  private def q109(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def q109(s: SparkSession, dir: String): DataFrame = withNanosAsLong(s) {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val stream = s.readStream
       .schema(schema)
@@ -187,8 +197,7 @@ object StreamingQueries extends QueryPack {
     * precision on both engines (events.ts is a nanos timestamp: Spark
     * reads `ts div 1000` µs, the oracle compares `epoch_us(ts)`), so
     * boundary rows land identically. */
-  private def q84(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def q84(s: SparkSession, dir: String): DataFrame = withNanosAsLong(s) {
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     def side(eventType: String, prefix: String) = s.readStream
       .schema(schema)
@@ -692,9 +701,8 @@ object StreamingQueries extends QueryPack {
     * aggregates in complete mode. LEFT join + UNKNOWN default keeps
     * the gate deterministic at every scale factor regardless of key
     * coverage. Money sums go through the exact-DECIMAL discipline. */
-  private def q168(s: SparkSession, dir: String): DataFrame = {
+  private def q168(s: SparkSession, dir: String): DataFrame = withNanosAsLong(s) {
     import graft.functions.Exact.dec
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val stream = s.readStream
       .schema(schema)

@@ -106,6 +106,13 @@ class FileIOSpec extends AnyFunSuite {
     // compressed corpus would decompress on a single task at 100 TB
     SparkEntry.queries("q131_gzip_text_roundtrip")(spark, sf).collect()
     val out = s"${sys.props("java.io.tmpdir")}/graft_fileio_${math.abs(sf.hashCode)}/customer_csv_gz"
+    // the shards must actually BE gzip: parts >= 4 also holds for plain
+    // CSV (4 files -> >= 4 splits), so a silently-dropped codec option
+    // would pass both this count and the value-level oracle (ADVICE r6)
+    val shards = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.startsWith("part-"))
+    assert(shards.nonEmpty && shards.forall(_.endsWith(".csv.gz")),
+      s"expected every shard to end in .csv.gz, got: ${shards.mkString(", ")}")
     val parts = spark.read
       .schema("c_custkey LONG, c_mktsegment STRING, c_nationkey LONG")
       .csv(out).rdd.getNumPartitions

@@ -106,6 +106,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("streaming gates restore the nanosAsLong conf they set (no session leak)") {
+    // VERDICT r6 #5: the gates need the legacy nanos conf for the events
+    // scan but must not leave the session modified — a later query that
+    // WANTS timestamp semantics for some other nanos parquet would be
+    // silently flipped. Tables.events (batch, lazy) still sets it at
+    // every call site, so gates restoring to "unset" costs nothing.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    try {
+      val gate = graft.SparkEntry.queries("q70_stream_month_count")
+      spark.conf.unset(key)
+      assert(gate(spark, sf).count() > 0)
+      assert(spark.conf.getOption(key).isEmpty,
+        "gate left nanosAsLong set after running with it unset")
+      spark.conf.set(key, "false")
+      assert(gate(spark, sf).count() > 0)
+      assert(spark.conf.getOption(key).contains("false"),
+        "gate did not restore the caller's explicit conf value")
+    } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
+
   test("q118 merge kernel is associative and idempotent over any batch split") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
