@@ -120,7 +120,9 @@ object Reshape extends QueryPack {
         when(dxCol > 0,
           round((col("sy") * col("sxx") - col("sx") * col("sxy")) / dxCol, 6))
           .as("intercept"),
-        when(dxCol * dyCol > 0,
+        // both variances strictly positive (not just a positive product,
+        // which FP cancellation could satisfy with two negatives — ADVICE r7)
+        when(dxCol > 0 && dyCol > 0,
           round((col("n") * col("sxy") - col("sx") * col("sy")) *
             (col("n") * col("sxy") - col("sx") * col("sy")) /
             (dxCol * dyCol), 6))
@@ -146,7 +148,7 @@ object Reshape extends QueryPack {
         |    round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END AS slope,
         |  CASE WHEN n * sxx - sx * sx > 0 THEN
         |    round((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 6) END AS intercept,
-        |  CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
         |    round((n * sxy - sx * sy) * (n * sxy - sx * sy) /
         |          ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS r2
         |FROM s ORDER BY l_returnflag""".stripMargin)),

@@ -25,17 +25,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark refuses outright
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via the legacy flag and
-    * floor-divide to a microsecond TimestampType (`div`, not `/` — double
-    * division would lose precision on ns-since-epoch magnitudes). DuckDB
-    * keeps full ns; queries must not emit raw `ts` values, only derived
-    * fields at ≥second granularity (months, epochs, diffs).
+  /** `events.ts` has been generated two ways across driver rounds:
+    * TIMESTAMP(NANOS) parquet (rounds ≤6) — which Spark refuses outright
+    * ([PARQUET_TYPE_ILLEGAL]) unless the legacy nanos-as-long flag maps it
+    * to a raw LongType — and plain timestamp[us] (round 7+), which Spark
+    * reads natively as TIMESTAMP_NTZ. Adapt on the OBSERVED schema so both
+    * generations load to the same microsecond TimestampType:
+    *   - LongType (nanos-as-long): floor-divide to µs (`div`, not `/` —
+    *     double division would lose precision on ns-since-epoch magnitudes).
+    *   - TIMESTAMP_NTZ: cast to TimestampType — the session timezone is
+    *     pinned to UTC in every entry point, so NTZ→LTZ is value-identical
+    *     and oracle-neutral (DuckDB sees the same wall-clock instants).
+    * The nanos conf is set before the read so a nanos regeneration never
+    * fails analysis; with µs data it is a no-op.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => // TIMESTAMP_NTZ (or any castable regeneration)
+        df.withColumn("ts", df("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -109,7 +109,8 @@ class FileIOSpec extends AnyFunSuite {
     // the shards must actually BE gzip: parts >= 4 also holds for plain
     // CSV (4 files -> >= 4 splits), so a silently-dropped codec option
     // would pass both this count and the value-level oracle (ADVICE r6)
-    val shards = new java.io.File(out).listFiles()
+    val shards = Option(new java.io.File(out).listFiles())
+      .getOrElse(fail(s"missing output dir: $out"))
       .map(_.getName).filter(_.startsWith("part-"))
     assert(shards.nonEmpty && shards.forall(_.endsWith(".csv.gz")),
       s"expected every shard to end in .csv.gz, got: ${shards.mkString(", ")}")

@@ -15,10 +15,7 @@ class StreamStreamJoinSpec extends AnyFunSuite {
 
   private def eventsStream(): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sf/events.parquet").schema
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sf)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    StreamingQueries.eventsStream(spark, sf) // schema-adaptive (ns or µs)
   }
 
   test("purchases⋈clicks within 1h event-time window: stream equals batch") {

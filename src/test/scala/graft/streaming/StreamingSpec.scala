@@ -15,10 +15,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("append-mode windowed agg emits exactly the watermark-closed windows") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sf/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sf)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = StreamingQueries.eventsStream(spark, sf) // schema-adaptive
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "7 days"), col("event_type"))
@@ -70,10 +67,8 @@ class StreamingSpec extends AnyFunSuite {
   test("mapGroupsWithState session counting matches the window-based q37") {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sf/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sf)
-      .selectExpr("user_id", "ts div 1000 AS us") // integer div: ns → µs
+    val stream = StreamingQueries.eventsStream(spark, sf) // ts already µs Timestamp
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
       .as[(Long, Long)]
     val gapUs = 1800L * 1000000L
     val counted = stream.groupByKey(_._1)
@@ -107,22 +102,26 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming gates restore the nanosAsLong conf they set (no session leak)") {
-    // VERDICT r6 #5: the gates need the legacy nanos conf for the events
-    // scan but must not leave the session modified — a later query that
+    // VERDICT r6 #5 / r7 #3: the gates set the legacy nanos conf so a
+    // TIMESTAMP(NANOS) events generation reads (current µs data ignores
+    // it), but must not leave the session modified — a later query that
     // WANTS timestamp semantics for some other nanos parquet would be
-    // silently flipped. Tables.events (batch, lazy) still sets it at
-    // every call site, so gates restoring to "unset" costs nothing.
+    // silently flipped. The gate must succeed AND leave the conf exactly
+    // as the caller had it, whichever way the data was generated.
     val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = spark.conf.getOption(key)
+    // conf.getOption on a registered key returns its DEFAULT, never None,
+    // so "explicitly set" must be read off getAll (set entries only)
+    def explicitly = spark.conf.getAll.get(key)
+    val prev = explicitly
     try {
       val gate = graft.SparkEntry.queries("q70_stream_month_count")
       spark.conf.unset(key)
       assert(gate(spark, sf).count() > 0)
-      assert(spark.conf.getOption(key).isEmpty,
-        "gate left nanosAsLong set after running with it unset")
+      assert(explicitly.isEmpty,
+        "gate left nanosAsLong explicitly set after running with it unset")
       spark.conf.set(key, "false")
       assert(gate(spark, sf).count() > 0)
-      assert(spark.conf.getOption(key).contains("false"),
+      assert(explicitly.contains("false"),
         "gate did not restore the caller's explicit conf value")
     } finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
   }
