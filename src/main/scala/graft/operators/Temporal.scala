@@ -141,6 +141,52 @@ object Temporal extends QueryPack {
       .orderBy("stage")
   }
 
+  /** q165: MATCH_RECOGNIZE-style time-constrained funnel — the
+    * sequence-detection shape q130's regex-over-path can't express:
+    * each step must occur within a DEADLINE of the previous one.
+    * Semantics mirror `PATTERN (click -> view -> purchase)` with
+    * earliest-match / AFTER MATCH SKIP PAST LAST ROW: per user, the
+    * FIRST click, then the first view within 7 days AFTER that click,
+    * then the first purchase within 7 days after that view. Spark has
+    * no MATCH_RECOGNIZE; the portable plan is three chained conditional
+    * mins, each a groupBy on user_id. Aggregation state per user is a
+    * single timestamp per stage — never a collected path or a buffered
+    * partition, which is why this survives 100 TB clickstreams where
+    * q130's collect_list (or a window over the full user partition)
+    * would not. Each stage scans only its pushed-down event_type slice
+    * (plan audit: `PushedFilters: EqualTo(event_type, ...)`, 3-column
+    * ReadSchema); the tiny per-user stage frames (two longs per user)
+    * are eagerly checkpointed so their subtrees aren't recomputed where
+    * reused (the q169 baskets discipline) — exactly one scan per stage
+    * — and AQE broadcast-joins them back against the next slice. */
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    val stepUs = 7L * 86400L * 1000000L
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min("us").as("c_us"))
+      .localCheckpoint(true)
+    val views = ev.filter(col("event_type") === "view")
+      .join(clicks, "user_id")
+      .filter(col("us") > col("c_us") && col("us") <= col("c_us") + stepUs)
+      .groupBy("user_id").agg(min("us").as("v_us"))
+      .localCheckpoint(true)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .join(views, "user_id")
+      .filter(col("us") > col("v_us") && col("us") <= col("v_us") + stepUs)
+      .groupBy("user_id").agg(min("us").as("p_us"))
+    clicks
+      .join(views, Seq("user_id"), "left")
+      .join(purchases, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("p_us").isNotNull, "converted")
+          .when(col("v_us").isNotNull, "viewed")
+          .otherwise("clicked").as("stage"),
+        col("c_us"), col("v_us"), col("p_us"),
+        (col("p_us") - col("c_us")).as("convert_us"))
+      .orderBy("user_id")
+  }
+
   /** q140: cohort retention — the canonical product-analytics matrix.
     * The qualifying activity is the sparse high-value subset (value >
     * 190 — a pushed-down scan filter), because the fixture's users fire
@@ -392,6 +438,26 @@ object Temporal extends QueryPack {
         |  count(DISTINCT ev.user_id) AS n_users
         |FROM ev JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    Q("q165_funnel_deadline", q165, Some(
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |c AS (SELECT user_id, min(us) AS c_us FROM e
+        |      WHERE event_type = 'click' GROUP BY 1),
+        |v AS (SELECT e.user_id AS user_id, min(us) AS v_us
+        |      FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'view'
+        |        AND us > c_us AND us <= c_us + 604800000000
+        |      GROUP BY 1),
+        |p AS (SELECT e.user_id AS user_id, min(us) AS p_us
+        |      FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'purchase'
+        |        AND us > v_us AND us <= v_us + 604800000000
+        |      GROUP BY 1)
+        |SELECT c.user_id, CASE WHEN p_us IS NOT NULL THEN 'converted'
+        |    WHEN v_us IS NOT NULL THEN 'viewed'
+        |    ELSE 'clicked' END AS stage,
+        |  c_us, v_us, p_us, p_us - c_us AS convert_us
+        |FROM c LEFT JOIN v USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY user_id""".stripMargin)),
     Q("q130_funnel_pattern", q130, Some(
       """WITH p AS (
         |  SELECT user_id,
