@@ -250,6 +250,97 @@ object StreamingQueries extends QueryPack {
     out
   }
 
+  /** q173: stream-stream LEFT OUTER join — the surface q84's inner join
+    * cannot express: a purchase with NO click in its preceding hour must
+    * still emit, null-padded, and append mode only allows that emission
+    * once the watermark PROVES no matching click can still arrive (the
+    * outer-join state-eviction contract; matched rows emit immediately
+    * like the inner join). The raw sf dir is read-only, so the gate
+    * replays the day-shard dump (q118's, dump-once) and flushes with one
+    * sentinel purchase + one sentinel click far past the corpus: each
+    * side's event-time watermark only sees its OWN filtered slice, so
+    * BOTH sides need a sentinel for the global watermark to pass every
+    * real purchase's join window — after which the finite replay equals
+    * the batch LEFT JOIN exactly. Unmatched columns are coalesced to -1
+    * on both engines (NULL ordering differs between them; a sentinel
+    * value keeps the presentation sort engine-neutral). State at scale:
+    * left rows buffer until the watermark passes their event time, right
+    * rows until watermark passes event time + range — bounded by arrival
+    * rate × (delay + range), never by history. */
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    val shards = graft.operators.FileIO.scratch(dir, "events_stream_days_upsert")
+    if (!StreamingQueries.dumped.contains(shards)) {
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("us"))
+        .withColumn("day", from_unixtime(col("us") / 1000000L, "yyyy-MM-dd"))
+        .repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(shards)
+      StreamingQueries.dumped.add(shards)
+    }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("user_id", "long").add("event_id", "long").add("event_type", "string")
+      .add("value", "double").add("us", "long").add("day", "string")
+    def side(eventType: String, prefix: String) = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "12")
+      .parquet(shards)
+      // same bounded 50% user stratum as q84 (sentinel user -2 is even,
+      // so it passes the stratum and reaches the watermark operator)
+      .filter(col("event_type") === eventType && pmod(col("user_id"), lit(2)) === 0)
+      .select(col("user_id").as(s"${prefix}_user"),
+        expr("timestamp_micros(us)").as(s"${prefix}_ts"),
+        col("event_id").as(s"${prefix}_id"))
+      .withWatermark(s"${prefix}_ts", "2 hours")
+    val joined = side("purchase", "p").join(side("click", "c"),
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "leftOuter")
+    val name = "graft_q173_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val query =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "2")
+        joined.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(name)
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val maxUs = Tables.events(s, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val flushUs = maxUs + 42L * 86400L * 1000000L
+    val flushDay = java.time.Instant.ofEpochSecond(flushUs / 1000000L)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    val outDf =
+      try {
+        try {
+          query.processAllAvailable()
+          // one sentinel per SIDE: each watermark operator sits behind its
+          // event_type filter and only advances on rows it actually sees
+          s.createDataFrame(java.util.Arrays.asList(
+              org.apache.spark.sql.Row(-2L, -1L, "purchase", 0.0, flushUs, flushDay),
+              org.apache.spark.sql.Row(-2L, -2L, "click", 0.0, flushUs, flushDay)),
+            schema)
+            .write.mode("append").partitionBy("day").parquet(shards)
+          query.processAllAvailable()
+        } finally query.stop()
+        val result = s.table(name)
+          .filter(col("p_user") >= 0) // drop the sentinels' own emissions
+          .select(col("p_id"), coalesce(col("c_id"), lit(-1L)).as("c_id"),
+            coalesce(unix_micros(col("p_ts")) - unix_micros(col("c_ts")),
+              lit(-1L)).as("gap_us"))
+          .orderBy("p_id", "c_id")
+        val rows = result.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(s"$shards/day=$flushDay")
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    s.catalog.dropTempView(name)
+    outDf
+  }
+
   /** q100: streaming into a REAL file sink — the production shape the
     * memory-sink gates deliberately avoid: `writeStream.format("parquet")`
     * with a checkpoint location (exactly-once via the sink's file
@@ -781,6 +872,20 @@ object StreamingQueries extends QueryPack {
         |SELECT p.event_id AS p_id, c.event_id AS c_id,
         |  p.us - c.us AS gap_us
         |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.us >= p.us - 3600000000 AND c.us <= p.us
+        |ORDER BY p_id, c_id""".stripMargin)),
+    // q173's oracle is the plain batch LEFT JOIN: on a finite replay the
+    // watermark (pushed past every real join window by the sentinels)
+    // closes all real purchases, so matched + null-padded rows together
+    // equal batch semantics exactly.
+    Q("q173_stream_outer_join", q173, Some(
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+        |           WHERE event_type = 'purchase' AND user_id % 2 = 0),
+        |c AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+        |      WHERE event_type = 'click' AND user_id % 2 = 0)
+        |SELECT p.event_id AS p_id, coalesce(c.event_id, -1) AS c_id,
+        |  coalesce(p.us - c.us, -1) AS gap_us
+        |FROM p LEFT JOIN c ON p.user_id = c.user_id
         |  AND c.us >= p.us - 3600000000 AND c.us <= p.us
         |ORDER BY p_id, c_id""".stripMargin)),
     // q100's oracle is the plain batch aggregation: the file-sink stream

@@ -52,4 +52,26 @@ class StreamStreamJoinSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed === batch)
   }
+
+  test("left-outer stream-stream join emits null-padded rows after watermark flush") {
+    val got = graft.SparkEntry.queries("q173_stream_outer_join")(spark, sf)
+      .collect().map(_.toString).sorted
+    val ev = graft.sources.Tables.events(spark, sf)
+    def slice(t: String, p: String) = ev
+      .filter(col("event_type") === t && pmod(col("user_id"), lit(2)) === 0)
+      .select(col("user_id").as(s"${p}_user"),
+        unix_micros(col("ts")).as(s"${p}_us"), col("event_id").as(s"${p}_id"))
+    val batch = slice("purchase", "p").join(slice("click", "c"),
+        col("p_user") === col("c_user") &&
+          col("c_us") >= col("p_us") - 3600000000L &&
+          col("c_us") <= col("p_us"),
+        "leftOuter")
+      .select(col("p_id"), coalesce(col("c_id"), lit(-1L)).as("c_id"),
+        coalesce(col("p_us") - col("c_us"), lit(-1L)).as("gap_us"))
+      .collect().map(_.toString).sorted
+    assert(got === batch)
+    // the outer path must actually fire: some purchases have no click in
+    // range and surface only via watermark-driven state eviction
+    assert(got.exists(_.contains("-1")), "expected at least one null-padded row")
+  }
 }
