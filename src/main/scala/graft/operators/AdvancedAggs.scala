@@ -46,6 +46,43 @@ object AdvancedAggs extends QueryPack {
       .orderBy("l_returnflag")
   }
 
+  /** q174: typed `cogroup` — the Dataset-API two-sided per-key merge
+    * (KeyValueGroupedDataset.cogroup), the surface for arbitrary
+    * reconciliation logic that a SQL FULL OUTER JOIN of aggregates can
+    * only express when the merge is aggregatable. Per customer key:
+    * order count + first order day from one side, event count from the
+    * other, presence status from both. Both inputs shuffle ONCE on the
+    * key and arrive co-partitioned; the merge function holds O(1) state
+    * (counters and a running min — never a buffered group), and every
+    * accumulator is order-independent, so the gate is exact whatever
+    * iterator order the shuffle delivers. The oracle is the aggregatable
+    * projection of the same merge (FULL OUTER JOIN of two GROUP BYs). */
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+      .as[(Long, String)]
+    val events = Tables.events(s, dir).select(col("user_id")).as[Long]
+    orders.groupByKey(_._1).cogroup(events.groupByKey(identity)) { (k, os, es) =>
+      var nOrders = 0L
+      var firstD: String = null
+      os.foreach { case (_, d) =>
+        nOrders += 1
+        if (firstD == null || d < firstD) firstD = d
+      }
+      var nEvents = 0L
+      es.foreach(_ => nEvents += 1)
+      val status =
+        if (nOrders > 0 && nEvents > 0) "both"
+        else if (nOrders > 0) "orders_only"
+        else "events_only"
+      Iterator.single(
+        (k, nOrders, nEvents, if (firstD == null) "-" else firstD, status))
+    }.toDF("cust_key", "n_orders", "n_events", "first_order_d", "status")
+      .orderBy("cust_key")
+  }
+
   /** q39: exact interpolated percentiles (median, p90) per group. */
   private def q39(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -288,6 +325,21 @@ object AdvancedAggs extends QueryPack {
       """SELECT event_type, count(*) AS n,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q174_cogroup_reconcile", q174, Some(
+      """WITH o AS (SELECT o_custkey AS k, count(*) AS n_orders,
+        |             min(o_orderdate) AS first_d
+        |           FROM orders GROUP BY 1),
+        |e AS (SELECT user_id AS k, count(*) AS n_events
+        |      FROM events GROUP BY 1)
+        |SELECT coalesce(o.k, e.k) AS cust_key,
+        |  coalesce(n_orders, 0) AS n_orders,
+        |  coalesce(n_events, 0) AS n_events,
+        |  coalesce(strftime(first_d, '%Y-%m-%d'), '-') AS first_order_d,
+        |  CASE WHEN o.k IS NOT NULL AND e.k IS NOT NULL THEN 'both'
+        |       WHEN o.k IS NOT NULL THEN 'orders_only'
+        |       ELSE 'events_only' END AS status
+        |FROM o FULL OUTER JOIN e ON o.k = e.k
+        |ORDER BY cust_key""".stripMargin)),
     Q("q38_typed_aggregator", q38, Some(
       """SELECT l_returnflag,
         |  round((CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)) / count(*), 6) AS avg_qty
