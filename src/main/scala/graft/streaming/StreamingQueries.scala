@@ -775,6 +775,83 @@ object StreamingQueries extends QueryPack {
     out
   }
 
+  /** q175: streaming restart + exactly-once — the recovery contract every
+    * other streaming gate assumes but none exercises: a query is stopped
+    * PART-WAY through the corpus and a NEW query instance resumes from
+    * the same checkpoint over a grown source directory. The file source
+    * must replay nothing it already committed (offsets in the checkpoint
+    * WAL) and the file sink must surface each input row exactly once
+    * (manifest-based commit; an uncommitted in-flight batch from the
+    * stopped instance is invisible until re-emitted). The gate stages
+    * half the day shards, drains + stops, stages the rest, resumes, and
+    * aggregates the sink: count / distinct-id count / exact id sum per
+    * event type — duplicates and losses each break a different column,
+    * and all three must equal the batch aggregation over the full table.
+    * The pipeline itself is a stateless projection, so this isolates the
+    * source/sink transactional machinery from state-store semantics. */
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    val shards = graft.operators.FileIO.scratch(dir, "events_stream_days_upsert")
+    if (!StreamingQueries.dumped.contains(shards)) {
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("us"))
+        .withColumn("day", from_unixtime(col("us") / 1000000L, "yyyy-MM-dd"))
+        .repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(shards)
+      StreamingQueries.dumped.add(shards)
+    }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("user_id", "long").add("event_id", "long").add("event_type", "string")
+      .add("value", "double").add("us", "long").add("day", "string")
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val src = graft.operators.FileIO.scratch(dir, s"q175_src_$uid")
+    val sink = graft.operators.FileIO.scratch(dir, s"q175_sink_$uid")
+    val cp = graft.operators.FileIO.scratch(dir, s"q175_cp_$uid")
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(shards).getFileSystem(conf)
+    def rmrf(p: String): Unit = fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    val dayDirs = fs.listStatus(new org.apache.hadoop.fs.Path(shards))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("day="))
+      .map(_.getPath).sortBy(_.getName)
+    def stage(paths: Seq[org.apache.hadoop.fs.Path]): Unit = paths.foreach { p =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, p,
+        fs, new org.apache.hadoop.fs.Path(src, p.getName), false, conf)
+    }
+    def runInstance(): Unit = {
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val query =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "2")
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "4")
+            .parquet(src)
+            .select(col("event_id"), col("user_id"), col("event_type"))
+            .writeStream
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", cp)
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try query.processAllAvailable()
+      finally query.stop()
+    }
+    try {
+      val (firstHalf, secondHalf) = dayDirs.toSeq.splitAt(dayDirs.length / 2)
+      stage(firstHalf)
+      runInstance() // instance 1: commits the first half, then stops
+      stage(secondHalf)
+      runInstance() // instance 2: SAME checkpoint — must resume, not replay
+      val result = s.read.parquet(sink)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("n_distinct"),
+          sum(col("event_id")).as("id_sum"))
+        .orderBy("event_type")
+      val rows = result.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally { rmrf(src); rmrf(sink); rmrf(cp) }
+  }
+
   /** q71: session_window (30-minute gap) per user. */
   private def q71(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -894,6 +971,14 @@ object StreamingQueries extends QueryPack {
     Q("q100_stream_file_sink", q100, Some(
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    // q175's oracle is the batch aggregation over the FULL table: a
+    // replayed batch breaks n vs n_distinct, a lost batch breaks both
+    // counts, and id_sum pins exact content either way.
+    Q("q175_stream_restart", q175, Some(
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT event_id) AS n_distinct,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q125_transform_with_state", q125, Some(
       """SELECT user_id, count(*) AS n_events,
         |  CAST(sum(event_id) AS BIGINT) AS sum_event_ids,
