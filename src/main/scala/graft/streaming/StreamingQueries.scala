@@ -852,6 +852,62 @@ object StreamingQueries extends QueryPack {
     } finally { rmrf(src); rmrf(sink); rmrf(cp) }
   }
 
+  /** q176: `Trigger.AvailableNow` — the production batch-drain trigger
+    * (periodic backfill / catch-up jobs): the query plans the snapshot of
+    * available files at start, consumes it in rate-limited micro-batches
+    * (maxFilesPerTrigger still applies, unlike the deprecated Trigger.Once
+    * which gulped everything in one batch), and TERMINATES ITSELF. Every
+    * other gate drains via processAllAvailable — a test API that leaves
+    * the query running; this one must come to a clean self-stop, which
+    * the gate enforces with a bounded awaitTermination. Aggregation is
+    * the exact-DECIMAL per-type stats, oracled against the batch table. */
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact.dec
+    val shards = graft.operators.FileIO.scratch(dir, "events_stream_days_upsert")
+    if (!StreamingQueries.dumped.contains(shards)) {
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("us"))
+        .withColumn("day", from_unixtime(col("us") / 1000000L, "yyyy-MM-dd"))
+        .repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(shards)
+      StreamingQueries.dumped.add(shards)
+    }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("user_id", "long").add("event_id", "long").add("event_type", "string")
+      .add("value", "double").add("us", "long").add("day", "string")
+    val agg = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "8") // several planned batches
+      .parquet(shards)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec(col("value"))).cast("double"), 2).as("sum_value"))
+    val name = "graft_q176_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val query =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "2")
+        agg.writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(name)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try {
+      // AvailableNow's contract IS self-termination — a hang here is a
+      // correctness failure, not a timing flake, so fail loudly
+      if (!query.awaitTermination(300000L))
+        sys.error("q176: AvailableNow query did not self-terminate")
+    } finally query.stop()
+    val result = s.table(name).orderBy("event_type")
+    val rows = result.collect()
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
+    s.catalog.dropTempView(name)
+    out
+  }
+
   /** q71: session_window (30-minute gap) per user. */
   private def q71(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -978,6 +1034,11 @@ object StreamingQueries extends QueryPack {
       """SELECT event_type, count(*) AS n,
         |  count(DISTINCT event_id) AS n_distinct,
         |  CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q176_trigger_available_now", q176, Some(
+      """SELECT event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q125_transform_with_state", q125, Some(
       """SELECT user_id, count(*) AS n_events,
