@@ -737,7 +737,10 @@ object StreamingQueries extends QueryPack {
     // drain parallelism) to this finite replay and restore after
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProv = s.conf.getOption(provKey)
+    // getAll, not getOption: the provider key is a registered conf, so
+    // getOption returns its DEFAULT and a restore from it would pin the
+    // default as an explicit session entry (same trap as withNanosAsLong)
+    val prevProv = s.conf.getAll.get(provKey)
     val query =
       try {
         s.conf.set("spark.sql.shuffle.partitions", "2")
