@@ -911,6 +911,62 @@ object StreamingQueries extends QueryPack {
     out
   }
 
+  /** q177: the BUILT-IN session_window running as a STREAM — the third
+    * corner of the sessionization triangle: q71 gates the built-in in
+    * batch, q87 gates hand-rolled streaming session state
+    * (flatMapGroupsWithState), and this gates Spark's own streaming
+    * session operator (MergingSessionsExec: per-key session state that
+    * merges across micro-batches as gaps close). Multi-batch replay via
+    * the day-shard dump (maxFilesPerTrigger), complete output mode so
+    * every session — open or closed — surfaces without sentinel flushing;
+    * the result must equal the batch session_window computation exactly
+    * (same oracle as q71/q87). At scale the state is open sessions per
+    * key (watermark-evicted in the append-mode production form), and the
+    * operator's merge is the engine-maintained version of q87's interval
+    * glue. */
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    val shards = graft.operators.FileIO.scratch(dir, "events_stream_days")
+    if (!StreamingQueries.dumped.contains(shards)) {
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("day", from_unixtime(col("us") / 1000000L, "yyyy-MM-dd"))
+        .repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(shards)
+      StreamingQueries.dumped.add(shards)
+    }
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("user_id", "long").add("us", "long").add("day", "string")
+    val agg = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "12") // sessions must merge across batches
+      .parquet(shards)
+      .withColumn("ts", expr("timestamp_micros(us)"))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"))
+    val name = "graft_q177_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val query =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "2")
+        agg.writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(name)
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try query.processAllAvailable()
+    finally query.stop()
+    val result = s.table(name).orderBy("user_id", "start_us")
+    val rows = result.collect()
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
+    s.catalog.dropTempView(name)
+    out
+  }
+
   /** q71: session_window (30-minute gap) per user. */
   private def q71(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -971,6 +1027,24 @@ object StreamingQueries extends QueryPack {
       """SELECT event_type, strftime(ts, '%Y-%m') AS month, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     Q("q71_session_window", q71, Some(
+      """WITH t AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CASE WHEN us - lag(us) OVER w >= 1800000000 THEN 1
+        |         WHEN lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+        |), s AS (
+        |  SELECT user_id, us,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM t
+        |)
+        |SELECT user_id, min(us) AS start_us,
+        |  max(us) + 1800000000 AS end_us, count(*) AS n_events
+        |FROM s GROUP BY user_id, session_no ORDER BY user_id, start_us""".stripMargin)),
+    // q177's oracle is the identical gap-merge as q71/q87: streaming
+    // session merging across micro-batches must land on the batch result.
+    Q("q177_stream_session_window", q177, Some(
       """WITH t AS (
         |  SELECT user_id, epoch_us(ts) AS us,
         |    CASE WHEN us - lag(us) OVER w >= 1800000000 THEN 1
