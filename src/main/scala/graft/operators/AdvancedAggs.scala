@@ -83,6 +83,38 @@ object AdvancedAggs extends QueryPack {
       .orderBy("cust_key")
   }
 
+  /** q178: `flatMapSortedGroups` — the engine-provided secondary sort
+    * (Spark 4 typed API): values arrive at the user function ORDERED
+    * within each key, with the sort done by the engine's spillable
+    * SortExec rather than a user-space buffer. The manual form of this
+    * pattern is gated as q123 (repartition + sortWithinPartitions + a
+    * mapPartitions run-fold); this is its typed-API twin, and the state
+    * story is identical: one accumulator per open group, never the
+    * group's history — the fold reads each value once in order. Gate:
+    * per-user maximum inter-event gap (sentinel -1 for single-event
+    * users), a computation that is only correct if the engine really
+    * delivers rows in the requested (us, event_id) order. */
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("us"), col("event_id")) { (user, it) =>
+        var prev = Long.MinValue
+        var maxGap = -1L
+        var n = 0L
+        it.foreach { case (_, us, _) =>
+          if (prev != Long.MinValue) maxGap = math.max(maxGap, us - prev)
+          prev = us
+          n += 1
+        }
+        Iterator.single((user, n, maxGap))
+      }
+      .toDF("user_id", "n_events", "max_gap_us")
+      .orderBy("user_id")
+  }
+
   /** q39: exact interpolated percentiles (median, p90) per group. */
   private def q39(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -325,6 +357,15 @@ object AdvancedAggs extends QueryPack {
       """SELECT event_type, count(*) AS n,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q178_sorted_groups_gap", q178, Some(
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events,
+        |  coalesce(max(gap), -1) AS max_gap_us
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q174_cogroup_reconcile", q174, Some(
       """WITH o AS (SELECT o_custkey AS k, count(*) AS n_orders,
         |             min(o_orderdate) AS first_d
