@@ -83,6 +83,26 @@ object AdvancedAggs extends QueryPack {
       .orderBy("cust_key")
   }
 
+  /** q179: the typed Aggregator registered as a SQL-callable UDAF —
+    * `functions.udaf` wraps q38's CentAvg so plain SQL text can call it
+    * like a builtin. Registration compiles to a ScalaAggregator
+    * expression that still PARTIALLY AGGREGATES map-side (reduce/merge
+    * are the partial/merge phases), so the SQL path pays no performance
+    * tax over the typed path — shuffle volume stays O(groups). Gate runs
+    * the aggregation entirely through `spark.sql(...)` over a temp view
+    * and must equal q38's typed result (same oracle). */
+  private def q179(s: SparkSession, dir: String): DataFrame = {
+    s.udf.register("graft_cent_avg", udaf(CentAvg))
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity"))
+      .createOrReplaceTempView("graft_q179_lineitem")
+    s.sql(
+      """SELECT l_returnflag,
+        |  round(graft_cent_avg(l_quantity), 6) AS avg_qty
+        |FROM graft_q179_lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   /** q178: `flatMapSortedGroups` — the engine-provided secondary sort
     * (Spark 4 typed API): values arrive at the user function ORDERED
     * within each key, with the sort done by the engine's spillable
@@ -357,6 +377,12 @@ object AdvancedAggs extends QueryPack {
       """SELECT event_type, count(*) AS n,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    // q179 shares q38's oracle: the SQL-registered UDAF must agree with
+    // the typed Aggregator exactly.
+    Q("q179_sql_udaf", q179, Some(
+      """SELECT l_returnflag,
+        |  round((CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)) / count(*), 6) AS avg_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q178_sorted_groups_gap", q178, Some(
       """WITH g AS (
         |  SELECT user_id, epoch_us(ts) AS us,
