@@ -967,6 +967,39 @@ object StreamingQueries extends QueryPack {
     out
   }
 
+  /** q180: UNION of two streams — one streaming query over TWO sources
+    * (each a filtered file stream on its own offsets, tracked separately
+    * in the shared checkpoint): the combining-feeds production shape.
+    * Catalyst plans one query with two source legs; progress reporting,
+    * recovery, and the complete-mode aggregation all span both. The two
+    * legs deliberately select DIFFERENT slices of the same table so a
+    * leg-drop or double-replay of either side breaks a different output
+    * row; result ≡ the batch union oracle. */
+  private def q180(s: SparkSession, dir: String): DataFrame = withNanosAsLong(s) {
+    import graft.functions.Exact.dec
+    def leg(eventType: String, tag: String) = eventsStream(s, dir)
+      .filter(col("event_type") === eventType)
+      .select(col("event_id"), lit(tag).as("side"), col("value"))
+    val unioned = leg("click", "c").union(leg("purchase", "p"))
+      .groupBy("side")
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec(col("value"))).cast("double"), 2).as("sum_value"))
+    val name = "graft_q180_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = unioned.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+    val result = s.table(name).orderBy("side")
+    val rows = result.collect()
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
+    s.catalog.dropTempView(name)
+    out
+  }
+
   /** q71: session_window (30-minute gap) per user. */
   private def q71(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -1060,6 +1093,13 @@ object StreamingQueries extends QueryPack {
         |SELECT user_id, min(us) AS start_us,
         |  max(us) + 1800000000 AS end_us, count(*) AS n_events
         |FROM s GROUP BY user_id, session_no ORDER BY user_id, start_us""".stripMargin)),
+    Q("q180_stream_union", q180, Some(
+      """SELECT CASE event_type WHEN 'click' THEN 'c' ELSE 'p' END AS side,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS sum_value
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q78_stream_dedup", q78, Some(
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
