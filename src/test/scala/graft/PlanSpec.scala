@@ -143,10 +143,12 @@ class PlanSpec extends AnyFunSuite {
       "q120_length_ntile", "q129_bpe_merges", "q139_triangle_count",
       "q150_bpe_encode", "q151_hll_sketch", "q153_perplexity",
       "q169_basket_lift")
-    // Streaming queries execute a full drain in fn(); their batch-side
+    // Streaming queries execute a full drain in fn() and return a
+    // collected local frame whose "plan" pins nothing; their batch-side
     // shapes are pinned by their own specs — skip the expensive drains.
     val skip = SparkEntry.all.map(_.name).filter(_.matches(
-      "q70_.*|q71_.*|q78_.*|q84_.*|q87_.*|q100_.*|q106_.*|q109_.*|q118_.*|q125_.*")).toSet
+      "q70_.*|q71_.*|q78_.*|q84_.*|q87_.*|q100_.*|q106_.*|q109_.*|q118_.*|q125_.*" +
+        "|q168_.*|q173_.*|q175_.*|q176_.*|q177_.*|q180_.*")).toSet
     for (q <- SparkEntry.all.map(_.name) if !exempt(q) && !skip(q)) {
       val plan = SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
