@@ -144,10 +144,13 @@ object Temporal extends QueryPack {
   /** q165: MATCH_RECOGNIZE-style time-constrained funnel — the
     * sequence-detection shape q130's regex-over-path can't express:
     * each step must occur within a DEADLINE of the previous one.
-    * Semantics mirror `PATTERN (click -> view -> purchase)` with
-    * earliest-match / AFTER MATCH SKIP PAST LAST ROW: per user, the
-    * FIRST click, then the first view within 7 days AFTER that click,
-    * then the first purchase within 7 days after that view. Spark has
+    * Semantics: per user, the FIRST click, then the first view within 7
+    * days AFTER that click, then the first purchase within 7 days after
+    * that view — anchored at the first click with NO backtracking to
+    * later clicks (the product-analytics attribution convention; a full
+    * MATCH_RECOGNIZE would retry the pattern from each row, which at
+    * clickstream scale is exactly the per-row fan-out this formulation
+    * avoids). Spark has
     * no MATCH_RECOGNIZE; the portable plan is three chained conditional
     * mins, each a groupBy on user_id. Aggregation state per user is a
     * single timestamp per stage — never a collected path or a buffered
