@@ -272,7 +272,37 @@ object ScalarFunctions extends QueryPack {
       .orderBy("vec_id")
   }
 
+  /** q181: COLUMN-level CSV serde — `to_csv` renders a struct to one CSV
+    * line (quoting fields that contain the delimiter), `from_csv` parses
+    * it back against an explicit DDL schema. This is the in-row cousin of
+    * the file-level CSV gates (q145 quoted files, q162 PERMISSIVE): the
+    * shape used when a CSV payload travels INSIDE a column (message
+    * queues, log envelopes). The note field embeds a comma so the
+    * round-trip genuinely exercises quote-and-unquote, not just happy-path
+    * splitting; emitted values must equal the pre-serde originals, which
+    * is exactly what the oracle computes directly. Map-only, codegen'd,
+    * no shuffle beyond the presentation sort. */
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    val ddl = "k BIGINT, seg STRING, note STRING"
+    Tables.customer(s, dir)
+      .select(to_csv(struct(
+        col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"),
+        concat(col("c_name"), lit(", segment "), col("c_mktsegment"))
+          .as("note"))).as("line"))
+      .select(from_csv(col("line"),
+        org.apache.spark.sql.types.StructType.fromDDL(ddl),
+        Map.empty[String, String]).as("p"))
+      .select(col("p.k").as("k"), col("p.seg").as("seg"),
+        col("p.note").as("note"))
+      .orderBy("k")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q181_csv_column_serde", q181, Some(
+      """SELECT c_custkey AS k, c_mktsegment AS seg,
+        |  c_name || ', segment ' || c_mktsegment AS note
+        |FROM customer ORDER BY k""".stripMargin)),
     Q("q127_explode_outer", q127, Some(
       """WITH a AS (
         |  SELECT doc_id,
