@@ -37,10 +37,19 @@ object Bench {
     // query's whole-stage-codegen once, so measured numbers reflect
     // steady-state execution, not first-run JIT (which otherwise lands on
     // arbitrary queries and dominates run-to-run variance).
+    // optional selection (comma-separated regexes over query names) for
+    // targeted runs: smoke-testing a touched gate, or the SCALING.md
+    // sf-step measurements — the driver never sets it, so the per-round
+    // bench is always the full set
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSeq.filter(_.nonEmpty))
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.matches))
     val warmDir = new java.io.File(sfDir).getParent + "/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        if (selected(name))
+          try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     }
     // free leaked cache/localCheckpoint blocks between queries (outside
@@ -58,6 +67,7 @@ object Bench {
     // minutes apart so the median rejects any spike shorter than a pass.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => selected(name) }
     val samples = (1 to repeats).flatMap { _ =>
       named.map { case (name, fn) =>
         val t0 = System.nanoTime()

@@ -96,11 +96,17 @@ object AdvancedAggs extends QueryPack {
     Tables.lineitem(s, dir)
       .select(col("l_returnflag"), col("l_quantity"))
       .createOrReplaceTempView("graft_q179_lineitem")
-    s.sql(
+    val result = s.sql(
       """SELECT l_returnflag,
         |  round(graft_cent_avg(l_quantity), 6) AS avg_qty
         |FROM graft_q179_lineitem
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    // materialize (3 rows) so the temp view can be dropped — same
+    // leave-the-session-pristine discipline as the memory-sink gates
+    // (createOrReplaceTempView already makes reruns safe)
+    val rows = result.collect()
+    s.catalog.dropTempView("graft_q179_lineitem")
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
 
   /** q178: `flatMapSortedGroups` — the engine-provided secondary sort

@@ -23,9 +23,73 @@ import org.apache.spark.sql.functions._
   */
 object StreamingQueries extends QueryPack {
 
-  /** Process-local record of q87 day-shard dumps (see q87). */
+  /** Process-local record of day-shard dumps (see [[dumpDayShards]]). */
   private val dumped =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** The three day-shard dump layouts, keyed by scratch-dir name: the
+    * events-table columns each replay family needs (`us` is derived as
+    * `unix_micros(ts)`). Writers ([[dumpDayShards]]) and readers
+    * ([[dayShardSchema]]) both derive from this one table, so the
+    * partitioned-parquet schema can never drift between the gates that
+    * share a dump (q118/q125/q173/q175/q176 share the full layout,
+    * q87/q177 the user layout, q100 the typed layout). */
+  private val dayShardLayouts: Map[String, Seq[(String, String)]] = Map(
+    "events_stream_days_upsert" -> Seq("user_id" -> "long",
+      "event_id" -> "long", "event_type" -> "string", "value" -> "double",
+      "us" -> "long"),
+    "events_stream_days" -> Seq("user_id" -> "long", "us" -> "long"),
+    "events_stream_days_typed" -> Seq("event_type" -> "string", "us" -> "long"))
+
+  /** Reader-side schema for a dump layout: the projected columns plus the
+    * `day` partition column. */
+  private def dayShardSchema(layout: String): org.apache.spark.sql.types.StructType =
+    (dayShardLayouts(layout) :+ ("day" -> "string"))
+      .foldLeft(new org.apache.spark.sql.types.StructType()) {
+        case (st, (n, t)) => st.add(n, t)
+      }
+
+  /** Remove every scratch path, attempting EACH delete even when an
+    * earlier one throws (so one failure can't leak the rest), then
+    * rethrow the first failure: a silently-leaked sentinel day inside a
+    * shared shard dump would corrupt later gates' replays, and for plain
+    * scratch dirs the rethrow surfaces the disk problem. */
+  private def rmrfAll(s: SparkSession, paths: String*): Unit = {
+    val failures = paths.flatMap { p =>
+      scala.util.Try {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      }.failed.toOption
+    }
+    failures.headOption.foreach(throw _)
+  }
+
+  /** Dump the events table once per process into a day-partitioned
+    * scratch dir — one file per day so the file source (with
+    * `maxFilesPerTrigger`) can deliver a genuinely incremental
+    * multi-batch replay. The cache is process-local on purpose: a fresh
+    * process always rewrites, so a regenerated source table can never be
+    * shadowed by a stale on-disk dump from an earlier run. Two gates
+    * (q87, q173) append sentinel day-shards to their dump and restore it
+    * to pristine state in a `finally` — safe only because the gates run
+    * sequentially on the session (see [[withNanosAsLong]]'s note).
+    * Returns the dump path. */
+  private def dumpDayShards(s: SparkSession, dir: String,
+      layout: String): String = {
+    val shards = graft.operators.FileIO.scratch(dir, layout)
+    if (!dumped.contains(shards)) {
+      val cols = dayShardLayouts(layout).map {
+        case ("us", _) => unix_micros(col("ts")).as("us")
+        case (n, _) => col(n)
+      }
+      Tables.events(s, dir).select(cols: _*)
+        .withColumn("day", from_unixtime(col("us") / 1000000L, "yyyy-MM-dd"))
+        .repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(shards)
+      dumped.add(shards)
+    }
+    shards
+  }
 
   /** Run `body` with the legacy nanos-as-long parquet conf set (needed
     * only when the driver-generated events table stores TIMESTAMP(NANOS);
@@ -268,19 +332,8 @@ object StreamingQueries extends QueryPack {
     * rows until watermark passes event time + range — bounded by arrival
     * rate × (delay + range), never by history. */
   private def q173(s: SparkSession, dir: String): DataFrame = {
-    val shards = graft.operators.FileIO.scratch(dir, "events_stream_days_upsert")
-    if (!StreamingQueries.dumped.contains(shards)) {
-      Tables.events(s, dir)
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          col("value"), unix_micros(col("ts")).as("us"))
-        .withColumn("day", from_unixtime(col("us") / 1000000L, "yyyy-MM-dd"))
-        .repartition(col("day"))
-        .write.mode("overwrite").partitionBy("day").parquet(shards)
-      StreamingQueries.dumped.add(shards)
-    }
-    val schema = new org.apache.spark.sql.types.StructType()
-      .add("user_id", "long").add("event_id", "long").add("event_type", "string")
-      .add("value", "double").add("us", "long").add("day", "string")
+    val shards = dumpDayShards(s, dir, "events_stream_days_upsert")
+    val schema = dayShardSchema("events_stream_days_upsert")
     def side(eventType: String, prefix: String) = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "12")
       .parquet(shards)
@@ -310,8 +363,12 @@ object StreamingQueries extends QueryPack {
     val maxUs = Tables.events(s, dir)
       .agg(max(unix_micros(col("ts")))).head().getLong(0)
     val flushUs = maxUs + 42L * 86400L * 1000000L
-    val flushDay = java.time.Instant.ofEpochSecond(flushUs / 1000000L)
-      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    val flush2Us = flushUs + 86400L * 1000000L
+    def dayOf(us: Long): String = java.time.Instant
+      .ofEpochSecond(us / 1000000L).atZone(java.time.ZoneOffset.UTC)
+      .toLocalDate.toString
+    val flushDay = dayOf(flushUs)
+    val flush2Day = dayOf(flush2Us)
     val outDf =
       try {
         try {
@@ -324,6 +381,18 @@ object StreamingQueries extends QueryPack {
             schema)
             .write.mode("append").partitionBy("day").parquet(shards)
           query.processAllAvailable()
+          // null-padded outer rows evict in a batch AFTER the one that
+          // advanced the watermark; today that is Spark's no-data
+          // micro-batch (noDataMicroBatches.enabled, default on). Don't
+          // rest on that conf: a second trivial flush row (filtered out
+          // by both sides, so it shifts no watermark) forces one more
+          // REAL micro-batch whose state eviction emits any remaining
+          // outer rows — q87's append-drain-append-drain discipline.
+          s.createDataFrame(java.util.Arrays.asList(
+              org.apache.spark.sql.Row(-3L, -3L, "flush", 0.0, flush2Us, flush2Day)),
+            schema)
+            .write.mode("append").partitionBy("day").parquet(shards)
+          query.processAllAvailable()
         } finally query.stop()
         val result = s.table(name)
           .filter(col("p_user") >= 0) // drop the sentinels' own emissions
@@ -333,10 +402,8 @@ object StreamingQueries extends QueryPack {
           .orderBy("p_id", "c_id")
         val rows = result.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
-      } finally {
-        val p = new org.apache.hadoop.fs.Path(s"$shards/day=$flushDay")
-        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      }
+      } finally rmrfAll(s,
+        Seq(flushDay, flush2Day).distinct.map(d => s"$shards/day=$d"): _*)
     s.catalog.dropTempView(name)
     outDf
   }
@@ -364,17 +431,8 @@ object StreamingQueries extends QueryPack {
   private def q100(s: SparkSession, dir: String): DataFrame = {
     // day shards carrying (event_type, us), partitioned by day — richer
     // than q87's (user_id, us) shards, same dump-once contract
-    val shards = graft.operators.FileIO.scratch(dir, "events_stream_days_typed")
-    if (!StreamingQueries.dumped.contains(shards)) {
-      Tables.events(s, dir)
-        .select(col("event_type"), unix_micros(col("ts")).as("us"))
-        .withColumn("day", from_unixtime(col("us") / 1000000L, "yyyy-MM-dd"))
-        .repartition(col("day"))
-        .write.mode("overwrite").partitionBy("day").parquet(shards)
-      StreamingQueries.dumped.add(shards)
-    }
-    val schema = new org.apache.spark.sql.types.StructType()
-      .add("event_type", "string").add("us", "long").add("day", "string")
+    val shards = dumpDayShards(s, dir, "events_stream_days_typed")
+    val schema = dayShardSchema("events_stream_days_typed")
     val uid = java.util.UUID.randomUUID().toString.replace("-", "")
     val sinkOut = graft.operators.FileIO.scratch(dir, s"q100_sink_$uid")
     val cp = graft.operators.FileIO.scratch(dir, s"q100_cp_$uid")
@@ -407,11 +465,6 @@ object StreamingQueries extends QueryPack {
     val flushUs = maxUs + 42L * 86400L * 1000000L
     val flushDay = java.time.Instant.ofEpochSecond(flushUs / 1000000L)
       .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
-    def rmrf(path: String): Unit = {
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    }
     // everything past this point cleans up in the finally — especially
     // the sentinel's day partition, so a failed drain can never leave a
     // stale sentinel inside the cached shard dump for later runs
@@ -433,9 +486,7 @@ object StreamingQueries extends QueryPack {
       // of the dump stays pristine and cached for repeated passes — same
       // reuse contract as the layouts)
       s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
-    } finally {
-      rmrf(sinkOut); rmrf(cp); rmrf(s"$shards/day=$flushDay")
-    }
+    } finally rmrfAll(s, sinkOut, cp, s"$shards/day=$flushDay")
   }
 
   /** State rows remaining after the most recent q87 drain, read off the
@@ -477,22 +528,8 @@ object StreamingQueries extends QueryPack {
     val dayUs = 86400L * 1000000L
     // shard by day, one file per day dir, so the file source can deliver
     // a genuinely incremental replay
-    val out = graft.operators.FileIO.scratch(dir, "events_stream_days")
-    // the day-shard dump is deterministic input preparation — write it
-    // once PER JVM per sf dir and reuse across repeated bench passes.
-    // The cache is process-local on purpose: a fresh process always
-    // rewrites, so a regenerated source table can never be shadowed by
-    // a stale on-disk dump from an earlier run.
-    if (!StreamingQueries.dumped.contains(out)) {
-      Tables.events(s, dir)
-        .select(col("user_id"), unix_micros(col("ts")).as("us"))
-        .withColumn("day", from_unixtime(col("us") / 1000000L, "yyyy-MM-dd"))
-        .repartition(col("day"))
-        .write.mode("overwrite").partitionBy("day").parquet(out)
-      StreamingQueries.dumped.add(out)
-    }
-    val schema = new org.apache.spark.sql.types.StructType()
-      .add("user_id", "long").add("us", "long").add("day", "string")
+    val out = dumpDayShards(s, dir, "events_stream_days")
+    val schema = dayShardSchema("events_stream_days")
     // the watermarked ts column must ride into the stateful operator's
     // input (the event-time-timeout check reads the watermark metadata
     // off the child's output attributes), so keep it alongside us
@@ -577,12 +614,8 @@ object StreamingQueries extends QueryPack {
           .orderBy("user_id", "start_us")
         val rows = result.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
-      } finally {
-        Seq(dayOf(flush1Us), dayOf(flush2Us)).distinct.foreach { d =>
-          val p = new org.apache.hadoop.fs.Path(s"$out/day=$d")
-          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-        }
-      }
+      } finally rmrfAll(s,
+        Seq(dayOf(flush1Us), dayOf(flush2Us)).distinct.map(d => s"$out/day=$d"): _*)
     s.catalog.dropTempView(name)
     outDf
   }
@@ -617,19 +650,8 @@ object StreamingQueries extends QueryPack {
       col("m.last_value").as("last_value"))
 
   private def q118(s: SparkSession, dir: String): DataFrame = {
-    val shards = graft.operators.FileIO.scratch(dir, "events_stream_days_upsert")
-    if (!StreamingQueries.dumped.contains(shards)) {
-      Tables.events(s, dir)
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          col("value"), unix_micros(col("ts")).as("us"))
-        .withColumn("day", from_unixtime(col("us") / 1000000L, "yyyy-MM-dd"))
-        .repartition(col("day"))
-        .write.mode("overwrite").partitionBy("day").parquet(shards)
-      StreamingQueries.dumped.add(shards)
-    }
-    val schema = new org.apache.spark.sql.types.StructType()
-      .add("user_id", "long").add("event_id", "long").add("event_type", "string")
-      .add("value", "double").add("us", "long").add("day", "string")
+    val shards = dumpDayShards(s, dir, "events_stream_days_upsert")
+    val schema = dayShardSchema("events_stream_days_upsert")
     val uid = java.util.UUID.randomUUID().toString.replace("-", "")
     val target = graft.operators.FileIO.scratch(dir, s"q118_target_$uid")
     val tmp = graft.operators.FileIO.scratch(dir, s"q118_tmp_$uid")
@@ -676,7 +698,7 @@ object StreamingQueries extends QueryPack {
         .orderBy("user_id")
       val rows = result.collect()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
-    } finally { rmrf(target); rmrf(tmp); rmrf(cp) }
+    } finally rmrfAll(s, target, tmp, cp)
   }
 
   /** q125: `transformWithState` — Spark 4's arbitrary-state API (the
@@ -693,19 +715,8 @@ object StreamingQueries extends QueryPack {
   private def q125(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
-    val shards = graft.operators.FileIO.scratch(dir, "events_stream_days_upsert")
-    if (!StreamingQueries.dumped.contains(shards)) {
-      Tables.events(s, dir)
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          col("value"), unix_micros(col("ts")).as("us"))
-        .withColumn("day", from_unixtime(col("us") / 1000000L, "yyyy-MM-dd"))
-        .repartition(col("day"))
-        .write.mode("overwrite").partitionBy("day").parquet(shards)
-      StreamingQueries.dumped.add(shards)
-    }
-    val schema = new org.apache.spark.sql.types.StructType()
-      .add("user_id", "long").add("event_id", "long").add("event_type", "string")
-      .add("value", "double").add("us", "long").add("day", "string")
+    val shards = dumpDayShards(s, dir, "events_stream_days_upsert")
+    val schema = dayShardSchema("events_stream_days_upsert")
     val processor =
       new StatefulProcessor[Long, (Long, Long), (Long, Long, Long, Long, Long)] {
         @transient private var st: ValueState[(Long, Long, Long, Long)] = _
@@ -793,26 +804,14 @@ object StreamingQueries extends QueryPack {
     * The pipeline itself is a stateless projection, so this isolates the
     * source/sink transactional machinery from state-store semantics. */
   private def q175(s: SparkSession, dir: String): DataFrame = {
-    val shards = graft.operators.FileIO.scratch(dir, "events_stream_days_upsert")
-    if (!StreamingQueries.dumped.contains(shards)) {
-      Tables.events(s, dir)
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          col("value"), unix_micros(col("ts")).as("us"))
-        .withColumn("day", from_unixtime(col("us") / 1000000L, "yyyy-MM-dd"))
-        .repartition(col("day"))
-        .write.mode("overwrite").partitionBy("day").parquet(shards)
-      StreamingQueries.dumped.add(shards)
-    }
-    val schema = new org.apache.spark.sql.types.StructType()
-      .add("user_id", "long").add("event_id", "long").add("event_type", "string")
-      .add("value", "double").add("us", "long").add("day", "string")
+    val shards = dumpDayShards(s, dir, "events_stream_days_upsert")
+    val schema = dayShardSchema("events_stream_days_upsert")
     val uid = java.util.UUID.randomUUID().toString.replace("-", "")
     val src = graft.operators.FileIO.scratch(dir, s"q175_src_$uid")
     val sink = graft.operators.FileIO.scratch(dir, s"q175_sink_$uid")
     val cp = graft.operators.FileIO.scratch(dir, s"q175_cp_$uid")
     val conf = s.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(shards).getFileSystem(conf)
-    def rmrf(p: String): Unit = fs.delete(new org.apache.hadoop.fs.Path(p), true)
     val dayDirs = fs.listStatus(new org.apache.hadoop.fs.Path(shards))
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("day="))
       .map(_.getPath).sortBy(_.getName)
@@ -852,7 +851,7 @@ object StreamingQueries extends QueryPack {
         .orderBy("event_type")
       val rows = result.collect()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
-    } finally { rmrf(src); rmrf(sink); rmrf(cp) }
+    } finally rmrfAll(s, src, sink, cp)
   }
 
   /** q176: `Trigger.AvailableNow` — the production batch-drain trigger
@@ -866,19 +865,8 @@ object StreamingQueries extends QueryPack {
     * the exact-DECIMAL per-type stats, oracled against the batch table. */
   private def q176(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Exact.dec
-    val shards = graft.operators.FileIO.scratch(dir, "events_stream_days_upsert")
-    if (!StreamingQueries.dumped.contains(shards)) {
-      Tables.events(s, dir)
-        .select(col("user_id"), col("event_id"), col("event_type"),
-          col("value"), unix_micros(col("ts")).as("us"))
-        .withColumn("day", from_unixtime(col("us") / 1000000L, "yyyy-MM-dd"))
-        .repartition(col("day"))
-        .write.mode("overwrite").partitionBy("day").parquet(shards)
-      StreamingQueries.dumped.add(shards)
-    }
-    val schema = new org.apache.spark.sql.types.StructType()
-      .add("user_id", "long").add("event_id", "long").add("event_type", "string")
-      .add("value", "double").add("us", "long").add("day", "string")
+    val shards = dumpDayShards(s, dir, "events_stream_days_upsert")
+    val schema = dayShardSchema("events_stream_days_upsert")
     val agg = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "8") // several planned batches
       .parquet(shards)
@@ -925,17 +913,8 @@ object StreamingQueries extends QueryPack {
     * operator's merge is the engine-maintained version of q87's interval
     * glue. */
   private def q177(s: SparkSession, dir: String): DataFrame = {
-    val shards = graft.operators.FileIO.scratch(dir, "events_stream_days")
-    if (!StreamingQueries.dumped.contains(shards)) {
-      Tables.events(s, dir)
-        .select(col("user_id"), unix_micros(col("ts")).as("us"))
-        .withColumn("day", from_unixtime(col("us") / 1000000L, "yyyy-MM-dd"))
-        .repartition(col("day"))
-        .write.mode("overwrite").partitionBy("day").parquet(shards)
-      StreamingQueries.dumped.add(shards)
-    }
-    val schema = new org.apache.spark.sql.types.StructType()
-      .add("user_id", "long").add("us", "long").add("day", "string")
+    val shards = dumpDayShards(s, dir, "events_stream_days")
+    val schema = dayShardSchema("events_stream_days")
     val agg = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "12") // sessions must merge across batches
       .parquet(shards)
