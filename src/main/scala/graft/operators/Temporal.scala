@@ -190,6 +190,53 @@ object Temporal extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** q183: bounded backtracking sequence match — the MATCH_RECOGNIZE
+    * semantics q165 deliberately avoids (pattern retry from EVERY
+    * candidate anchor, not just the first), made scale-safe by bounding
+    * the search to a per-(user, day) window. Pattern: click then view
+    * then purchase, leftmost-first with backtracking — the match regex
+    * `c.*?v.*?p` would report: the EARLIEST click from which the full
+    * sequence completes, then the earliest completing view after it,
+    * then the earliest purchase after that view. A naive evaluation
+    * retries the pattern from each row (quadratic per partition); this
+    * plan is two linear suffix scans instead: ordered DESC within each
+    * (user, day), a windowed conditional min finds each row's next
+    * purchase, a second windowed min (same partitioning+ordering — no
+    * new exchange or sort) finds each row's next COMPLETING view with
+    * its purchase carried in the struct, and a lexicographic min-struct
+    * aggregation picks the anchor click. ONE hash exchange on
+    * (user_id, day) feeds both windows and the final aggregation; state
+    * is O(1) per row, never a buffered path. The oracle runs the actual
+    * regex over each day's event-letter path (lazy groups reproduce
+    * leftmost-first-with-backtracking exactly) and indexes the matched
+    * offsets back into the ordered timestamp list. Ties in `us` break
+    * by event_id on both engines. */
+  private def q183(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+    // DESC ordering makes "rows preceding" = "events strictly later":
+    // each windowed min is a suffix scan in event-time order
+    val w = Window.partitionBy("user_id", "day")
+      .orderBy(col("us").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withP = ev.withColumn("next_p",
+      min(when(col("event_type") === "purchase",
+        struct(col("us"), col("event_id")))).over(w))
+    val withV = withP.withColumn("next_vp",
+      min(when(col("event_type") === "view" && col("next_p").isNotNull,
+        struct(col("us"), col("event_id"),
+          col("next_p.us").as("p_us")))).over(w))
+    withV.filter(col("event_type") === "click" && col("next_vp").isNotNull)
+      .groupBy("user_id", "day")
+      .agg(min(struct(col("us").as("c_us"), col("event_id").as("c_id"),
+        col("next_vp.us").as("v_us"),
+        col("next_vp.p_us").as("p_us"))).as("m"))
+      .select(col("user_id"), col("day"), col("m.c_us").as("c_us"),
+        col("m.v_us").as("v_us"), col("m.p_us").as("p_us"))
+      .orderBy("user_id", "day")
+  }
+
   /** q140: cohort retention — the canonical product-analytics matrix.
     * The qualifying activity is the sparse high-value subset (value >
     * 190 — a pushed-down scan filter), because the fixture's users fire
@@ -461,6 +508,29 @@ object Temporal extends QueryPack {
         |  c_us, v_us, p_us, p_us - c_us AS convert_us
         |FROM c LEFT JOIN v USING (user_id) LEFT JOIN p USING (user_id)
         |ORDER BY user_id""".stripMargin)),
+    // q183's oracle runs the REAL regex over each (user, day) path:
+    // lazy groups in ^(.*?)c(.*?)v(.*?)p reproduce leftmost-first
+    // matching with backtracking, and the group lengths index the match
+    // back into the ordered timestamp list (1-based list indexing).
+    Q("q183_backtracking_match", q183, Some(
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d,
+        |    epoch_us(ts) AS us, event_id,
+        |    CASE event_type WHEN 'click' THEN 'c' WHEN 'view' THEN 'v'
+        |      WHEN 'purchase' THEN 'p' ELSE 'x' END AS t
+        |  FROM events),
+        |paths AS (SELECT user_id, d,
+        |    string_agg(t, '' ORDER BY us, event_id) AS path,
+        |    list(us ORDER BY us, event_id) AS uss
+        |  FROM e GROUP BY 1, 2),
+        |m AS (SELECT user_id, d, uss,
+        |    length(regexp_extract(path, '^(.*?)c(.*?)v(.*?)p', 1)) AS a,
+        |    length(regexp_extract(path, '^(.*?)c(.*?)v(.*?)p', 2)) AS b,
+        |    length(regexp_extract(path, '^(.*?)c(.*?)v(.*?)p', 3)) AS g
+        |  FROM paths WHERE regexp_matches(path, 'c.*v.*p'))
+        |SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+        |  uss[a + 1] AS c_us, uss[a + b + 2] AS v_us,
+        |  uss[a + b + g + 3] AS p_us
+        |FROM m ORDER BY user_id, day""".stripMargin)),
     Q("q130_funnel_pattern", q130, Some(
       """WITH p AS (
         |  SELECT user_id,

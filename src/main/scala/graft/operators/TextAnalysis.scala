@@ -73,6 +73,63 @@ object TextAnalysis extends QueryPack {
         length(col("text")).as("n_chars_text"))
       .orderBy("doc_id")
 
+  /** q182: HTML boilerplate extraction — strip tags and drop chrome
+    * (nav / footer / link lists), keeping only the main content text.
+    * The heuristics are the public jusText/Arc90-readability line
+    * classification rules: a line survives iff (a) its tag-stripped
+    * text is long enough (≥ 30 chars — kills titles, nav crumbs,
+    * prev/next links), (b) markup doesn't dominate the raw line
+    * (2·tag_chars < raw_len — kills the link-farm footer even though
+    * its concatenated text is long), and (c) anchor text doesn't
+    * dominate the visible text (2·anchor_chars < text_len — kills
+    * "read more" link rows whose markup is light but whose text is all
+    * one link). Inline anchors inside a content line keep their TEXT
+    * (the reference-docs link in the synthesized page must surface in
+    * the output). The HTML is synthesized deterministically from the
+    * documents table (same expression in the oracle), each rule is
+    * integer arithmetic — no float thresholds to disagree on — and the
+    * whole operator is `regexp_replace`/`split`/`filter`/`transform`/
+    * `array_join` over one scan: map-only, no UDF, no shuffle except
+    * the presentation sort, so it streams at scan speed at 100 TB. */
+  private def q182(s: SparkSession, dir: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style>body { margin: 0; } .nav a { color: blue; }</style>"),
+      lit("<script>function track() { var u = location.href; log(u); }</script>"),
+      lit("</head><body>\n"),
+      lit("<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/docs\">Docs</a>" +
+        " <a href=\"/about\">About</a></div>\n"),
+      lit("<h1>"), col("source"), lit(" #"), col("doc_id").cast("string"),
+      lit("</h1>\n"),
+      lit("<p>"), col("text"),
+      lit(" See <a href=\"/ref\">reference docs</a> for details.</p>\n"),
+      lit("<div class=\"links\">Read more: <a href=\"/d/3\">continue reading" +
+        " this related article here</a></div>\n"),
+      lit("<div class=\"footer\"><a href=\"/tos\">Terms</a>" +
+        " <a href=\"/privacy\">Privacy</a> <a href=\"/contact\">Contact</a>" +
+        " Copyright 2024 Example Site</div>\n"),
+      lit("</body></html>"))
+    // script/style elements vanish wholesale (their text is code, not
+    // content) before the page is split into candidate lines
+    val noScript = regexp_replace(html,
+      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    def stripped(l: Column): Column =
+      trim(regexp_replace(regexp_replace(l, "<[^>]*>", " "), " +", " "))
+    def textLen(l: Column): Column =
+      length(regexp_replace(l, "<[^>]*>", ""))
+    def anchorTextLen(l: Column): Column =
+      textLen(l) - textLen(regexp_replace(l, "<a [^>]*>[^<]*</a>", ""))
+    val kept = filter(split(noScript, "\n"), l =>
+      length(stripped(l)) >= 30 &&
+        (length(l) - textLen(l)) * 2 < length(l) &&
+        anchorTextLen(l) * 2 < textLen(l))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(kept).cast("long").as("n_kept"),
+        array_join(transform(kept, stripped(_)), " ").as("main_text"))
+      .orderBy("doc_id")
+  }
+
   /** q53: content fingerprint — polynomial rolling hash over normalized
     * character codes, mod 10^15 (fits exact integer arithmetic in both
     * engines). */
@@ -654,6 +711,40 @@ object TextAnalysis extends QueryPack {
          |  UNION ALL SELECT 3, 'langid', c3 FROM c
          |  UNION ALL SELECT 4, 'quality', c4 FROM c)
          |ORDER BY stage_idx""".stripMargin)),
+    // q182's oracle replays the same synthesis + jusText-style rules in
+    // DuckDB (regexp options: g = all matches, s = dotall; list
+    // comprehension preserves line order exactly like Spark's filter).
+    Q("q182_boilerplate_extract", q182, Some(
+      """WITH raw AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |  '</title><style>body { margin: 0; } .nav a { color: blue; }</style>' ||
+        |  '<script>function track() { var u = location.href; log(u); }</script>' ||
+        |  '</head><body>' || chr(10) ||
+        |  '<div class="nav"><a href="/">Home</a> <a href="/docs">Docs</a> <a href="/about">About</a></div>' || chr(10) ||
+        |  '<h1>' || source || ' #' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) ||
+        |  '<p>' || text || ' See <a href="/ref">reference docs</a> for details.</p>' || chr(10) ||
+        |  '<div class="links">Read more: <a href="/d/3">continue reading this related article here</a></div>' || chr(10) ||
+        |  '<div class="footer"><a href="/tos">Terms</a> <a href="/privacy">Privacy</a> <a href="/contact">Contact</a> Copyright 2024 Example Site</div>' || chr(10) ||
+        |  '</body></html>' AS html FROM documents),
+        |nos AS (SELECT doc_id,
+        |  regexp_replace(html, '<(script|style)[^>]*>.*?</(script|style)>',
+        |                 ' ', 'gs') AS h FROM raw),
+        |k AS (SELECT doc_id,
+        |  [trim(regexp_replace(regexp_replace(l, '<[^>]*>', ' ', 'g'),
+        |        ' +', ' ', 'g'))
+        |   FOR l IN string_split(h, chr(10))
+        |   IF length(trim(regexp_replace(regexp_replace(l, '<[^>]*>', ' ', 'g'),
+        |        ' +', ' ', 'g'))) >= 30
+        |    AND 2 * (length(l) - length(regexp_replace(l, '<[^>]*>', '', 'g')))
+        |        < length(l)
+        |    AND 2 * (length(regexp_replace(l, '<[^>]*>', '', 'g'))
+        |         - length(regexp_replace(regexp_replace(l,
+        |             '<a [^>]*>[^<]*</a>', '', 'g'), '<[^>]*>', '', 'g')))
+        |        < length(regexp_replace(l, '<[^>]*>', '', 'g'))] AS kept
+        |  FROM nos)
+        |SELECT doc_id, len(kept) AS n_kept,
+        |  array_to_string(kept, ' ') AS main_text
+        |FROM k ORDER BY doc_id""".stripMargin)),
     Q("q53_fingerprint", q53, Some(
       """SELECT doc_id,
         |  list_reduce(

@@ -789,6 +789,141 @@ object StreamingQueries extends QueryPack {
     out
   }
 
+  /** q184: TIMER-driven state eviction in `transformWithState` — the
+    * arbitrary-state surface q125 leaves uncovered: q125's ValueState
+    * only ever changes when input for the key arrives, but production
+    * session timeouts must fire when input STOPS arriving. Here the
+    * eviction logic lives exclusively in `handleExpiredTimer`:
+    * `handleInputRows` only merges events into open session intervals
+    * (q87's interval glue, verbatim semantics) and re-arms one
+    * event-time timer at the earliest possible session close; when the
+    * watermark passes that expiry the engine calls the timer handler,
+    * which emits every session that can no longer merge and re-arms for
+    * the remainder. Runs on RocksDB (the required transformWithState
+    * backend). Same finite-replay discipline as q87: 40-day watermark
+    * delay makes the drain order-independent (no timer fires until the
+    * sentinel), one sentinel advances the watermark past every real
+    * close, and a second sentinel forces the REAL micro-batch in which
+    * the expired timers actually run (never relying on no-data
+    * batches). The sentinel's own session stays open forever — filtered
+    * out, never emitted. Result must equal the batch gap-merge oracle
+    * (q87's). At scale: state is open intervals per key + ONE timer per
+    * key, both watermark-bounded; the timer registry is the engine's
+    * RocksDB-backed secondary index, not a user-space scan of all keys
+    * per batch — which is what makes timeout detection O(expired), not
+    * O(keys), on a 100 TB keyspace. */
+  private def q184(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+    val gapUs = 1800L * 1000000L
+    val dayUs = 86400L * 1000000L
+    val shards = dumpDayShards(s, dir, "events_stream_days")
+    val schema = dayShardSchema("events_stream_days")
+    val sessEnc = implicitly[org.apache.spark.sql.Encoder[List[(Long, Long, Long)]]]
+    val processor =
+      new StatefulProcessor[Long, (Long, Long, java.sql.Timestamp), (Long, Long, Long, Long)] {
+        @transient private var st: ValueState[List[(Long, Long, Long)]] = _
+        override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+          st = getHandle.getValueState("sessions", sessEnc, TTLConfig.NONE)
+        private def merge(pieces: List[(Long, Long, Long)]) =
+          pieces.sortBy(p => (p._1, p._2))
+            .foldLeft(List.empty[(Long, Long, Long)]) { (acc, p) =>
+              acc match {
+                case cur :: rest if p._1 - cur._2 < gapUs =>
+                  (cur._1, math.max(cur._2, p._2), cur._3 + p._3) :: rest
+                case _ => p :: acc
+              }
+            }.reverse
+        /** One timer per key at the earliest possible close (µs→ms
+          * rounded UP so the expiry sits strictly past the watermark). */
+        private def rearm(open: List[(Long, Long, Long)]): Unit = {
+          getHandle.listTimers().foreach(getHandle.deleteTimer)
+          if (open.nonEmpty)
+            getHandle.registerTimer((open.map(_._2).min + gapUs + 999L) / 1000L)
+        }
+        override def handleInputRows(key: Long,
+            rows: Iterator[(Long, Long, java.sql.Timestamp)],
+            tv: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+          val held = Option(st.get()).getOrElse(Nil)
+          // merge only — eviction is EXCLUSIVELY the timer handler's job
+          val merged = merge(held ++ rows.map { case (_, us, _) => (us, us, 1L) })
+          st.update(merged)
+          rearm(merged)
+          Iterator.empty
+        }
+        override def handleExpiredTimer(key: Long, tv: TimerValues,
+            info: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
+          val held = Option(st.get()).getOrElse(Nil)
+          val wmUs = tv.getCurrentWatermarkInMs() * 1000L
+          val (closed, open) = held.partition(_._2 + gapUs <= wmUs)
+          if (open.nonEmpty) st.update(open) else st.clear()
+          rearm(open)
+          closed.iterator.map(m => (key, m._1, m._2, m._3))
+        }
+      }
+    val sessions = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "12")
+      .parquet(shards)
+      .withColumn("ts", expr("timestamp_micros(us)"))
+      .withWatermark("ts", "40 days") // > corpus span ⇒ order-independent
+      // ts rides into the operator input so the watermark metadata
+      // reaches the stateful operator (same note as q87)
+      .select(col("user_id"), col("us"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(processor, TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "start_us", "last_us", "n_events")
+    val name = "graft_q184_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getAll.get(provKey)
+    val query =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "2")
+        s.conf.set(provKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        sessions.writeStream.outputMode("append").format("memory")
+          .queryName(name).start()
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        prevProv match {
+          case Some(p) => s.conf.set(provKey, p)
+          case None => s.conf.unset(provKey)
+        }
+      }
+    val maxUs = Tables.events(s, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val flush1Us = maxUs + 42L * dayUs // watermark after = maxUs + 2 days
+    val flush2Us = flush1Us + 600L * 1000000L // merges into the open sentinel session
+    def dayOf(us: Long): String = java.time.Instant
+      .ofEpochSecond(us / 1000000L).atZone(java.time.ZoneOffset.UTC)
+      .toLocalDate.toString
+    val outDf =
+      try {
+        def appendSentinel(us: Long): Unit = s.range(1)
+          .select(lit(-1L).as("user_id"), lit(us).as("us"),
+            lit(dayOf(us)).as("day"))
+          .write.mode("append").partitionBy("day").parquet(shards)
+        try {
+          query.processAllAvailable()
+          appendSentinel(flush1Us) // advances the watermark past every close
+          query.processAllAvailable()
+          appendSentinel(flush2Us) // forces the batch whose timers fire
+          query.processAllAvailable()
+        } finally query.stop()
+        val result = s.table(name)
+          .filter(col("user_id") >= 0) // the sentinel session never closes
+          .select(col("user_id"), col("start_us"),
+            (col("last_us") + gapUs).as("end_us"), col("n_events"))
+          .orderBy("user_id", "start_us")
+        val rows = result.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+      } finally rmrfAll(s,
+        Seq(dayOf(flush1Us), dayOf(flush2Us)).distinct.map(d => s"$shards/day=$d"): _*)
+    s.catalog.dropTempView(name)
+    outDf
+  }
+
   /** q175: streaming restart + exactly-once — the recovery contract every
     * other streaming gate assumes but none exercises: a query is stopped
     * PART-WAY through the corpus and a NEW query instance resumes from
@@ -1153,6 +1288,25 @@ object StreamingQueries extends QueryPack {
         |  event_type AS last_event_type, ts_us AS last_ts_us,
         |  value AS last_value
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+    // q184 shares q87's oracle: timer-driven eviction must produce the
+    // identical session set as the input-driven eviction and the batch
+    // gap-merge.
+    Q("q184_timer_sessions", q184, Some(
+      """WITH t AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CASE WHEN us - lag(us) OVER w >= 1800000000 THEN 1
+        |         WHEN lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+        |), s AS (
+        |  SELECT user_id, us,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM t
+        |)
+        |SELECT user_id, min(us) AS start_us,
+        |  max(us) + 1800000000 AS end_us, count(*) AS n_events
+        |FROM s GROUP BY user_id, session_no ORDER BY user_id, start_us""".stripMargin)),
     Q("q87_stateful_sessions", q87, Some(
       """WITH t AS (
         |  SELECT user_id, epoch_us(ts) AS us,
