@@ -49,6 +49,43 @@ object StreamingQueries extends QueryPack {
         case (st, (n, t)) => st.add(n, t)
       }
 
+  /** Run `body` with session confs temporarily set, restoring each key's
+    * prior EXPLICIT value (or unset) on exit — getAll, not get/getOption,
+    * so a registered conf's default never gets pinned as an explicit
+    * session entry (the [[withNanosAsLong]] trap). Streaming queries
+    * capture their session confs at `start()`, so wrapping just the
+    * start call scopes a conf to that query. */
+  private def withConfs[T](s: SparkSession, kvs: (String, String)*)(body: => T): T = {
+    val prev = kvs.map { case (k, _) => k -> s.conf.getAll.get(k) }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach { case (k, po) =>
+      po.fold(s.conf.unset(k))(v => s.conf.set(k, v))
+    }
+  }
+
+  /** Final `batchId` of each multi-batch gate's most recent drain,
+    * keyed by gate prefix (e.g. "q87") — pinned ≥ 2 by MultiBatchSpec so
+    * a trigger-sizing change can never silently collapse a replay into a
+    * single micro-batch (the multi-batch coverage IS what these gates
+    * exist to exercise). */
+  private[graft] val lastBatchId =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  private def recordBatchId(gate: String,
+      query: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    Option(query.lastProgress).foreach(p => lastBatchId.put(gate, p.batchId))
+
+  /** Per-process cache of `max(unix_micros(ts))` over the events table —
+    * four sentinel-flushing gates need it and the scan is pure input
+    * metadata, same reuse contract as the day-shard dumps. */
+  private val maxUsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def eventsMaxUs(s: SparkSession, dir: String): Long =
+    maxUsCache.computeIfAbsent(dir, _ =>
+      Tables.events(s, dir).agg(max(unix_micros(col("ts")))).head().getLong(0))
+
   /** Remove every scratch path, attempting EACH delete even when an
     * earlier one throws (so one failure can't leak the rest), then
     * rethrow the first failure: a silently-leaked sentinel day inside a
@@ -206,11 +243,16 @@ object StreamingQueries extends QueryPack {
       .select(col("event_type"), col("user_id"), col("ts"))
       .dropDuplicatesWithinWatermark("event_type", "user_id")
     val name = "graft_q106_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val query = stream.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .start()
+    // the watermark only EVICTS dedup state; survivors emit in their own
+    // data batch, so no-data batches are pure overhead on a finite replay
+    val query = withConfs(s,
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
+      stream.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    }
     try query.processAllAvailable()
     finally query.stop()
     val result = s.table(name)
@@ -291,16 +333,17 @@ object StreamingQueries extends QueryPack {
     // ~18s regardless of data volume). This finite replay drains inside
     // this call, so scope the stream to few partitions and restore; a
     // real deployment sizes this to state volume, not core count.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val query =
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "2")
-        joined.writeStream
-          .outputMode("append")
-          .format("memory")
-          .queryName(name)
-          .start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // inner-join matches emit inside the data batch that completes them,
+    // so the post-drain no-data bookkeeping batches add only cost here
+    val query = withConfs(s,
+      "spark.sql.shuffle.partitions" -> "2",
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
+      joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    }
     try query.processAllAvailable()
     finally query.stop()
     val result = s.table(name)
@@ -335,7 +378,9 @@ object StreamingQueries extends QueryPack {
     val shards = dumpDayShards(s, dir, "events_stream_days_upsert")
     val schema = dayShardSchema("events_stream_days_upsert")
     def side(eventType: String, prefix: String) = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "12")
+      // 2 main-drain batches over 30 day shards; the two sentinel flush
+      // batches keep the gate ≥ 4 micro-batches (pinned by MultiBatchSpec)
+      .option("maxFilesPerTrigger", "15")
       .parquet(shards)
       // same bounded 50% user stratum as q84 (sentinel user -2 is even,
       // so it passes the stratum and reaches the watermark operator)
@@ -350,18 +395,19 @@ object StreamingQueries extends QueryPack {
         col("c_ts") <= col("p_ts"),
       "leftOuter")
     val name = "graft_q173_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val query =
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "2")
-        joined.writeStream
-          .outputMode("append")
-          .format("memory")
-          .queryName(name)
-          .start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    val maxUs = Tables.events(s, dir)
-      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    // no-data batches off: the two-sentinel flush discipline makes every
+    // eviction happen in a REAL data batch, so the watermark-bookkeeping
+    // batches are pure per-batch overhead here (~0.3-0.5 s each)
+    val query = withConfs(s,
+      "spark.sql.shuffle.partitions" -> "2",
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
+      joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    }
+    val maxUs = eventsMaxUs(s, dir)
     val flushUs = maxUs + 42L * 86400L * 1000000L
     val flush2Us = flushUs + 86400L * 1000000L
     def dayOf(us: Long): String = java.time.Instant
@@ -393,6 +439,7 @@ object StreamingQueries extends QueryPack {
             schema)
             .write.mode("append").partitionBy("day").parquet(shards)
           query.processAllAvailable()
+          recordBatchId("q173", query)
         } finally query.stop()
         val result = s.table(name)
           .filter(col("p_user") >= 0) // drop the sentinels' own emissions
@@ -415,10 +462,11 @@ object StreamingQueries extends QueryPack {
     * and a watermark that actually gates emission. Per-day × event-type
     * counts stream over a multi-batch day-shard replay; append mode only
     * writes a window once the watermark passes its end, so after the
-    * main drain a SENTINEL event past `maxUs + delay` is appended to the
-    * source directory and a second drain pushes the watermark past every
-    * real window — the standard way to flush a bounded replay through an
-    * append-mode aggregation. The watermark delay (40 days) exceeds the
+    * main drain a SENTINEL event past `maxUs + delay` pushes the
+    * watermark past every real window and a second sentinel forces the
+    * data batch that emits them (the q87/q173 two-flush discipline — no
+    * reliance on no-data micro-batches, which this gate turns off as
+    * pure overhead). The watermark delay (40 days) exceeds the
     * corpus span, so the drain is ORDER-INDEPENDENT: whatever order the
     * file source delivers day shards (delivery is by file mtime, an
     * unpinned artifact of the local write), no real event is ever behind
@@ -437,7 +485,8 @@ object StreamingQueries extends QueryPack {
     val sinkOut = graft.operators.FileIO.scratch(dir, s"q100_sink_$uid")
     val cp = graft.operators.FileIO.scratch(dir, s"q100_cp_$uid")
     val agg = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "12")
+      // 2 main batches + the sentinel flush batch = 3 micro-batches
+      .option("maxFilesPerTrigger", "15")
       .parquet(shards)
       .select(col("event_type"), expr("timestamp_micros(us)").as("ts"))
       .withWatermark("ts", "40 days") // > corpus span ⇒ order-independent
@@ -446,36 +495,46 @@ object StreamingQueries extends QueryPack {
     // scope stateful parallelism down while the finite replay drains —
     // per-partition state-store + sink-manifest commits dominate
     // otherwise (same sizing note as q84/q87)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val query =
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "2")
-        agg.writeStream
-          .outputMode("append")
-          .format("parquet")
-          .option("path", sinkOut)
-          .option("checkpointLocation", cp)
-          .start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    // flush sentinel: one event past maxUs + delay pushes the watermark
-    // beyond every real window on the next micro-batch (real windows end
-    // ≤ maxDay+1; watermark after the sentinel = maxUs + 2 days)
-    val maxUs = Tables.events(s, dir)
-      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    // no-data batches off: the two-flush discipline below puts every
+    // window emission in a REAL data batch (q87/q173's discipline)
+    val query = withConfs(s,
+      "spark.sql.shuffle.partitions" -> "2",
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
+      agg.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", sinkOut)
+        .option("checkpointLocation", cp)
+        .start()
+    }
+    // flush sentinels: the first pushes the watermark beyond every real
+    // window (real windows end ≤ maxDay+1; watermark after = maxUs +
+    // 2 days); the SECOND forces the data batch in which the append-mode
+    // aggregation actually emits those closed windows — the sentinels'
+    // own far-future windows never close, so the sink holds exactly the
+    // real windows
+    val maxUs = eventsMaxUs(s, dir)
     val flushUs = maxUs + 42L * 86400L * 1000000L
-    val flushDay = java.time.Instant.ofEpochSecond(flushUs / 1000000L)
-      .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    val flush2Us = flushUs + 600L * 1000000L
+    def dayOf(us: Long): String = java.time.Instant
+      .ofEpochSecond(us / 1000000L).atZone(java.time.ZoneOffset.UTC)
+      .toLocalDate.toString
+    val flushDays = Seq(dayOf(flushUs), dayOf(flush2Us)).distinct
     // everything past this point cleans up in the finally — especially
     // the sentinel's day partition, so a failed drain can never leave a
     // stale sentinel inside the cached shard dump for later runs
     try {
       try {
-        query.processAllAvailable()
-        s.range(1)
-          .select(lit("__flush").as("event_type"), lit(flushUs).as("us"),
-            lit(flushDay).as("day"))
+        def appendFlush(us: Long): Unit = s.range(1)
+          .select(lit("__flush").as("event_type"), lit(us).as("us"),
+            lit(dayOf(us)).as("day"))
           .write.mode("append").partitionBy("day").parquet(shards)
         query.processAllAvailable()
+        appendFlush(flushUs)
+        query.processAllAvailable()
+        appendFlush(flush2Us)
+        query.processAllAvailable()
+        recordBatchId("q100", query)
       } finally query.stop()
       val result = s.read.parquet(sinkOut)
         .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
@@ -486,7 +545,8 @@ object StreamingQueries extends QueryPack {
       // of the dump stays pristine and cached for repeated passes — same
       // reuse contract as the layouts)
       s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
-    } finally rmrfAll(s, sinkOut, cp, s"$shards/day=$flushDay")
+    } finally rmrfAll(s,
+      Seq(sinkOut, cp) ++ flushDays.map(d => s"$shards/day=$d"): _*)
   }
 
   /** State rows remaining after the most recent q87 drain, read off the
@@ -534,7 +594,8 @@ object StreamingQueries extends QueryPack {
     // input (the event-time-timeout check reads the watermark metadata
     // off the child's output attributes), so keep it alongside us
     val stream = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "12") // ~3 micro-batches over 31 days
+      // 2 main batches + 2 sentinel flush batches = 4 micro-batches
+      .option("maxFilesPerTrigger", "15")
       .parquet(out)
       .withColumn("ts", expr("timestamp_micros(us)"))
       .withWatermark("ts", "40 days") // > corpus span ⇒ order-independent
@@ -572,17 +633,17 @@ object StreamingQueries extends QueryPack {
     // scope stateful parallelism down while the finite replay drains —
     // state-store commits per partition per batch dominate otherwise
     // (same sizing note as q84)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val query =
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "2")
-        sessions.toDF("user_id", "start_us", "last_us", "n_events")
-          .writeStream.outputMode("append").format("memory").queryName(name).start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // no-data batches off — the two-sentinel discipline never needs
+    // them (same rationale as q173), so they'd only add per-batch cost
+    val query = withConfs(s,
+      "spark.sql.shuffle.partitions" -> "2",
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
+      sessions.toDF("user_id", "start_us", "last_us", "n_events")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+    }
     // flush sentinels (cleaned up in the finally below, so the cached
     // day-shard dump is always restored to pristine state)
-    val maxUs = Tables.events(s, dir)
-      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val maxUs = eventsMaxUs(s, dir)
     val flush1Us = maxUs + 42L * dayUs // watermark after = maxUs + 2 days
     val flush2Us = flush1Us + 600L * 1000000L // merges into the same open session
     def dayOf(us: Long): String = java.time.Instant
@@ -606,6 +667,7 @@ object StreamingQueries extends QueryPack {
             .map(_.stateOperators).collectFirst {
               case ops if ops.nonEmpty => ops.map(_.numRowsTotal).sum
             }.getOrElse(-1L)
+          recordBatchId("q87", query)
         } finally query.stop()
         val result = s.table(name)
           .filter(col("user_id") >= 0) // drop the sentinel's emissions (none)
@@ -690,7 +752,7 @@ object StreamingQueries extends QueryPack {
           .start()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     try {
-      try query.processAllAvailable()
+      try { query.processAllAvailable(); recordBatchId("q118", query) }
       finally query.stop()
       val result = s.read.parquet(target)
         .select("user_id", "last_event_id", "last_event_type",
@@ -769,7 +831,7 @@ object StreamingQueries extends QueryPack {
           case None => s.conf.unset(provKey)
         }
       }
-    try query.processAllAvailable()
+    try { query.processAllAvailable(); recordBatchId("q125", query) }
     finally query.stop()
     // latest snapshot per user: counts strictly increase, so max(n) is
     // the final state — integer argmax, exact at any batch composition
@@ -862,7 +924,8 @@ object StreamingQueries extends QueryPack {
         }
       }
     val sessions = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "12")
+      // 2 main batches + 2 sentinel flush batches = 4 micro-batches
+      .option("maxFilesPerTrigger", "15")
       .parquet(shards)
       .withColumn("ts", expr("timestamp_micros(us)"))
       .withWatermark("ts", "40 days") // > corpus span ⇒ order-independent
@@ -874,25 +937,18 @@ object StreamingQueries extends QueryPack {
       .transformWithState(processor, TimeMode.EventTime(), OutputMode.Append())
       .toDF("user_id", "start_us", "last_us", "n_events")
     val name = "graft_q184_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prevProv = s.conf.getAll.get(provKey)
-    val query =
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "2")
-        s.conf.set(provKey,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        sessions.writeStream.outputMode("append").format("memory")
-          .queryName(name).start()
-      } finally {
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        prevProv match {
-          case Some(p) => s.conf.set(provKey, p)
-          case None => s.conf.unset(provKey)
-        }
-      }
-    val maxUs = Tables.events(s, dir)
-      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    // RocksDB is transformWithState's required backend; no-data batches
+    // off because timers fire in the second sentinel's REAL batch (the
+    // q173/q87 discipline — never a dependence on bookkeeping batches)
+    val query = withConfs(s,
+      "spark.sql.shuffle.partitions" -> "2",
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
+      sessions.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+    }
+    val maxUs = eventsMaxUs(s, dir)
     val flush1Us = maxUs + 42L * dayUs // watermark after = maxUs + 2 days
     val flush2Us = flush1Us + 600L * 1000000L // merges into the open sentinel session
     def dayOf(us: Long): String = java.time.Instant
@@ -910,6 +966,7 @@ object StreamingQueries extends QueryPack {
           query.processAllAvailable()
           appendSentinel(flush2Us) // forces the batch whose timers fire
           query.processAllAvailable()
+          recordBatchId("q184", query)
         } finally query.stop()
         val result = s.table(name)
           .filter(col("user_id") >= 0) // the sentinel session never closes
@@ -960,7 +1017,9 @@ object StreamingQueries extends QueryPack {
         try {
           s.conf.set("spark.sql.shuffle.partitions", "2")
           s.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "4")
+            // 2 batches per half-corpus instance; batch numbering
+            // continues across the restart, so the final batchId ≥ 3
+            .option("maxFilesPerTrigger", "8")
             .parquet(src)
             .select(col("event_id"), col("user_id"), col("event_type"))
             .writeStream
@@ -969,7 +1028,7 @@ object StreamingQueries extends QueryPack {
             .option("checkpointLocation", cp)
             .start()
         } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      try query.processAllAvailable()
+      try { query.processAllAvailable(); recordBatchId("q175", query) }
       finally query.stop()
     }
     try {
@@ -1003,7 +1062,7 @@ object StreamingQueries extends QueryPack {
     val shards = dumpDayShards(s, dir, "events_stream_days_upsert")
     val schema = dayShardSchema("events_stream_days_upsert")
     val agg = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "8") // several planned batches
+      .option("maxFilesPerTrigger", "12") // 3 planned batches over 30 shards
       .parquet(shards)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
@@ -1025,6 +1084,7 @@ object StreamingQueries extends QueryPack {
       // correctness failure, not a timing flake, so fail loudly
       if (!query.awaitTermination(300000L))
         sys.error("q176: AvailableNow query did not self-terminate")
+      recordBatchId("q176", query)
     } finally query.stop()
     val result = s.table(name).orderBy("event_type")
     val rows = result.collect()
@@ -1073,6 +1133,7 @@ object StreamingQueries extends QueryPack {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     try query.processAllAvailable()
     finally query.stop()
+    recordBatchId("q177", query)
     val result = s.table(name).orderBy("user_id", "start_us")
     val rows = result.collect()
     val out = s.createDataFrame(

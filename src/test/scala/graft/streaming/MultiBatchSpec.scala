@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the multi-batch coverage of every day-shard replay gate: each
+  * drain must cross ≥ 3 micro-batches (final batchId ≥ 2), because the
+  * cross-batch state machinery — session merges, join-state eviction,
+  * upsert folds, restart offsets — is exactly what these gates exist to
+  * exercise. A maxFilesPerTrigger bump that quietly collapses a replay
+  * into one gulp would keep the oracles green while hollowing out the
+  * coverage; this spec makes that a test failure. (All 30 day shards at
+  * 15/trigger = 2 main batches; sentinel flushes and restarts supply
+  * the rest.)
+  */
+class MultiBatchSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private val gates = Seq(
+    "q87" -> "q87_stateful_sessions",
+    "q100" -> "q100_stream_file_sink",
+    "q118" -> "q118_stream_upsert_sink",
+    "q125" -> "q125_transform_with_state",
+    "q173" -> "q173_stream_outer_join",
+    "q175" -> "q175_stream_restart",
+    "q176" -> "q176_trigger_available_now",
+    "q177" -> "q177_stream_session_window",
+    "q184" -> "q184_timer_sessions")
+
+  test("every day-shard replay gate drains across >= 3 micro-batches") {
+    for ((key, name) <- gates) {
+      val rows = graft.SparkEntry.queries(name)(spark, sf).count()
+      assert(rows > 0, s"$name returned no rows")
+      val batchId = StreamingQueries.lastBatchId.get(key)
+      assert(batchId != null && batchId >= 2L,
+        s"$name drained in ${if (batchId == null) "?" else batchId + 1} " +
+          "micro-batches; the gate's cross-batch coverage is gone")
+    }
+  }
+}
