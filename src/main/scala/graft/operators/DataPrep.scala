@@ -323,7 +323,122 @@ object DataPrep extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** q185: URL canonicalization + dedup — the first step of any web-
+    * crawl curation pipeline: the same page arrives under many spellings
+    * (case-varied scheme/host, `www.` prefix, explicit default port,
+    * unsorted query strings, tracking params, fragments, trailing
+    * slashes), and canonical-form grouping is what collapses them before
+    * any content-level dedup runs. Rules are the standard RFC 3986 +
+    * crawl-convention set: lowercase scheme and host, strip `www.`,
+    * strip the scheme's default port, drop the fragment, drop tracking
+    * params (`utm_*`, `ref`, `fbclid`, `gclid`), sort the remaining
+    * query params, trim trailing path slashes. The whole canonicalizer
+    * is `regexp_extract`/`split`/`filter`/`array_sort`/`array_join` —
+    * codegen'd, no UDF — and the dedup is ONE hash shuffle on the
+    * canonical string. Input is three deterministic spelling variants
+    * per document (odd docs get a genuinely different third URL, so
+    * group sizes vary); the oracle replays rules and variants in DuckDB
+    * exactly. */
+  private def q185(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val variants = array(
+      concat(lit("https://example.com/articles/"), id, lit("?a=1&b=2")),
+      concat(lit("HTTPS://WWW.Example.COM:443/articles/"), id,
+        lit("/?b=2&a=1&utm_source=feed#frag")),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(lit("https://EXAMPLE.com:443/articles/"), id,
+          lit("/?utm_campaign=x&a=1&ref=rss&b=2")))
+        .otherwise(concat(lit("https://example.com/alt/"), id)))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(variants).as("url"))
+      .select(col("doc_id"), canonicalizeUrl(col("url")).as("canon_url"))
+      .groupBy("canon_url")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_merged"))
+      .select(col("doc_id"), col("canon_url"), col("n_merged"))
+      .orderBy("doc_id", "canon_url")
+  }
+
+  /** q185's canonicalizer as a reusable Column transform (rule-by-rule
+    * pins in UrlCanonSpec): lowercase scheme+host, strip `www.` and the
+    * scheme's default port, drop fragment and tracking params, sort the
+    * surviving query params, trim trailing path slashes. Pure codegen'd
+    * string expressions — usable in any projection at scan speed. */
+  private[operators] def canonicalizeUrl(url: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rawHost = lower(regexp_extract(url, "^[^:/?#]+://([^/?#]*)", 1))
+    val noWww = regexp_replace(rawHost, "^www\\.", "")
+    val host = when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+      .when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+      .otherwise(noWww)
+    val path = regexp_replace(
+      regexp_extract(url, "^[^:/?#]+://[^/?#]*([^?#]*)", 1), "/+$", "")
+    val rawQ = regexp_extract(url, "\\?([^#]*)", 1)
+    val params = array_sort(filter(split(rawQ, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=]*|ref|fbclid|gclid)=")))
+    val qs = array_join(params, "&")
+    concat(scheme, lit("://"), host, path,
+      when(qs =!= "", concat(lit("?"), qs)).otherwise(lit("")))
+  }
+
+  /** q186: deterministic global dataset shuffle + shard assignment —
+    * the step between curation and training: the corpus must be
+    * re-ordered so correlated documents (same crawl batch, same source)
+    * don't arrive in runs, and written into N balanced shards. The
+    * shuffle key is a seeded content hash (`md5(doc_id || seed)`), so
+    * the permutation is reproducible on any cluster size and re-keyed
+    * by changing the seed; the shard is the key's first hex nibble (16
+    * shards). The ORDER BY is the operator: Spark executes it as a
+    * sampled range exchange + per-partition sort — the scalable
+    * distributed shuffle — never a single-partition window.
+    * `ROW_NUMBER`-style global positions are deliberately absent: a
+    * contiguous global index forces either one partition or a second
+    * pass; downstream trainers consume shard files in key order, which
+    * this output IS. */
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    val key = md5(concat(col("doc_id").cast("string"), lit("::seed42")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), key.as("shuffle_key"),
+        substring(key, 1, 1).as("shard"))
+      .orderBy("shuffle_key")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q185_url_canonicalize", q185, Some(
+      """WITH u AS (SELECT doc_id, unnest([
+        |    'https://example.com/articles/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2',
+        |    'HTTPS://WWW.Example.COM:443/articles/' || CAST(doc_id AS VARCHAR) || '/?b=2&a=1&utm_source=feed#frag',
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN 'https://EXAMPLE.com:443/articles/' || CAST(doc_id AS VARCHAR) || '/?utm_campaign=x&a=1&ref=rss&b=2'
+        |      ELSE 'https://example.com/alt/' || CAST(doc_id AS VARCHAR) END
+        |  ]) AS url FROM documents),
+        |c AS (SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
+        |                   '^www\.', '') AS nowww,
+        |    regexp_replace(regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1),
+        |                   '/+$', '') AS path,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS rawq
+        |  FROM u),
+        |k AS (SELECT doc_id, scheme,
+        |    CASE WHEN scheme = 'https' THEN regexp_replace(nowww, ':443$', '')
+        |         WHEN scheme = 'http' THEN regexp_replace(nowww, ':80$', '')
+        |         ELSE nowww END AS host,
+        |    path,
+        |    array_to_string(list_sort([p FOR p IN string_split(rawq, '&')
+        |      IF p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|ref|fbclid|gclid)=')]),
+        |      '&') AS qs
+        |  FROM c)
+        |SELECT min(doc_id) AS doc_id,
+        |  scheme || '://' || host || path ||
+        |    CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canon_url,
+        |  count(*) AS n_merged
+        |FROM k GROUP BY 2 ORDER BY doc_id, canon_url""".stripMargin)),
+    Q("q186_dataset_shuffle", q186, Some(
+      """SELECT doc_id,
+        |  md5(CAST(doc_id AS VARCHAR) || '::seed42') AS shuffle_key,
+        |  substr(md5(CAST(doc_id AS VARCHAR) || '::seed42'), 1, 1) AS shard
+        |FROM documents ORDER BY shuffle_key""".stripMargin)),
     Q("q121_weighted_sample", q121, Some(
       """WITH s AS (
         |  SELECT doc_id, n_chars AS w,
