@@ -403,7 +403,62 @@ object DataPrep extends QueryPack {
       .orderBy("shuffle_key")
   }
 
+  /** q188: hyperlink graph extraction — the web-graph construction step
+    * of crawl curation: harvest every `href` from each page, reduce the
+    * messy spellings to canonical form (reusing q185's
+    * [[canonicalizeUrl]]), and aggregate link-graph statistics per
+    * canonical target host (in-link count + distinct linking docs —
+    * the inputs to domain-level quality ranking). The synthesized pages
+    * carry one content link (host varies by doc), one always-present
+    * hub link in deliberately messy spelling, and an odd-docs-only
+    * partner link with default port + tracking param. Harvest is
+    * `regexp_extract_all` group capture (map-only, codegen'd); the only
+    * shuffle is the groupBy on host — at 100 TB the host key space is
+    * millions, far below the doc count, so partial aggregation
+    * collapses the traffic map-side. */
+  private def q188(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val html = concat(
+      lit("<p>See <a href=\"https://site"), pmod(id, lit(7)).cast("string"),
+      lit(".example.org/page/"), pmod(id, lit(13)).cast("string"),
+      lit("?x=1\">related</a> and <a href=\"HTTPS://WWW.Hub.Example.ORG:443/index\">the hub</a>."),
+      when(pmod(id, lit(2)) === 1,
+        lit(" <a href=\"http://partner.example.net:80/deals/?utm_source=banner\">deals</a>"))
+        .otherwise(lit("")),
+      lit("</p>"))
+    Tables.documents(s, dir)
+      .select(id,
+        explode(regexp_extract_all(html, lit("href=\"([^\"]+)\""), lit(1)))
+          .as("url"))
+      .select(id,
+        regexp_extract(canonicalizeUrl(col("url")), "^[^:/?#]+://([^/?#]*)", 1)
+          .as("host"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_links"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("host")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q188_link_graph", q188, Some(
+      """WITH u AS (SELECT doc_id, unnest(regexp_extract_all(
+        |    '<p>See <a href="https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.example.org/page/' || CAST(doc_id % 13 AS VARCHAR) ||
+        |    '?x=1">related</a> and <a href="HTTPS://WWW.Hub.Example.ORG:443/index">the hub</a>.' ||
+        |    CASE WHEN doc_id % 2 = 1
+        |      THEN ' <a href="http://partner.example.net:80/deals/?utm_source=banner">deals</a>'
+        |      ELSE '' END || '</p>',
+        |    'href="([^"]+)"', 1)) AS url FROM documents),
+        |h AS (SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)),
+        |                   '^www\.', '') AS nowww
+        |  FROM u),
+        |c AS (SELECT doc_id,
+        |    CASE WHEN scheme = 'https' THEN regexp_replace(nowww, ':443$', '')
+        |         WHEN scheme = 'http' THEN regexp_replace(nowww, ':80$', '')
+        |         ELSE nowww END AS host FROM h)
+        |SELECT host, count(*) AS n_links, count(DISTINCT doc_id) AS n_docs
+        |FROM c GROUP BY host ORDER BY host""".stripMargin)),
     Q("q185_url_canonicalize", q185, Some(
       """WITH u AS (SELECT doc_id, unnest([
         |    'https://example.com/articles/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2',

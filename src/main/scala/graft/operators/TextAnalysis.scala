@@ -130,6 +130,61 @@ object TextAnalysis extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** q187: cross-document line-level dedup — the corpus-curation step
+    * that removes lines REPEATED ACROSS many documents (navigation
+    * stubs, subscribe banners, copyright footers) while keeping each
+    * document's unique content, popularized by the CCNet / RefinedWeb
+    * pipelines. Every document becomes a list of lines (a per-source
+    * subscribe header, 8-word content chunks, a per-source copyright
+    * footer — the two boilerplate lines recur across every document of
+    * the same source); each line's corpus frequency is COUNT(DISTINCT
+    * doc) after whitespace-trim normalization; lines seen in ≥ 5
+    * documents are boilerplate and are dropped; survivors are
+    * reassembled in original line order. Scale shape: one hash shuffle
+    * partitions lines by content to count them (the CCNet design — the
+    * frequency table shards by line hash, never collects), the
+    * boilerplate SET (lines with count ≥ K) is orders of magnitude
+    * smaller than the corpus so the anti join broadcasts under AQE, and
+    * reassembly is one shuffle back on doc_id. No UDFs — chunking is
+    * `sequence`/`slice`/`transform`, reassembly is
+    * `array_sort(collect_list(struct))`. */
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    val W = 8
+    val words = split(col("text"), " ")
+    val chunks = transform(
+      sequence(lit(0L), floor((size(words) - 1) / W)),
+      i => array_join(slice(words, (i * W + 1).cast("int"), lit(W)), " "))
+    val lines = concat(
+      array(concat(lit("subscribe to the "), col("source"),
+        lit(" mailing list for updates"))),
+      chunks,
+      array(concat(lit("copyright 2024 "), col("source"),
+        lit(" all rights reserved"))))
+    val base = Tables.documents(s, dir).select(col("doc_id"), lines.as("lines"))
+    val exploded = base
+      .select(col("doc_id"), size(col("lines")).as("n_lines"),
+        posexplode(col("lines")).as(Seq("pos", "line")))
+      .withColumn("line", trim(col("line")))
+    val boiler = exploded.groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 5)
+      .select("line")
+    val kept = exploded.join(boiler, Seq("line"), "left_anti")
+      .groupBy("doc_id")
+      .agg(first(col("n_lines")).as("n_lines"),
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), "\n").as("clean_text"))
+    base.select("doc_id")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** q53: content fingerprint — polynomial rolling hash over normalized
     * character codes, mod 10^15 (fits exact integer arithmetic in both
     * engines). */
@@ -524,6 +579,30 @@ object TextAnalysis extends QueryPack {
   }
 
   override def queries: Seq[Q] = Seq(
+    Q("q187_line_dedup", q187, Some(
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents),
+        |l AS (SELECT doc_id,
+        |    ['subscribe to the ' || source || ' mailing list for updates'] ||
+        |    list_transform(generate_series(0, (len(w) - 1) // 8),
+        |      i -> array_to_string(w[i * 8 + 1 : least(i * 8 + 8, len(w))], ' ')) ||
+        |    ['copyright 2024 ' || source || ' all rights reserved'] AS lines
+        |  FROM t),
+        |e0 AS (SELECT doc_id, len(lines) AS n_lines,
+        |    unnest(generate_series(1, len(lines))) AS pos,
+        |    unnest(lines) AS line FROM l),
+        |e AS (SELECT doc_id, n_lines, pos, trim(line) AS line FROM e0),
+        |b AS (SELECT line FROM e GROUP BY line
+        |      HAVING count(DISTINCT doc_id) >= 5),
+        |k AS (SELECT * FROM e WHERE line NOT IN (SELECT line FROM b)),
+        |a AS (SELECT doc_id, any_value(n_lines) AS n_lines,
+        |        count(*) AS n_kept,
+        |        string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        |      FROM k GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_lines, 0) AS n_lines,
+        |  coalesce(a.n_kept, 0) AS n_kept,
+        |  coalesce(a.clean_text, '') AS clean_text
+        |FROM documents d LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin)),
     Q("q129_bpe_merges", q129, Some(
       s"""WITH vocab AS (
          |  SELECT word, count(*) AS freq FROM (
