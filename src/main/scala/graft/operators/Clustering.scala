@@ -206,7 +206,77 @@ object Clustering extends QueryPack {
           .as("recall_ok"))
   }
 
+  /** q189: semantic dedup (the SemDeDup recipe, Abbas et al. 2023) —
+    * embedding-space near-duplicate pruning made tractable by
+    * clustering first: assign every vector to its nearest centroid,
+    * then compare pairs only WITHIN a cluster and prune any vector
+    * whose cosine to a lower-id cluster-mate reaches the threshold
+    * (τ = 0.4, the one-pass parallel keep-lowest-id relaxation of the
+    * sequential greedy rule — no chain re-checks, so the whole operator
+    * is two joins). Scale shape: the centroid set broadcasts (16 rows
+    * here; K grows with the corpus so cluster size stays bounded), the
+    * within-cluster self-join is an equi-join on cid — work is
+    * Σ|cluster|², never N² — and the prune set joins back as a
+    * broadcast-able anti set. For an exact cross-engine oracle the
+    * centroids are the deterministic `vec_id < K` seed vectors (the
+    * same init q98/q102 fit from) rather than the float-summation-
+    * order-sensitive fitted means; the fitted-centroid variant has the
+    * identical plan, swapping in `fit(...).centroids`. Cosines are
+    * rounded to 6 places before every compare on both engines. */
+  private def q189(s: SparkSession, dir: String): DataFrame = {
+    val e = corpus(s, dir)
+    val seeds = e.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid"))
+    val assigned = e.crossJoin(broadcast(seeds))
+      .withColumn("ccos",
+        round(graft.functions.VectorFunctions.dot(s, "v", "cv") /
+          (col("nrm") * col("cnrm")), 6))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cid", "v", "nrm")
+    val left = assigned.select(col("vec_id").as("vid_a"), col("cid"),
+      col("v").as("va"), col("nrm").as("na"))
+    val right = assigned.select(col("vec_id").as("vid_b"), col("cid"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val pruned = left.join(right, "cid")
+      .filter(col("vid_a") > col("vid_b"))
+      .filter(round(graft.functions.VectorFunctions.dot(s, "va", "vb") /
+        (col("na") * col("nb")), 6) >= 0.4)
+      .select(col("vid_a").as("vec_id")).distinct()
+      .withColumn("is_pruned", lit(true))
+    assigned.select("vec_id", "cid")
+      .join(pruned, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        col("is_pruned").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q189_semantic_dedup", q189, Some(
+      """WITH n AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |    sqrt(list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |s AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n WHERE vec_id < 16),
+        |x AS (SELECT n.vec_id, s.cid,
+        |    round(list_dot_product(n.v, s.cv) / (n.nrm * s.cnrm), 6) AS ccos
+        |  FROM n, s),
+        |a AS (SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY ccos DESC, cid) AS rn FROM x)
+        |  WHERE rn = 1),
+        |p AS (SELECT DISTINCT xa.vec_id
+        |  FROM a xa JOIN a xb ON xa.cid = xb.cid AND xa.vec_id > xb.vec_id
+        |  JOIN n na ON na.vec_id = xa.vec_id
+        |  JOIN n nb ON nb.vec_id = xb.vec_id
+        |  WHERE round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) >= 0.4)
+        |SELECT a.vec_id, a.cid, (p.vec_id IS NULL) AS kept
+        |FROM a LEFT JOIN p ON a.vec_id = p.vec_id
+        |ORDER BY a.vec_id""".stripMargin)),
     Q("q102_kmeans_fit", q102, Some(
       """SELECT CAST(16 AS BIGINT) AS k, count(*) AS n_vectors,
         |  true AS converged, true AS iters_ok, true AS inertia_monotone

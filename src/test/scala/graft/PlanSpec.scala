@@ -137,12 +137,14 @@ class PlanSpec extends AnyFunSuite {
     //   q153 — perplexity: the corpus-total 1-row broadcast (the q69
     //         TF-IDF pattern).
     //   q169 — basket lift: the 1-row basket-total broadcast.
+    //   q189 — SemDeDup cluster assignment: the same 16-centroid
+    //         broadcast as q98; the pairwise leg is an equi-join on cid.
     val exempt = Set("q46_ann_bruteforce", "q47_ann_ivf", "q94_length_histogram",
       "q69_tfidf", "q48_ann_lsh", "q98_kmeans_step",
       "q102_kmeans_fit", "q103_ann_ivf_fitted", "q115_pagerank",
       "q120_length_ntile", "q129_bpe_merges", "q139_triangle_count",
       "q150_bpe_encode", "q151_hll_sketch", "q153_perplexity",
-      "q169_basket_lift")
+      "q169_basket_lift", "q189_semantic_dedup")
     // Streaming queries execute a full drain in fn() and return a
     // collected local frame whose "plan" pins nothing; their batch-side
     // shapes are pinned by their own specs — skip the expensive drains.
