@@ -207,7 +207,149 @@ object Multimodal extends QueryPack {
       .orderBy("doc_id")
   }
 
+  case class PHashRow(doc_id: Long, phash: Long)
+
+  /** q190: image near-duplicate detection by perceptual hash — the
+    * multimodal leg of the dedup stack. Each payload is a REAL PNG
+    * decoded through ImageIO, reduced to the classic average-hash
+    * (aHash): 16×16 → 8×8 blocks of 2×2, per-block luma sum, one bit
+    * per block set iff the block beats the image mean (compared as
+    * `64·blockSum > totalSum` — all-integer, so the oracle replays it
+    * exactly from the closed-form pixel function without a codec).
+    * Near-dups are pairs at Hamming distance ≤ 2, found scalably by
+    * LSH banding: the 64-bit hash splits into 4 × 16-bit bands, pairs
+    * shuffle-join on (band, value), and ≤ 2 errors can touch at most 2
+    * bands — the pigeonhole guarantees ≥ 2 intact bands, so banded
+    * recall is EXACT (the oracle's naive all-pairs join must agree).
+    * Fixture: image content keys on doc_id % 37 (groups of exact dups)
+    * and every 5th doc swaps three pixel pairs across hash blocks — a
+    * total-preserving perturbation that flips at most the two touched
+    * bits, i.e. a near-but-not-exact duplicate the banding must still
+    * pair with its clean group-mates. Scale:
+    * decode+hash is map-only; the only shuffle is the band equi-join,
+    * work ∝ Σ bucket² — never N². */
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val W = 16
+    def pixelValue(doc: Long, x: Int, y: Int): Int = {
+      val g = doc % 37
+      def base(xx: Int, yy: Int) = ((g * 31 + xx * 7 + yy * 13) % 256).toInt
+      // every 5th doc swaps three pixel pairs between hash blocks 0 and
+      // 63 — a total-luma-preserving perturbation, so the mean
+      // threshold is untouched and AT MOST those two blocks' bits flip:
+      // guaranteed near-duplicates at Hamming ≤ 2 (the fixture realizes
+      // all of 0, 1 and 2 across the 37 groups), and 37 ⊥ 5 so every
+      // group mixes perturbed and clean members
+      if (doc % 5 == 0) (x, y) match {
+        case (0, 0)   => base(15, 15)
+        case (15, 15) => base(0, 0)
+        case (1, 0)   => base(14, 15)
+        case (14, 15) => base(1, 0)
+        case (0, 1)   => base(15, 14)
+        case (15, 14) => base(0, 1)
+        case _        => base(x, y)
+      } else base(x, y)
+    }
+    def encode(doc: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        W, W, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < W) {
+        var x = 0
+        while (x < W) {
+          val v = pixelValue(doc, x, y)
+          img.setRGB(x, y,
+            (v << 16) | (((v * 5 + 11) % 256) << 8) | ((v * 3 + 7) % 256))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def ahash(img: java.awt.image.BufferedImage): Long = {
+      val bs = new Array[Long](64)
+      var total = 0L
+      var y = 0
+      while (y < W) {
+        var x = 0
+        while (x < W) {
+          val rgb = img.getRGB(x, y)
+          val gray = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          bs((y / 2) * 8 + x / 2) += gray
+          total += gray
+          x += 1
+        }
+        y += 1
+      }
+      var h = 0L
+      var i = 0
+      while (i < 64) {
+        if (bs(i) * 64 > total) h |= 1L << i
+        i += 1
+      }
+      h
+    }
+    val hashes = Tables.documents(s, dir)
+      .select(col("doc_id")).as[Long]
+      .map(id => MediaRow(id, encode(id)))
+      .mapPartitions(_.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        PHashRow(m.doc_id, ahash(img))
+      }).toDF()
+    val banded = hashes
+      .select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bval",
+        expr("shiftright(phash, band * 16)").bitwiseAND(lit(0xffffL)))
+    val a = banded.select(col("band"), col("bval"),
+      col("doc_id").as("doc_a"), col("phash").as("ha"))
+    val b = banded.select(col("band"), col("bval"),
+      col("doc_id").as("doc_b"), col("phash").as("hb"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= 2)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q190_image_phash_dedup", q190, Some(
+      """WITH d AS (SELECT doc_id, doc_id % 37 AS g FROM documents),
+        |a AS (SELECT doc_id, g, unnest(generate_series(0, 15)) AS x FROM d),
+        |b AS (SELECT doc_id, g, x, unnest(generate_series(0, 15)) AS y FROM a),
+        |v AS (SELECT doc_id, x, y,
+        |    CASE WHEN doc_id % 5 = 0 AND x = 0 AND y = 0
+        |      THEN (g * 31 + 300) % 256
+        |      WHEN doc_id % 5 = 0 AND x = 15 AND y = 15
+        |      THEN (g * 31) % 256
+        |      WHEN doc_id % 5 = 0 AND x = 1 AND y = 0
+        |      THEN (g * 31 + 293) % 256
+        |      WHEN doc_id % 5 = 0 AND x = 14 AND y = 15
+        |      THEN (g * 31 + 7) % 256
+        |      WHEN doc_id % 5 = 0 AND x = 0 AND y = 1
+        |      THEN (g * 31 + 287) % 256
+        |      WHEN doc_id % 5 = 0 AND x = 15 AND y = 14
+        |      THEN (g * 31 + 13) % 256
+        |      ELSE (g * 31 + x * 7 + y * 13) % 256 END AS vv FROM b),
+        |c AS (SELECT doc_id, x // 2 AS bx, y // 2 AS by,
+        |    vv + (vv * 5 + 11) % 256 + (vv * 3 + 7) % 256 AS gray FROM v),
+        |blk AS (SELECT doc_id, by * 8 + bx AS bit_i, sum(gray) AS bs
+        |        FROM c GROUP BY doc_id, by * 8 + bx),
+        |tot AS (SELECT doc_id, sum(bs) AS ts FROM blk GROUP BY doc_id),
+        |pb AS (SELECT blk.doc_id, bit_i,
+        |    CASE WHEN blk.bs * 64 > tot.ts THEN 1 ELSE 0 END AS bit
+        |  FROM blk JOIN tot ON blk.doc_id = tot.doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+        |FROM pb a JOIN pb b ON a.bit_i = b.bit_i AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
+        |HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 2
+        |ORDER BY doc_a, doc_b""".stripMargin)),
     Q("q134_audio_features", q134, Some(
       """WITH w AS (
         |  SELECT doc_id, CAST(256 + n_chars % 256 AS INT) AS n,
