@@ -455,6 +455,89 @@ object StreamingQueries extends QueryPack {
     outDf
   }
 
+  /** q191: stream-stream FULL OUTER join — completes the streaming join
+    * matrix (q84 inner, q173 left outer): clicks with no purchase in
+    * the hour AFTER them must also emit, null-padded on the purchase
+    * side, once the watermark proves no matching purchase can still
+    * arrive. Same two-sentinel + trivial-flush drain discipline as
+    * q173 (each side's watermark operator only advances on rows its
+    * event_type filter passes; the final flush row forces the real
+    * micro-batch that evicts the last outer rows without relying on
+    * no-data batches). State at scale is bounded on BOTH sides by
+    * arrival rate × (delay + range): left rows evict when the
+    * watermark passes their event time, right rows when it passes
+    * event time + range — never by history. Sentinels are dropped by
+    * sign; unmatched sides coalesce to -1 so the presentation sort is
+    * engine-neutral. */
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    val shards = dumpDayShards(s, dir, "events_stream_days_upsert")
+    val schema = dayShardSchema("events_stream_days_upsert")
+    def side(eventType: String, prefix: String) = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "15")
+      .parquet(shards)
+      .filter(col("event_type") === eventType && pmod(col("user_id"), lit(2)) === 0)
+      .select(col("user_id").as(s"${prefix}_user"),
+        expr("timestamp_micros(us)").as(s"${prefix}_ts"),
+        col("event_id").as(s"${prefix}_id"))
+      .withWatermark(s"${prefix}_ts", "2 hours")
+    val joined = side("purchase", "p").join(side("click", "c"),
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "fullOuter")
+    val name = "graft_q191_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = withConfs(s,
+      "spark.sql.shuffle.partitions" -> "2",
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
+      joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    }
+    val maxUs = eventsMaxUs(s, dir)
+    val flushUs = maxUs + 42L * 86400L * 1000000L
+    val flush2Us = flushUs + 86400L * 1000000L
+    def dayOf(us: Long): String = java.time.Instant
+      .ofEpochSecond(us / 1000000L).atZone(java.time.ZoneOffset.UTC)
+      .toLocalDate.toString
+    val flushDay = dayOf(flushUs)
+    val flush2Day = dayOf(flush2Us)
+    val outDf =
+      try {
+        try {
+          query.processAllAvailable()
+          s.createDataFrame(java.util.Arrays.asList(
+              org.apache.spark.sql.Row(-2L, -1L, "purchase", 0.0, flushUs, flushDay),
+              org.apache.spark.sql.Row(-2L, -2L, "click", 0.0, flushUs, flushDay)),
+            schema)
+            .write.mode("append").partitionBy("day").parquet(shards)
+          query.processAllAvailable()
+          s.createDataFrame(java.util.Arrays.asList(
+              org.apache.spark.sql.Row(-3L, -3L, "flush", 0.0, flush2Us, flush2Day)),
+            schema)
+            .write.mode("append").partitionBy("day").parquet(shards)
+          query.processAllAvailable()
+          recordBatchId("q191", query)
+        } finally query.stop()
+        val result = s.table(name)
+          // drop sentinel emissions on EITHER side (the two sentinels
+          // also match each other); real users are non-negative
+          .filter(coalesce(col("p_user"), lit(0L)) >= 0 &&
+            coalesce(col("c_user"), lit(0L)) >= 0)
+          .select(coalesce(col("p_id"), lit(-1L)).as("p_id"),
+            coalesce(col("c_id"), lit(-1L)).as("c_id"),
+            coalesce(unix_micros(col("p_ts")) - unix_micros(col("c_ts")),
+              lit(-1L)).as("gap_us"))
+          .orderBy("p_id", "c_id")
+        val rows = result.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+      } finally rmrfAll(s,
+        Seq(flushDay, flush2Day).distinct.map(d => s"$shards/day=$d"): _*)
+    s.catalog.dropTempView(name)
+    outDf
+  }
+
   /** q100: streaming into a REAL file sink — the production shape the
     * memory-sink gates deliberately avoid: `writeStream.format("parquet")`
     * with a checkpoint location (exactly-once via the sink's file
@@ -1311,6 +1394,17 @@ object StreamingQueries extends QueryPack {
         |SELECT p.event_id AS p_id, coalesce(c.event_id, -1) AS c_id,
         |  coalesce(p.us - c.us, -1) AS gap_us
         |FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |  AND c.us >= p.us - 3600000000 AND c.us <= p.us
+        |ORDER BY p_id, c_id""".stripMargin)),
+    Q("q191_stream_full_outer", q191, Some(
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+        |           WHERE event_type = 'purchase' AND user_id % 2 = 0),
+        |c AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+        |      WHERE event_type = 'click' AND user_id % 2 = 0)
+        |SELECT coalesce(p.event_id, -1) AS p_id,
+        |  coalesce(c.event_id, -1) AS c_id,
+        |  coalesce(p.us - c.us, -1) AS gap_us
+        |FROM p FULL JOIN c ON p.user_id = c.user_id
         |  AND c.us >= p.us - 3600000000 AND c.us <= p.us
         |ORDER BY p_id, c_id""".stripMargin)),
     // q100's oracle is the plain batch aggregation: the file-sink stream
