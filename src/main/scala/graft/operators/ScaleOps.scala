@@ -212,7 +212,66 @@ object ScaleOps extends QueryPack {
       .toDF("n_docs", "total_chars", "min_doc", "max_doc")
   }
 
+  /** q192: single-scan column profiler — the data-quality audit every
+    * ingestion pipeline runs before training: per-column null count,
+    * exact distinct count, and min/max, all computed in ONE pass over
+    * the table and unpivoted to a per-column stats frame via `stack`
+    * (a generator, not a join — the scan happens once, not once per
+    * column). min/max aggregate in the column's native type and cast to
+    * string only at the end, so numeric columns report numeric extrema.
+    * Profiled columns stay integer/string (double/timestamp rendering
+    * is engine-specific and belongs in typed gates like q149/q156).
+    * Scale note: the multi-column COUNT(DISTINCT) plans through
+    * Catalyst's Expand (rows × #distinct-aggs before partial
+    * aggregation); at 100 TB the standard flip is
+    * `approx_count_distinct`, which keeps the profile single-pass with
+    * no Expand and a bounded HLL sketch per column — same plan
+    * otherwise. */
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"${c}_nn"),
+      countDistinct(col(c)).as(s"${c}_nd"),
+      min(col(c)).cast("string").as(s"${c}_min"),
+      max(col(c)).cast("string").as(s"${c}_max")))
+    val stackArgs = cols.map(c =>
+      s"'$c', n_rows - ${c}_nn, ${c}_nd, ${c}_min, ${c}_max").mkString(", ")
+    Tables.orders(s, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_rows",
+        s"stack(${cols.size}, $stackArgs) AS " +
+          "(col_name, n_nulls, n_distinct, min_val, max_val)")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+      .orderBy("col_name")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q192_column_profile", q192, Some(
+      """WITH s AS (SELECT count(*) AS n_rows,
+        |    count(o_orderkey) AS k1_nn, count(DISTINCT o_orderkey) AS k1_nd,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS k1_min,
+        |    CAST(max(o_orderkey) AS VARCHAR) AS k1_max,
+        |    count(o_custkey) AS k2_nn, count(DISTINCT o_custkey) AS k2_nd,
+        |    CAST(min(o_custkey) AS VARCHAR) AS k2_min,
+        |    CAST(max(o_custkey) AS VARCHAR) AS k2_max,
+        |    count(o_orderstatus) AS k3_nn, count(DISTINCT o_orderstatus) AS k3_nd,
+        |    CAST(min(o_orderstatus) AS VARCHAR) AS k3_min,
+        |    CAST(max(o_orderstatus) AS VARCHAR) AS k3_max,
+        |    count(o_orderpriority) AS k4_nn, count(DISTINCT o_orderpriority) AS k4_nd,
+        |    CAST(min(o_orderpriority) AS VARCHAR) AS k4_min,
+        |    CAST(max(o_orderpriority) AS VARCHAR) AS k4_max
+        |  FROM orders)
+        |SELECT col_name, n_rows, n_nulls, n_distinct, min_val, max_val FROM (
+        |  SELECT 'o_orderkey' AS col_name, n_rows, n_rows - k1_nn AS n_nulls,
+        |    k1_nd AS n_distinct, k1_min AS min_val, k1_max AS max_val FROM s
+        |  UNION ALL
+        |  SELECT 'o_custkey', n_rows, n_rows - k2_nn, k2_nd, k2_min, k2_max FROM s
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', n_rows, n_rows - k3_nn, k3_nd, k3_min, k3_max FROM s
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', n_rows, n_rows - k4_nn, k4_nd, k4_min, k4_max FROM s)
+        |ORDER BY col_name""".stripMargin)),
     Q("q152_observe_metrics", q152, Some(
       """SELECT count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
