@@ -229,6 +229,11 @@ object Clustering extends QueryPack {
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("cid"))
+    // materialize the assignment ONCE: three consumers (pair left, pair
+    // right, final kept-join) would otherwise each replan the
+    // scan+broadcast+window subtree — 3 corpus passes at 100 TB. Same
+    // localCheckpoint convention (and cluster fault-tolerance contract,
+    // SCALING.md) as the iterative GraphOps/Dedup frames.
     val assigned = e.crossJoin(broadcast(seeds))
       .withColumn("ccos",
         round(graft.functions.VectorFunctions.dot(s, "v", "cv") /
@@ -236,6 +241,7 @@ object Clustering extends QueryPack {
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select("vec_id", "cid", "v", "nrm")
+      .localCheckpoint(true)
     val left = assigned.select(col("vec_id").as("vid_a"), col("cid"),
       col("v").as("va"), col("nrm").as("na"))
     val right = assigned.select(col("vec_id").as("vid_b"), col("cid"),
