@@ -438,7 +438,49 @@ object DataPrep extends QueryPack {
       .orderBy("host")
   }
 
+  /** q193: crawl snapshot diff — the incremental-ingestion
+    * reconciliation step: given yesterday's and today's crawl of the
+    * same keyspace, classify every URL/doc as added / removed /
+    * changed / unchanged by comparing content fingerprints. The two
+    * snapshots are synthesized deterministically from the documents
+    * table (A drops doc_id ≡ 3 mod 7, B drops ≡ 5 mod 11 and rewrites
+    * every 6th doc's content), fingerprints are sha-256 of the text,
+    * and the diff is ONE full outer equi-join on the key — the classic
+    * CDC shape: co-partitioned on the primary key, no windows, no
+    * secondary shuffles, linear at any scale. */
+  private def q193(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val snapA = docs.filter(pmod(col("doc_id"), lit(7)) =!= 3)
+      .select(col("doc_id"), sha2(col("text"), 256).as("fp_a"))
+    val snapB = docs.filter(pmod(col("doc_id"), lit(11)) =!= 5)
+      .select(col("doc_id"),
+        sha2(when(pmod(col("doc_id"), lit(6)) === 0,
+          concat(col("text"), lit(" updated"))).otherwise(col("text")),
+          256).as("fp_b"))
+    snapA.join(snapB, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp_a").isNull, lit("added"))
+          .when(col("fp_b").isNull, lit("removed"))
+          .when(col("fp_a") =!= col("fp_b"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .orderBy("doc_id")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q193_snapshot_diff", q193, Some(
+      """WITH a AS (SELECT doc_id, sha256(text) AS fp_a FROM documents
+        |           WHERE doc_id % 7 <> 3),
+        |b AS (SELECT doc_id,
+        |    sha256(CASE WHEN doc_id % 6 = 0 THEN text || ' updated'
+        |                ELSE text END) AS fp_b
+        |  FROM documents WHERE doc_id % 11 <> 5)
+        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       WHEN fp_a <> fp_b THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM a FULL JOIN b ON a.doc_id = b.doc_id
+        |ORDER BY doc_id""".stripMargin)),
     Q("q188_link_graph", q188, Some(
       """WITH u AS (SELECT doc_id, unnest(regexp_extract_all(
         |    '<p>See <a href="https://site' || CAST(doc_id % 7 AS VARCHAR) ||

@@ -397,7 +397,70 @@ object Temporal extends QueryPack {
       .orderBy("ta", "tb")
   }
 
+  /** q194: SCD2 history build — the warehouse pattern that turns an
+    * event log into type-2 dimension rows: per user, consecutive runs
+    * of the tracked attribute (event_type) collapse into one version
+    * with [valid_from, valid_to) validity, valid_to = the next
+    * version's start (sentinel -1 while current). Gaps-and-islands via
+    * the lag≠current change flag + running sum = version id, then the
+    * run aggregate and the lead(valid_from) window — ALL of it rides
+    * ONE hash exchange on user_id (the change-flag window, the
+    * version-id sum, the per-version aggregate, and the lead share the
+    * same partitioning; Catalyst plans no second exchange). At scale
+    * the only cost is that shuffle plus per-user sorted scans — the
+    * canonical MERGE-free SCD2 build. Ties (equal us) are broken by
+    * event_id for a total per-user order. */
+  private def q194(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byUser).isNull ||
+          lag(col("event_type"), 1).over(byUser) =!= col("event_type"),
+          lit(1)).otherwise(lit(0)))
+      .withColumn("version",
+        sum(col("chg")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    val runs = e.groupBy("user_id", "version")
+      .agg(first(col("event_type")).as("event_type"),
+        min(struct(col("us"), col("event_id"))).as("k"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("k.us").as("valid_from"), col("n_events"))
+    val byUserRun = Window.partitionBy("user_id").orderBy("valid_from")
+    runs
+      .withColumn("valid_to",
+        coalesce(lead(col("valid_from"), 1).over(byUserRun), lit(-1L)))
+      .withColumn("is_current", col("valid_to") === -1L)
+      .select("user_id", "version", "event_type", "valid_from",
+        "valid_to", "n_events", "is_current")
+      .orderBy("user_id", "version")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q194_scd2_history", q194, Some(
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |    epoch_us(ts) AS us,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |v AS (SELECT user_id, event_type, us,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        |  FROM e),
+        |r AS (SELECT user_id, version, any_value(event_type) AS event_type,
+        |    min(us) AS valid_from, count(*) AS n_events
+        |  FROM v GROUP BY user_id, version)
+        |SELECT user_id, version, event_type, valid_from,
+        |  coalesce(lead(valid_from) OVER
+        |    (PARTITION BY user_id ORDER BY valid_from), -1) AS valid_to,
+        |  n_events,
+        |  (coalesce(lead(valid_from) OVER
+        |    (PARTITION BY user_id ORDER BY valid_from), -1) = -1) AS is_current
+        |FROM r ORDER BY user_id, version""".stripMargin)),
     Q("q169_basket_lift", q169, Some(
       """WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d,
         |             event_type FROM events),
