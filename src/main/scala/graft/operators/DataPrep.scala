@@ -466,7 +466,81 @@ object DataPrep extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** q195: per-domain token-budget capping — the anti-spam/diversity
+    * curation rule: no single domain may contribute more than B tokens
+    * to the corpus. Unlike q111's per-source ROW quota, the cap is a
+    * BUDGETED PREFIX: docs of a host are taken in deterministic
+    * content-hash order until the cumulative token count would exceed
+    * the budget (a doc that crosses the line is dropped, later smaller
+    * docs are NOT back-filled — the one-pass prefix rule, so membership
+    * is a pure function of the doc's rank and running sum). One hash
+    * exchange on host, one running-sum window over it; the filter is
+    * `cum ≤ B`. Host keyspace ≪ docs, so the shuffle partial-aggregates
+    * nothing but also skews nothing worse than the true domain
+    * distribution — the same salting answer as q110 applies if one
+    * domain dominates. */
+  private def q195(s: SparkSession, dir: String): DataFrame = {
+    val budget = 1000L
+    val host = concat(lit("site"), pmod(col("doc_id"), lit(7)).cast("string"),
+      lit(".example.org"))
+    val wHost = Window.partitionBy("host")
+      .orderBy(col("rk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), host.as("host"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("rk"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wHost))
+      .filter(col("cum_tokens") <= budget)
+      .select("doc_id", "host", "n_tokens", "cum_tokens")
+      .orderBy("doc_id")
+  }
+
+  /** q196: mixture upsampling — the repetition schedule that over-
+    * samples scarce/high-quality slices when assembling a training
+    * epoch: each doc is replicated `weight(lang)` times (en 3, fr 2,
+    * others 1), every copy tagged with its epoch index and a
+    * content-derived interleave key (`md5(doc‖epoch)`) so repeats
+    * scatter through the global q186-style shuffle order instead of
+    * clustering. Pure map-side fan-out: `explode(sequence(...))` is a
+    * codegen generator, no shuffle except the presentation sort —
+    * at 100 TB the fan-out multiplies output bytes, never shuffle
+    * traffic. */
+  private def q196(s: SparkSession, dir: String): DataFrame = {
+    val reps = when(col("lang") === "en", lit(3))
+      .when(col("lang") === "fr", lit(2)).otherwise(lit(1))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), reps.as("n_reps"))
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1), col("n_reps"))).as("epoch"))
+      .withColumn("interleave_key",
+        md5(concat(col("doc_id").cast("string"), lit("#"),
+          col("epoch").cast("string"))))
+      .orderBy("doc_id", "epoch")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q195_domain_token_cap", q195, Some(
+      """WITH t AS (SELECT doc_id,
+        |    'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' AS host,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS rk
+        |  FROM documents),
+        |c AS (SELECT doc_id, host, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY host ORDER BY rk, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, host, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 1000 ORDER BY doc_id""".stripMargin)),
+    Q("q196_mixture_upsample", q196, Some(
+      """WITH r AS (SELECT doc_id, lang,
+        |    CASE lang WHEN 'en' THEN 3 WHEN 'fr' THEN 2 ELSE 1 END AS n_reps
+        |  FROM documents)
+        |SELECT doc_id, lang, unnest(generate_series(1, n_reps)) AS epoch,
+        |  md5(CAST(doc_id AS VARCHAR) || '#' ||
+        |      CAST(unnest(generate_series(1, n_reps)) AS VARCHAR))
+        |    AS interleave_key
+        |FROM r ORDER BY doc_id, epoch""".stripMargin)),
     Q("q193_snapshot_diff", q193, Some(
       """WITH a AS (SELECT doc_id, sha256(text) AS fp_a FROM documents
         |           WHERE doc_id % 7 <> 3),
