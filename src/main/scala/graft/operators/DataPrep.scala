@@ -519,7 +519,49 @@ object DataPrep extends QueryPack {
       .orderBy("doc_id", "epoch")
   }
 
+  /** q198: k-anonymity release gate with keyed pseudonymization — the
+    * privacy step before an event dataset leaves the pipeline:
+    * user ids are replaced by a keyed hash (consistent mapping, so
+    * joins and distinct-counts still work downstream without exposing
+    * the raw id), and any (event_type, day, value-band) quasi-
+    * identifier group with fewer than k = 20 members is SUPPRESSED
+    * (the standard k-anonymity rule: small groups re-identify — the
+    * amount band is the classic linkable attribute). Output is the
+    * group-level release audit: size, distinct pseudonyms, the
+    * deterministic min pseudonym (pins the exact hash mapping across
+    * engines), and the keep/suppress verdict — the sf0.01 fixture
+    * realizes BOTH verdicts. One hash shuffle on the quasi-identifier;
+    * the pseudonymization is a codegen'd sha-256 projection. At 100 TB
+    * the group count is days × types × bands — tiny — so partial
+    * aggregation collapses everything map-side. */
+  private def q198(s: SparkSession, dir: String): DataFrame = {
+    val k = 20L
+    Tables.events(s, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"),
+        floor(col("value") / 25).cast("int").as("value_band"),
+        substring(sha2(concat(lit("salt42|"),
+          col("user_id").cast("string")), 256), 1, 16).as("pid"))
+      .groupBy("event_type", "day", "value_band")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("pid")).as("n_users"),
+        min(col("pid")).as("min_pid"))
+      .withColumn("kept", col("n_events") >= k)
+      .orderBy("event_type", "day", "value_band")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q198_k_anonymity", q198, Some(
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(floor(value / 25) AS INT) AS value_band,
+        |  count(*) AS n_events,
+        |  count(DISTINCT substring(sha256('salt42|' ||
+        |    CAST(user_id AS VARCHAR)), 1, 16)) AS n_users,
+        |  min(substring(sha256('salt42|' ||
+        |    CAST(user_id AS VARCHAR)), 1, 16)) AS min_pid,
+        |  count(*) >= 20 AS kept
+        |FROM events GROUP BY 1, 2, 3
+        |ORDER BY event_type, day, value_band""".stripMargin)),
     Q("q195_domain_token_cap", q195, Some(
       """WITH t AS (SELECT doc_id,
         |    'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.org' AS host,

@@ -472,7 +472,40 @@ object FileIO extends QueryPack {
       .orderBy("c_mktsegment")
   }
 
+  /** q199: corrupt-file-tolerant scan — the robustness contract every
+    * 100 TB lake job needs: a landing directory always contains some
+    * truncated/garbage files (killed writers, partial uploads), and
+    * the scan must skip them WITHOUT skipping silently-valid data.
+    * The gate writes nation as parquet, drops a garbage `.parquet`
+    * file beside the real parts, and reads back with the data-source
+    * option `ignoreCorruptFiles=true` (scoped to this read — no
+    * session-wide conf mutation) and the explicit schema (inference
+    * could try the corrupt footer first). The oracle is the clean
+    * aggregate over the source table: one lost real row or one row of
+    * garbage leaking through fails the count/sum hash. Scratch write
+    * amortizes via the layout cache like the other layout gates. */
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "nation_with_corrupt")
+    if (layoutSource.put(out, dir) != dir) {
+      Tables.nation(s, dir).write.mode("overwrite").parquet(out)
+      val bad = new java.io.FileOutputStream(s"$out/zz_corrupt.parquet")
+      try bad.write("this is not a parquet file".getBytes("UTF-8"))
+      finally bad.close()
+    }
+    s.read
+      .schema(Tables.nation(s, dir).schema)
+      .option("ignoreCorruptFiles", "true")
+      .parquet(out)
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_nationkey")).as("key_sum"),
+        countDistinct(col("n_regionkey")).as("n_regions"))
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q199_ignore_corrupt", q199, Some(
+      """SELECT count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+        |  count(DISTINCT n_regionkey) AS n_regions
+        |FROM nation""".stripMargin)),
     Q("q172_managed_table", q172, Some(
       """SELECT c_mktsegment, count(*) AS n,
         |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)

@@ -552,6 +552,47 @@ object TextAnalysis extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** q197: bigram language-model scoring — train a bigram LM on the
+    * corpus and score every document by mean negative log-likelihood
+    * under add-1 smoothing: P(w₂|w₁) = (C(w₁w₂)+1)/(C(w₁·)+V). The
+    * bigram table is the LM (the classic KenLM-shape count pass:
+    * one shuffle keyed on the bigram, one on the unigram prefix), V is
+    * a 1-row broadcast, and scoring joins each doc's bigrams back
+    * against the counts — train and apply in one plan, no driver-side
+    * model. Complements q153's unigram perplexity with actual
+    * conditional structure (word-order scrambling now changes a doc's
+    * score). Same fp discipline as q153: each term rounded to 12
+    * before the mean rounds to 6, so summation order can't move the
+    * output. Bigram fan-out is a codegen generator (`transform` over
+    * `sequence`), map-only before the count shuffles. */
+  private def q197(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val w = split(col("text"), " ", -1)
+    val pairs = docs
+      .select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("w")) - 1),
+        i => struct(element_at(col("w"), i).as("w1"),
+          element_at(col("w"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val uni = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = docs
+      .select(explode(split(col("text"), " ", -1)).as("word"))
+      .filter(length(col("word")) > 0)
+      .agg(countDistinct(col("word")).as("vocab"))
+    pairs.join(bi, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        round(-log((col("c12") + lit(1.0)) / (col("c1") + col("vocab"))), 12)
+          .as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum("nll") / count(lit(1)), 6).as("mean_nll"))
+      .orderBy("doc_id")
+  }
+
   /** One oracle BPE round: syms$r → (top$r rule, syms${r+1}). */
   private def bpeRoundSql(r: Int): String = {
     val n = r + 1
@@ -579,6 +620,23 @@ object TextAnalysis extends QueryPack {
   }
 
   override def queries: Seq[Q] = Seq(
+    Q("q197_bigram_lm", q197, Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |i AS (SELECT doc_id, w,
+        |    unnest(generate_series(1, len(w) - 1)) AS i FROM t),
+        |p AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM i),
+        |bi AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY 1, 2),
+        |un AS (SELECT w1, count(*) AS c1 FROM p GROUP BY 1),
+        |v AS (SELECT count(DISTINCT word) AS vocab FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE len(word) > 0),
+        |sc AS (SELECT doc_id,
+        |    round(-ln((c12 + 1.0) / (c1 + vocab)), 12) AS nll
+        |  FROM p JOIN bi USING (w1, w2) JOIN un USING (w1) CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(sum(nll) / count(*), 6) AS mean_nll
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
     Q("q187_line_dedup", q187, Some(
       """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
         |  FROM documents),

@@ -144,7 +144,10 @@ class PlanSpec extends AnyFunSuite {
       "q102_kmeans_fit", "q103_ann_ivf_fitted", "q115_pagerank",
       "q120_length_ntile", "q129_bpe_merges", "q139_triangle_count",
       "q150_bpe_encode", "q151_hll_sketch", "q153_perplexity",
-      "q169_basket_lift", "q189_semantic_dedup")
+      "q169_basket_lift", "q189_semantic_dedup",
+      // q197 — bigram LM: the 1-row vocab-size broadcast (q69/q153
+      //        pattern); count and score joins are all equi.
+      "q197_bigram_lm")
     // Streaming queries execute a full drain in fn() and return a
     // collected local frame whose "plan" pins nothing; their batch-side
     // shapes are pinned by their own specs — skip the expensive drains.
