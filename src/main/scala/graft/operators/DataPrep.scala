@@ -550,7 +550,80 @@ object DataPrep extends QueryPack {
       .orderBy("event_type", "day", "value_band")
   }
 
+  /** q200: one-scan curation funnel — the capstone audit that chains
+    * the pipeline's flagship stages over a single pass and reports the
+    * yield at each: URL-dedup (every doc_id ≡ 7 mod 10 re-crawls the
+    * page of doc_id−7; keep the lowest doc_id per canonical key) →
+    * quality floor (n_chars ≥ 120) → q90's deterministic mixture rule
+    * (content-hash Bernoulli per language) → q186's shard assignment,
+    * reported as distinct shards used by the survivors. Like q95's
+    * cascade audit, every stage is a BOOLEAN on the same row set —
+    * counts are conjunction sums in ONE aggregation, so the whole
+    * funnel costs one scan + one window shuffle (the dedup
+    * first-per-key rank) + a 1-row aggregate, not one job per stage.
+    * The stage list unpivots through `stack`. */
+  private def q200(s: SparkSession, dir: String): DataFrame = {
+    val canonKey = col("doc_id") -
+      when(pmod(col("doc_id"), lit(10)) === 7, lit(7)).otherwise(lit(0))
+    val wKey = Window.partitionBy("canon_key").orderBy("doc_id")
+    val h4 = substring(
+      sha2(concat(col("doc_id").cast("string"), lit("|"), col("lang")), 256), 1, 4)
+    val mixKeep = col("lang") === "en" ||
+      h4 < when(col("lang") === "fr", lit("c000"))
+        .when(col("lang") === "de", lit("8000"))
+        .when(col("lang") === "es", lit("4000"))
+        .otherwise(lit("2000"))
+    val shard = substring(
+      md5(concat(col("doc_id").cast("string"), lit("::seed42"))), 1, 1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        canonKey.as("canon_key"), mixKeep.as("mix_keep"), shard.as("shard"))
+      .withColumn("is_first", row_number().over(wKey) === 1)
+      .withColumn("q_ok", col("n_chars") >= 120)
+      .agg(
+        count(lit(1)).as("ingest"),
+        sum(when(col("is_first"), 1L).otherwise(0L)).as("after_dedup"),
+        sum(when(col("is_first") && col("q_ok"), 1L).otherwise(0L))
+          .as("after_quality"),
+        sum(when(col("is_first") && col("q_ok") && col("mix_keep"), 1L)
+          .otherwise(0L)).as("after_mixture"),
+        countDistinct(when(col("is_first") && col("q_ok") && col("mix_keep"),
+          col("shard"))).as("shards_used"))
+      .selectExpr("stack(5, 'a_ingest', ingest, 'b_after_dedup', after_dedup, " +
+        "'c_after_quality', after_quality, 'd_after_mixture', after_mixture, " +
+        "'e_shards_used', shards_used) AS (stage, n)")
+      .orderBy("stage")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q200_curation_funnel", q200, Some(
+      """WITH t AS (SELECT doc_id, lang, n_chars,
+        |    doc_id - CASE WHEN doc_id % 10 = 7 THEN 7 ELSE 0 END AS canon_key,
+        |    (lang = 'en' OR
+        |      substring(sha256(CAST(doc_id AS VARCHAR) || '|' || lang), 1, 4) <
+        |      CASE lang WHEN 'fr' THEN 'c000' WHEN 'de' THEN '8000'
+        |                WHEN 'es' THEN '4000' ELSE '2000' END) AS mix_keep,
+        |    substring(md5(CAST(doc_id AS VARCHAR) || '::seed42'), 1, 1) AS shard
+        |  FROM documents),
+        |f AS (SELECT *,
+        |    row_number() OVER (PARTITION BY canon_key ORDER BY doc_id) = 1
+        |      AS is_first,
+        |    n_chars >= 120 AS q_ok FROM t),
+        |s AS (SELECT count(*) AS ingest,
+        |    sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS after_dedup,
+        |    sum(CASE WHEN is_first AND q_ok THEN 1 ELSE 0 END) AS after_quality,
+        |    sum(CASE WHEN is_first AND q_ok AND mix_keep THEN 1 ELSE 0 END)
+        |      AS after_mixture,
+        |    count(DISTINCT CASE WHEN is_first AND q_ok AND mix_keep
+        |      THEN shard END) AS shards_used
+        |  FROM f)
+        |SELECT stage, CAST(n AS BIGINT) AS n FROM (
+        |  SELECT 'a_ingest' AS stage, ingest AS n FROM s
+        |  UNION ALL SELECT 'b_after_dedup', after_dedup FROM s
+        |  UNION ALL SELECT 'c_after_quality', after_quality FROM s
+        |  UNION ALL SELECT 'd_after_mixture', after_mixture FROM s
+        |  UNION ALL SELECT 'e_shards_used', shards_used FROM s)
+        |ORDER BY stage""".stripMargin)),
     Q("q198_k_anonymity", q198, Some(
       """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
         |  CAST(floor(value / 25) AS INT) AS value_band,
