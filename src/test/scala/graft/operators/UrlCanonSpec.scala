@@ -42,4 +42,38 @@ class UrlCanonSpec extends AnyFunSuite {
         "https://example.com/a?reference=1")
     assert(canon(cases.map(_._1): _*) === cases.map(_._2))
   }
+
+  test("canonicalizer is idempotent on generated messy URLs") {
+    // A canonicalizer that isn't a fixpoint silently splits dedup
+    // groups when a pipeline canonicalizes twice (ingest + re-crawl).
+    // Generate the mess space the rules cover — scheme/host casing,
+    // www, default and non-default ports, trailing slashes, shuffled
+    // tracking/real params, fragments — and pin canon∘canon = canon.
+    import org.scalacheck.Gen
+    val urlGen: Gen[String] = for {
+      scheme <- Gen.oneOf("http", "https", "HTTP", "HTTPS", "HtTpS")
+      www <- Gen.oneOf("", "www.", "WWW.")
+      host <- Gen.oneOf("Example.COM", "sub.Example.org", "x-y.net")
+      port <- Gen.oneOf("", ":80", ":443", ":8443")
+      path <- Gen.oneOf("", "/", "/A/b", "/A/b/", "/A/b///")
+      params <- Gen.someOf(Seq("a=1", "B=2", "utm_source=x",
+        "utm_campaign=Y", "ref=rss", "fbclid=z", "gclid=g", "z="))
+      frag <- Gen.oneOf("", "#frag", "#a/b?c=1")
+    } yield {
+      val q = if (params.isEmpty) "" else params.mkString("?", "&", "")
+      s"$scheme://$www$host$port$path$q$frag"
+    }
+    val urls = Gen.listOfN(300, urlGen).sample.getOrElse(Nil)
+    assert(urls.nonEmpty)
+    import spark.implicits._
+    val rows = urls.toDF("url")
+      .select(DataPrep.canonicalizeUrl(col("url")).as("c1"))
+      .select(col("c1"),
+        DataPrep.canonicalizeUrl(col("c1")).as("c2"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(0) === r.getString(1),
+        s"not a fixpoint: ${r.getString(0)} -> ${r.getString(1)}")
+    }
+  }
 }
