@@ -246,7 +246,58 @@ object ScaleOps extends QueryPack {
       .orderBy("col_name")
   }
 
+  /** q201: grid-bucketed spatial radius join — the 2-D analog of the
+    * LSH/band tricks used throughout the dedup stack, and the standard
+    * scale answer to "all pairs of points within distance r": bucket
+    * points into r×r grid cells, expand ONLY the probe side to its 3×3
+    * cell neighborhood (the build side stays in its home cell, so every
+    * qualifying pair meets exactly once — no post-dedup), equi-join on
+    * the cell, verify with the EXACT integer squared distance. Recall
+    * is exact by construction: two points within r can't be more than
+    * one cell apart when the cell edge is r. Coordinates are a
+    * deterministic integer lattice from c_custkey (positions are plain
+    * integers, NOT toroidal — both engines replay the same arithmetic),
+    * so the whole gate is integer-exact. At 100 TB work is
+    * Σ cell×neighborhood — density-proportional, never N²; skewed
+    * hotspots answer to the same salting as q110. */
+  private def q201(s: SparkSession, dir: String): DataFrame = {
+    val r = 300L
+    val pts = Tables.customer(s, dir).select(
+      col("c_custkey").as("id"),
+      (col("c_custkey") * 37 % 10000).as("x"),
+      (col("c_custkey") * 73 % 10000).as("y"))
+    val probe = pts
+      .select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
+        explode(expr("array(-1, 0, 1)")).as("ddx"))
+      .select(col("id_a"), col("xa"), col("ya"), col("ddx"),
+        explode(expr("array(-1, 0, 1)")).as("ddy"))
+      .select(col("id_a"), col("xa"), col("ya"),
+        (floor(col("xa") / r) + col("ddx")).as("cx"),
+        (floor(col("ya") / r) + col("ddy")).as("cy"))
+    val build = pts.select(col("id").as("id_b"), col("x").as("xb"),
+      col("y").as("yb"),
+      floor(col("x") / r).as("cx"), floor(col("y") / r).as("cy"))
+    probe.join(build, Seq("cx", "cy"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("d2",
+        (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb")))
+      .filter(col("d2") <= r * r)
+      .select(col("id_a"), col("id_b"), col("d2"))
+      .orderBy("id_a", "id_b")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q201_grid_radius_join", q201, Some(
+      """WITH p AS (SELECT c_custkey AS id,
+        |    c_custkey * 37 % 10000 AS x, c_custkey * 73 % 10000 AS y
+        |  FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+        |FROM p a JOIN p b ON a.id < b.id
+        |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |      <= 300 * 300
+        |ORDER BY id_a, id_b""".stripMargin)),
     Q("q192_column_profile", q192, Some(
       """WITH s AS (SELECT count(*) AS n_rows,
         |    count(o_orderkey) AS k1_nn, count(DISTINCT o_orderkey) AS k1_nd,
