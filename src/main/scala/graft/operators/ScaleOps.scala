@@ -287,7 +287,57 @@ object ScaleOps extends QueryPack {
       .orderBy("id_a", "id_b")
   }
 
+  /** q202: incremental aggregate maintenance — the materialized-view
+    * pattern that makes daily stats affordable at 100 TB: when day D
+    * lands, do NOT rescan history; aggregate ONLY the delta and MERGE
+    * it with the maintained base state. The gate splits events at the
+    * last day, aggregates base and delta separately (simulating the
+    * stored state + the new partition), merges by re-aggregating the
+    * two partial frames, and must equal the full recompute (the
+    * oracle). The catch it demonstrates: only ALGEBRAIC aggregates
+    * merge — avg is carried as (sum, count) and divided at READ time;
+    * merging avgs directly is the classic IVM bug. count/sum/min/max
+    * merge trivially; the union re-aggregation touches rows ∝ groups,
+    * not history. */
+  private def q202(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value"))
+    val lastDay = ev.agg(max("day").as("d"))
+    def partialAgg(df: DataFrame): DataFrame = df
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("value_sum"),
+        min(col("value")).as("value_min"),
+        max(col("value")).as("value_max"))
+    val withFlag = ev.crossJoin(broadcast(lastDay))
+    val base = partialAgg(withFlag.filter(col("day") < col("d")))
+    val delta = partialAgg(withFlag.filter(col("day") === col("d")))
+    base.unionByName(delta)
+      .groupBy("event_type")
+      .agg(sum("n").as("n"), sum("value_sum").as("value_sum"),
+        min("value_min").as("value_min"), max("value_max").as("value_max"))
+      .select(col("event_type"), col("n"),
+        round(col("value_sum").cast("double"), 2).as("value_sum"),
+        round(col("value_min"), 2).as("value_min"),
+        round(col("value_max"), 2).as("value_max"),
+        // divide as double like the oracle (decimal-exact division then
+        // a double cast could round differently at the 6th place)
+        round(col("value_sum").cast("double") / col("n"), 6)
+          .as("value_avg"))
+      .orderBy("event_type")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q202_incremental_agg", q202, Some(
+      """SELECT event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS value_sum,
+        |  round(min(value), 2) AS value_min,
+        |  round(max(value), 2) AS value_max,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |        / count(*), 6) AS value_avg
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
     Q("q201_grid_radius_join", q201, Some(
       """WITH p AS (SELECT c_custkey AS id,
         |    c_custkey * 37 % 10000 AS x, c_custkey * 73 % 10000 AS y

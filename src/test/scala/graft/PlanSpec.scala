@@ -147,7 +147,9 @@ class PlanSpec extends AnyFunSuite {
       "q169_basket_lift", "q189_semantic_dedup",
       // q197 — bigram LM: the 1-row vocab-size broadcast (q69/q153
       //        pattern); count and score joins are all equi.
-      "q197_bigram_lm")
+      // q202 — incremental-agg maintenance: the 1-row last-day broadcast
+      //        splitting base from delta.
+      "q197_bigram_lm", "q202_incremental_agg")
     // Streaming queries execute a full drain in fn() and return a
     // collected local frame whose "plan" pins nothing; their batch-side
     // shapes are pinned by their own specs — skip the expensive drains.
