@@ -609,7 +609,82 @@ object Dedup extends QueryPack {
       |WHERE round(inter * 1.0 / (na.n + nb.n - inter), 4) >= 0.7
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** q203: entity resolution with multi-pass blocking — record linkage
+    * (MDM/identity stitching): match dirty registrations back to the
+    * clean customer master without an N² name comparison. The dirty
+    * side bumps ONE digit of the name for two thirds of customers
+    * (position = custkey mod 9). Blocking is the band trick in string
+    * form: each name emits TWO keys — the first 4 and last 5 digits of
+    * its numeric region — and a single edit touches only one half, so
+    * the other half's equi-join finds the true candidate (exact recall
+    * for 1 edit by pigeonhole, the same argument as q43/q190).
+    * Candidates verify with `levenshtein ≤ 1` (codegen'd built-in, runs
+    * on survivors only — the q128 discipline) and each dirty record
+    * keeps its best match via `min(struct(dist, clean_id))` — the
+    * deterministic tie rule also resolves the fixture's genuine
+    * ambiguities (a last-digit bump can land EXACTLY on another
+    * customer's name; ER picks the exact match, both engines agree).
+    * Scale: two bounded fan-outs (×2 keys), hash joins on block keys,
+    * work ∝ Σ bucket², never N². */
+  private def q203(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val clean = cust.select(col("c_custkey").as("clean_id"),
+      col("c_name").as("clean_name"))
+    val dirty = cust.select(col("c_custkey").as("dirty_id"),
+      when(pmod(col("c_custkey"), lit(3)) === 2, col("c_name"))
+        .otherwise(expr(
+          """concat(substring(c_name, 1, 9 + CAST(c_custkey % 9 AS INT)),
+            |  CAST((CAST(substring(c_name, 10 + CAST(c_custkey % 9 AS INT), 1)
+            |        AS INT) + 1) % 10 AS STRING),
+            |  substring(c_name, 11 + CAST(c_custkey % 9 AS INT)))"""
+            .stripMargin)).as("dirty_name"))
+    def blocked(df: DataFrame, nameCol: String): DataFrame = df
+      .select(col("*"), explode(array(
+        struct(lit(1).as("half"),
+          expr(s"substring($nameCol, 10, 4)").as("bval")),
+        struct(lit(2).as("half"),
+          expr(s"substring($nameCol, 14, 5)").as("bval")))).as("b"))
+      .select(col("*"), col("b.half").as("half"), col("b.bval").as("bval"))
+      .drop("b")
+    val cands = blocked(dirty, "dirty_name")
+      .join(blocked(clean, "clean_name"), Seq("half", "bval"))
+      .withColumn("dist", levenshtein(col("dirty_name"), col("clean_name")))
+      .filter(col("dist") <= 1)
+    cands.groupBy("dirty_id", "dirty_name")
+      .agg(min(struct(col("dist"), col("clean_id"))).as("best"))
+      .select(col("dirty_id"), col("dirty_name"),
+        col("best.clean_id").as("clean_id"), col("best.dist").as("dist"))
+      .orderBy("dirty_id")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q203_entity_resolution", q203, Some(
+      """WITH dirty AS (SELECT c_custkey AS dirty_id,
+        |    CASE WHEN c_custkey % 3 = 2 THEN c_name
+        |    ELSE substring(c_name, 1, 9 + CAST(c_custkey % 9 AS INT)) ||
+        |      CAST((CAST(substring(c_name, 10 + CAST(c_custkey % 9 AS INT), 1)
+        |            AS INT) + 1) % 10 AS VARCHAR) ||
+        |      substring(c_name, 11 + CAST(c_custkey % 9 AS INT))
+        |    END AS dirty_name
+        |  FROM customer),
+        |db AS (SELECT dirty_id, dirty_name, 1 AS half,
+        |         substring(dirty_name, 10, 4) AS bval FROM dirty
+        |       UNION ALL
+        |       SELECT dirty_id, dirty_name, 2,
+        |         substring(dirty_name, 14, 5) FROM dirty),
+        |cb AS (SELECT c_custkey AS clean_id, c_name AS clean_name, 1 AS half,
+        |         substring(c_name, 10, 4) AS bval FROM customer
+        |       UNION ALL
+        |       SELECT c_custkey, c_name, 2,
+        |         substring(c_name, 14, 5) FROM customer),
+        |v AS (SELECT dirty_id, dirty_name, clean_id,
+        |        levenshtein(dirty_name, clean_name) AS dist
+        |      FROM db JOIN cb USING (half, bval)
+        |      WHERE levenshtein(dirty_name, clean_name) <= 1),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY dirty_id
+        |        ORDER BY dist, clean_id) AS rn FROM v)
+        |SELECT dirty_id, dirty_name, clean_id, dist FROM r
+        |WHERE rn = 1 ORDER BY dirty_id""".stripMargin)),
     Q("q40_dedup_exact", q40, Some(
       """SELECT sha256(text) AS content_hash, count(*) AS n_docs,
         |  min(doc_id) AS canonical_id
