@@ -328,7 +328,84 @@ object ScaleOps extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** q204: data drift detection via PSI (population stability index) —
+    * the ML-ops monitor that compares a feature's distribution between
+    * a reference window (days 1–15) and the live window (days 16–30):
+    * PSI = Σ_bins (p_live − p_ref)·ln(p_live/p_ref), with add-1
+    * (Laplace) smoothing so empty bins are defined, over 10 equal-width
+    * value bins per event type. The fixture shifts click values by
+    * +100 in the live window, so the gate realizes BOTH verdicts
+    * (click drifts past the standard 0.1 alert line, the rest stay
+    * flat). All counts are exact integers off ONE scan (conditional
+    * sums per side); the bin×type grid is completed by a generator so
+    * bins empty on one side still contribute their smoothed term. fp
+    * discipline: per-term round(…,12) before the per-type sum rounds
+    * to 6 (q153). At 100 TB this is a map-side-combined count shuffle
+    * of bins×types rows — monitoring is free next to the scan. */
+  private def q204(s: SparkSession, dir: String): DataFrame = {
+    val binW = 50.0
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"),
+        (dayofmonth(col("ts")) <= 15).as("is_ref"), col("value"))
+      .withColumn("v",
+        when(!col("is_ref") && col("event_type") === "click",
+          col("value") + 100).otherwise(col("value")))
+      .withColumn("bin", least(floor(col("v") / binW), lit(9L)).cast("int"))
+    val counts = ev.groupBy("event_type", "bin")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_live"))
+    val grid = ev.select("event_type").distinct()
+      .select(col("event_type"), explode(sequence(lit(0), lit(9))).as("bin"))
+    val totals = ev.groupBy("event_type")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_live"))
+    grid.join(counts, Seq("event_type", "bin"), "left")
+      .na.fill(0L, Seq("c_ref", "c_live"))
+      .join(totals, "event_type")
+      .withColumn("p_ref", (col("c_ref") + 1) / (col("n_ref") + 10))
+      .withColumn("p_live", (col("c_live") + 1) / (col("n_live") + 10))
+      .withColumn("term",
+        round((col("p_live") - col("p_ref")) * log(col("p_live") / col("p_ref")), 12))
+      .groupBy("event_type")
+      .agg(first(col("n_ref")).as("n_ref"), first(col("n_live")).as("n_live"),
+        round(sum("term"), 6).as("psi"))
+      .withColumn("drifted", col("psi") > 0.1)
+      .orderBy("event_type")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q204_psi_drift", q204, Some(
+      """WITH e AS (SELECT event_type, day(ts) <= 15 AS is_ref,
+        |    CASE WHEN NOT day(ts) <= 15 AND event_type = 'click'
+        |         THEN value + 100 ELSE value END AS v
+        |  FROM events),
+        |b AS (SELECT event_type, is_ref,
+        |    CAST(least(floor(v / 50), 9) AS INT) AS bin FROM e),
+        |c AS (SELECT event_type, bin,
+        |    sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS c_ref,
+        |    sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS c_live
+        |  FROM b GROUP BY 1, 2),
+        |t AS (SELECT event_type,
+        |    sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS n_ref,
+        |    sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS n_live
+        |  FROM b GROUP BY 1),
+        |g AS (SELECT DISTINCT event_type,
+        |    unnest(generate_series(0, 9)) AS bin FROM b),
+        |f AS (SELECT g.event_type, g.bin,
+        |    coalesce(c.c_ref, 0) AS c_ref, coalesce(c.c_live, 0) AS c_live,
+        |    t.n_ref, t.n_live
+        |  FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.bin = c.bin
+        |  JOIN t ON g.event_type = t.event_type),
+        |s AS (SELECT event_type, n_ref, n_live,
+        |    round(((c_live + 1.0) / (n_live + 10) - (c_ref + 1.0) / (n_ref + 10))
+        |      * ln(((c_live + 1.0) / (n_live + 10)) /
+        |           ((c_ref + 1.0) / (n_ref + 10))), 12) AS term
+        |  FROM f)
+        |SELECT event_type, CAST(any_value(n_ref) AS BIGINT) AS n_ref,
+        |  CAST(any_value(n_live) AS BIGINT) AS n_live,
+        |  round(sum(term), 6) AS psi,
+        |  round(sum(term), 6) > 0.1 AS drifted
+        |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin)),
     Q("q202_incremental_agg", q202, Some(
       """SELECT event_type, count(*) AS n,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
