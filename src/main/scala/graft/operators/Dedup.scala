@@ -614,10 +614,17 @@ object Dedup extends QueryPack {
     * clean customer master without an N² name comparison. The dirty
     * side bumps ONE digit of the name for two thirds of customers
     * (position = custkey mod 9). Blocking is the band trick in string
-    * form: each name emits TWO keys — the first 4 and last 5 digits of
-    * its numeric region — and a single edit touches only one half, so
-    * the other half's equi-join finds the true candidate (exact recall
-    * for 1 edit by pigeonhole, the same argument as q43/q190).
+    * form, INTERLEAVED: each name emits TWO comb keys — the digits at
+    * odd positions and the digits at even positions of its numeric
+    * region — and a single edit touches exactly one comb, so the other
+    * comb's equi-join finds the true candidate (exact recall for
+    * 1 edit by pigeonhole, the same argument as q43/q190). The combs
+    * matter: contiguous halves would make the leading-zeros half a
+    * single degenerate bucket (measured: one 15k×15k bucket = 225M
+    * levenshtein calls in ONE task at sf0.1 — the N² catastrophe
+    * blocking exists to avoid); interleaving gives every key a share
+    * of the high-entropy digits, and that entropy GROWS with the
+    * keyspace, so bucket fan-out keeps pace with scale.
     * Candidates verify with `levenshtein ≤ 1` (codegen'd built-in, runs
     * on survivors only — the q128 discipline) and each dirty record
     * keeps its best match via `min(struct(dist, clean_id))` — the
@@ -638,16 +645,31 @@ object Dedup extends QueryPack {
             |        AS INT) + 1) % 10 AS STRING),
             |  substring(c_name, 11 + CAST(c_custkey % 9 AS INT)))"""
             .stripMargin)).as("dirty_name"))
-    def blocked(df: DataFrame, nameCol: String): DataFrame = df
+    // comb keys over the 9 digits at name positions 10..18: odd digit
+    // positions (10,12,14,16,18) and even ones (11,13,15,17)
+    def comb(nameCol: String, odd: Boolean): String = {
+      val ps = (if (odd) Seq(10, 12, 14, 16, 18) else Seq(11, 13, 15, 17))
+      ps.map(p => s"substring($nameCol, $p, 1)").mkString("concat(", ", ", ")")
+    }
+    def blocked(df: DataFrame, nameCol: String, pfx: String): DataFrame = df
+      .withColumn(s"${pfx}_ca", expr(comb(nameCol, odd = true)))
+      .withColumn(s"${pfx}_cb", expr(comb(nameCol, odd = false)))
       .select(col("*"), explode(array(
-        struct(lit(1).as("half"),
-          expr(s"substring($nameCol, 10, 4)").as("bval")),
-        struct(lit(2).as("half"),
-          expr(s"substring($nameCol, 14, 5)").as("bval")))).as("b"))
+        struct(lit(1).as("half"), col(s"${pfx}_ca").as("bval")),
+        struct(lit(2).as("half"), col(s"${pfx}_cb").as("bval"))))
+        .as("b"))
       .select(col("*"), col("b.half").as("half"), col("b.bval").as("bval"))
       .drop("b")
-    val cands = blocked(dirty, "dirty_name")
-      .join(blocked(clean, "clean_name"), Seq("half", "bval"))
+    // verify ladder (the PPJoin discipline): before the 18-char DP, a
+    // cheap 4-5-char levenshtein on the comb the join did NOT match —
+    // provably lossless for the dist ≤ 1 contract (a one-substitution
+    // pair differs in ≤ 1 position of the other comb; a dist-0 pair in
+    // none), and it prunes the bucket cross-products ~100×
+    val cands = blocked(dirty, "dirty_name", "d")
+      .join(blocked(clean, "clean_name", "c"), Seq("half", "bval"))
+      .filter(when(col("half") === 1,
+        levenshtein(col("d_cb"), col("c_cb")))
+        .otherwise(levenshtein(col("d_ca"), col("c_ca"))) <= 1)
       .withColumn("dist", levenshtein(col("dirty_name"), col("clean_name")))
       .filter(col("dist") <= 1)
     cands.groupBy("dirty_id", "dirty_name")
@@ -668,15 +690,23 @@ object Dedup extends QueryPack {
         |    END AS dirty_name
         |  FROM customer),
         |db AS (SELECT dirty_id, dirty_name, 1 AS half,
-        |         substring(dirty_name, 10, 4) AS bval FROM dirty
+        |         substring(dirty_name, 10, 1) || substring(dirty_name, 12, 1) ||
+        |         substring(dirty_name, 14, 1) || substring(dirty_name, 16, 1) ||
+        |         substring(dirty_name, 18, 1) AS bval FROM dirty
         |       UNION ALL
         |       SELECT dirty_id, dirty_name, 2,
-        |         substring(dirty_name, 14, 5) FROM dirty),
+        |         substring(dirty_name, 11, 1) || substring(dirty_name, 13, 1) ||
+        |         substring(dirty_name, 15, 1) || substring(dirty_name, 17, 1)
+        |       FROM dirty),
         |cb AS (SELECT c_custkey AS clean_id, c_name AS clean_name, 1 AS half,
-        |         substring(c_name, 10, 4) AS bval FROM customer
+        |         substring(c_name, 10, 1) || substring(c_name, 12, 1) ||
+        |         substring(c_name, 14, 1) || substring(c_name, 16, 1) ||
+        |         substring(c_name, 18, 1) AS bval FROM customer
         |       UNION ALL
         |       SELECT c_custkey, c_name, 2,
-        |         substring(c_name, 14, 5) FROM customer),
+        |         substring(c_name, 11, 1) || substring(c_name, 13, 1) ||
+        |         substring(c_name, 15, 1) || substring(c_name, 17, 1)
+        |       FROM customer),
         |v AS (SELECT dirty_id, dirty_name, clean_id,
         |        levenshtein(dirty_name, clean_name) AS dist
         |      FROM db JOIN cb USING (half, bval)
