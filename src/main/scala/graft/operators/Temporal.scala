@@ -438,7 +438,61 @@ object Temporal extends QueryPack {
       .orderBy("user_id", "version")
   }
 
+  /** q205: position-based (U-shaped) conversion attribution — the
+    * marketing-analytics allocation that splits each purchase's credit
+    * across the clicks in its preceding 5-day consideration window:
+    * 40% to the first touch,
+    * 40% to the last, the middle 20% spread evenly over interior
+    * clicks (n=1 → 100%, n=2 → 50/50). The join is q84/q173's batch
+    * shape — user equi-join with a residual event-time band, never an
+    * inequality cross product — and the position/count windows ride
+    * one exchange keyed on the purchase. Weights are exact rational
+    * arithmetic in double, rounded once (both engines compute the
+    * identical 0.2/(n−2) quotient). Same 50% user stratum as the
+    * streaming join gates. */
+  private def q205(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(pmod(col("user_id"), lit(2)) === 0)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("us").as("p_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"), col("us").as("c_us"))
+    val wP = Window.partitionBy("p_id").orderBy(col("c_us"), col("c_id"))
+    val joined = p.join(c, Seq("user_id"))
+      .filter(col("c_us") >= col("p_us") - 432000000000L &&
+        col("c_us") <= col("p_us"))
+      .withColumn("rn", row_number().over(wP))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("p_id")))
+    joined.select(col("p_id"), col("c_id"),
+      round(
+        when(col("n") === 1, lit(1.0))
+          .when(col("n") === 2, lit(0.5))
+          .when(col("rn") === 1 || col("rn") === col("n"), lit(0.4))
+          .otherwise(lit(0.2) / (col("n") - 2)), 6).as("credit"))
+      .orderBy("p_id", "c_id")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q205_attribution", q205, Some(
+      """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us
+        |  FROM events WHERE user_id % 2 = 0),
+        |p AS (SELECT user_id, event_id AS p_id, us AS p_us FROM e
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS c_id, us AS c_us FROM e
+        |      WHERE event_type = 'click'),
+        |j AS (SELECT p.p_id, c.c_id,
+        |    row_number() OVER (PARTITION BY p.p_id
+        |      ORDER BY c.c_us, c.c_id) AS rn,
+        |    count(*) OVER (PARTITION BY p.p_id) AS n
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |    AND c.c_us >= p.p_us - 432000000000 AND c.c_us <= p.p_us)
+        |SELECT p_id, c_id,
+        |  round(CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5
+        |             WHEN rn = 1 OR rn = n THEN 0.4
+        |             ELSE 0.2 / (n - 2) END, 6) AS credit
+        |FROM j ORDER BY p_id, c_id""".stripMargin)),
     Q("q194_scd2_history", q194, Some(
       """WITH e AS (SELECT user_id, event_type, event_id,
         |    epoch_us(ts) AS us,
