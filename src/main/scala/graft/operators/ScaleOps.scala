@@ -47,12 +47,13 @@ object ScaleOps extends QueryPack {
       .select("p_partkey", "p_brand")
     // ~2k keys at sf0.1; size the sketch for 16x headroom so fpp holds
     // if the dim grows with sf. The sketch is built in one pass and
-    // closed over by a scalar predicate (broadcast with the task binary).
+    // probed by a codegen'd native expression (BloomMightContainLong) —
+    // a Scala udf here would knock the whole probe-side scan out of
+    // whole-stage codegen (pinned udf-free in ScaleOpsSpec).
     val bloom = dims.stat.bloomFilter("p_partkey", 1 << 15, 0.01)
-    val mightContain = udf((k: Long) => bloom.mightContain(k))
     val fact = Tables.lineitem(s, dir)
       .select("l_partkey", "l_extendedprice", "l_discount")
-      .filter(mightContain(col("l_partkey")))
+      .filter(graft.functions.BloomFunctions.mightContain(s, bloom, "l_partkey"))
     fact.join(dims, col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(

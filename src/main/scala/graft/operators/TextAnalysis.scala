@@ -162,8 +162,7 @@ object TextAnalysis extends QueryPack {
         lit(" all rights reserved"))))
     val base = Tables.documents(s, dir).select(col("doc_id"), lines.as("lines"))
     val exploded = base
-      .select(col("doc_id"), size(col("lines")).as("n_lines"),
-        posexplode(col("lines")).as(Seq("pos", "line")))
+      .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
       .withColumn("line", trim(col("line")))
     val boiler = exploded.groupBy("line")
       .agg(countDistinct(col("doc_id")).as("n_docs"))
@@ -171,15 +170,17 @@ object TextAnalysis extends QueryPack {
       .select("line")
     val kept = exploded.join(boiler, Seq("line"), "left_anti")
       .groupBy("doc_id")
-      .agg(first(col("n_lines")).as("n_lines"),
-        count(lit(1)).as("n_kept"),
+      .agg(count(lit(1)).as("n_kept"),
         array_join(
           transform(array_sort(collect_list(struct(col("pos"), col("line")))),
             x => x.getField("line")), "\n").as("clean_text"))
-    base.select("doc_id")
+    // n_lines rides from the base frame, NOT the post-dedup aggregate: a
+    // doc that loses ALL its lines to the boilerplate set must still
+    // report its true line count (the aggregate would have no row for it
+    // and a coalesce-to-0 would lie) — ADVICE r9.
+    base.select(col("doc_id"), size(col("lines")).cast("long").as("n_lines"))
       .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+      .select(col("doc_id"), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
       .orderBy("doc_id")

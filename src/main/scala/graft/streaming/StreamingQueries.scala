@@ -87,19 +87,27 @@ object StreamingQueries extends QueryPack {
       Tables.events(s, dir).agg(max(unix_micros(col("ts")))).head().getLong(0))
 
   /** Remove every scratch path, attempting EACH delete even when an
-    * earlier one throws (so one failure can't leak the rest), then
-    * rethrow the first failure: a silently-leaked sentinel day inside a
-    * shared shard dump would corrupt later gates' replays, and for plain
-    * scratch dirs the rethrow surfaces the disk problem. */
-  private def rmrfAll(s: SparkSession, paths: String*): Unit = {
-    val failures = paths.flatMap { p =>
+    * earlier one throws (so one failure can't leak the rest). Never
+    * throws: this runs in `finally` blocks, where a rethrow would mask
+    * the drain exception that is the actual root cause (ADVICE r9). The
+    * danger the old rethrow guarded — a silently-leaked sentinel day
+    * corrupting later replays of a SHARED shard dump — is neutralized
+    * structurally instead: any dump root the failed path lives under is
+    * evicted from [[dumped]], so the next gate rewrites the whole dump
+    * (mode overwrite deletes the directory first, leftover included).
+    * Plain scratch dirs (uuid-named sinks/checkpoints) leak at worst a
+    * temp dir; the failure is logged to stderr either way. */
+  private def rmrfAll(s: SparkSession, paths: String*): Unit =
+    paths.foreach { p =>
       scala.util.Try {
         val hp = new org.apache.hadoop.fs.Path(p)
         hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
-      }.failed.toOption
+      }.failed.foreach { t =>
+        dumped.removeIf(root => p.startsWith(root))
+        System.err.println(s"[graft] scratch cleanup failed for $p " +
+          s"(dump invalidated if shared): $t")
+      }
     }
-    failures.headOption.foreach(throw _)
-  }
 
   /** Dump the events table once per process into a day-partitioned
     * scratch dir — one file per day so the file source (with

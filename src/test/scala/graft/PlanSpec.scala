@@ -154,8 +154,9 @@ class PlanSpec extends AnyFunSuite {
     // collected local frame whose "plan" pins nothing; their batch-side
     // shapes are pinned by their own specs — skip the expensive drains.
     // q165 likewise: its eager localCheckpoints run real jobs during
-    // construction and leave only checkpointed-RDD scans in the plan
-    // (nothing to pin); FunnelSpec pins its stage shapes instead.
+    // construction and leave only checkpointed-RDD scans in the final
+    // plan, so there is no executed-plan shape to pin here at all —
+    // FunnelSpec covers q165's results and stage latencies instead.
     val skip = SparkEntry.all.map(_.name).filter(_.matches(
       "q70_.*|q71_.*|q78_.*|q84_.*|q87_.*|q100_.*|q106_.*|q109_.*|q118_.*|q125_.*" +
         "|q165_.*|q168_.*|q173_.*|q175_.*|q176_.*|q177_.*|q180_.*|q184_.*|q191_.*")).toSet

@@ -33,4 +33,35 @@ class MapReducePropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("runWithPlacement ≡ run under arbitrary placements (golden, 6 cases)") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    for (caseNo <- 1 to 6) {
+      val n = 1 + rnd.nextInt(200)
+      val m = 1 + rnd.nextInt(8)
+      val xs = List.fill(n)(rnd.nextInt(2001) - 1000)
+      val mapF = (x: Int) => Iterator((math.floorMod(x, m), x.toLong))
+      val reduceF = (k: Int, vs: Iterator[Long]) =>
+        (k, vs.toSeq.sorted.mkString(","))
+      val baseline = MapReduce.run[Int, Int, Long, (Int, String)](
+        spark.createDataset(xs), mapF, reduceF)
+        .collect().toSeq.sortBy(_._1)
+      // three placement policies a caller might plug in: round-robin-ish
+      // (value mod mappers), all-to-one hotspot, and a salted spread —
+      // all must be result-transparent (reference distribute_work_fcn
+      // contract: placement changes locality, never output)
+      val placements: Seq[(Int, Int) => Int] = Seq(
+        (d, nm) => math.floorMod(d, nm),
+        (_, _) => 0,
+        (d, nm) => math.floorMod(d * 31 + 17, nm))
+      for ((place, pi) <- placements.zipWithIndex; nm <- Seq(1, 3, 7)) {
+        val got = MapReduce.runWithPlacement[Int, Int, Long, (Int, String)](
+          spark.createDataset(xs), mapF, reduceF, place, nm)
+          .collect().toSeq.sortBy(_._1)
+        assert(got === baseline,
+          s"case $caseNo placement#$pi numMappers=$nm n=$n m=$m")
+      }
+    }
+  }
 }

@@ -13,18 +13,35 @@ class ScaleOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
-  test("q107 applies the Bloom pre-filter on the fact side BELOW the join") {
-    val plan = SparkEntry.queries("q107_bloom_prefilter_join")(spark, sf)
-      .queryExecution.executedPlan
-    // the UDF filter must sit under the join, attached to the lineitem
-    // scan side — i.e. some Filter node containing the UDF exists and
-    // the join is above it.
+  test("q107 applies a codegen Bloom pre-filter on the fact side BELOW the join") {
+    val df = SparkEntry.queries("q107_bloom_prefilter_join")(spark, sf)
+    df.collect() // materialize THIS QueryExecution so AQE finalizes it
+    // (count() would build a separate plan and leave this one initial)
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // the bloom probe must sit under the join, attached to the lineitem
+    // scan side — and it must be the native codegen expression, NOT a
+    // ScalaUDF (a udf would force the probe scan out of whole-stage
+    // codegen; VERDICT r9 blemish #2).
     val planStr = plan.toString
-    val filterIdx = planStr.indexOf("UDF(knownnotnull(l_partkey")
+    val filterIdx = planStr.indexOf("graft_bloom_probe")
     val joinIdx = planStr.indexOf("Join")
-    assert(filterIdx >= 0, s"no bloom UDF filter in plan:\n$planStr")
+    assert(filterIdx >= 0, s"no bloom probe filter in plan:\n$planStr")
     assert(joinIdx >= 0 && joinIdx < filterIdx,
       "bloom filter must be below (after, in tree print order) the join")
+    assert(!planStr.contains("UDF") && !planStr.contains("ScalaUDF"),
+      s"q107 plan must be udf-free:\n$planStr")
+    // and the probe-side Filter participates in whole-stage codegen: in
+    // simpleString a "*(n)" prefix marks nodes inside a codegen stage
+    // (can't collect WholeStageCodegenExec nodes structurally here —
+    // AQE's QueryStageExec is a leaf, so collect() won't descend)
+    val probeInCodegen =
+      """\*\(\d+\) Filter .*graft_bloom_probe""".r.findFirstIn(planStr)
+    assert(probeInCodegen.nonEmpty,
+      s"bloom probe filter must run inside WholeStageCodegen:\n$planStr")
   }
 
   test("q107 bloom pre-filter is selective but lossless") {
