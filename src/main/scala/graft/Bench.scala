@@ -54,9 +54,11 @@ object Bench {
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // free leaked cache/localCheckpoint blocks between queries (outside
-    // the timers) so late queries aren't taxed by earlier ones' memory
+    // the timers) so late queries aren't taxed by earlier ones' memory —
+    // except process-pinned shared checkpoints (see PinnedBlocks), whose
+    // truncated lineage could never be recomputed after an unpersist
     def clearState(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      PinnedBlocks.clearUnpinned(spark)
       spark.catalog.clearCache()
     }
     clearState()

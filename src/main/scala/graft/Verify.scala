@@ -35,10 +35,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // free each query's localCheckpoint blocks (shingle frames, CC
-      // labels) so a 97-query run's storage footprint stays one query
-      // deep — same hygiene as Bench.clearState
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // free each query's localCheckpoint blocks (CC labels, iteration
+      // pins) so a 200-query run's storage footprint stays one query
+      // deep — same hygiene as Bench.clearState; process-pinned shared
+      // checkpoints (Dedup's shingle frame) are exempt, their truncated
+      // lineage could never be recomputed after an unpersist
+      PinnedBlocks.clearUnpinned(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

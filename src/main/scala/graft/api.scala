@@ -21,3 +21,39 @@ final case class Q(
 trait QueryPack {
   def queries: Seq[Q]
 }
+
+/** Registry of PROCESS-PINNED localCheckpoint blocks.
+  *
+  * Query packs may cache an eagerly-checkpointed frame per source dir
+  * (e.g. Dedup's shingle frame, which five gates share): a truncated
+  * lineage can't be recomputed, so unpersisting its blocks would make
+  * every later reuse fail with missing-block errors. Bench/Verify's
+  * between-query hygiene (unpersist leaked per-query checkpoints so late
+  * queries aren't taxed by earlier ones' memory) therefore exempts ids
+  * registered here — and ONLY these: per-call checkpoints (q115's edge
+  * frames, q165's stage pins) still get reclaimed. Pinned footprint is
+  * bounded by design: one small frame per (pack, source dir).
+  */
+object PinnedBlocks {
+  private val ids = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** Eagerly localCheckpoint `df` and pin the resulting blocks.
+    * Synchronized so the before/after diff of persistent RDDs can't
+    * capture a concurrent caller's blocks. */
+  def pinnedCheckpoint(df: DataFrame): DataFrame = synchronized {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val ck = df.localCheckpoint(true)
+    (sc.getPersistentRDDs.keySet -- before).foreach(ids.add(_))
+    ck
+  }
+
+  def isPinned(id: Int): Boolean = ids.contains(id)
+
+  /** Unpersist every non-pinned persistent RDD — the shared
+    * between-query hygiene for Bench and Verify. */
+  def clearUnpinned(s: SparkSession): Unit =
+    s.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!ids.contains(id)) rdd.unpersist(false)
+    }
+}
