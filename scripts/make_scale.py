@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Build a DERIVED bench-only scale-up of a driver fixture dir (dev tool,
+like selfcheck.py — never imported by library code).
+
+Usage: python3 scripts/make_scale.py <src_sf_dir> <out_dir> <factor>
+
+Replicates every table <factor> times so Bench can measure a third scale
+point (sf0.1 x10 ~ "sf1") for the SCALING.md exponent fits. Replication
+is NOT verbatim — verbatim copies would distort exactly the operators
+the measurement is about (near-dup detectors would see every replica
+group as a 10-clique, exploding verify pairs quadratically in the
+factor). Instead each replica i > 0 is made disjoint while preserving
+within-replica structure:
+
+  - surrogate + foreign keys shift by i * 10_000_000 consistently
+    (orders.o_custkey moves with customer.c_custkey, etc.), so joins
+    keep exactly one match where they had one;
+  - document text gets a word-level bijection salt (every word prefixed
+    with "r<i>"): within-replica shingle Jaccard is EXACTLY preserved,
+    across replicas no shingle collides — duplicate-group sizes stay
+    constant and group count scales linearly, the realistic corpus-growth
+    shape;
+  - embeddings rotate dimensions by 7*i (circularly): norms and
+    within-replica cosines are exactly preserved, cross-replica cosines
+    decorrelate — IVF/LSH bucket occupancy grows the way a real corpus
+    grows rather than by piling identical vectors into one cell;
+  - the tiny fixed dims (region, nation) stay as-is, as they would at
+    any TPC-H scale factor.
+
+The key offset keeps user_id parity (10_000_000 is even), which the
+stream-stratum gates rely on.
+"""
+import sys
+
+import duckdb
+
+KOFF = 10_000_000
+
+# per-table replication rules: SQL select for replica index {i}
+RULES = {
+    "region": None,  # fixed dim: copy once
+    "nation": None,  # fixed dim: copy once
+    "customer": "SELECT c_custkey + {off} AS c_custkey, c_name, c_nationkey,"
+                " c_acctbal, c_mktsegment FROM t",
+    "supplier": "SELECT s_suppkey + {off} AS s_suppkey, s_name, s_nationkey,"
+                " s_acctbal FROM t",
+    "part": "SELECT p_partkey + {off} AS p_partkey, p_name, p_brand, p_type,"
+            " p_size, p_retailprice FROM t",
+    "orders": "SELECT o_orderkey + {off} AS o_orderkey,"
+              " o_custkey + {off} AS o_custkey, o_orderstatus, o_totalprice,"
+              " o_orderdate, o_orderpriority FROM t",
+    "lineitem": "SELECT l_orderkey + {off} AS l_orderkey,"
+                " l_partkey + {off} AS l_partkey,"
+                " l_suppkey + {off} AS l_suppkey, l_linenumber, l_quantity,"
+                " l_extendedprice, l_discount, l_tax, l_returnflag,"
+                " l_linestatus, l_shipdate FROM t",
+    "events": "SELECT event_id + {off} AS event_id, ts,"
+              " user_id + {off} AS user_id, event_type, value, props FROM t",
+    "documents": "SELECT doc_id + {off} AS doc_id,"
+                 " CASE WHEN {i} = 0 THEN text ELSE"
+                 "   'r{i}' || replace(text, ' ', ' r{i}') END AS text,"
+                 " lang, source,"
+                 " CAST(length(CASE WHEN {i} = 0 THEN text ELSE"
+                 "   'r{i}' || replace(text, ' ', ' r{i}') END) AS BIGINT)"
+                 "   AS n_chars FROM t",
+    "embeddings": "SELECT vec_id + {off} AS vec_id,"
+                  " CASE WHEN {i} = 0 THEN embedding ELSE"
+                  "   list_concat(embedding[{rot}+1:], embedding[:{rot}])"
+                  " END AS embedding, label FROM t",
+}
+
+
+def main() -> None:
+    src, out, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    import os
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    for table, rule in RULES.items():
+        con.execute(
+            f"CREATE OR REPLACE VIEW t AS"
+            f" SELECT * FROM '{src}/{table}.parquet'")
+        if rule is None:
+            sql = "SELECT * FROM t"
+        else:
+            parts = []
+            for i in range(factor):
+                rot = (7 * i) % 64
+                parts.append(rule.format(i=i, off=i * KOFF, rot=rot))
+            sql = " UNION ALL ".join(parts)
+        con.execute(
+            f"COPY ({sql}) TO '{out}/{table}.parquet' (FORMAT PARQUET)")
+        n = con.sql(f"SELECT count(*) FROM '{out}/{table}.parquet'").fetchone()[0]
+        print(f"{table}: {n} rows")
+
+
+if __name__ == "__main__":
+    main()

@@ -557,7 +557,64 @@ object FileIO extends QueryPack {
       .orderBy("c_mktsegment")
   }
 
+  /** q207: small-file compaction — the lake-maintenance primitive every
+    * 100 TB landing zone runs nightly: streaming/micro-batch writers
+    * leave thousands of tiny files (here: orders dumped across 64
+    * shards), and every later scan pays per-file open/footer/listing
+    * overhead until a compaction job rewrites the data into
+    * target-sized files. The compactor sizes its output from the data —
+    * ceil(rows / rowsPerFile) — and rewrites in one `repartition(n)`
+    * pass (a real deployment uses the same plan per partition of a
+    * partitioned table, so the shuffle is per-partition-bounded). The
+    * gate verifies the contract end-to-end: row count and content-sum
+    * survive the rewrite bit-exactly, the file count lands exactly at
+    * the computed target, and the compacted dir replaces 64 files with
+    * that target. Deterministic ⇒ exact oracle (file counts derive from
+    * row counts, not byte sizes, so parquet encoding can't wobble the
+    * result). */
+  private def q207(s: SparkSession, dir: String): DataFrame = {
+    val smallDir = scratch(dir, "orders_small_files")
+    val bigDir = scratch(dir, "orders_compacted")
+    val rowsPerFile = 25000L
+    if (layoutSource.get(bigDir) != dir) {
+      val ord = Tables.orders(s, dir)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      ord.repartition(64).write.mode("overwrite").parquet(smallDir)
+      val nRows = s.read.parquet(smallDir).count()
+      val nTarget = ((nRows + rowsPerFile - 1) / rowsPerFile).toInt
+      s.read.parquet(smallDir)
+        .repartition(nTarget)
+        .write.mode("overwrite").parquet(bigDir)
+      layoutSource.put(bigDir, dir)
+    }
+    def dataFiles(p: String): Long = {
+      val fs = FileSystem.get(new java.net.URI(p),
+        s.sparkContext.hadoopConfiguration)
+      fs.listStatus(new Path(p)).count(f =>
+        f.getPath.getName.startsWith("part-") && f.getLen > 0)
+    }
+    val nSmall = dataFiles(smallDir)
+    val nBig = dataFiles(bigDir)
+    import graft.functions.Exact.dec
+    s.read.parquet(bigDir)
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(dec(col("o_totalprice"))).cast("double"), 2).as("price_sum"))
+      .select(col("n_rows"), col("price_sum"),
+        lit(nSmall).as("n_files_small"),
+        lit(nBig).as("n_files_compacted"),
+        (lit(nBig) === ceil(col("n_rows").cast("double") / rowsPerFile)
+          .cast("long")).as("target_hit"))
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q207_compaction", q207, Some(
+      """SELECT count(*) AS n_rows,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS price_sum,
+        |  CAST(64 AS BIGINT) AS n_files_small,
+        |  CAST(ceil(count(*) / 25000.0) AS BIGINT) AS n_files_compacted,
+        |  true AS target_hit
+        |FROM orders""".stripMargin)),
     Q("q206_uri_glob_index", q206, Some(
       """SELECT c_mktsegment, count(*) AS n,
         |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
