@@ -606,7 +606,122 @@ object FileIO extends QueryPack {
           .cast("long")).as("target_hit"))
   }
 
+  /** q208: zone-map (min/max statistics) file skipping — the data-skipping
+    * primitive Delta/Iceberg manifests and parquet row-group stats both
+    * encode, done here explicitly so the contract is gated end-to-end.
+    * Orders are written clustered by month (`repartition(col(zone))` +
+    * `partitionBy`, so every data FILE holds exactly one month), then a
+    * stats pass builds the zone map — per-file min/max of `o_orderdate`
+    * via `_metadata.file_path` (column-pruned: the stats scan reads one
+    * column; a real lake amortizes this into the manifest at write time).
+    * A 3-month range query consults the zone map first and hands the scan
+    * only the files whose [min,max] intersect the predicate. This is NOT
+    * q86's partition pruning: Catalyst never sees a filter on the
+    * partition value — the skipping runs on row-level column statistics,
+    * which is what survives when the predicate column isn't the layout
+    * key. The file-list collect is manifest-sized (one row per file, the
+    * same listing every planner holds in memory), never data-sized.
+    *
+    * The gate is exact on all four facets: row count and exact-decimal
+    * price sum over the range (equality proves pruning lost no file),
+    * and both file counts (months are data-derived, so the oracle
+    * recomputes them as distinct-month counts — if skipping silently
+    * stopped working, n_files_scanned would report the full count and
+    * hash-mismatch). */
+  private def q208(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "orders_zonemap")
+    if (layoutSource.get(out) != dir) {
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .withColumn("zone", date_format(col("o_orderdate"), "yyyy-MM"))
+        .repartition(col("zone")) // one shuffle; each month lands in one task
+        .write.mode("overwrite").partitionBy("zone").parquet(out)
+      layoutSource.put(out, dir)
+    }
+    val lo = "1997-03-01"
+    val hiExcl = "1997-06-01"
+    // zone map: per-file min/max of the predicate column (stats pass);
+    // the intersection test runs IN the plan (session-TZ-consistent
+    // timestamp casts), the driver only collects (file, hit) pairs
+    val zoneMap = s.read.parquet(out)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(min("o_orderdate").as("zmin"), max("o_orderdate").as("zmax"))
+      .withColumn("hit", col("zmin") < lit(hiExcl).cast("timestamp") &&
+        col("zmax") >= lit(lo).cast("timestamp"))
+    val manifest = zoneMap.select("file", "hit").collect()
+    val survivors = manifest
+      .filter(_.getBoolean(1)).map(_.getString(0)).sorted
+    import graft.functions.Exact.dec
+    s.read.parquet(survivors: _*) // pruned scan: only intersecting files
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hiExcl)
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(dec(col("o_totalprice"))).cast("double"), 2).as("price_sum"))
+      .select(col("n_rows"), col("price_sum"),
+        lit(manifest.length.toLong).as("n_files_total"),
+        lit(survivors.length.toLong).as("n_files_scanned"))
+  }
+
+  /** q209: range-partitioned total-order export — the TeraSort shape and
+    * the write-side twin of q208: a globally sorted layout is what makes
+    * zone maps tight. `repartitionByRange` samples split points (the
+    * distributed sort's only all-to-one step, and it moves a sample, not
+    * data), each of the 8 shards then sorts locally and writes one file —
+    * no single-node sort ever holds the dataset. The gate proves the
+    * global order from the files alone: the per-file [min,max] manifest
+    * (same `_metadata` stats pass as q208) must form pairwise-disjoint,
+    * ordered ranges — lag(hi) < lo file-over-file — which together with
+    * per-file local sort IS total order. The audit window runs over the
+    * manifest (one row per file), never over data, so the
+    * single-partition `Window.orderBy` is planner-sized at any scale.
+    * Content preservation rides the same row: count + exact-decimal sum
+    * over the exported files. */
+  private def q209(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "orders_sorted_export")
+    val nShards = 8
+    if (layoutSource.get(out) != dir) {
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_totalprice")
+        .repartitionByRange(nShards, col("o_totalprice"), col("o_orderkey"))
+        .sortWithinPartitions("o_totalprice", "o_orderkey")
+        .write.mode("overwrite").parquet(out)
+      layoutSource.put(out, dir)
+    }
+    val key = struct(col("o_totalprice"), col("o_orderkey"))
+    val manifest = s.read.parquet(out)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(min(key).as("lo"), max(key).as("hi"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("lo")
+    val audit = manifest
+      .withColumn("prev_hi", lag("hi", 1).over(w))
+      .agg(count(lit(1)).as("n_files"),
+        min(col("prev_hi").isNull || col("prev_hi") < col("lo"))
+          .as("ranges_disjoint"))
+    import graft.functions.Exact.dec
+    val content = s.read.parquet(out)
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(dec(col("o_totalprice"))).cast("double"), 2).as("price_sum"))
+    content.crossJoin(audit)
+      .select("n_rows", "price_sum", "n_files", "ranges_disjoint")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q209_sorted_export", q209, Some(
+      """SELECT count(*) AS n_rows,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS price_sum,
+        |  CAST(8 AS BIGINT) AS n_files,
+        |  true AS ranges_disjoint
+        |FROM orders""".stripMargin)),
+    Q("q208_zone_map_skipping", q208, Some(
+      """SELECT count(*) AS n_rows,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS price_sum,
+        |  (SELECT count(DISTINCT strftime(o_orderdate, '%Y-%m'))
+        |     FROM orders) AS n_files_total,
+        |  count(DISTINCT strftime(o_orderdate, '%Y-%m')) AS n_files_scanned
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-03-01'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01'""".stripMargin)),
     Q("q207_compaction", q207, Some(
       """SELECT count(*) AS n_rows,
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
