@@ -40,7 +40,14 @@ KOFF = 10_000_000
 RULES = {
     "region": None,  # fixed dim: copy once
     "nation": None,  # fixed dim: copy once
-    "customer": "SELECT c_custkey + {off} AS c_custkey, c_name, c_nationkey,"
+    # c_name must carry the SHIFTED key (Customer#<9 digits>): q203's
+    # entity resolution matches on the name's digit region, so reusing
+    # the replica-0 names would hand every dirty record ~factor true
+    # matches at dist<=1 — quadratic OUTPUT growth that no blocking can
+    # avoid and real masters don't exhibit (keys are unique).
+    "customer": "SELECT c_custkey + {off} AS c_custkey,"
+                " 'Customer#' || lpad(CAST(c_custkey + {off} AS VARCHAR), 9, '0')"
+                "   AS c_name, c_nationkey,"
                 " c_acctbal, c_mktsegment FROM t",
     "supplier": "SELECT s_suppkey + {off} AS s_suppkey, s_name, s_nationkey,"
                 " s_acctbal FROM t",

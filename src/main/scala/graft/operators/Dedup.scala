@@ -634,17 +634,24 @@ object Dedup extends QueryPack {
     * clean customer master without an N² name comparison. The dirty
     * side bumps ONE digit of the name for two thirds of customers
     * (position = custkey mod 9). Blocking is the band trick in string
-    * form, INTERLEAVED: each name emits TWO comb keys — the digits at
-    * odd positions and the digits at even positions of its numeric
-    * region — and a single edit touches exactly one comb, so the other
-    * comb's equi-join finds the true candidate (exact recall for
-    * 1 edit by pigeonhole, the same argument as q43/q190). The combs
-    * matter: contiguous halves would make the leading-zeros half a
-    * single degenerate bucket (measured: one 15k×15k bucket = 225M
+    * form, INTERLEAVED: the name's 9-digit region splits into THREE
+    * combs (comb i = digits i, i+3, i+6) and each name emits three
+    * block keys, one per comb PAIR — a single edit touches exactly one
+    * comb, so the pass keyed on the other two combs finds the true
+    * candidate (exact recall for 1 edit by pigeonhole, the same
+    * argument as q43/q190). The comb geometry matters twice over:
+    * contiguous halves would make the leading-zeros half a single
+    * degenerate bucket (measured: one 15k×15k bucket = 225M
     * levenshtein calls in ONE task at sf0.1 — the N² catastrophe
-    * blocking exists to avoid); interleaving gives every key a share
-    * of the high-entropy digits, and that entropy GROWS with the
-    * keyspace, so bucket fan-out keeps pace with scale.
+    * blocking exists to avoid), and 2-of-2 halves leave each key only
+    * 4-5 digits of entropy — candidate volume grows as N²/keyspace
+    * while true matches grow linearly, measured as a 1.48 scaling
+    * exponent on the sf0.1→sf1 10× step (54.5 s at sf1). 2-of-3 comb
+    * keys carry 6 of the 9 digits each, so every new significant digit
+    * lands in two of the three passes and bucket occupancy keeps pace
+    * with scale: same step re-measured at exponent 1.10 (23.8 s at
+    * sf1, medians of 3). Numbers from the key-unique derived fixture —
+    * see SCALING.md's three-point fit for the full context.
     * Candidates verify with `levenshtein ≤ 1` (codegen'd built-in, runs
     * on survivors only — the q128 discipline) and each dirty record
     * keeps its best match via `min(struct(dist, clean_id))` — the
@@ -665,31 +672,48 @@ object Dedup extends QueryPack {
             |        AS INT) + 1) % 10 AS STRING),
             |  substring(c_name, 11 + CAST(c_custkey % 9 AS INT)))"""
             .stripMargin)).as("dirty_name"))
-    // comb keys over the 9 digits at name positions 10..18: odd digit
-    // positions (10,12,14,16,18) and even ones (11,13,15,17)
-    def comb(nameCol: String, odd: Boolean): String = {
-      val ps = (if (odd) Seq(10, 12, 14, 16, 18) else Seq(11, 13, 15, 17))
-      ps.map(p => s"substring($nameCol, $p, 1)").mkString("concat(", ", ", ")")
-    }
+    // THREE interleaved comb keys over the 9 digits at name positions
+    // 10..18 (comb i takes digits i, i+3, i+6), blocked on comb PAIRS:
+    // a single substitution corrupts exactly one comb, so the pass
+    // keyed on the other TWO combs still matches — exact recall for
+    // dist ≤ 1 by pigeonhole, same as the old 2-comb halves, but each
+    // block key now carries 6 of the 9 digits instead of 4-5. That
+    // extra entropy is what keeps Σ bucket² tracking the (linear) true
+    // match count as the keyspace grows: the 2-comb version measured a
+    // 1.48 scaling exponent on the sf0.1→sf1 step (each decade of
+    // customers adds a significant digit, but only ~half of it reached
+    // any one 4-5 digit key), while 2-of-3 comb keys absorb each new
+    // digit into two of the three passes — same step after this
+    // change: exponent 1.10, 54.5 s → 23.8 s at sf1.
+    def comb(nameCol: String, i: Int): String =
+      Seq(9 + i, 12 + i, 15 + i)
+        .map(p => s"substring($nameCol, $p, 1)")
+        .mkString("concat(", ", ", ")")
     def blocked(df: DataFrame, nameCol: String, pfx: String): DataFrame = df
-      .withColumn(s"${pfx}_ca", expr(comb(nameCol, odd = true)))
-      .withColumn(s"${pfx}_cb", expr(comb(nameCol, odd = false)))
+      .withColumn(s"${pfx}_c1", expr(comb(nameCol, 1)))
+      .withColumn(s"${pfx}_c2", expr(comb(nameCol, 2)))
+      .withColumn(s"${pfx}_c3", expr(comb(nameCol, 3)))
+      // pass i = "comb i may be corrupted": key on the other two combs
       .select(col("*"), explode(array(
-        struct(lit(1).as("half"), col(s"${pfx}_ca").as("bval")),
-        struct(lit(2).as("half"), col(s"${pfx}_cb").as("bval"))))
+        struct(lit(1).as("pass"),
+          concat(col(s"${pfx}_c2"), col(s"${pfx}_c3")).as("bval")),
+        struct(lit(2).as("pass"),
+          concat(col(s"${pfx}_c1"), col(s"${pfx}_c3")).as("bval")),
+        struct(lit(3).as("pass"),
+          concat(col(s"${pfx}_c1"), col(s"${pfx}_c2")).as("bval"))))
         .as("b"))
-      .select(col("*"), col("b.half").as("half"), col("b.bval").as("bval"))
+      .select(col("*"), col("b.pass").as("pass"), col("b.bval").as("bval"))
       .drop("b")
     // verify ladder (the PPJoin discipline): before the 18-char DP, a
-    // cheap 4-5-char levenshtein on the comb the join did NOT match —
+    // cheap 3-char levenshtein on the comb the join key EXCLUDED —
     // provably lossless for the dist ≤ 1 contract (a one-substitution
-    // pair differs in ≤ 1 position of the other comb; a dist-0 pair in
+    // pair differs in ≤ 1 position of that comb; a dist-0 pair in
     // none), and it prunes the bucket cross-products ~100×
     val cands = blocked(dirty, "dirty_name", "d")
-      .join(blocked(clean, "clean_name", "c"), Seq("half", "bval"))
-      .filter(when(col("half") === 1,
-        levenshtein(col("d_cb"), col("c_cb")))
-        .otherwise(levenshtein(col("d_ca"), col("c_ca"))) <= 1)
+      .join(blocked(clean, "clean_name", "c"), Seq("pass", "bval"))
+      .filter(when(col("pass") === 1, levenshtein(col("d_c1"), col("c_c1")))
+        .when(col("pass") === 2, levenshtein(col("d_c2"), col("c_c2")))
+        .otherwise(levenshtein(col("d_c3"), col("c_c3"))) <= 1)
       .withColumn("dist", levenshtein(col("dirty_name"), col("clean_name")))
       .filter(col("dist") <= 1)
     cands.groupBy("dirty_id", "dirty_name")

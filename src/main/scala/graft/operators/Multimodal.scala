@@ -227,12 +227,24 @@ object Multimodal extends QueryPack {
     * bits, i.e. a near-but-not-exact duplicate the banding must still
     * pair with its clean group-mates. Scale:
     * decode+hash is map-only; the only shuffle is the band equi-join,
-    * work ∝ Σ bucket² — never N². */
+    * work ∝ Σ bucket² — never N².
+    *
+    * The GROUP COUNT grows with the corpus (M = 37·max(1, N/6000),
+    * identical arithmetic in the oracle; M = 37 at every driver fixture
+    * scale, so gated results are untouched): real image corpora grow by
+    * adding new near-dup groups at roughly constant group size, and a
+    * fixed 37-group fixture would instead grow every group linearly —
+    * the hamming ≤ 2 pair OUTPUT itself is Σ group², so the sf0.1→sf1
+    * fit would measure the fixture's quadratic output, not the
+    * operator (1.51 with fixed groups vs ~linear with constant group
+    * size — see SCALING.md). */
   private def q190(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val W = 16
+    val nDocs = Tables.documents(s, dir).count()
+    val groupMod = 37L * math.max(1L, nDocs / 6000L)
     def pixelValue(doc: Long, x: Int, y: Int): Int = {
-      val g = doc % 37
+      val g = doc % groupMod
       def base(xx: Int, yy: Int) = ((g * 31 + xx * 7 + yy * 13) % 256).toInt
       // every 5th doc swaps three pixel pairs between hash blocks 0 and
       // 63 — a total-luma-preserving perturbation, so the mean
@@ -319,7 +331,8 @@ object Multimodal extends QueryPack {
 
   override def queries: Seq[Q] = Seq(
     Q("q190_image_phash_dedup", q190, Some(
-      """WITH d AS (SELECT doc_id, doc_id % 37 AS g FROM documents),
+      """WITH d AS (SELECT doc_id, doc_id % (37 * greatest(1,
+        |    (SELECT count(*) FROM documents) // 6000)) AS g FROM documents),
         |a AS (SELECT doc_id, g, unnest(generate_series(0, 15)) AS x FROM d),
         |b AS (SELECT doc_id, g, x, unnest(generate_series(0, 15)) AS y FROM a),
         |v AS (SELECT doc_id, x, y,

@@ -260,13 +260,25 @@ object ScaleOps extends QueryPack {
     * integers, NOT toroidal — both engines replay the same arithmetic),
     * so the whole gate is integer-exact. At 100 TB work is
     * Σ cell×neighborhood — density-proportional, never N²; skewed
-    * hotspots answer to the same salting as q110. */
+    * hotspots answer to the same salting as q110.
+    *
+    * The lattice SIDE grows with the point count (L = 10000·⌊√(N/15k)⌋,
+    * identical arithmetic in the oracle; L = 10000 at every driver
+    * fixture scale, so gated results are untouched): real spatial data
+    * grows in AREA at roughly constant density, and a fixed lattice
+    * would instead densify — the radius-300 pair OUTPUT itself grows
+    * ~quadratically, and the sf0.1→sf1 fit would measure the fixture,
+    * not the operator (1.38 on the fixed lattice vs ~linear with
+    * constant density — see SCALING.md). */
   private def q201(s: SparkSession, dir: String): DataFrame = {
     val r = 300L
+    val nPts = Tables.customer(s, dir).count()
+    val lat = 10000L *
+      math.max(1L, math.floor(math.sqrt(nPts / 15000.0)).toLong)
     val pts = Tables.customer(s, dir).select(
       col("c_custkey").as("id"),
-      (col("c_custkey") * 37 % 10000).as("x"),
-      (col("c_custkey") * 73 % 10000).as("y"))
+      (col("c_custkey") * 37 % lat).as("x"),
+      (col("c_custkey") * 73 % lat).as("y"))
     val probe = pts
       .select(col("id").as("id_a"), col("x").as("xa"), col("y").as("ya"),
         explode(expr("array(-1, 0, 1)")).as("ddx"))
@@ -417,8 +429,12 @@ object ScaleOps extends QueryPack {
         |        / count(*), 6) AS value_avg
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
     Q("q201_grid_radius_join", q201, Some(
-      """WITH p AS (SELECT c_custkey AS id,
-        |    c_custkey * 37 % 10000 AS x, c_custkey * 73 % 10000 AS y
+      """WITH n AS (SELECT 10000 * greatest(1,
+        |      CAST(floor(sqrt(count(*) / 15000.0)) AS BIGINT)) AS lat
+        |    FROM customer),
+        |p AS (SELECT c_custkey AS id,
+        |    c_custkey * 37 % (SELECT lat FROM n) AS x,
+        |    c_custkey * 73 % (SELECT lat FROM n) AS y
         |  FROM customer)
         |SELECT a.id AS id_a, b.id AS id_b,
         |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2

@@ -149,7 +149,9 @@ class PlanSpec extends AnyFunSuite {
       //        pattern); count and score joins are all equi.
       // q202 — incremental-agg maintenance: the 1-row last-day broadcast
       //        splitting base from delta.
-      "q197_bigram_lm", "q202_incremental_agg")
+      // q209 — sorted export: the final row zips the 1-row content
+      //        aggregate with the 1-row manifest audit (q139 pattern).
+      "q197_bigram_lm", "q202_incremental_agg", "q209_sorted_export")
     // Streaming queries execute a full drain in fn() and return a
     // collected local frame whose "plan" pins nothing; their batch-side
     // shapes are pinned by their own specs — skip the expensive drains.
