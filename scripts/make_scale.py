@@ -49,10 +49,20 @@ RULES = {
                 " 'Customer#' || lpad(CAST(c_custkey + {off} AS VARCHAR), 9, '0')"
                 "   AS c_name, c_nationkey,"
                 " c_acctbal, c_mktsegment FROM t",
-    "supplier": "SELECT s_suppkey + {off} AS s_suppkey, s_name, s_nationkey,"
-                " s_acctbal FROM t",
-    "part": "SELECT p_partkey + {off} AS p_partkey, p_name, p_brand, p_type,"
-            " p_size, p_retailprice FROM t",
+    # s_name carries the shifted key too (Supplier#<9 digits>), same
+    # reason as c_name: ScaleOps groups by s_name, and reusing replica-0
+    # names would freeze group cardinality while rows per group grow
+    # linearly — the exponent would measure the fixture's name collapse.
+    "supplier": "SELECT s_suppkey + {off} AS s_suppkey,"
+                " 'Supplier#' || lpad(CAST(s_suppkey + {off} AS VARCHAR), 9, '0')"
+                "   AS s_name, s_nationkey, s_acctbal FROM t",
+    # p_name is free text ('red widget'), not key-derived: salt replicas
+    # with a prefix (the documents-text trade) so names stay 1:1 with
+    # keys across replicas while within-replica distinctness is preserved.
+    "part": "SELECT p_partkey + {off} AS p_partkey,"
+            " CASE WHEN {i} = 0 THEN p_name"
+            "   ELSE 'r{i} ' || p_name END AS p_name,"
+            " p_brand, p_type, p_size, p_retailprice FROM t",
     "orders": "SELECT o_orderkey + {off} AS o_orderkey,"
               " o_custkey + {off} AS o_custkey, o_orderstatus, o_totalprice,"
               " o_orderdate, o_orderpriority FROM t",
@@ -79,6 +89,16 @@ RULES = {
 
 def main() -> None:
     src, out, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    # rot = (7*i) % 64 is a full cycle only for i < 64 (7 ⊥ 64): replica
+    # 64 would rotate by 0 and pile verbatim vector copies into one
+    # IVF/LSH cell — exactly the distortion this script exists to avoid.
+    # The key shift also feeds lpad(..., 9) names: factor <= 64 keeps
+    # every shifted key under 10^9, so the digit-region assumptions of
+    # the name-keyed operators (q203's substring window) stay valid.
+    if not 2 <= factor <= 64:
+        sys.exit(f"factor must be in [2, 64], got {factor}: rotation "
+                 "degenerates to verbatim copies at i=64 and 9-digit "
+                 "name keys overflow near factor 100")
     import os
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()

@@ -38,13 +38,18 @@ object PinnedBlocks {
   private val ids = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
 
   /** Eagerly localCheckpoint `df` and pin the resulting blocks.
-    * Synchronized so the before/after diff of persistent RDDs can't
-    * capture a concurrent caller's blocks. */
-  def pinnedCheckpoint(df: DataFrame): DataFrame = synchronized {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
+    *
+    * The checkpointed frame's plan is a `LogicalRDD` wrapping exactly the
+    * persisted internal RDD, so we pin THAT id — not a before/after diff
+    * of all persistent RDDs, which would permanently pin any concurrent
+    * thread's ordinary cache()/localCheckpoint() that lands in the
+    * window (and clearUnpinned would then never reclaim it). */
+  def pinnedCheckpoint(df: DataFrame): DataFrame = {
     val ck = df.localCheckpoint(true)
-    (sc.getPersistentRDDs.keySet -- before).foreach(ids.add(_))
+    ck.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => ids.add(lr.rdd.id)
+      case _ =>
+    }
     ck
   }
 

@@ -86,8 +86,11 @@ object MapReduce {
     * the engine's default distribution. The reference's hook assigns work
     * CHUNKS to mapper actors; on Spark, placement of records into map
     * tasks is a partitioning, so the hook is `(record, numMappers) =>
-    * shard` and the engine realizes it with one hash-repartition on the
-    * computed shard id before the map phase.
+    * shard` and the engine realizes it with an IDENTITY `Partitioner` on
+    * the computed shard id before the map phase: shard s IS partition s.
+    * (A hash-repartition on the shard id would re-hash it — murmur3 can
+    * map distinct shards to the same partition, leaving some mappers
+    * empty and doubling others, which defeats an even-packing placement.)
     *
     * Placement is result-transparent by construction (same records, same
     * mapFcn/reduceFcn — only task locality changes), which
@@ -105,15 +108,23 @@ object MapReduce {
       numMappers: Int,
       numPartitions: Option[Int] = None)(implicit
       dEnc: Encoder[D],
-      sdEnc: Encoder[(Int, D)],
       kvEnc: Encoder[(K, V)],
       kEnc: Encoder[K],
       rEnc: Encoder[R]): Dataset[R] = {
     require(numMappers > 0, "numMappers must be positive")
-    val placed = ds
+    val identityPart = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = numMappers
+      override def getPartition(key: Any): Int = {
+        val m = key.asInstanceOf[Int] % numMappers
+        if (m < 0) m + numMappers else m
+      }
+    }
+    implicit val dTag: scala.reflect.ClassTag[D] = dEnc.clsTag
+    val placedRdd = ds.rdd
       .map(d => (placeFcn(d, numMappers), d))
-      .repartition(numMappers, col("_1"))
-      .map(_._2)
+      .partitionBy(identityPart)
+      .values
+    val placed = ds.sparkSession.createDataset(placedRdd)(dEnc)
     run(placed, mapFcn, reduceFcn, numPartitions)
   }
 

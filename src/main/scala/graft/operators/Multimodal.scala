@@ -241,7 +241,7 @@ object Multimodal extends QueryPack {
   private def q190(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val W = 16
-    val nDocs = Tables.documents(s, dir).count()
+    val nDocs = Tables.cachedCount(s, dir, "documents")
     val groupMod = 37L * math.max(1L, nDocs / 6000L)
     def pixelValue(doc: Long, x: Int, y: Int): Int = {
       val g = doc % groupMod

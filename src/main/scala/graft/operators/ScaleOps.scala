@@ -272,7 +272,7 @@ object ScaleOps extends QueryPack {
     * constant density — see SCALING.md). */
   private def q201(s: SparkSession, dir: String): DataFrame = {
     val r = 300L
-    val nPts = Tables.customer(s, dir).count()
+    val nPts = Tables.cachedCount(s, dir, "customer")
     val lat = 10000L *
       math.max(1L, math.floor(math.sqrt(nPts / 15000.0)).toLong)
     val pts = Tables.customer(s, dir).select(

@@ -647,21 +647,21 @@ object TextAnalysis extends QueryPack {
         |      i -> array_to_string(w[i * 8 + 1 : least(i * 8 + 8, len(w))], ' ')) ||
         |    ['copyright 2024 ' || source || ' all rights reserved'] AS lines
         |  FROM t),
-        |e0 AS (SELECT doc_id, len(lines) AS n_lines,
+        |e0 AS (SELECT doc_id,
         |    unnest(generate_series(1, len(lines))) AS pos,
         |    unnest(lines) AS line FROM l),
-        |e AS (SELECT doc_id, n_lines, pos, trim(line) AS line FROM e0),
+        |e AS (SELECT doc_id, pos, trim(line) AS line FROM e0),
         |b AS (SELECT line FROM e GROUP BY line
         |      HAVING count(DISTINCT doc_id) >= 5),
         |k AS (SELECT * FROM e WHERE line NOT IN (SELECT line FROM b)),
-        |a AS (SELECT doc_id, any_value(n_lines) AS n_lines,
-        |        count(*) AS n_kept,
+        |a AS (SELECT doc_id, count(*) AS n_kept,
         |        string_agg(line, chr(10) ORDER BY pos) AS clean_text
-        |      FROM k GROUP BY doc_id)
-        |SELECT d.doc_id, coalesce(a.n_lines, 0) AS n_lines,
+        |      FROM k GROUP BY doc_id),
+        |nb AS (SELECT doc_id, len(lines) AS n_lines FROM l)
+        |SELECT nb.doc_id, nb.n_lines,
         |  coalesce(a.n_kept, 0) AS n_kept,
         |  coalesce(a.clean_text, '') AS clean_text
-        |FROM documents d LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin)),
+        |FROM nb LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin)),
     Q("q129_bpe_merges", q129, Some(
       s"""WITH vocab AS (
          |  SELECT word, count(*) AS freq FROM (

@@ -99,13 +99,22 @@ object StreamingQueries extends QueryPack {
     * temp dir; the failure is logged to stderr either way. */
   private def rmrfAll(s: SparkSession, paths: String*): Unit =
     paths.foreach { p =>
-      scala.util.Try {
+      // Hadoop's local delete reports most failures (e.g. EACCES inside
+      // FileUtil.fullyDelete) by returning false, not throwing — so
+      // success is "the path is gone afterwards", not "no exception".
+      val gone = scala.util.Try {
         val hp = new org.apache.hadoop.fs.Path(p)
-        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
-      }.failed.foreach { t =>
-        dumped.removeIf(root => p.startsWith(root))
+        val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(hp, true)
+        !fs.exists(hp)
+      }
+      if (gone != scala.util.Success(true)) {
+        // Path-boundary match: a failed .../dump_extra must not evict the
+        // sibling dump .../dump (plain prefix would).
+        dumped.removeIf(root => p == root || p.startsWith(root + "/"))
         System.err.println(s"[graft] scratch cleanup failed for $p " +
-          s"(dump invalidated if shared): $t")
+          s"(dump invalidated if shared): " +
+          gone.failed.toOption.getOrElse("delete returned false"))
       }
     }
 

@@ -64,4 +64,29 @@ class MapReducePropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("runWithPlacement realizes shard s AS map partition s (identity)") {
+    import spark.implicits._
+    // Result-equality alone can't see broken placement (hash-repartition
+    // on the shard id also yields correct OUTPUT while merging/starving
+    // mappers) — so pin the semantics directly: the map phase is a
+    // narrow flatMap over the placed partitions, so the task partition
+    // id observed inside mapFcn must equal placeFcn(record, nm) for
+    // EVERY record, for every mapper count.
+    val xs = (0 until 500).toList
+    for (nm <- Seq(1, 3, 4, 7)) {
+      val place = (d: Int, n: Int) => math.floorMod(d * 131 + 5, n)
+      val observed = MapReduce.runWithPlacement[Int, Int, Int, (Int, String)](
+        spark.createDataset(xs),
+        d => Iterator((d, org.apache.spark.TaskContext.getPartitionId())),
+        (k, vs) => (k, vs.mkString(",")),
+        place, nm)
+        .collect()
+      assert(observed.length === xs.length)
+      observed.foreach { case (d, pids) =>
+        assert(pids === place(d, nm).toString,
+          s"record $d observed partition $pids, placed ${place(d, nm)} (nm=$nm)")
+      }
+    }
+  }
 }
