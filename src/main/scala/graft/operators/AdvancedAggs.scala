@@ -262,7 +262,13 @@ object AdvancedAggs extends QueryPack {
     * come from a window over the SAME user partitioning as the
     * aggregate (one exchange); the log terms use the q153 fixed-point
     * discipline (round 12 per term, round 6 after the sum) so the
-    * entropy hash is stable across engines and summation order. */
+    * entropy hash is stable across engines and summation order. Gini
+    * goes further: 1 − Σp² = 1 − (Σcnt²)/tot² is computed from EXACT
+    * integer sums (Σcnt² in int64, tot² in int64) with one double
+    * division at the end — no float accumulation at all, so the value
+    * is bit-identical on any engine at any scale and summation order
+    * (the rounded-float-term form drifted a half-ulp across a round(…,6)
+    * boundary on 0.02% of users at the 10× derived fixture). */
   private def q170(s: SparkSession, dir: String): DataFrame = {
     val counts = Tables.events(s, dir)
       .groupBy("user_id", "event_type")
@@ -272,14 +278,17 @@ object AdvancedAggs extends QueryPack {
     counts.withColumn("tot", sum("cnt").over(w))
       .select(col("user_id"),
         round(-p * log(p), 12).as("h_term"),
-        round(p * p, 12).as("p2"))
+        (col("cnt") * col("cnt")).as("c2"),
+        col("tot"))
       .groupBy("user_id")
       // + 0.0 maps a single-type user's -0.0 entropy (-1·ln 1 = -0.0) to
       // +0.0 identically on both engines; Spark's round normalizes -0.0
       // but DuckDB's keeps it, which would render 0.0 vs -0.0 (ADVICE r6)
       .agg(count(lit(1)).as("n_types"),
         round(sum("h_term") + lit(0.0), 6).as("entropy"),
-        round(lit(1.0) - sum("p2"), 6).as("gini"))
+        round(lit(1.0) -
+          sum("c2").cast("double") /
+            (max("tot") * max("tot")).cast("double"), 6).as("gini"))
       .orderBy("user_id")
   }
 
@@ -448,12 +457,12 @@ object AdvancedAggs extends QueryPack {
         |terms AS (SELECT user_id,
         |            round(-(cnt / CAST(tot AS DOUBLE)) *
         |              ln(cnt / CAST(tot AS DOUBLE)), 12) AS h_term,
-        |            round((cnt / CAST(tot AS DOUBLE)) *
-        |              (cnt / CAST(tot AS DOUBLE)), 12) AS p2
+        |            cnt * cnt AS c2, tot
         |          FROM t)
         |SELECT user_id, count(*) AS n_types,
         |  round(sum(h_term) + 0.0, 6) AS entropy,
-        |  round(1.0 - sum(p2), 6) AS gini
+        |  round(1.0 - CAST(sum(c2) AS DOUBLE) /
+        |    CAST(max(tot) * max(tot) AS DOUBLE), 6) AS gini
         |FROM terms GROUP BY user_id ORDER BY user_id""".stripMargin)),
     Q("q160_bit_aggs", q160, Some(
       """SELECT l_returnflag,

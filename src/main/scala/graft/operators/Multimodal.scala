@@ -220,7 +220,13 @@ object Multimodal extends QueryPack {
     * LSH banding: the 64-bit hash splits into 4 × 16-bit bands, pairs
     * shuffle-join on (band, value), and ≤ 2 errors can touch at most 2
     * bands — the pigeonhole guarantees ≥ 2 intact bands, so banded
-    * recall is EXACT (the oracle's naive all-pairs join must agree).
+    * recall is EXACT. The oracle recomputes the hash from the
+    * closed-form pixel function and blocks with a DIFFERENT lossless
+    * split (3 bands of 22/21/21 bits: ≤ 2 errors leave ≥ 1 band
+    * intact), so the two sides' candidate generation stays independent
+    * while both remain exact and feasible at any scale — its original
+    * naive 64·N²/2-row pair join was quadratic by construction and
+    * unrunnable on the 10× derived corpus.
     * Fixture: image content keys on doc_id % 37 (groups of exact dups)
     * and every 5th doc swaps three pixel pairs across hash blocks — a
     * total-preserving perturbation that flips at most the two touched
@@ -356,12 +362,31 @@ object Multimodal extends QueryPack {
         |tot AS (SELECT doc_id, sum(bs) AS ts FROM blk GROUP BY doc_id),
         |pb AS (SELECT blk.doc_id, bit_i,
         |    CASE WHEN blk.bs * 64 > tot.ts THEN 1 ELSE 0 END AS bit
-        |  FROM blk JOIN tot ON blk.doc_id = tot.doc_id)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS INT) AS hamming
-        |FROM pb a JOIN pb b ON a.bit_i = b.bit_i AND a.doc_id < b.doc_id
-        |GROUP BY a.doc_id, b.doc_id
-        |HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 2
+        |  FROM blk JOIN tot ON blk.doc_id = tot.doc_id),
+        |h AS (SELECT doc_id,
+        |    sum(CASE WHEN bit_i < 22
+        |        THEN bit * (1::BIGINT << bit_i) ELSE 0 END) AS s0,
+        |    sum(CASE WHEN bit_i >= 22 AND bit_i < 43
+        |        THEN bit * (1::BIGINT << (bit_i - 22)) ELSE 0 END) AS s1,
+        |    sum(CASE WHEN bit_i >= 43
+        |        THEN bit * (1::BIGINT << (bit_i - 43)) ELSE 0 END) AS s2
+        |  FROM pb GROUP BY doc_id),
+        |cand AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.s0 AS a0,
+        |    x.s1 AS a1, x.s2 AS a2, y.s0 AS b0, y.s1 AS b1, y.s2 AS b2
+        |  FROM h x JOIN h y ON x.s0 = y.s0 AND x.doc_id < y.doc_id
+        |  UNION
+        |  SELECT x.doc_id, y.doc_id, x.s0, x.s1, x.s2, y.s0, y.s1, y.s2
+        |  FROM h x JOIN h y ON x.s1 = y.s1 AND x.doc_id < y.doc_id
+        |  UNION
+        |  SELECT x.doc_id, y.doc_id, x.s0, x.s1, x.s2, y.s0, y.s1, y.s2
+        |  FROM h x JOIN h y ON x.s2 = y.s2 AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b,
+        |  CAST(bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) +
+        |       bit_count(xor(a2, b2)) AS INT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) +
+        |      bit_count(xor(a2, b2)) <= 2
         |ORDER BY doc_a, doc_b""".stripMargin)),
     Q("q134_audio_features", q134, Some(
       """WITH w AS (
