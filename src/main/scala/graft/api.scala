@@ -55,6 +55,20 @@ object PinnedBlocks {
 
   def isPinned(id: Int): Boolean = ids.contains(id)
 
+  /** Unpin a previously pinned checkpoint frame and release its blocks —
+    * the counterpart of [[pinnedCheckpoint]] for cache-replacement paths
+    * (a stale entry bound to a stopped session would otherwise leave its
+    * ids pinned forever, invisible to [[clearUnpinned]]). Safe on a dead
+    * SparkContext: unpersist is best-effort, the id removal is what
+    * matters. */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        ids.remove(lr.rdd.id)
+        try lr.rdd.unpersist(false) catch { case _: Throwable => () }
+      case _ =>
+    }
+
   /** Unpersist every non-pinned persistent RDD — the shared
     * between-query hygiene for Bench and Verify. */
   def clearUnpinned(s: SparkSession): Unit =

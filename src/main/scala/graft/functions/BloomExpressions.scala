@@ -50,13 +50,20 @@ object BloomFunctions {
   /** `mightContainLong(keyCol)` against `bloom`, fully codegen'd.
     *
     * The sketch can't be spelled in SQL text, so registration closes
-    * over it: the temp function re-registers per call (createOrReplace),
-    * binding THIS sketch to the parsed expression — same registry route
-    * as [[VectorFunctions]].
+    * over it — same registry route as [[VectorFunctions]], but the
+    * registered name is salted with the sketch's identity hash: a shared
+    * name would rebind the session-global entry on every call, and two
+    * frames built concurrently (or interleaved before analysis) in one
+    * session could silently resolve against the WRONG BloomFilter —
+    * false-negative row drops with no error (ADVICE r10). The salt makes
+    * each registration single-writer; registry growth is one tiny entry
+    * per sketch built, bounded by the (driver-side, per-query) sketch
+    * count.
     */
   def mightContain(s: SparkSession, bloom: BloomFilter, keyCol: String): Column = {
+    val name = fnName + "_" + Integer.toHexString(System.identityHashCode(bloom))
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      fnName, exprs => BloomMightContainLong(exprs.head, bloom), "built-in")
-    expr(s"$fnName($keyCol)")
+      name, exprs => BloomMightContainLong(exprs.head, bloom), "built-in")
+    expr(s"$name($keyCol)")
   }
 }

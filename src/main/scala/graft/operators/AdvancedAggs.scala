@@ -264,8 +264,10 @@ object AdvancedAggs extends QueryPack {
     * discipline (round 12 per term, round 6 after the sum) so the
     * entropy hash is stable across engines and summation order. Gini
     * goes further: 1 − Σp² = 1 − (Σcnt²)/tot² is computed from EXACT
-    * integer sums (Σcnt² in int64, tot² in int64) with one double
-    * division at the end — no float accumulation at all, so the value
+    * integer sums (Σcnt² in int64; tot cast to double before squaring,
+    * exact to 2^53 and overflow-free where int64 tot·tot would wrap)
+    * with one double division at the end — no float accumulation at
+    * all, so the value
     * is bit-identical on any engine at any scale and summation order
     * (the rounded-float-term form drifted a half-ulp across a round(…,6)
     * boundary on 0.02% of users at the 10× derived fixture). */
@@ -286,9 +288,16 @@ object AdvancedAggs extends QueryPack {
       // but DuckDB's keeps it, which would render 0.0 vs -0.0 (ADVICE r6)
       .agg(count(lit(1)).as("n_types"),
         round(sum("h_term") + lit(0.0), 6).as("entropy"),
+        // tot is cast to double BEFORE squaring: int64 tot*tot wraps
+        // silently in Spark past ~3.03e9 events/user while DuckDB
+        // promotes, so the engines would diverge at extreme per-user
+        // cardinalities (ADVICE r10). Exactness is preserved — tot² only
+        // feeds this one final double division, and a double holds tot
+        // exactly to 2^53.
         round(lit(1.0) -
           sum("c2").cast("double") /
-            (max("tot") * max("tot")).cast("double"), 6).as("gini"))
+            (max("tot").cast("double") * max("tot").cast("double")), 6)
+          .as("gini"))
       .orderBy("user_id")
   }
 
@@ -462,7 +471,7 @@ object AdvancedAggs extends QueryPack {
         |SELECT user_id, count(*) AS n_types,
         |  round(sum(h_term) + 0.0, 6) AS entropy,
         |  round(1.0 - CAST(sum(c2) AS DOUBLE) /
-        |    CAST(max(tot) * max(tot) AS DOUBLE), 6) AS gini
+        |    (CAST(max(tot) AS DOUBLE) * CAST(max(tot) AS DOUBLE)), 6) AS gini
         |FROM terms GROUP BY user_id ORDER BY user_id""".stripMargin)),
     Q("q160_bit_aggs", q160, Some(
       """SELECT l_returnflag,

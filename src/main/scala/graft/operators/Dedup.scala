@@ -53,8 +53,18 @@ object Dedup extends QueryPack {
   private val shingleCkCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def docsWithShinglesCk(s: SparkSession, dir: String): DataFrame =
-    shingleCkCache.computeIfAbsent(dir, _ =>
-      graft.PinnedBlocks.pinnedCheckpoint(docsWithShingles(s, dir)))
+    // compute() (not computeIfAbsent): a hit is validated against the
+    // CURRENT session — a cached frame from a stopped-and-recreated
+    // SparkSession wraps a dead SparkContext, and its pinned block ids
+    // would never be reclaimed (ADVICE r10). On session mismatch the
+    // stale entry's blocks are released and the frame rebuilt in-place,
+    // atomically per dir.
+    shingleCkCache.compute(dir, (_, cached) =>
+      if (cached != null && (cached.sparkSession eq s)) cached
+      else {
+        if (cached != null) graft.PinnedBlocks.release(cached)
+        graft.PinnedBlocks.pinnedCheckpoint(docsWithShingles(s, dir))
+      })
 
   /** (doc_id, text) → (doc_id, sh) over any corpus frame. */
   private[operators] def shingleDocs(s: SparkSession, docs: DataFrame): DataFrame = {

@@ -534,6 +534,13 @@ object FileIO extends QueryPack {
       val parts = fs.listStatus(new Path(out))
         .map(_.getPath).filter(_.getName.startsWith("part-"))
         .sortBy(_.getName)
+      // Fail fast rather than index a wrong shard set: an empty partition
+      // writes NO part file, so parts(1) / the part-0000[23]* glob below
+      // would silently cover the wrong shards. Round-robin repartition
+      // makes <4 unreachable for any non-degenerate fixture, but the
+      // index composition depends on it, so it is asserted (ADVICE r10).
+      require(parts.length == 4,
+        s"q206 expects exactly 4 text shards under $out, found ${parts.length}")
       val lines = Seq(
         parts(0).toUri.toString, // explicit file:/abs/path URI
         parts(1).toUri.getPath, // plain absolute path, no scheme
