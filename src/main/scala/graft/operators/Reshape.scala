@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, QueryPack}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Reshaping + statistical moments: pivot (long→wide), unpivot
@@ -130,7 +131,190 @@ object Reshape extends QueryPack {
       .orderBy("l_returnflag")
   }
 
+  /** q211: winsorized robust statistics — per-segment p05/p95 clamp of
+    * account balances and the winsorized mean, the outlier-robust
+    * location estimate a data-quality audit reports next to the raw
+    * mean. The percentile bounds are EXACT and engine-neutral: instead
+    * of an interpolating double `percentile` (whose ulp behavior differs
+    * across engines at round boundaries), the R-7 definition is evaluated
+    * in pure integer arithmetic on cents — pos = (n−1)·p lands between
+    * order statistics v_k and v_{k+1}, and bound·100 =
+    * v_k·(100−r) + v_{k+1}·r with r = (n−1)·5p mod 100, all int64. The
+    * order statistics come from a VALUE-COUNT frame + cumulative sum,
+    * never a row-level sort: the shuffle is one groupBy(segment, cents),
+    * and the window runs over per-segment DISTINCT values (bounded by
+    * the value domain, not row count — at extreme scale you'd pre-bucket
+    * the domain, same shape). Clamping and the winsorized sum then
+    * happen on the value-count cells (cnt·clamped, exact int64 — cents
+    * ×100 ≤ 1e8 so even 2^43 rows/cell fit), one broadcast join of the
+    * 5-row bounds frame. */
+  private def q211(s: SparkSession, dir: String): DataFrame = {
+    val vc = Tables.customer(s, dir)
+      .select(col("c_mktsegment").as("seg"),
+        round(col("c_acctbal") * 100).cast("long").as("v"))
+      .groupBy("seg", "v").agg(count(lit(1)).as("cnt"))
+    val wOrd = Window.partitionBy("seg").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("seg")
+    val cells = vc
+      .withColumn("cum", sum("cnt").over(wOrd))
+      .withColumn("ntot", sum("cnt").over(wAll))
+      .withColumn("k05", expr("((ntot - 1) * 5) DIV 100"))
+      .withColumn("r05", pmod((col("ntot") - 1) * 5, lit(100)))
+      .withColumn("k95", expr("((ntot - 1) * 95) DIV 100"))
+      .withColumn("r95", pmod((col("ntot") - 1) * 95, lit(100)))
+    val bounds = cells.groupBy("seg").agg(
+      max("ntot").as("n"),
+      min(when(col("cum") >= col("k05") + 1, col("v"))).as("v05a"),
+      min(when(col("cum") >= col("k05") + 2, col("v"))).as("v05b"),
+      min(when(col("cum") >= col("k95") + 1, col("v"))).as("v95a"),
+      min(when(col("cum") >= col("k95") + 2, col("v"))).as("v95b"),
+      max("r05").as("r05"), max("r95").as("r95"))
+      // bound in cents×100: exact integer interpolation between the two
+      // order statistics (the upper one may not exist when r = 0 at the
+      // very top — coalesce keeps the formula total)
+      .select(col("seg"), col("n"),
+        (col("v05a") * (lit(100) - col("r05")) +
+          coalesce(col("v05b"), col("v05a")) * col("r05")).as("b05"),
+        (col("v95a") * (lit(100) - col("r95")) +
+          coalesce(col("v95b"), col("v95a")) * col("r95")).as("b95"))
+    val clamped = greatest(least(col("v") * 100, col("b95")), col("b05"))
+    vc.join(broadcast(bounds), "seg")
+      .groupBy("seg")
+      .agg(max("n").as("n"),
+        round(max("b05") / 10000.0, 4).as("p05"),
+        round(max("b95") / 10000.0, 4).as("p95"),
+        round(sum(clamped.cast("decimal(18,0)") * col("cnt"))
+          .cast("double") / max("n") / 10000.0, 4).as("wmean"),
+        sum(when(col("v") * 100 < col("b05"), col("cnt"))
+          .otherwise(0L)).as("n_low"),
+        sum(when(col("v") * 100 > col("b95"), col("cnt"))
+          .otherwise(0L)).as("n_high"))
+      .withColumnRenamed("seg", "c_mktsegment")
+      .orderBy("c_mktsegment")
+  }
+
+  /** q212: Spearman rank correlation (average-rank / tie-corrected) of
+    * quantity vs discount per return flag — the monotone-association
+    * diagnostic that, unlike q58's Pearson, is robust to the metric of
+    * either variable. Scale shape: ranks are NEVER computed with a
+    * row-level window (a per-flag global sort would put each flag's
+    * entire partition on one reducer) — both variables are
+    * low-cardinality, so a (flag, qty, discount) CONTINGENCY table
+    * (≤ 3·50·11 cells at any data size, one shuffle over the scan)
+    * carries all counts, average ranks come from cumulative sums over
+    * the per-flag DISTINCT values, and the Pearson-on-ranks moments are
+    * cell-weighted sums on that tiny frame. Exactness: doubled average
+    * ranks (2·avgrank = 2·cum − cnt + 1) are int64, every power sum
+    * accumulates in DECIMAL (order-independent), and both engines
+    * evaluate the identical double expression tree on those identical
+    * operands (the q58/q161 discipline). */
+  private def q212(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("q"),
+        round(col("l_discount") * 100).cast("long").as("d"))
+      .groupBy("flag", "q", "d").agg(count(lit(1)).as("cnt"))
+    def rank2(frame: DataFrame, v: String, out: String): DataFrame = {
+      val w = Window.partitionBy("flag").orderBy(v)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      frame.withColumn("cum", sum("nv").over(w))
+        .select(col("flag"), col(v),
+          (lit(2) * col("cum") - col("nv") + 1).as(out))
+    }
+    val rx = rank2(cells.groupBy("flag", "q").agg(sum("cnt").as("nv")), "q", "rx2")
+    val ry = rank2(cells.groupBy("flag", "d").agg(sum("cnt").as("nv")), "d", "ry2")
+    def dd(c: Column) = c.cast("decimal(12,0)")
+    val m = cells
+      .join(broadcast(rx), Seq("flag", "q"))
+      .join(broadcast(ry), Seq("flag", "d"))
+      .groupBy("flag")
+      .agg(sum("cnt").as("n"),
+        sum(dd(col("cnt")) * dd(col("rx2"))).cast("double").as("sx"),
+        sum(dd(col("cnt")) * dd(col("ry2"))).cast("double").as("sy"),
+        sum(dd(col("cnt")) * dd(col("rx2")) * dd(col("rx2")))
+          .cast("double").as("sxx"),
+        sum(dd(col("cnt")) * dd(col("ry2")) * dd(col("ry2")))
+          .cast("double").as("syy"),
+        sum(dd(col("cnt")) * dd(col("rx2")) * dd(col("ry2")))
+          .cast("double").as("sxy"))
+    val dx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dy = col("n") * col("syy") - col("sy") * col("sy")
+    m.select(col("flag").as("l_returnflag"), col("n"),
+        when(dx > 0 && dy > 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt(dx * dy), 6)).as("spearman"))
+      .orderBy("l_returnflag")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q211_winsorized_stats", q211, Some(
+      """WITH vc AS (SELECT c_mktsegment AS seg,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS v, count(*) AS cnt
+        |  FROM customer GROUP BY 1, 2),
+        |cells AS (SELECT *,
+        |    sum(cnt) OVER (PARTITION BY seg ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY seg) AS ntot
+        |  FROM vc),
+        |ks AS (SELECT *, ((ntot - 1) * 5) // 100 AS k05,
+        |    ((ntot - 1) * 5) % 100 AS r05,
+        |    ((ntot - 1) * 95) // 100 AS k95,
+        |    ((ntot - 1) * 95) % 100 AS r95
+        |  FROM cells),
+        |b AS (SELECT seg, max(ntot) AS n,
+        |    min(v) FILTER (WHERE cum >= k05 + 1) AS v05a,
+        |    min(v) FILTER (WHERE cum >= k05 + 2) AS v05b,
+        |    min(v) FILTER (WHERE cum >= k95 + 1) AS v95a,
+        |    min(v) FILTER (WHERE cum >= k95 + 2) AS v95b,
+        |    max(r05) AS r05, max(r95) AS r95
+        |  FROM ks GROUP BY seg),
+        |bounds AS (SELECT seg, n,
+        |    v05a * (100 - r05) + coalesce(v05b, v05a) * r05 AS b05,
+        |    v95a * (100 - r95) + coalesce(v95b, v95a) * r95 AS b95
+        |  FROM b)
+        |SELECT seg AS c_mktsegment, CAST(max(n) AS BIGINT) AS n,
+        |  round(max(b05) / 10000.0, 4) AS p05,
+        |  round(max(b95) / 10000.0, 4) AS p95,
+        |  round(CAST(sum(CAST(greatest(least(v * 100, b95), b05)
+        |      AS DECIMAL(18,0)) * cnt) AS DOUBLE) / max(n) / 10000.0, 4)
+        |    AS wmean,
+        |  CAST(sum(CASE WHEN v * 100 < b05 THEN cnt ELSE 0 END) AS BIGINT)
+        |    AS n_low,
+        |  CAST(sum(CASE WHEN v * 100 > b95 THEN cnt ELSE 0 END) AS BIGINT)
+        |    AS n_high
+        |FROM vc JOIN bounds USING (seg)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q212_spearman", q212, Some(
+      """WITH cells AS (SELECT l_returnflag AS flag,
+        |    CAST(l_quantity AS BIGINT) AS q,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS d, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |qr AS (SELECT flag, q, 2 * sum(nv) OVER (PARTITION BY flag ORDER BY q
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nv + 1 AS rx2
+        |  FROM (SELECT flag, q, sum(cnt) AS nv FROM cells GROUP BY 1, 2)),
+        |dr AS (SELECT flag, d, 2 * sum(nv) OVER (PARTITION BY flag ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nv + 1 AS ry2
+        |  FROM (SELECT flag, d, sum(cnt) AS nv FROM cells GROUP BY 1, 2)),
+        |m AS (SELECT flag, sum(cnt) AS n,
+        |    CAST(sum(CAST(cnt AS DECIMAL(12,0)) * CAST(rx2 AS DECIMAL(12,0)))
+        |      AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(cnt AS DECIMAL(12,0)) * CAST(ry2 AS DECIMAL(12,0)))
+        |      AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(cnt AS DECIMAL(12,0)) * CAST(rx2 AS DECIMAL(12,0))
+        |      * CAST(rx2 AS DECIMAL(12,0))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(cnt AS DECIMAL(12,0)) * CAST(ry2 AS DECIMAL(12,0))
+        |      * CAST(ry2 AS DECIMAL(12,0))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(cnt AS DECIMAL(12,0)) * CAST(rx2 AS DECIMAL(12,0))
+        |      * CAST(ry2 AS DECIMAL(12,0))) AS DOUBLE) AS sxy
+        |  FROM cells JOIN qr USING (flag, q) JOIN dr USING (flag, d)
+        |  GROUP BY flag)
+        |SELECT flag AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+        |    round((n * sxy - sx * sy) /
+        |      sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END
+        |    AS spearman
+        |FROM m ORDER BY 1""".stripMargin)),
     Q("q161_linear_regression", q161, Some(
       """WITH s AS (SELECT l_returnflag,
         |  CAST(count(*) AS DOUBLE) AS n,

@@ -620,7 +620,74 @@ object TextAnalysis extends QueryPack {
        |  FROM cons$r WHERE NOT consumed)""".stripMargin
   }
 
+  /** q210: BM25 top-k retrieval — the lexical ranking function every
+    * corpus-search / hard-negative-mining pipeline runs before a neural
+    * reranker (Robertson–Spärck Jones; k1 = 1.2, b = 0.75). Scale shape:
+    * the per-token work is restricted to the QUERY terms before any
+    * aggregation (work ∝ postings of the query terms, not corpus token
+    * count), each document's length rides THROUGH the explode so tf
+    * never joins back to a corpus-wide length table, and the idf /
+    * corpus-stats frames are 3-row and 1-row broadcasts. Determinism:
+    * N, df, dl, Σdl are exact integers; idf and the length norm are
+    * evaluated in double on those identical operands by both engines;
+    * per-term scores round to 12 before the per-doc sum rounds to 6
+    * (the q170/q153 fixed-point discipline), and the top-20 order is by
+    * ROUNDED score with doc_id tiebreak, so the cut is engine-neutral. */
+  private def q210(s: SparkSession, dir: String): DataFrame = {
+    val qTerms = Seq("hash", "join", "scan")
+    val k1 = 1.2
+    val b = 0.75
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ", -1)).cast("long").as("dl"),
+        split(col("text"), " ", -1).as("toks"))
+    // corpus stats as a 1-row broadcast (never a driver-side .count())
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(qTerms: _*)) // prune BEFORE the shuffle
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) *
+            col("dl").cast("double") /
+            (col("sum_dl").cast("double") / col("n_docs")))), 12)
+          .as("term_score"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        round(sum("term_score"), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q210_bm25_topk", q210, Some(
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |    string_split(text, ' ') AS toks FROM documents),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d),
+        |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+        |       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+        |       WHERE term IN ('hash', 'join', 'scan')
+        |       GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |t AS (SELECT doc_id,
+        |    round(ln(1.0 + (n_docs - df.df + 0.5) / (df.df + 0.5)) *
+        |      (tf * 2.2) /
+        |      (tf + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE) /
+        |        (CAST(sum_dl AS DOUBLE) / n_docs))), 12) AS term_score
+        |  FROM tf JOIN df USING (term) CROSS JOIN stats)
+        |SELECT doc_id, count(*) AS n_terms,
+        |  round(sum(term_score), 6) AS bm25
+        |FROM t GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)),
     Q("q197_bigram_lm", q197, Some(
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
         |           WHERE len(string_split(text, ' ')) >= 2),
