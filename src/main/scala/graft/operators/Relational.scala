@@ -456,7 +456,51 @@ object Relational extends QueryPack {
       Map("floor" -> 50000))
   }
 
+  /** q213: SQL-language functions (Spark 4 surface) — a scalar
+    * `CREATE FUNCTION … RETURN expr` and a table function
+    * `CREATE FUNCTION … RETURNS TABLE … RETURN SELECT`, the
+    * catalog-registerable way to share business logic across a team's
+    * queries. Unlike a Scala/Python UDF, Catalyst INLINES the SQL
+    * function body into the calling plan, so the discount arithmetic
+    * stays inside whole-stage codegen and pushdown/pruning see through
+    * it — at 100 TB an opaque UDF here would black-box the hottest
+    * expression in the scan. The table function joins on as a 3-row
+    * broadcast. Re-registration is idempotent (pure SQL text, no
+    * captured driver state — the bloom-probe single-writer concern
+    * doesn't apply). Oracle: the same query with both bodies inlined,
+    * which is exactly what the inlining contract promises. */
+  private def q213(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_li213")
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(
+            |  p DOUBLE, d DOUBLE) RETURNS DOUBLE
+            |RETURN p * (1.0 - d)""".stripMargin)
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_qty_bands()
+            |  RETURNS TABLE(band STRING, lo DOUBLE, hi DOUBLE)
+            |RETURN SELECT * FROM VALUES
+            |  ('low', 0.0D, 10.0D), ('mid', 10.0D, 30.0D),
+            |  ('high', 30.0D, 51.0D)""".stripMargin)
+    s.sql(
+      """SELECT l_returnflag, b.band, count(*) AS n,
+        |  round(CAST(sum(CAST(graft_disc_price(l_extendedprice, l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+        |  max(b.lo) AS band_lo, max(b.hi) AS band_hi
+        |FROM graft_li213 l
+        |JOIN graft_qty_bands() b
+        |  ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q213_sql_functions", q213, Some(
+      """WITH b(band, lo, hi) AS (VALUES
+        |    ('low', 0.0, 10.0), ('mid', 10.0, 30.0), ('high', 30.0, 51.0))
+        |SELECT l_returnflag, b.band, count(*) AS n,
+        |  round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue,
+        |  max(b.lo) AS band_lo, max(b.hi) AS band_hi
+        |FROM lineitem l
+        |JOIN b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     Q("q11_pricing_summary", q11, Some(
       """SELECT l_returnflag, l_linestatus,
         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,

@@ -667,7 +667,55 @@ object TextAnalysis extends QueryPack {
       .limit(20)
   }
 
+  /** q214: vocabulary coverage curve — what fraction of all corpus
+    * tokens the top-k vocabulary covers, for k ∈ {4, 8, 16}: the
+    * statistic that sizes a tokenizer vocabulary / estimates OOV rate
+    * before a BPE train (q129's upstream decision). Scale shape: the
+    * corpus-sized work is ONE token-count shuffle; everything after
+    * (ranking, the k-join, totals) runs on the VOCAB-sized frame, which
+    * is always orders of magnitude smaller than the corpus (the window
+    * sorts distinct tokens, never token occurrences — at a 10M-term
+    * vocabulary you'd range-partition the rank, same shape). The k list
+    * enters as a generator, the totals as a 1-row broadcast; counts are
+    * exact integers so coverage is the same double on both engines. */
+  private def q214(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ", -1)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    val ranked = counts.withColumn("r",
+      row_number().over(Window.orderBy(col("n").desc, col("tok"))))
+    val tot = counts.agg(sum("n").as("total_tokens"),
+      count(lit(1)).as("vocab_size"))
+    val ks = ranked.sparkSession.range(1)
+      .select(explode(array(lit(4), lit(8), lit(16))).as("k"))
+    ks.join(ranked, col("r") <= col("k"))
+      .groupBy("k")
+      .agg(sum("n").as("covered_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("vocab_size"), col("total_tokens"),
+        col("covered_tokens"),
+        round(col("covered_tokens").cast("double") /
+          col("total_tokens"), 6).as("coverage"))
+      .orderBy("k")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q214_vocab_coverage", q214, Some(
+      """WITH c AS (SELECT tok, count(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1),
+        |r AS (SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS r
+        |  FROM c),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+        |    count(*) AS vocab_size FROM c),
+        |k(k) AS (VALUES (4), (8), (16))
+        |SELECT k, max(vocab_size) AS vocab_size,
+        |  max(total_tokens) AS total_tokens,
+        |  CAST(sum(n) AS BIGINT) AS covered_tokens,
+        |  round(CAST(sum(n) AS DOUBLE) / max(total_tokens), 6) AS coverage
+        |FROM k JOIN r ON r.r <= k.k CROSS JOIN t
+        |GROUP BY k ORDER BY k""".stripMargin)),
     Q("q210_bm25_topk", q210, Some(
       """WITH d AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,

@@ -107,6 +107,20 @@ class PlanSpec extends AnyFunSuite {
       "q92 must rank postings per gram before aggregating")
   }
 
+  test("q213 SQL-language function is inlined (no UDF node, map-side combine intact)") {
+    // The whole point of a SQL UDF over a Scala UDF at 100 TB: Catalyst
+    // inlines the body, so the plan must contain NO black-box function
+    // node and the aggregate must still combine map-side THROUGH the
+    // inlined arithmetic.
+    val qe = SparkEntry.queries("q213_sql_functions")(spark, sf).queryExecution
+    val udfs = qe.optimizedPlan.flatMap(_.expressions.flatMap(_.collect {
+      case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+    }))
+    assert(udfs.isEmpty, s"q213 plan contains ScalaUDF: $udfs")
+    assert(qe.executedPlan.toString.contains("partial_sum"),
+      "q213 aggregation must stay partial through the inlined SQL function")
+  }
+
   test("NO query plans a cartesian / nested-loop join (bounded-broadcast baselines exempt)") {
     // Repo-wide scale pin: every join must be an equi-join (hash/sort) —
     // a CartesianProduct or BroadcastNestedLoopJoin node anywhere else is
@@ -151,7 +165,14 @@ class PlanSpec extends AnyFunSuite {
       //        splitting base from delta.
       // q209 — sorted export: the final row zips the 1-row content
       //        aggregate with the 1-row manifest audit (q139 pattern).
-      "q197_bigram_lm", "q202_incremental_agg", "q209_sorted_export")
+      "q197_bigram_lm", "q202_incremental_agg", "q209_sorted_export",
+      // q210 — BM25: the 1-row corpus-stats broadcast (q69 pattern);
+      //        tf/df joins are equi.
+      // q213 — SQL table function: the 3-row band frame joins the scan
+      //        on a range predicate (a bounded broadcast by design).
+      // q214 — vocab coverage: the 3-row k list joins the vocab-sized
+      //        rank frame on r <= k, plus the 1-row totals broadcast.
+      "q210_bm25_topk", "q213_sql_functions", "q214_vocab_coverage")
     // Streaming queries execute a full drain in fn() and return a
     // collected local frame whose "plan" pins nothing; their batch-side
     // shapes are pinned by their own specs — skip the expensive drains.
