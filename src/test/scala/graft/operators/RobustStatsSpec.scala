@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.{SparkEntry, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden pins for the round-11 statistics operators: each scalable
+  * formulation (value-count frames, contingency-table ranks,
+  * postings-bounded scoring) must agree with an independent brute-force
+  * computation collected on the driver. The queries' DuckDB oracles pin
+  * cross-engine parity; these pins catch a future refactor that breaks
+  * the MATH while staying self-consistent across engines.
+  */
+class RobustStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("q211 winsorized bounds match driver-side R-7 percentiles") {
+    val rows = SparkEntry.queries("q211_winsorized_stats")(spark, sf).collect()
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    for (row <- rows) {
+      val seg = row.getString(0)
+      val vs = cust(seg).map(_._2).sorted
+      val n = vs.length
+      assert(row.getLong(1) === n.toLong, s"$seg n")
+      // reference R-7: pos = (n-1)p, linear interpolation — here exactly
+      // as the integer formula the operator claims to implement
+      def r7(p5: Long): Double = {
+        val k = ((n - 1) * p5 / 100).toInt
+        val r = (n - 1) * p5 % 100
+        val hi = if (k + 1 < n) vs(k + 1) else vs(k)
+        (vs(k) * (100 - r) + hi * r) / 10000.0
+      }
+      assert(math.abs(row.getDouble(2) - r7(5)) < 1e-9, s"$seg p05")
+      assert(math.abs(row.getDouble(3) - r7(95)) < 1e-9, s"$seg p95")
+      // winsorized mean from the same driver-side reference
+      val b05 = r7(5) * 10000.0
+      val b95 = r7(95) * 10000.0
+      val wsum = vs.map(v => math.max(math.min(v * 100.0, b95), b05)).sum
+      val wmean = BigDecimal(wsum / n / 10000.0)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(row.getDouble(4) - wmean) < 1e-9, s"$seg wmean")
+    }
+  }
+
+  test("q212 Spearman matches brute-force average-rank Pearson") {
+    val rows = SparkEntry.queries("q212_spearman")(spark, sf).collect()
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_returnflag", "l_quantity", "l_discount").collect()
+      .map(r => (r.getString(0), r.getDouble(1).toLong,
+        math.round(r.getDouble(2) * 100)))
+      .groupBy(_._1)
+    assert(rows.length === li.size)
+    def avgRanks(xs: Array[Long]): Array[Double] = {
+      // average rank among ties, 1-based — the textbook definition the
+      // contingency-table cumsum formula claims to reproduce
+      val sortedIdx = xs.zipWithIndex.sortBy(_._1)
+      val out = new Array[Double](xs.length)
+      var i = 0
+      while (i < sortedIdx.length) {
+        var j = i
+        while (j + 1 < sortedIdx.length &&
+          sortedIdx(j + 1)._1 == sortedIdx(i)._1) j += 1
+        val avg = (i + j + 2) / 2.0 // mean of 1-based positions i+1..j+1
+        for (k <- i to j) out(sortedIdx(k)._2) = avg
+        i = j + 1
+      }
+      out
+    }
+    def pearson(x: Array[Double], y: Array[Double]): Double = {
+      val n = x.length.toDouble
+      val sx = x.sum; val sy = y.sum
+      val sxx = x.map(v => v * v).sum; val syy = y.map(v => v * v).sum
+      val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+      (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    }
+    for (row <- rows) {
+      val flag = row.getString(0)
+      val g = li(flag)
+      assert(row.getLong(1) === g.size.toLong, s"$flag n")
+      val rho = pearson(avgRanks(g.map(_._2).toArray),
+        avgRanks(g.map(_._3).toArray))
+      assert(math.abs(row.getDouble(2) - rho) < 1e-5, s"$flag rho")
+    }
+  }
+
+  test("q210 BM25 matches a driver-side reference scorer") {
+    val rows = SparkEntry.queries("q210_bm25_topk")(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val qTerms = Seq("hash", "join", "scan")
+    val nDocs = docs.length.toDouble
+    val avgdl = docs.map(_._2.length.toLong).sum / nDocs
+    val df = qTerms.map(t =>
+      t -> docs.count(_._2.contains(t)).toDouble).toMap
+    val scored = docs.flatMap { case (id, toks) =>
+      val terms = qTerms.flatMap { t =>
+        val tf = toks.count(_ == t).toDouble
+        if (tf == 0) None
+        else {
+          val idf = math.log(1.0 + (nDocs - df(t) + 0.5) / (df(t) + 0.5))
+          val s = idf * (tf * 2.2) /
+            (tf + 1.2 * (0.25 + 0.75 * toks.length / avgdl))
+          Some(BigDecimal(s).setScale(12,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }
+      if (terms.isEmpty) None
+      else Some((id, terms.length.toLong, BigDecimal(terms.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val top = scored.sortBy { case (id, _, s) => (-s, id) }.take(20)
+    assert(rows.length === top.length)
+    rows.zip(top).foreach { case (row, (id, nt, s)) =>
+      assert(row.getLong(0) === id, "doc order")
+      assert(row.getLong(1) === nt, s"doc $id n_terms")
+      assert(math.abs(row.getDouble(2) - s) < 1e-9, s"doc $id score")
+    }
+  }
+}
