@@ -595,7 +595,74 @@ object DataPrep extends QueryPack {
       .orderBy("stage")
   }
 
+  /** q215: differential-privacy-style histogram release — per
+    * (event_type, month) counts published with Laplace noise
+    * (ε = 0.5 ⇒ scale b = 2, count sensitivity 1) and a release
+    * threshold, the aggregate-release companion to q198's k-anonymity
+    * gate. The noise is DERIVED DETERMINISTICALLY from a keyed rolling
+    * hash of the cell label (inverse-CDF of Laplace on u = hash/10^15):
+    * a real deployment swaps the hash for a secure RNG — one expression,
+    * same plan — but the gate needs reproducibility so the DuckDB oracle
+    * can re-derive the exact release (the same stub discipline as the
+    * multimodal codecs). Everything is engine-neutral by construction:
+    * the hash is the shared q53 polynomial (exact int64), u is an exact
+    * double below 2^53, and both engines evaluate the identical
+    * sign/ln/abs tree on it (log argument clamped away from 0 so a
+    * pathological u = 0 or 1 can't produce ±∞ on either engine). Scale:
+    * one map-side-combined count shuffle; the noise is a scalar
+    * expression over the CELL frame (≤ types × months rows). */
+  /** Deterministic Laplace(b) noise keyed on a cell label: inverse-CDF
+    * on u = rollingHash(label)/10^15. Swap the hash for a secure RNG in
+    * a real release; the expression tree (and the plan) stay the same.
+    * Exposed for the branch-coverage spec (the driver fixtures' cells
+    * all clear the q215 threshold, so suppression is pinned on
+    * synthetic cells in DataPrepSpec). */
+  private[operators] def dpLaplace(key: org.apache.spark.sql.Column,
+      b: Double): org.apache.spark.sql.Column = {
+    val codes = transform(regexp_extract_all(key, lit("."), lit(0)),
+      c => ascii(c).cast("long"))
+    val u = graft.functions.Exact.rollingHash(codes) / lit(1.0e15)
+    // clamp the log argument away from 0: a pathological u = 0 or 1
+    // would otherwise produce ±∞ (differently NaN-propagated per engine)
+    val logArg = greatest(lit(1.0) - lit(2.0) * abs(u - lit(0.5)), lit(5.0e-16))
+    lit(-b) * signum(u - lit(0.5)) * log(logArg)
+  }
+
+  private def q215(s: SparkSession, dir: String): DataFrame = {
+    val b = 2.0 // Laplace scale = sensitivity / epsilon = 1 / 0.5
+    val tau = 20.0 // publish only cells whose NOISY count clears this
+    val key = concat_ws("|", col("event_type"), col("month"),
+      lit("graft-dp-v1"))
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noisy", col("n") + dpLaplace(key, b))
+      .select(col("event_type"), col("month"),
+        (col("noisy") >= tau).as("released"),
+        when(col("noisy") >= tau, round(col("noisy"), 4)).as("value"))
+      .orderBy("event_type", "month")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q215_dp_histogram", q215, Some(
+      """WITH c AS (SELECT event_type, strftime(ts, '%Y-%m') AS month,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |h AS (SELECT *,
+        |    list_reduce(list_prepend(0, list_transform(
+        |        regexp_extract_all(
+        |          event_type || '|' || month || '|graft-dp-v1', '.'),
+        |        x -> CAST(ascii(x) AS BIGINT))),
+        |      (a, v) -> (a * 31 + v) % 1000000000000000)
+        |      / 1000000000000000.0 AS u
+        |  FROM c),
+        |r AS (SELECT event_type, month, n,
+        |    n + -2.0 * sign(u - 0.5) *
+        |      ln(greatest(1.0 - 2.0 * abs(u - 0.5), 5e-16)) AS noisy
+        |  FROM h)
+        |SELECT event_type, month, noisy >= 20.0 AS released,
+        |  CASE WHEN noisy >= 20.0 THEN round(noisy, 4) END AS value
+        |FROM r ORDER BY 1, 2""".stripMargin)),
     Q("q200_curation_funnel", q200, Some(
       """WITH t AS (SELECT doc_id, lang, n_chars,
         |    doc_id - CASE WHEN doc_id % 10 = 7 THEN 7 ELSE 0 END AS canon_key,

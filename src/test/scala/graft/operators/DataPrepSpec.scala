@@ -128,4 +128,34 @@ class DataPrepSpec extends AnyFunSuite {
       assert(r.getLong(1) == math.min(quota.toLong, sizes(r.getString(0))))
     }
   }
+
+  test("q215 DP release: suppression branch, determinism, Laplace shape") {
+    import spark.implicits._
+    // the driver fixtures' cells all clear τ = 20, so the suppression
+    // branch is pinned here on synthetic cells straddling the threshold
+    val cells = Seq(("tiny", 3L), ("small", 15L), ("big", 1000L))
+      .toDF("label", "n")
+    val noisy = cells.withColumn("noise",
+      DataPrep.dpLaplace(concat_ws("|", col("label"), lit("graft-dp-v1")), 2.0))
+      .withColumn("released", col("n") + col("noise") >= 20.0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(!noisy("tiny")._2, "a count of 3 must be suppressed at tau=20")
+    assert(noisy("big")._2, "a count of 1000 must be released at tau=20")
+    // determinism: same key -> bit-identical noise on a fresh plan
+    val again = cells.withColumn("noise",
+      DataPrep.dpLaplace(concat_ws("|", col("label"), lit("graft-dp-v1")), 2.0))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    noisy.foreach { case (k, (v, _)) => assert(again(k) == v, s"$k noise") }
+    // Laplace(b=2) sanity over many keys: |noise| has mean ~b and the
+    // sign is ~balanced (inverse-CDF over an approximately uniform hash)
+    val sample = spark.range(2000)
+      .withColumn("noise", DataPrep.dpLaplace(
+        concat_ws("|", col("id").cast("string"), lit("graft-dp-v1")), 2.0))
+      .select("noise").as[Double].collect()
+    val meanAbs = sample.map(math.abs).sum / sample.length
+    assert(meanAbs > 1.4 && meanAbs < 2.6, s"mean |noise| = $meanAbs, want ~2")
+    val pos = sample.count(_ > 0).toDouble / sample.length
+    assert(pos > 0.4 && pos < 0.6, s"positive fraction $pos, want ~0.5")
+  }
 }
