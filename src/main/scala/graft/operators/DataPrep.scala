@@ -643,7 +643,64 @@ object DataPrep extends QueryPack {
       .orderBy("event_type", "month")
   }
 
+  /** q216: deterministic negative sampling for contrastive training —
+    * for each anchor document, k pseudo-random corpus negatives drawn by
+    * keyed hash (candidate id = H(anchor|j) mod N), keeping only
+    * cross-source candidates (the cheap "not a positive" proxy; a
+    * near-dup exclusion would anti-join q66's components the same way).
+    * Hash-seeded draws instead of an RNG for the usual two reasons: the
+    * sample is REPRODUCIBLE across retries/stragglers at 100 TB (any
+    * task can recompute any row), and the oracle can re-derive it
+    * exactly. Scale shape: anchors×k candidate rows equi-join the corpus
+    * on the computed id (work ∝ sample size, never anchors×corpus), the
+    * corpus size enters as a 1-row broadcast, and a candidate id that
+    * does not exist (sparse id space) simply drops out of the inner join
+    * on BOTH engines — k is a budget, not a guarantee, exactly like
+    * rejection sampling in production. */
+  private def q216(s: SparkSession, dir: String): DataFrame = {
+    val k = 4
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val nDf = docs.agg(count(lit(1)).as("n_docs"))
+    val cand = docs.filter(col("doc_id") % 50 === 0)
+      .withColumnRenamed("source", "anchor_source")
+      .withColumnRenamed("doc_id", "anchor_id")
+      .select(col("anchor_id"), col("anchor_source"),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .crossJoin(broadcast(nDf))
+      .select(col("anchor_id"), col("anchor_source"), col("j"),
+        pmod(graft.functions.Exact.rollingHash(
+          transform(regexp_extract_all(
+            concat_ws("|", lit("neg"), col("anchor_id"), col("j"),
+              lit("graft-negsample-v1")), lit("."), lit(0)),
+            c => ascii(c).cast("long"))), col("n_docs")).as("neg_id"))
+    cand
+      .join(docs.withColumnRenamed("source", "neg_source"),
+        col("neg_id") === col("doc_id"))
+      .filter(col("neg_source") =!= col("anchor_source"))
+      .select("anchor_id", "j", "neg_id", "neg_source")
+      .orderBy("anchor_id", "j")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q216_negative_sampling", q216, Some(
+      """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        |a AS (SELECT doc_id AS anchor_id, source AS anchor_source
+        |      FROM documents WHERE doc_id % 50 = 0),
+        |c AS (SELECT anchor_id, anchor_source,
+        |    unnest(generate_series(1, 4)) AS j FROM a),
+        |h AS (SELECT anchor_id, anchor_source, j,
+        |    list_reduce(list_prepend(0, list_transform(
+        |        regexp_extract_all(
+        |          'neg' || '|' || anchor_id || '|' || j ||
+        |          '|graft-negsample-v1', '.'),
+        |        x -> CAST(ascii(x) AS BIGINT))),
+        |      (acc, v) -> (acc * 31 + v) % 1000000000000000)
+        |      % (SELECT n_docs FROM n) AS neg_id
+        |  FROM c)
+        |SELECT anchor_id, j, neg_id, d.source AS neg_source
+        |FROM h JOIN documents d ON h.neg_id = d.doc_id
+        |WHERE d.source <> anchor_source
+        |ORDER BY anchor_id, j""".stripMargin)),
     Q("q215_dp_histogram", q215, Some(
       """WITH c AS (SELECT event_type, strftime(ts, '%Y-%m') AS month,
         |    count(*) AS n

@@ -247,7 +247,98 @@ object Reshape extends QueryPack {
       .orderBy("l_returnflag")
   }
 
+  /** One exact R-7 order statistic per group from a VALUE-COUNT frame,
+    * in pure integer arithmetic: returns (grp, n, stat100) where
+    * stat100 = 100·the p-th percentile — v_k·(100−r) + v_{k+1}·r with
+    * k = ⌊(n−1)p⌋, r = (n−1)·p5 mod 100. The q211 machinery factored
+    * for reuse (q217 applies it twice). `vc` must have integer columns
+    * (grp, v, cnt). */
+  private def orderStat100(vc: DataFrame, p5: Int): DataFrame = {
+    val wOrd = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("grp")
+    vc.withColumn("cum", sum("cnt").over(wOrd))
+      .withColumn("ntot", sum("cnt").over(wAll))
+      .withColumn("k", expr(s"((ntot - 1) * $p5) DIV 100"))
+      .withColumn("r", pmod((col("ntot") - 1) * p5, lit(100)))
+      .groupBy("grp")
+      .agg(max("ntot").as("n"),
+        min(when(col("cum") >= col("k") + 1, col("v"))).as("va"),
+        min(when(col("cum") >= col("k") + 2, col("v"))).as("vb"),
+        max("r").as("r"))
+      .select(col("grp"), col("n"),
+        (col("va") * (lit(100) - col("r")) +
+          coalesce(col("vb"), col("va")) * col("r")).as("stat100"))
+  }
+
+  /** q217: median absolute deviation — the robust spread estimate
+    * (breakdown point 50%, vs 0% for q58's stddev) a curation audit
+    * pairs with q211's winsorized mean. Two exact medians, both through
+    * [[orderStat100]]'s integer R-7 interpolation on value-count frames:
+    * the per-flag quantity median, then the median of
+    * |100·v − median100| — deviations stay exact integers because the
+    * first median is carried at ×100. No row ever sorts: both rounds
+    * shuffle value COUNTS (≤ 50 cells per flag, deviations ≤ 100 cells),
+    * and the median frames re-enter as broadcasts. The same shape holds
+    * at any scale — MAD's cost is the cost of the two value-count
+    * aggregations. */
+  private def q217(s: SparkSession, dir: String): DataFrame = {
+    val vc = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("grp"),
+        col("l_quantity").cast("long").as("v"))
+      .groupBy("grp", "v").agg(count(lit(1)).as("cnt"))
+    val med = orderStat100(vc, 50)
+      .select(col("grp"), col("n"), col("stat100").as("med100"))
+    val devVc = vc.join(broadcast(med), "grp")
+      .select(col("grp"),
+        abs(col("v") * 100 - col("med100")).as("v"), col("cnt"))
+      .groupBy("grp", "v").agg(sum("cnt").as("cnt"))
+    val mad = orderStat100(devVc, 50)
+      .select(col("grp"), col("stat100").as("mad10000"))
+    med.join(mad, "grp")
+      .select(col("grp").as("l_returnflag"), col("n"),
+        round(col("med100") / 100.0, 4).as("median_qty"),
+        round(col("mad10000") / 10000.0, 4).as("mad_qty"))
+      .orderBy("l_returnflag")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q217_mad_robust_spread", q217, Some(
+      """WITH vc AS (SELECT l_returnflag AS grp,
+        |    CAST(l_quantity AS BIGINT) AS v, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |s1 AS (SELECT *,
+        |    sum(cnt) OVER (PARTITION BY grp ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY grp) AS ntot
+        |  FROM vc),
+        |k1 AS (SELECT *, ((ntot - 1) * 50) // 100 AS k,
+        |    ((ntot - 1) * 50) % 100 AS r FROM s1),
+        |med AS (SELECT grp, CAST(max(ntot) AS BIGINT) AS n,
+        |    min(v) FILTER (WHERE cum >= k + 1) * (100 - max(r)) +
+        |    coalesce(min(v) FILTER (WHERE cum >= k + 2),
+        |             min(v) FILTER (WHERE cum >= k + 1)) * max(r) AS med100
+        |  FROM k1 GROUP BY grp),
+        |dv AS (SELECT vc.grp, abs(v * 100 - med100) AS v,
+        |    CAST(sum(cnt) AS BIGINT) AS cnt
+        |  FROM vc JOIN med ON vc.grp = med.grp GROUP BY 1, 2),
+        |s2 AS (SELECT *,
+        |    sum(cnt) OVER (PARTITION BY grp ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY grp) AS ntot
+        |  FROM dv),
+        |k2 AS (SELECT *, ((ntot - 1) * 50) // 100 AS k,
+        |    ((ntot - 1) * 50) % 100 AS r FROM s2),
+        |mad AS (SELECT grp,
+        |    min(v) FILTER (WHERE cum >= k + 1) * (100 - max(r)) +
+        |    coalesce(min(v) FILTER (WHERE cum >= k + 2),
+        |             min(v) FILTER (WHERE cum >= k + 1)) * max(r) AS mad10000
+        |  FROM k2 GROUP BY grp)
+        |SELECT med.grp AS l_returnflag, n,
+        |  round(med100 / 100.0, 4) AS median_qty,
+        |  round(mad10000 / 10000.0, 4) AS mad_qty
+        |FROM med JOIN mad ON med.grp = mad.grp
+        |ORDER BY 1""".stripMargin)),
     Q("q211_winsorized_stats", q211, Some(
       """WITH vc AS (SELECT c_mktsegment AS seg,
         |    CAST(round(c_acctbal * 100) AS BIGINT) AS v, count(*) AS cnt

@@ -172,7 +172,11 @@ class PlanSpec extends AnyFunSuite {
       //        on a range predicate (a bounded broadcast by design).
       // q214 — vocab coverage: the 3-row k list joins the vocab-sized
       //        rank frame on r <= k, plus the 1-row totals broadcast.
-      "q210_bm25_topk", "q213_sql_functions", "q214_vocab_coverage")
+      // q216 — negative sampling: the 1-row corpus-count broadcast
+      //        feeding the hash-mod candidate ids (q69 pattern); the
+      //        candidate→corpus join is equi on the computed id.
+      "q210_bm25_topk", "q213_sql_functions", "q214_vocab_coverage",
+      "q216_negative_sampling")
     // Streaming queries execute a full drain in fn() and return a
     // collected local frame whose "plan" pins nothing; their batch-side
     // shapes are pinned by their own specs — skip the expensive drains.
