@@ -65,7 +65,10 @@ object PinnedBlocks {
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         ids.remove(lr.rdd.id)
-        try lr.rdd.unpersist(false) catch { case _: Throwable => () }
+        // NonFatal only: a dead-context unpersist throwing is fine to
+        // ignore, but an OOM/interrupt must keep propagating
+        try lr.rdd.unpersist(false)
+        catch { case scala.util.control.NonFatal(_) => () }
       case _ =>
     }
 

@@ -46,24 +46,42 @@ case class BloomMightContainLong(child: Expression, bloom: BloomFilter)
 
 object BloomFunctions {
   private val fnName = "graft_bloom_probe"
+  private val counter = new java.util.concurrent.atomic.AtomicLong(0)
+  // ring of our own recent registrations per session: old entries pin a
+  // whole BloomFilter each, so without eviction a long-lived session
+  // (repeated bench/verify rounds) would leak one sketch per call
+  private val recent = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.ArrayDeque[String]]()
+  private val Keep = 8
 
   /** `mightContainLong(keyCol)` against `bloom`, fully codegen'd.
     *
     * The sketch can't be spelled in SQL text, so registration closes
     * over it — same registry route as [[VectorFunctions]], but the
-    * registered name is salted with the sketch's identity hash: a shared
-    * name would rebind the session-global entry on every call, and two
-    * frames built concurrently (or interleaved before analysis) in one
-    * session could silently resolve against the WRONG BloomFilter —
-    * false-negative row drops with no error (ADVICE r10). The salt makes
-    * each registration single-writer; registry growth is one tiny entry
-    * per sketch built, bounded by the (driver-side, per-query) sketch
-    * count.
-    */
+    * registered name is salted with a MONOTONIC counter: a shared name
+    * would rebind the session-global entry on every call, and two frames
+    * built concurrently (or interleaved before analysis) in one session
+    * could silently resolve against the WRONG BloomFilter —
+    * false-negative row drops with no error (ADVICE r10). (A counter,
+    * not identityHashCode: identity hashes can collide between two live
+    * sketches, which would reintroduce the same race.) Names resolve at
+    * ANALYSIS time — once a frame is analyzed the expression holds the
+    * sketch directly — so only a bounded window of recent registrations
+    * is kept per session; older ones are dropped to stop the registry
+    * from pinning one sketch per call forever. */
   def mightContain(s: SparkSession, bloom: BloomFilter, keyCol: String): Column = {
-    val name = fnName + "_" + Integer.toHexString(System.identityHashCode(bloom))
+    val name = fnName + "_" + counter.incrementAndGet()
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => BloomMightContainLong(exprs.head, bloom), "built-in")
+    val ring = recent.computeIfAbsent(s, _ => new java.util.ArrayDeque[String]())
+    ring.synchronized {
+      ring.addLast(name)
+      while (ring.size > Keep) {
+        val stale = ring.removeFirst()
+        s.sessionState.functionRegistry.dropFunction(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(stale))
+      }
+    }
     expr(s"$name($keyCol)")
   }
 }

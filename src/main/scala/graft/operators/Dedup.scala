@@ -52,19 +52,28 @@ object Dedup extends QueryPack {
     * so a regenerated source table can never be shadowed. */
   private val shingleCkCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def docsWithShinglesCk(s: SparkSession, dir: String): DataFrame =
-    // compute() (not computeIfAbsent): a hit is validated against the
-    // CURRENT session — a cached frame from a stopped-and-recreated
-    // SparkSession wraps a dead SparkContext, and its pinned block ids
-    // would never be reclaimed (ADVICE r10). On session mismatch the
-    // stale entry's blocks are released and the frame rebuilt in-place,
-    // atomically per dir.
-    shingleCkCache.compute(dir, (_, cached) =>
-      if (cached != null && (cached.sparkSession eq s)) cached
+  /** A cached frame is reusable iff its blocks live on the CALLER's
+    * SparkContext and that context is still running — checkpoint blocks
+    * are context-owned, so a sibling session of the same context can
+    * share the frame (releasing on mere session mismatch would
+    * unpersist truncated-lineage blocks out from under the sibling's
+    * in-flight jobs), while a stopped-and-recreated context means the
+    * blocks are gone and the pinned ids unreclaimable (ADVICE r10). */
+  private def sameLiveContext(cached: DataFrame, s: SparkSession): Boolean =
+    (cached.sparkSession.sparkContext eq s.sparkContext) &&
+      !cached.sparkSession.sparkContext.isStopped
+  private def docsWithShinglesCk(s: SparkSession, dir: String): DataFrame = {
+    // lock-free fast path on a valid hit; compute() (bin-locked) only
+    // for miss/stale so replacement stays atomic per dir
+    val hit = shingleCkCache.get(dir)
+    if (hit != null && sameLiveContext(hit, s)) hit
+    else shingleCkCache.compute(dir, (_, cached) =>
+      if (cached != null && sameLiveContext(cached, s)) cached
       else {
         if (cached != null) graft.PinnedBlocks.release(cached)
         graft.PinnedBlocks.pinnedCheckpoint(docsWithShingles(s, dir))
       })
+  }
 
   /** (doc_id, text) → (doc_id, sh) over any corpus frame. */
   private[operators] def shingleDocs(s: SparkSession, docs: DataFrame): DataFrame = {

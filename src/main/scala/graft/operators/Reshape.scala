@@ -149,38 +149,26 @@ object Reshape extends QueryPack {
     * ×100 ≤ 1e8 so even 2^43 rows/cell fit), one broadcast join of the
     * 5-row bounds frame. */
   private def q211(s: SparkSession, dir: String): DataFrame = {
+    // persist(): the value-count frame is referenced three times below
+    // (two order-statistic passes + the clamp join); without the cache
+    // each reference re-runs the corpus scan AND the groupBy shuffle
+    // (review r11). The frame is value-domain-sized, Bench/Verify's
+    // clearUnpinned reclaims it between queries.
     val vc = Tables.customer(s, dir)
-      .select(col("c_mktsegment").as("seg"),
+      .select(col("c_mktsegment").as("grp"),
         round(col("c_acctbal") * 100).cast("long").as("v"))
-      .groupBy("seg", "v").agg(count(lit(1)).as("cnt"))
-    val wOrd = Window.partitionBy("seg").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy("seg")
-    val cells = vc
-      .withColumn("cum", sum("cnt").over(wOrd))
-      .withColumn("ntot", sum("cnt").over(wAll))
-      .withColumn("k05", expr("((ntot - 1) * 5) DIV 100"))
-      .withColumn("r05", pmod((col("ntot") - 1) * 5, lit(100)))
-      .withColumn("k95", expr("((ntot - 1) * 95) DIV 100"))
-      .withColumn("r95", pmod((col("ntot") - 1) * 95, lit(100)))
-    val bounds = cells.groupBy("seg").agg(
-      max("ntot").as("n"),
-      min(when(col("cum") >= col("k05") + 1, col("v"))).as("v05a"),
-      min(when(col("cum") >= col("k05") + 2, col("v"))).as("v05b"),
-      min(when(col("cum") >= col("k95") + 1, col("v"))).as("v95a"),
-      min(when(col("cum") >= col("k95") + 2, col("v"))).as("v95b"),
-      max("r05").as("r05"), max("r95").as("r95"))
-      // bound in cents×100: exact integer interpolation between the two
-      // order statistics (the upper one may not exist when r = 0 at the
-      // very top — coalesce keeps the formula total)
-      .select(col("seg"), col("n"),
-        (col("v05a") * (lit(100) - col("r05")) +
-          coalesce(col("v05b"), col("v05a")) * col("r05")).as("b05"),
-        (col("v95a") * (lit(100) - col("r95")) +
-          coalesce(col("v95b"), col("v95a")) * col("r95")).as("b95"))
+      .groupBy("grp", "v").agg(count(lit(1)).as("cnt"))
+      .persist()
+    // both bounds through the shared integer R-7 order-statistic helper
+    // (q217 factored it out of this query's original inline form); the
+    // extra window pass over the CACHED value-count frame costs nothing
+    val bounds = orderStat100(vc, 5)
+      .select(col("grp"), col("n"), col("stat100").as("b05"))
+      .join(orderStat100(vc, 95)
+        .select(col("grp"), col("stat100").as("b95")), "grp")
     val clamped = greatest(least(col("v") * 100, col("b95")), col("b05"))
-    vc.join(broadcast(bounds), "seg")
-      .groupBy("seg")
+    vc.join(broadcast(bounds), "grp")
+      .groupBy("grp")
       .agg(max("n").as("n"),
         round(max("b05") / 10000.0, 4).as("p05"),
         round(max("b95") / 10000.0, 4).as("p95"),
@@ -190,7 +178,7 @@ object Reshape extends QueryPack {
           .otherwise(0L)).as("n_low"),
         sum(when(col("v") * 100 > col("b95"), col("cnt"))
           .otherwise(0L)).as("n_high"))
-      .withColumnRenamed("seg", "c_mktsegment")
+      .withColumnRenamed("grp", "c_mktsegment")
       .orderBy("c_mktsegment")
   }
 
@@ -224,19 +212,27 @@ object Reshape extends QueryPack {
     }
     val rx = rank2(cells.groupBy("flag", "q").agg(sum("cnt").as("nv")), "q", "rx2")
     val ry = rank2(cells.groupBy("flag", "d").agg(sum("cnt").as("nv")), "d", "ry2")
-    def dd(c: Column) = c.cast("decimal(12,0)")
+    // widths chosen so cnt·rank·rank stays EXACT DECIMAL on both engines
+    // (DuckDB promotes to double past width 38: 12+13+13 = 38 exactly;
+    // Spark caps its 40 at 38 with no value loss below 1e38): counts to
+    // 1e12 per cell and doubled ranks to 1e13 — i.e. ~5e12 rows per
+    // group — before anything saturates, comfortably past a 100 TB
+    // lineitem's ~6e11 rows/flag (decimal(12,0) ranks nulled/errored at
+    // 5e11 — review r11)
+    def dc(c: Column) = c.cast("decimal(12,0)")
+    def dr(c: Column) = c.cast("decimal(13,0)")
     val m = cells
       .join(broadcast(rx), Seq("flag", "q"))
       .join(broadcast(ry), Seq("flag", "d"))
       .groupBy("flag")
       .agg(sum("cnt").as("n"),
-        sum(dd(col("cnt")) * dd(col("rx2"))).cast("double").as("sx"),
-        sum(dd(col("cnt")) * dd(col("ry2"))).cast("double").as("sy"),
-        sum(dd(col("cnt")) * dd(col("rx2")) * dd(col("rx2")))
+        sum(dc(col("cnt")) * dr(col("rx2"))).cast("double").as("sx"),
+        sum(dc(col("cnt")) * dr(col("ry2"))).cast("double").as("sy"),
+        sum(dc(col("cnt")) * dr(col("rx2")) * dr(col("rx2")))
           .cast("double").as("sxx"),
-        sum(dd(col("cnt")) * dd(col("ry2")) * dd(col("ry2")))
+        sum(dc(col("cnt")) * dr(col("ry2")) * dr(col("ry2")))
           .cast("double").as("syy"),
-        sum(dd(col("cnt")) * dd(col("rx2")) * dd(col("ry2")))
+        sum(dc(col("cnt")) * dr(col("rx2")) * dr(col("ry2")))
           .cast("double").as("sxy"))
     val dx = col("n") * col("sxx") - col("sx") * col("sx")
     val dy = col("n") * col("syy") - col("sy") * col("sy")
@@ -283,10 +279,15 @@ object Reshape extends QueryPack {
     * at any scale — MAD's cost is the cost of the two value-count
     * aggregations. */
   private def q217(s: SparkSession, dir: String): DataFrame = {
+    // persist(): vc feeds the median pass, the deviation build, and
+    // (through med) the final join — uncached, each reference re-runs
+    // the lineitem scan + shuffle (review r11); cached, the corpus is
+    // touched exactly once
     val vc = Tables.lineitem(s, dir)
       .select(col("l_returnflag").as("grp"),
         col("l_quantity").cast("long").as("v"))
       .groupBy("grp", "v").agg(count(lit(1)).as("cnt"))
+      .persist()
     val med = orderStat100(vc, 50)
       .select(col("grp"), col("n"), col("stat100").as("med100"))
     val devVc = vc.join(broadcast(med), "grp")
@@ -388,16 +389,16 @@ object Reshape extends QueryPack {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nv + 1 AS ry2
         |  FROM (SELECT flag, d, sum(cnt) AS nv FROM cells GROUP BY 1, 2)),
         |m AS (SELECT flag, sum(cnt) AS n,
-        |    CAST(sum(CAST(cnt AS DECIMAL(12,0)) * CAST(rx2 AS DECIMAL(12,0)))
+        |    CAST(sum(CAST(cnt AS DECIMAL(12,0)) * CAST(rx2 AS DECIMAL(13,0)))
         |      AS DOUBLE) AS sx,
-        |    CAST(sum(CAST(cnt AS DECIMAL(12,0)) * CAST(ry2 AS DECIMAL(12,0)))
+        |    CAST(sum(CAST(cnt AS DECIMAL(12,0)) * CAST(ry2 AS DECIMAL(13,0)))
         |      AS DOUBLE) AS sy,
-        |    CAST(sum(CAST(cnt AS DECIMAL(12,0)) * CAST(rx2 AS DECIMAL(12,0))
-        |      * CAST(rx2 AS DECIMAL(12,0))) AS DOUBLE) AS sxx,
-        |    CAST(sum(CAST(cnt AS DECIMAL(12,0)) * CAST(ry2 AS DECIMAL(12,0))
-        |      * CAST(ry2 AS DECIMAL(12,0))) AS DOUBLE) AS syy,
-        |    CAST(sum(CAST(cnt AS DECIMAL(12,0)) * CAST(rx2 AS DECIMAL(12,0))
-        |      * CAST(ry2 AS DECIMAL(12,0))) AS DOUBLE) AS sxy
+        |    CAST(sum(CAST(cnt AS DECIMAL(12,0)) * CAST(rx2 AS DECIMAL(13,0))
+        |      * CAST(rx2 AS DECIMAL(13,0))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(cnt AS DECIMAL(12,0)) * CAST(ry2 AS DECIMAL(13,0))
+        |      * CAST(ry2 AS DECIMAL(13,0))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(cnt AS DECIMAL(12,0)) * CAST(rx2 AS DECIMAL(13,0))
+        |      * CAST(ry2 AS DECIMAL(13,0))) AS DOUBLE) AS sxy
         |  FROM cells JOIN qr USING (flag, q) JOIN dr USING (flag, d)
         |  GROUP BY flag)
         |SELECT flag AS l_returnflag, CAST(n AS BIGINT) AS n,

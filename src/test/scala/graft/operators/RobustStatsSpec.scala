@@ -88,6 +88,55 @@ class RobustStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q217 MAD matches a naive sort-based median-of-deviations") {
+    val rows = SparkEntry.queries("q217_mad_robust_spread")(spark, sf).collect()
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_returnflag", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1).toLong))
+      .groupBy(_._1)
+    assert(rows.length === li.size)
+    // reference R-7 median on a plain sorted array, ×100 to stay exact
+    def med100(xs: Array[Long]): Long = {
+      val vs = xs.sorted
+      val n = vs.length
+      val k = ((n - 1) * 50 / 100).toInt
+      val r = (n - 1) * 50 % 100
+      val hi = if (k + 1 < n) vs(k + 1) else vs(k)
+      vs(k) * (100 - r) + hi * r
+    }
+    for (row <- rows) {
+      val g = li(row.getString(0)).map(_._2).toArray
+      assert(row.getLong(1) === g.length.toLong)
+      val m100 = med100(g)
+      assert(row.getDouble(2) === m100 / 100.0, "median")
+      val mad10000 = med100(g.map(v => math.abs(v * 100 - m100)))
+      assert(row.getDouble(3) === mad10000 / 10000.0, "mad")
+    }
+  }
+
+  test("q216 negative sample matches a driver-side re-derivation") {
+    val rows = SparkEntry.queries("q216_negative_sampling")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val n = docs.size.toLong
+    val mod = 1000000000000000L
+    def rh(key: String): Long =
+      key.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % mod)
+    val expected = docs.keys.toSeq.sorted.filter(_ % 50 == 0).flatMap { a =>
+      (1 to 4).flatMap { j =>
+        val negId = rh(s"neg|$a|$j|graft-negsample-v1") % n
+        docs.get(negId) match {
+          case Some(src) if src != docs(a) => Some((a, j, negId, src))
+          case _ => None
+        }
+      }
+    }
+    assert(rows.toSeq === expected,
+      "hash-seeded sample must be exactly re-derivable")
+  }
+
   test("q210 BM25 matches a driver-side reference scorer") {
     val rows = SparkEntry.queries("q210_bm25_topk")(spark, sf).collect()
     val docs = spark.read.parquet(s"$sf/documents.parquet")
