@@ -107,12 +107,19 @@ object VectorFunctions {
   private val fnName = "graft_dot"
   private val l2Name = "graft_sql2"
 
-  /** Register once per session, then build Columns via expr(). */
+  /** Register once per session, then build Columns via expr(). The
+    * builders close over NOTHING (unlike the bloom probe's sketch), so
+    * re-registration would be harmless — but registering only when
+    * absent keeps every bench/verify log free of the per-call
+    * "replaced a previously registered function" warning spam. */
   private def ensureRegistered(s: SparkSession): Unit = {
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      fnName, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      l2Name, exprs => SquaredL2(exprs(0), exprs(1)), "built-in")
+    val reg = s.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(fnName)))
+      reg.createOrReplaceTempFunction(
+        fnName, exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(l2Name)))
+      reg.createOrReplaceTempFunction(
+        l2Name, exprs => SquaredL2(exprs(0), exprs(1)), "built-in")
   }
 
   /** dot(a, b) over two array<double> columns (by SQL-visible name). */

@@ -555,6 +555,62 @@ object StreamingQueries extends QueryPack {
     outDf
   }
 
+  /** q218: stream-stream LEFT SEMI join — completes the streaming join
+    * matrix (q84 inner, q173 left outer, q191 full outer): purchases
+    * that HAVE at least one click in their preceding hour, emitted with
+    * LEFT columns only and each at most once. Semi emission is
+    * MATCH-driven — a buffered purchase emits in the micro-batch where
+    * its first matching click arrives, never on watermark proof — so a
+    * finite replay drains to exactly the batch EXISTS semi join with NO
+    * sentinel flushing at all: the cheapest gate in the family, and the
+    * one that isolates cross-batch state buffering (matches whose two
+    * sides arrive in different micro-batches must still emit; unmatched
+    * purchases age out of state silently when the watermark passes).
+    * State bounds as q84: each side buffers arrival rate × (delay +
+    * range), never history. */
+  private def q218(s: SparkSession, dir: String): DataFrame = {
+    val shards = dumpDayShards(s, dir, "events_stream_days_upsert")
+    val schema = dayShardSchema("events_stream_days_upsert")
+    def side(eventType: String, prefix: String) = s.readStream.schema(schema)
+      // 2 main-drain batches over 30 day shards: the cross-batch
+      // buffering contract needs >1 data batch
+      .option("maxFilesPerTrigger", "15")
+      .parquet(shards)
+      .filter(col("event_type") === eventType && pmod(col("user_id"), lit(2)) === 0)
+      .select(col("user_id").as(s"${prefix}_user"),
+        expr("timestamp_micros(us)").as(s"${prefix}_ts"),
+        col("event_id").as(s"${prefix}_id"))
+      .withWatermark(s"${prefix}_ts", "2 hours")
+    val joined = side("purchase", "p").join(side("click", "c"),
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "leftSemi")
+    val name = "graft_q218_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = withConfs(s,
+      "spark.sql.shuffle.partitions" -> "2",
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
+      joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    }
+    try {
+      query.processAllAvailable()
+      recordBatchId("q218", query)
+    } finally query.stop()
+    val result = s.table(name)
+      .select(col("p_id"), col("p_user"),
+        unix_micros(col("p_ts")).as("p_us"))
+      .orderBy("p_id")
+    val rows = result.collect()
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
+    s.catalog.dropTempView(name)
+    out
+  }
+
   /** q100: streaming into a REAL file sink — the production shape the
     * memory-sink gates deliberately avoid: `writeStream.format("parquet")`
     * with a checkpoint location (exactly-once via the sink's file
@@ -1389,6 +1445,20 @@ object StreamingQueries extends QueryPack {
         |SELECT ws_us, event_type, count(*) AS n,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    // q218's oracle is the batch EXISTS semi join: semi emission is
+    // match-driven (no watermark proof needed), so the finite drain
+    // equals it with no sentinels at all.
+    Q("q218_stream_semi_join", q218, Some(
+      """SELECT p.event_id AS p_id, p.user_id AS p_user,
+        |  epoch_us(p.ts) AS p_us
+        |FROM events p
+        |WHERE p.event_type = 'purchase' AND p.user_id % 2 = 0
+        |  AND EXISTS (SELECT 1 FROM events c
+        |    WHERE c.event_type = 'click' AND c.user_id % 2 = 0
+        |      AND c.user_id = p.user_id
+        |      AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+        |      AND epoch_us(c.ts) <= epoch_us(p.ts))
+        |ORDER BY p_id""".stripMargin)),
     Q("q84_stream_stream_join", q84, Some(
       """WITH p AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events
         |           WHERE event_type = 'purchase' AND user_id % 2 = 0),

@@ -38,4 +38,17 @@ class MultiBatchSpec extends AnyFunSuite {
           "micro-batches; the gate's cross-batch coverage is gone")
     }
   }
+
+  test("q218 semi join drains across >= 2 micro-batches (no sentinels by design)") {
+    // semi emission is match-driven, so the gate needs no sentinel
+    // batches — but it MUST still split the main drain, or the
+    // cross-batch buffering contract (purchase and click in different
+    // micro-batches) silently stops being exercised
+    val rows = graft.SparkEntry.queries("q218_stream_semi_join")(spark, sf).count()
+    assert(rows > 0, "q218 returned no rows")
+    val batchId = StreamingQueries.lastBatchId.get("q218")
+    assert(batchId != null && batchId >= 1L,
+      s"q218 drained in ${if (batchId == null) "?" else batchId + 1} " +
+        "micro-batches; cross-batch join buffering is no longer covered")
+  }
 }
