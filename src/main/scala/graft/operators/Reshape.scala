@@ -303,7 +303,61 @@ object Reshape extends QueryPack {
       .orderBy("l_returnflag")
   }
 
+  /** q221: chi-square test of independence — is event_type independent
+    * of the user segment (user_id mod 4)? The categorical-association
+    * audit that complements q220/q204's distribution-drift tests:
+    * χ² = Σ_cells (obs − exp)²/exp with exp = row·col/N, plus Cramér's
+    * V = √(χ²/(N·min(r−1, c−1))) as the scale-free effect size.
+    *
+    * Scale shape (100 TB): ONE map-side-combined count shuffle produces
+    * the r×c contingency CELL frame (20 rows here — bounded by the
+    * category vocabularies, never the data); row/col marginals re-enter
+    * as broadcasts, N as a 1-row cross join. Determinism: all counts are
+    * exact integers; exp is one double division of identical operands;
+    * cell terms round to 12 before the ≤ r·c-term sum rounds to 6 (the
+    * q204/q153 fixed-point discipline — summation-order drift ≪ 1e-6). */
+  private def q221(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.events(s, dir)
+      .select(col("event_type"), pmod(col("user_id"), lit(4)).as("seg"))
+      .groupBy("event_type", "seg").agg(count(lit(1)).as("cnt"))
+    val rowTot = obs.groupBy("event_type").agg(sum("cnt").as("row_n"))
+    val colTot = obs.groupBy("seg").agg(sum("cnt").as("col_n"))
+    val tot = obs.agg(sum("cnt").as("n"))
+    obs.join(broadcast(rowTot), "event_type")
+      .join(broadcast(colTot), "seg")
+      .crossJoin(broadcast(tot))
+      .withColumn("exp",
+        col("row_n").cast("double") * col("col_n") / col("n"))
+      .withColumn("term",
+        round(pow(col("cnt") - col("exp"), 2) / col("exp"), 12))
+      .agg(max("n").as("n"),
+        ((countDistinct("event_type") - 1) *
+          (countDistinct("seg") - 1)).as("dof"),
+        round(sum("term"), 6).as("chi2"),
+        round(sqrt(sum("term") / (max("n") *
+          least(countDistinct("event_type") - 1,
+            countDistinct("seg") - 1))), 6).as("cramers_v"))
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q221_chi2_independence", q221, Some(
+      """WITH o AS (SELECT event_type, user_id % 4 AS seg, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, sum(cnt) AS row_n FROM o GROUP BY 1),
+        |c AS (SELECT seg, sum(cnt) AS col_n FROM o GROUP BY 1),
+        |t AS (SELECT sum(cnt) AS n FROM o),
+        |f AS (SELECT o.cnt, o.event_type, o.seg,
+        |    CAST(r.row_n AS DOUBLE) * c.col_n / t.n AS exp, t.n
+        |  FROM o JOIN r USING (event_type) JOIN c USING (seg) CROSS JOIN t),
+        |s AS (SELECT event_type, seg, n,
+        |    round((cnt - exp) * (cnt - exp) / exp, 12) AS term FROM f)
+        |SELECT CAST(max(n) AS BIGINT) AS n,
+        |  (count(DISTINCT event_type) - 1) * (count(DISTINCT seg) - 1) AS dof,
+        |  round(sum(term), 6) AS chi2,
+        |  round(sqrt(sum(term) / (max(n) *
+        |    least(count(DISTINCT event_type) - 1,
+        |          count(DISTINCT seg) - 1))), 6) AS cramers_v
+        |FROM s""".stripMargin)),
     Q("q217_mad_robust_spread", q217, Some(
       """WITH vc AS (SELECT l_returnflag AS grp,
         |    CAST(l_quantity AS BIGINT) AS v, count(*) AS cnt

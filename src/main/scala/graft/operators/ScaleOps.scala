@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, QueryPack}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Cluster-scale execution patterns as first-class, gated operators —
@@ -386,7 +387,91 @@ object ScaleOps extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** q220: two-sample Kolmogorov–Smirnov drift test — the EXACT,
+    * bin-free companion to q204's PSI on the same ref/live fixture
+    * (days 1–15 vs 16–30, live clicks shifted +100 so both verdicts are
+    * realized): D = max_x |F_ref(x) − F_live(x)| over the empirical
+    * CDFs, with the α = 0.05 critical value
+    * 1.358·√((n+m)/(n·m)) (Smirnov's asymptotic form).
+    *
+    * Scale shape (100 TB): values are carried as exact cents
+    * (round(v·100) — the q211/q217 value-count discipline), so after ONE
+    * map-side-combined count shuffle everything runs on the
+    * (type × distinct-cent) CELL frame, whose size is bounded by the
+    * measurement grid (≤ 49k cells/type here), never the row count; the
+    * CDF windows partition by event_type over that cell frame — no
+    * row-level sort anywhere. Determinism: cumulative counts and totals
+    * are exact integers; each CDF gap is one double division on
+    * identical operands; gaps round to 12 before the max; the argmax
+    * value breaks ties to the SMALLEST cent via max(struct(gap, −vc));
+    * the verdict compares the rounded-12 D against a critical value
+    * computed from identical integers — engine-neutral throughout. */
+  private def q220(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"),
+        (dayofmonth(col("ts")) <= 15).as("is_ref"), col("value"))
+      .withColumn("v",
+        when(!col("is_ref") && col("event_type") === "click",
+          col("value") + 100).otherwise(col("value")))
+      .withColumn("vc", round(col("v") * 100).cast("long"))
+    val cells = ev.groupBy("event_type", "vc")
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("c_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("c_live"))
+    val wCum = Window.partitionBy("event_type").orderBy("vc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+    val gaps = cells
+      .withColumn("n_ref", sum("c_ref").over(wAll))
+      .withColumn("n_live", sum("c_live").over(wAll))
+      .withColumn("d12", round(abs(
+        sum("c_ref").over(wCum).cast("double") / col("n_ref") -
+          sum("c_live").over(wCum).cast("double") / col("n_live")), 12))
+    gaps.groupBy("event_type")
+      .agg(max("n_ref").as("n_ref"), max("n_live").as("n_live"),
+        max(struct(col("d12"), (-col("vc")).as("nvc"))).as("m"))
+      .select(col("event_type"), col("n_ref"), col("n_live"),
+        round(col("m.d12"), 6).as("ks"),
+        ((-col("m.nvc")).cast("double") / 100.0).as("ks_at"),
+        (col("m.d12") > lit(1.358) * sqrt(
+          (col("n_ref") + col("n_live")).cast("double") /
+            (col("n_ref").cast("double") * col("n_live")))).as("drifted"))
+      .orderBy("event_type")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q220_ks_drift", q220, Some(
+      """WITH e AS (SELECT event_type, day(ts) <= 15 AS is_ref,
+        |    CASE WHEN NOT day(ts) <= 15 AND event_type = 'click'
+        |         THEN value + 100 ELSE value END AS v
+        |  FROM events),
+        |c AS (SELECT event_type, CAST(round(v * 100) AS BIGINT) AS vc,
+        |    sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS c_ref,
+        |    sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS c_live
+        |  FROM e GROUP BY 1, 2),
+        |d AS (SELECT event_type, vc,
+        |    sum(c_ref) OVER (PARTITION BY event_type) AS n_ref,
+        |    sum(c_live) OVER (PARTITION BY event_type) AS n_live,
+        |    round(abs(
+        |      CAST(sum(c_ref) OVER (PARTITION BY event_type ORDER BY vc
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |        / sum(c_ref) OVER (PARTITION BY event_type)
+        |      - CAST(sum(c_live) OVER (PARTITION BY event_type ORDER BY vc
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |        / sum(c_live) OVER (PARTITION BY event_type)), 12) AS d12
+        |  FROM c),
+        |m AS (SELECT event_type, CAST(max(n_ref) AS BIGINT) AS n_ref,
+        |    CAST(max(n_live) AS BIGINT) AS n_live, max(d12) AS ks12
+        |  FROM d GROUP BY 1),
+        |a AS (SELECT d.event_type, min(d.vc) AS vc_at
+        |  FROM d JOIN m ON d.event_type = m.event_type AND d.d12 = m.ks12
+        |  GROUP BY 1)
+        |SELECT m.event_type AS event_type, n_ref, n_live,
+        |  round(ks12, 6) AS ks,
+        |  CAST(vc_at AS DOUBLE) / 100.0 AS ks_at,
+        |  ks12 > 1.358 * sqrt((n_ref + n_live) /
+        |    (CAST(n_ref AS DOUBLE) * n_live)) AS drifted
+        |FROM m JOIN a ON m.event_type = a.event_type
+        |ORDER BY m.event_type""".stripMargin)),
     Q("q204_psi_drift", q204, Some(
       """WITH e AS (SELECT event_type, day(ts) <= 15 AS is_ref,
         |    CASE WHEN NOT day(ts) <= 15 AND event_type = 'click'

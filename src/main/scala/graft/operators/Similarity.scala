@@ -285,6 +285,56 @@ object Similarity extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  /** q219: hybrid retrieval — reciprocal-rank fusion (RRF, k = 60;
+    * Cormack et al., SIGIR 2009) of a LEXICAL ranking (BM25, q210's
+    * scorer) and a DENSE ranking (cosine against vec 0's embedding): the
+    * standard two-tower RAG retrieval stack, where neither signal alone
+    * recalls what the fused list does. Candidates exclude doc 0 (the
+    * query document itself — a more-like-this search).
+    *
+    * Scale shape (100 TB): each leg cuts to its top-[[RrfTopN]] via
+    * `orderBy.limit` (TakeOrderedAndProject — per-partition heaps then
+    * one merge, never a global window sort over the corpus); the
+    * row_number windows that materialize ranks run on those 50-row
+    * frames only. The fusion join is list×list (≤ 2·topN rows). BM25's
+    * work is bounded by the query terms' postings (q210), the dense
+    * leg's by one corpus scan against a 1-row broadcast query.
+    *
+    * Determinism: both legs rank by ROUNDED score with doc_id tiebreak
+    * (the q210/q46 discipline), so each cut is engine-neutral; RRF
+    * contributions 1/(60+rank) are doubles computed from identical
+    * integer ranks, and the two-term sum is order-insensitive (binary fp
+    * addition of two operands commutes exactly). */
+  private def q219(s: SparkSession, dir: String): DataFrame = {
+    val lexTop = TextAnalysis.bm25Scores(s, dir, Seq("hash", "join", "scan"))
+      .filter(col("doc_id") =!= 0)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(RrfTopN)
+    val lex = lexTop
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lex_rank"))
+    val e = corpus(s, dir)
+    val q = e.filter(col("vec_id") === 0).toDF("query_id", "qv", "qnrm")
+    val denseTop = e.filter(col("vec_id") =!= 0).toDF("doc_id", "v", "nrm")
+      .crossJoin(broadcast(q))
+      .withColumn("cos", cos6(s, "qv", "v", "qnrm", "nrm"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(RrfTopN)
+    val dense = denseTop
+      .withColumn("vec_rank",
+        row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))))
+      .select(col("doc_id"), col("vec_rank"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0)),
+          12).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(15)
+  }
+  private val RrfK = 60
+  private val RrfTopN = 50
+
   private val cosSql =
     "round(list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s))), 6)"
   private def cs(a: String, b: String) = cosSql.format(a, b, a, a, b, b)
@@ -374,5 +424,41 @@ object Similarity extends QueryPack {
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM rr) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+    // q219's legs mirror the q210 BM25 CTE chain and the q46 cosine
+    // form; both cut by rounded score + doc_id so rank <= 50 is the
+    // same set on both engines.
+    Q("q219_hybrid_rrf", q219, Some(
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         |    string_split(text, ' ') AS toks FROM documents),
+         |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d),
+         |tf AS (SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+         |       FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d)
+         |       WHERE term IN ('hash', 'join', 'scan')
+         |       GROUP BY 1, 2),
+         |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |t AS (SELECT doc_id,
+         |    round(ln(1.0 + (n_docs - dfx.df + 0.5) / (dfx.df + 0.5)) *
+         |      (tf * 2.2) /
+         |      (tf + 1.2 * (0.25 + 0.75 * CAST(tf.dl AS DOUBLE) /
+         |        (CAST(sum_dl AS DOUBLE) / n_docs))), 12) AS term_score
+         |  FROM tf JOIN dfx USING (term) CROSS JOIN stats),
+         |bm AS (SELECT doc_id, round(sum(term_score), 6) AS bm25
+         |  FROM t WHERE doc_id != 0 GROUP BY doc_id),
+         |lex AS (SELECT doc_id, lex_rank FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id)
+         |      AS lex_rank FROM bm) WHERE lex_rank <= 50),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+         |den AS (SELECT doc_id, vec_rank FROM (
+         |    SELECT e.vec_id AS doc_id,
+         |      row_number() OVER (ORDER BY ${cs("q", "e.v")} DESC, e.vec_id)
+         |        AS vec_rank
+         |    FROM e CROSS JOIN qv WHERE e.vec_id != 0) WHERE vec_rank <= 50)
+         |SELECT coalesce(lex.doc_id, den.doc_id) AS doc_id, lex_rank, vec_rank,
+         |  round(coalesce(1.0 / (60 + lex_rank), 0) +
+         |        coalesce(1.0 / (60 + vec_rank), 0), 12) AS rrf
+         |FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 15""".stripMargin)),
   )
 }

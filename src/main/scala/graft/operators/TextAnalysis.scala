@@ -633,8 +633,17 @@ object TextAnalysis extends QueryPack {
     * per-term scores round to 12 before the per-doc sum rounds to 6
     * (the q170/q153 fixed-point discipline), and the top-20 order is by
     * ROUNDED score with doc_id tiebreak, so the cut is engine-neutral. */
-  private def q210(s: SparkSession, dir: String): DataFrame = {
-    val qTerms = Seq("hash", "join", "scan")
+  private def q210(s: SparkSession, dir: String): DataFrame =
+    bm25Scores(s, dir, Seq("hash", "join", "scan"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+
+  /** BM25 scoring core shared by q210 (lexical top-k) and q219 (the
+    * lexical leg of hybrid RRF fusion): (doc_id, n_terms, bm25) for every
+    * document matching ≥1 query term. See the q210 scaladoc for the scale
+    * shape and the fixed-point determinism contract. */
+  private[operators] def bm25Scores(s: SparkSession, dir: String,
+      qTerms: Seq[String]): DataFrame = {
     val k1 = 1.2
     val b = 0.75
     val docs = Tables.documents(s, dir)
@@ -663,8 +672,6 @@ object TextAnalysis extends QueryPack {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"),
         round(sum("term_score"), 6).as("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(20)
   }
 
   /** q214: vocabulary coverage curve — what fraction of all corpus
