@@ -681,7 +681,43 @@ object DataPrep extends QueryPack {
       .orderBy("anchor_id", "j")
   }
 
+  /** q223: feature hashing (the "hashing trick", Weinberger et al. 2009)
+    * — tokens map to a FIXED 64-dim index space by content hash with a
+    * ±1 sign hash, the unbiased collision-folding featurizer used where
+    * a learned vocabulary is impossible (streaming/new tokens). No
+    * vocabulary pass, no dictionary broadcast, no OOV: the featurizer is
+    * a pure per-token function, so the whole query is one explode + one
+    * map-side-combined (doc, idx) aggregation — the dimensioning step
+    * that feeds a linear probe/classifier at 100 TB without ever
+    * building the 10M-term vocab q214 sizes. Hash and sign come from
+    * sha-256 hex prefixes (the q90/q121 content-hash discipline), so the
+    * oracle recomputes them verbatim; all weights are exact integer sign
+    * sums. */
+  private def q223(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val hex = sha2(concat(lit("fh:"), col("tok")), 256)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
+      .select(col("doc_id"),
+        pmod(conv(substring(hex, 1, 8), 16, 10).cast("long"), lit(dim))
+          .as("idx"),
+        when(substring(hex, 9, 1) < "8", 1L).otherwise(-1L).as("sgn"))
+      .groupBy("doc_id", "idx").agg(sum("sgn").as("w"))
+      .orderBy("doc_id", "idx")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q223_feature_hashing", q223, Some(
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    CAST(('0x' || substr(sha256('fh:' || tok), 1, 8))::UBIGINT % 64
+        |      AS BIGINT) AS idx,
+        |    CASE WHEN substr(sha256('fh:' || tok), 9, 1) < '8'
+        |         THEN 1 ELSE -1 END AS sgn
+        |  FROM t)
+        |SELECT doc_id, idx, CAST(sum(sgn) AS BIGINT) AS w
+        |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     Q("q216_negative_sampling", q216, Some(
       """WITH n AS (SELECT count(*) AS n_docs FROM documents),
         |a AS (SELECT doc_id AS anchor_id, source AS anchor_source

@@ -474,7 +474,48 @@ object Temporal extends QueryPack {
       .orderBy("p_id", "c_id")
   }
 
+  /** q224: OHLC downsampling — the classic time-series resample
+    * (open/high/low/close + mean per (series, day) bar) that turns a
+    * tick stream into candles. The scale point is HOW open/close are
+    * picked: `min_by`/`max_by` with a (us, event_id) struct ordering key
+    * are one-pass, partial-aggregable argmin/argmax (q141's discipline) —
+    * the whole bar is ONE map-side-combined aggregation, where the naive
+    * row_number-window formulation (which the ORACLE deliberately runs)
+    * sorts every row of every bar. Ties at the same microsecond break by
+    * event_id, so first/last are total-order deterministic. The mean
+    * runs through an exact DECIMAL sum divided once (q109's discipline). */
+  private def q224(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      date_format(col("ts"), "yyyy-MM-dd").as("day"),
+      unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+    ev.groupBy("event_type", "day").agg(
+      min_by(col("value"), struct(col("us"), col("event_id"))).as("open"),
+      max("value").as("high"), min("value").as("low"),
+      max_by(col("value"), struct(col("us"), col("event_id"))).as("close"),
+      count(lit(1)).as("n_events"),
+      round(sum(col("value").cast("decimal(18,6)")).cast("double") /
+        count(lit(1)), 6).as("avg_value"))
+      .orderBy("event_type", "day")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q224_ohlc_bars", q224, Some(
+      """WITH e AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    epoch_us(ts) AS us, event_id, value FROM events),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |      ORDER BY us, event_id) AS rf,
+        |    row_number() OVER (PARTITION BY event_type, day
+        |      ORDER BY us DESC, event_id DESC) AS rl
+        |  FROM e)
+        |SELECT event_type, day,
+        |  max(CASE WHEN rf = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rl = 1 THEN value END) AS close,
+        |  count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*), 6) AS avg_value
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     Q("q205_attribution", q205, Some(
       """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us
         |  FROM events WHERE user_id % 2 = 0),

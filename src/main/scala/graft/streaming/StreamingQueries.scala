@@ -705,6 +705,100 @@ object StreamingQueries extends QueryPack {
       Seq(sinkOut, cp) ++ flushDays.map(d => s"$shards/day=$d"): _*)
   }
 
+  /** q222: the watermark's NEGATIVE contract — late data is actually
+    * DROPPED, and the drop is accounted. Every other streaming gate
+    * proves equivalence to batch on a finite replay where nothing is
+    * late (40-day delays > corpus span); this one makes rows genuinely
+    * late and pins what happens to them. Phase A writes the on-time
+    * slice (days ≥ 16) and drains — the watermark advances to
+    * max(A) − 1 h. Phase B then appends days ≤ 9: every row's 1-day
+    * window ended far below the watermark, so the aggregation drops
+    * ALL of them, and `numRowsDroppedByWatermark` (the state-operator
+    * metric a production pipeline alerts on) must equal the number of
+    * DISTINCT LATE WINDOWS exactly — the filter sits at the state store,
+    * AFTER the partial+final hash aggregates have merged the batch to
+    * one row per window key, so the metric counts window-granularity
+    * rows, not raw inputs. The oracle hash-checks it as the 'DROPPED'
+    * row next to the per-day on-time counts. Phased appends make batch
+    * composition deterministic (no reliance on file-source mtime
+    * ordering); the two-sentinel flush then closes the real windows
+    * (q100's discipline — sentinel windows never close, so they never
+    * surface). State: open windows only; dropped rows never enter it. */
+  private def q222(s: SparkSession, dir: String): DataFrame = {
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val src = graft.operators.FileIO.scratch(dir, s"q222_src_$uid")
+    val ev = Tables.events(s, dir)
+      .select(unix_micros(col("ts")).as("us"), dayofmonth(col("ts")).as("dom"))
+    def writeSlice(cond: org.apache.spark.sql.Column): Unit =
+      ev.filter(cond).select("us").write.mode("append").parquet(src)
+    writeSlice(col("dom") >= 16) // phase A: on-time
+    val schema = new org.apache.spark.sql.types.StructType().add("us", "long")
+    val agg = s.readStream.schema(schema).parquet(src)
+      .select(expr("timestamp_micros(us)").as("ts"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n"))
+    val name = "graft_q222_" + uid
+    // NO noDataMicroBatches override here, unlike the flush-sentinel
+    // gates: the late-row filter compares against the watermark COMMITTED
+    // BY THE PREVIOUS BATCH (SPARK-40925's two-watermark design — a batch
+    // that merely computed a new watermark hasn't committed it for late
+    // filtering yet), and it is exactly the engine's no-data micro-batch
+    // after each drain that commits it. Disable them and phase B would be
+    // planned with the pre-A watermark — nothing would drop.
+    val query = withConfs(s, "spark.sql.shuffle.partitions" -> "2") {
+      agg.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    }
+    // a batch only FILTERS against a watermark some earlier batch already
+    // carried in its metadata, so phase B must wait until one batch has
+    // RUN with the post-A watermark (the engine's no-data micro-batch —
+    // processAllAvailable alone does not promise it has fired yet).
+    // Progress reports the watermark each batch was planned with; poll it.
+    def awaitCommittedWatermark(ms: Long): Unit = {
+      val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
+      while (!query.recentProgress.exists(p =>
+        Option(p.eventTime.get("watermark"))
+          .exists(java.time.Instant.parse(_).toEpochMilli >= ms)) &&
+        System.nanoTime < deadline) Thread.sleep(25)
+    }
+    val maxUs = eventsMaxUs(s, dir)
+    try {
+      try {
+        query.processAllAvailable() // batch 0: wm → max(A) − 1 h
+        awaitCommittedWatermark(maxUs / 1000L - 3600L * 1000) // committed
+        writeSlice(col("dom") <= 9) // phase B: all late
+        query.processAllAvailable() // B dropped, counted
+        def sentinel(us: Long): Unit = s.range(1)
+          .select(lit(us).as("us")).write.mode("append").parquet(src)
+        // two-sentinel flush (q100's discipline): the second sentinel's
+        // DATA batch carries the first's watermark, so emission of the
+        // real windows never depends on a no-data batch racing stop()
+        sentinel(maxUs + 42L * 86400L * 1000000L)
+        query.processAllAvailable()
+        sentinel(maxUs + 42L * 86400L * 1000000L + 600L * 1000000L)
+        query.processAllAvailable()
+        recordBatchId("q222", query)
+      } finally query.stop()
+      val dropped = query.recentProgress
+        .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+      val result = s.table(name)
+        .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+          col("n"))
+        .union(s.range(1).select(lit("DROPPED").as("day"),
+          lit(dropped).as("n")))
+        .orderBy("day")
+      val rows = result.collect()
+      val out = s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), result.schema)
+      s.catalog.dropTempView(name)
+      out
+    } finally rmrfAll(s, src)
+  }
+
   /** State rows remaining after the most recent q87 drain, read off the
     * final StreamingQueryProgress (spec pin: must equal the number of
     * groups still holding OPEN sessions — i.e. 1, the flush sentinel). */
@@ -1497,6 +1591,18 @@ object StreamingQueries extends QueryPack {
     // q100's oracle is the plain batch aggregation: the file-sink stream
     // must emit exactly the real day windows (sentinel's window never
     // closes, so it never appears).
+    // q222's oracle: on-time per-day counts, plus the DROPPED row that
+    // must equal every late WINDOW (the filter runs post-merge at the
+    // state store: one row per late window key) — the negative contract.
+    Q("q222_stream_late_drop", q222, Some(
+      """SELECT day, n FROM (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+        |  FROM events WHERE day(ts) >= 16 GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'DROPPED' AS day,
+        |    count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n
+        |  FROM events WHERE day(ts) <= 9)
+        |ORDER BY day""".stripMargin)),
     Q("q100_stream_file_sink", q100, Some(
       """SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),

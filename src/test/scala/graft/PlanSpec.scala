@@ -121,6 +121,22 @@ class PlanSpec extends AnyFunSuite {
       "q213 aggregation must stay partial through the inlined SQL function")
   }
 
+  test("q224 OHLC plans as one-pass aggregates, never a per-bar window sort") {
+    // min_by/max_by must survive as partial-aggregable argmin/argmax: a
+    // Window node here would mean every tick of every bar gets sorted —
+    // the shuffle must carry bars, not ticks.
+    val p = executedPlan("q224_ohlc_bars")
+    assert(!p.contains("Window"), "q224 must not plan a window sort")
+    assert(p.contains("partial_min_by") || p.contains("partial_min by"),
+      "q224 open-pick must combine map-side")
+  }
+
+  test("q223 feature hashing combines map-side (no vocabulary pass)") {
+    val p = executedPlan("q223_feature_hashing")
+    assert(p.contains("partial_sum"), "q223 weights must combine map-side")
+    assert(!p.contains("Window"), "q223 must stay a pure aggregation")
+  }
+
   test("NO query plans a cartesian / nested-loop join (bounded-broadcast baselines exempt)") {
     // Repo-wide scale pin: every join must be an equi-join (hash/sort) —
     // a CartesianProduct or BroadcastNestedLoopJoin node anywhere else is
@@ -176,7 +192,13 @@ class PlanSpec extends AnyFunSuite {
       //        feeding the hash-mod candidate ids (q69 pattern); the
       //        candidate→corpus join is equi on the computed id.
       "q210_bm25_topk", "q213_sql_functions", "q214_vocab_coverage",
-      "q216_negative_sampling")
+      // q219 — hybrid RRF: the dense leg scans the corpus against the
+      //        1-row broadcast query vector (q46 pattern); the fusion
+      //        join is equi on doc_id over two 50-row cuts.
+      // q221 — chi-square: the 1-row grand-total N broadcast re-entering
+      //        the r×c cell frame (q69 pattern); the marginal joins are
+      //        equi on the row/column labels.
+      "q216_negative_sampling", "q219_hybrid_rrf", "q221_chi2_independence")
     // Streaming queries execute a full drain in fn() and return a
     // collected local frame whose "plan" pins nothing; their batch-side
     // shapes are pinned by their own specs — skip the expensive drains.

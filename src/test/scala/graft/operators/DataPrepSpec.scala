@@ -158,4 +158,27 @@ class DataPrepSpec extends AnyFunSuite {
     val pos = sample.count(_ > 0).toDouble / sample.length
     assert(pos > 0.4 && pos < 0.6, s"positive fraction $pos, want ~0.5")
   }
+
+  test("q223 feature hashing matches a driver-side re-derivation") {
+    val rows = SparkEntry.queries("q223_feature_hashing")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def hex(s: String): String = {
+      md.reset()
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val expected = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect().foreach { r =>
+        val id = r.getLong(0)
+        r.getString(1).split(" ", -1).foreach { tok =>
+          val h = hex("fh:" + tok)
+          val idx = java.lang.Long.parseLong(h.substring(0, 8), 16) % 64
+          val sgn = if (h.charAt(8) < '8') 1L else -1L
+          expected((id, idx)) = expected.getOrElse((id, idx), 0L) + sgn
+        }
+      }
+    assert(rows === expected.toMap,
+      "hash-trick weights must be exactly re-derivable per token")
+  }
 }

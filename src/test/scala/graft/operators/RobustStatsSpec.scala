@@ -171,4 +171,28 @@ class RobustStatsSpec extends AnyFunSuite {
       assert(math.abs(row.getDouble(2) - s) < 1e-9, s"doc $id score")
     }
   }
+
+  test("q224 OHLC argmin/argmax picks match an explicit per-bar sort") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q224_ohlc_bars")(spark, sf).collect()
+    val ticks = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    assert(rows.length === ticks.size)
+    for (row <- rows) {
+      val bar = ticks((row.getString(0), row.getString(1)))
+        .sortBy(t => (t._1, t._2)) // the total order the aggregate claims
+      assert(row.getDouble(2) === bar.head._3, "open = first tick by (us, id)")
+      assert(row.getDouble(3) === bar.map(_._3).max, "high")
+      assert(row.getDouble(4) === bar.map(_._3).min, "low")
+      assert(row.getDouble(5) === bar.last._3, "close = last tick by (us, id)")
+      assert(row.getLong(6) === bar.length.toLong, "n_events")
+      val mean = bar.map(_._3).sum / bar.length
+      assert(math.abs(row.getDouble(7) - mean) < 1e-6, "avg_value")
+    }
+  }
 }

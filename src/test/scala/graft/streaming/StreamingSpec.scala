@@ -156,4 +156,22 @@ class StreamingSpec extends AnyFunSuite {
     val st = StreamingQueries.latestPerUser(frame(rows))
     assert(canon(StreamingQueries.latestPerUser(st.unionByName(st))) === direct)
   }
+
+  test("q222 genuinely drops late data and accounts every late window") {
+    val rows = graft.SparkEntry.queries("q222_stream_late_drop")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = Tables.events(spark, sf)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        dayofmonth(col("ts")).as("dom"))
+    val onTime = ev.filter(col("dom") >= 16).groupBy("day")
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val lateWindows = ev.filter(col("dom") <= 9)
+      .select("day").distinct().count()
+    assert(lateWindows > 0, "fixture must actually contain late days")
+    assert(rows("DROPPED") === lateWindows,
+      "numRowsDroppedByWatermark must count one row per late WINDOW")
+    assert((rows - "DROPPED") === onTime,
+      "emitted windows must be exactly the on-time per-day counts")
+  }
 }
