@@ -383,7 +383,56 @@ object AdvancedAggs extends QueryPack {
         count(lit(1)).as("n_events"))
       .orderBy("user_id")
 
+  /** q230: sketch set algebra — audience overlap (click∩view users) by
+    * HLL inclusion–exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), with
+    * the union estimated from `hll_union` of the two sketches, NOT a
+    * third data pass. This is the q151 mergeability story applied across
+    * SETS rather than groups: at 100 TB each segment keeps one 4 KB
+    * sketch, and any pairwise (or k-way) overlap matrix is then pure
+    * sketch arithmetic — no re-scan, no distinct-pair shuffle. One
+    * single-pass aggregation builds both sketches AND the exact
+    * reference counts; self-verifying like q151: the oracle pins the
+    * exact cardinalities and the checked error bounds (±5% per leg at
+    * lgK=12 ≈ 3σ; the intersection inherits both unions' error, gated
+    * at 10% of |A∪B|). */
+  private def q230(s: SparkSession, dir: String): DataFrame = {
+    val isA = col("event_type") === "click"
+    val m = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type"), col("user_id"))
+      .agg(
+        countDistinct(when(isA, col("user_id"))).as("n_a"),
+        countDistinct(when(!isA, col("user_id"))).as("n_b"),
+        countDistinct(col("user_id")).as("n_union"),
+        hll_sketch_agg(when(isA, col("user_id")), lit(12)).as("ska"),
+        hll_sketch_agg(when(!isA, col("user_id")), lit(12)).as("skb"))
+    def leg(est: Column, exact: Column): Column =
+      abs(est.cast("double") - exact) <= exact * lit(0.05)
+    m.select(col("n_a"), col("n_b"), col("n_union"),
+        (col("n_a") + col("n_b") - col("n_union")).as("n_inter"),
+        hll_sketch_estimate(col("ska")).as("est_a"),
+        hll_sketch_estimate(col("skb")).as("est_b"),
+        hll_sketch_estimate(hll_union(col("ska"), col("skb"))).as("est_u"))
+      .select(col("n_a"), col("n_b"), col("n_union"), col("n_inter"),
+        (leg(col("est_a"), col("n_a")) && leg(col("est_b"), col("n_b")) &&
+          leg(col("est_u"), col("n_union"))).as("legs_ok"),
+        (abs((col("est_a") + col("est_b") - col("est_u")).cast("double") -
+          col("n_inter")) <= col("n_union") * lit(0.10)).as("inter_ok"))
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q230_hll_set_algebra", q230, Some(
+      """SELECT
+        |  count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)
+        |    AS n_a,
+        |  count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END)
+        |    AS n_b,
+        |  count(DISTINCT user_id) AS n_union,
+        |  count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)
+        |    + count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END)
+        |    - count(DISTINCT user_id) AS n_inter,
+        |  TRUE AS legs_ok, TRUE AS inter_ok
+        |FROM events WHERE event_type IN ('click', 'view')""".stripMargin)),
     Q("q67_ranking_functions", q67, Some(
       """SELECT o_orderkey, o_orderpriority, rnk, drnk, decile, prank, cdist
         |FROM (

@@ -706,7 +706,39 @@ object DataPrep extends QueryPack {
       .orderBy("doc_id", "idx")
   }
 
+  /** q231: frequency-ordered label encoding (StringIndexer) — the
+    * categorical→dense-int dictionary every tabular/embedding trainer
+    * needs: index 0 = most frequent label, ties broken lexically, so the
+    * encoding is fully deterministic and frequency-meaningful (rare
+    * labels get large indices a model can bucket). The complement of
+    * q223's hashing trick: here the vocabulary IS materialized because
+    * the label space (languages) is small and index semantics matter.
+    *
+    * Scale shape: one map-side-combined count shuffle to the VOCAB-sized
+    * frame; the row_number window runs on that frame only (≤ |labels|
+    * rows, never the corpus); the dictionary re-enters as a broadcast
+    * join, so the corpus is touched exactly once with no row-level
+    * window or second shuffle. */
+  private def q231(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val wIdx = Window.orderBy(col("n_docs").desc, col("lang"))
+    val dict = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("lang_idx", row_number().over(wIdx) - 1)
+    docs.join(broadcast(dict), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("lang_idx"), col("n_docs"))
+      .orderBy("doc_id")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q231_label_encoding", q231, Some(
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents
+        |  GROUP BY 1),
+        |i AS (SELECT lang, n_docs,
+        |    CAST(row_number() OVER (ORDER BY n_docs DESC, lang) - 1 AS INT)
+        |      AS lang_idx
+        |  FROM c)
+        |SELECT d.doc_id, d.lang, i.lang_idx, i.n_docs
+        |FROM documents d JOIN i USING (lang) ORDER BY d.doc_id""".stripMargin)),
     Q("q223_feature_hashing", q223, Some(
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |  FROM documents),

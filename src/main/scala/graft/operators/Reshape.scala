@@ -339,7 +339,96 @@ object Reshape extends QueryPack {
             countDistinct("seg") - 1))), 6).as("cramers_v"))
   }
 
+  /** q227: two-sample Mann–Whitney U test (Wilcoxon rank-sum) — does
+    * `value` for 'click' events come from a stochastically larger
+    * distribution than for 'view' events? The nonparametric companion to
+    * q220's KS: KS asks "any distributional difference", U asks the
+    * directional location question a metrics review actually poses, with
+    * no normality assumption (vs a t-test on q58's moments).
+    *
+    * Scale shape: everything runs on the VALUE-COUNT cell frame (the
+    * q211/q212/q220 discipline) — one map-side-combined count shuffle to
+    * cells keyed by value cents, then average ranks via a cumulative-sum
+    * window over the support-sized frame (bounded by distinct cents, not
+    * rows), then one single-row aggregate. No row-level rank window ever
+    * runs. Tie handling is the textbook average-rank + variance
+    * correction: 2·avgrank = 2·cum − t + 1 stays integer, so the rank
+    * sum 2R₁ = Σ n₁·(2·avgrank) and the tie term Σ(t³−t) are EXACT
+    * DECIMALS on both engines (n₁ to 1e12 per cell × doubled ranks to
+    * 1e13, the q212 widths); doubles appear only in the final z. */
+  private def q227(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select((col("event_type") === "click").as("is1"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .groupBy("vc")
+      .agg(sum(when(col("is1"), 1L).otherwise(0L)).as("n1c"),
+        sum(when(!col("is1"), 1L).otherwise(0L)).as("n2c"))
+    val wCum = Window.orderBy("vc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def d12(c: Column) = c.cast("decimal(12,0)")
+    def d13(c: Column) = c.cast("decimal(13,0)")
+    val t = col("n1c") + col("n2c")
+    val m = cells
+      .withColumn("cum", sum(t).over(wCum))
+      // 2·(average rank of the t tied rows at this value)
+      .withColumn("r2", lit(2) * col("cum") - t + 1)
+      .agg(sum("n1c").as("n1"), sum("n2c").as("n2"),
+        sum(d12(col("n1c")) * d13(col("r2"))).as("r12"),
+        sum(d12(t) * d12(t) * d12(t) - d12(t)).as("ties"))
+    val n1 = col("n1").cast("double")
+    val n2 = col("n2").cast("double")
+    val n = n1 + n2
+    val u1 = (col("r12") - d12(col("n1")) * d12(col("n1") + 1))
+      .cast("double") / 2.0
+    val sigma = sqrt(n1 * n2 / 12.0 *
+      ((n + 1) - col("ties").cast("double") / (n * (n - 1))))
+    val z = (u1 - n1 * n2 / 2.0) / sigma
+    m.select(col("n1"), col("n2"), u1.as("u1"), round(z, 6).as("z"),
+      (abs(z) > 1.959964).as("significant"))
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q227_mann_whitney", q227, Some(
+      """WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS vc,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n1c,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n2c
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+        |r AS (SELECT n1c, n2c,
+        |    2 * sum(n1c + n2c) OVER (ORDER BY vc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - (n1c + n2c) + 1 AS r2
+        |  FROM c),
+        |m AS (SELECT CAST(sum(n1c) AS BIGINT) AS n1,
+        |    CAST(sum(n2c) AS BIGINT) AS n2,
+        |    sum(CAST(n1c AS DECIMAL(12,0)) * CAST(r2 AS DECIMAL(13,0)))
+        |      AS r12,
+        |    sum(CAST(n1c + n2c AS DECIMAL(12,0))
+        |      * CAST(n1c + n2c AS DECIMAL(12,0))
+        |      * CAST(n1c + n2c AS DECIMAL(12,0))
+        |      - CAST(n1c + n2c AS DECIMAL(12,0))) AS ties
+        |  FROM r)
+        |SELECT n1, n2,
+        |  CAST(r12 - CAST(n1 AS DECIMAL(12,0))
+        |    * CAST(n1 + 1 AS DECIMAL(12,0)) AS DOUBLE) / 2.0 AS u1,
+        |  round((CAST(r12 - CAST(n1 AS DECIMAL(12,0))
+        |      * CAST(n1 + 1 AS DECIMAL(12,0)) AS DOUBLE) / 2.0
+        |      - CAST(n1 AS DOUBLE) * n2 / 2.0)
+        |    / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+        |      * ((CAST(n1 AS DOUBLE) + n2 + 1)
+        |        - CAST(ties AS DOUBLE)
+        |          / ((CAST(n1 AS DOUBLE) + n2)
+        |            * (CAST(n1 AS DOUBLE) + n2 - 1)))), 6) AS z,
+        |  abs((CAST(r12 - CAST(n1 AS DECIMAL(12,0))
+        |      * CAST(n1 + 1 AS DECIMAL(12,0)) AS DOUBLE) / 2.0
+        |      - CAST(n1 AS DOUBLE) * n2 / 2.0)
+        |    / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+        |      * ((CAST(n1 AS DOUBLE) + n2 + 1)
+        |        - CAST(ties AS DOUBLE)
+        |          / ((CAST(n1 AS DOUBLE) + n2)
+        |            * (CAST(n1 AS DOUBLE) + n2 - 1))))) > 1.959964
+        |    AS significant
+        |FROM m""".stripMargin)),
     Q("q221_chi2_independence", q221, Some(
       """WITH o AS (SELECT event_type, user_id % 4 AS seg, count(*) AS cnt
         |  FROM events GROUP BY 1, 2),

@@ -298,7 +298,44 @@ object ScalarFunctions extends QueryPack {
       .orderBy("k")
   }
 
+  /** q229: Unicode NFC canonicalization via the native
+    * [[graft.functions.NfcNormalize]] codegen expression — combining
+    * sequences (here e + U+0301, injected deterministically since the
+    * fixtures are ASCII) compose to their canonical single codepoints,
+    * pinned byte-for-byte against DuckDB's ICU `nfc_normalize` through
+    * the md5 of the normalized text. `doc_id % 3 = 0` rows get NO
+    * decomposed suffix, so the no-op path (the overwhelming case on a
+    * real corpus, served by `Normalizer.isNormalized` without copying)
+    * is gated alongside the rewrite path. byte_raw − byte_norm equals
+    * the number of composed pairs exactly (3 bytes → 2 per pair).
+    * Map-only, stays inside WholeStageCodegen (no-UDF pin in PlanSpec). */
+  private def q229(s: SparkSession, dir: String): DataFrame = {
+    // "e" + U+0301 as a Scala literal: Spark's char()/chr() is
+    // ASCII-modulo-256, not a codepoint constructor
+    val raw = concat(substring(col("text"), 1, 40), lit(" "),
+      repeat(lit("e\u0301"), pmod(col("doc_id"), lit(3)).cast("int")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), raw.as("raw"))
+      .withColumn("norm", graft.functions.TextFunctions.nfc(s, "raw"))
+      .select(col("doc_id"), (col("raw") =!= col("norm")).as("changed"),
+        octet_length(col("raw")).as("byte_raw"),
+        octet_length(col("norm")).as("byte_norm"),
+        md5(col("norm").cast("binary")).as("norm_md5"))
+      .orderBy("doc_id")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q229_nfc_normalize", q229, Some(
+      """WITH r AS (SELECT doc_id,
+        |    substr(text, 1, 40) || ' ' ||
+        |      repeat(chr(101) || chr(769), CAST(doc_id % 3 AS INT)) AS raw
+        |  FROM documents),
+        |n AS (SELECT doc_id, raw, nfc_normalize(raw) AS norm FROM r)
+        |SELECT doc_id, raw <> norm AS changed,
+        |  CAST(strlen(raw) AS INT) AS byte_raw,
+        |  CAST(strlen(norm) AS INT) AS byte_norm,
+        |  md5(norm) AS norm_md5
+        |FROM n ORDER BY doc_id""".stripMargin)),
     Q("q181_csv_column_serde", q181, Some(
       """SELECT c_custkey AS k, c_mktsegment AS seg,
         |  c_name || ', segment ' || c_mktsegment AS note

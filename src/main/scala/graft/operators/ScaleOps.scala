@@ -438,7 +438,106 @@ object ScaleOps extends QueryPack {
       .orderBy("event_type")
   }
 
+  /** q225: Pareto skyline (Börzsönyi et al., ICDE 2001) — the customers
+    * no one strictly beats on BOTH objectives at once: MORE total spend
+    * in FEWER orders (the anti-correlated efficiency frontier, so the
+    * skyline is a real curve rather than one corner point): the
+    * multi-objective "best" set behind supplier scorecards and data-mix
+    * frontier picks. Dominance: q beats p iff q.spend ≥ p.spend ∧
+    * q.n ≤ p.n with one strict; internally y = −n_orders turns it into
+    * the canonical max-max form.
+    *
+    * Scale shape — NO all-pairs join and NO corpus-wide window: (1) one
+    * map-side-combined groupBy collapses points to per-spend ymax cells;
+    * (2) cells bucket by spend DIV $10k, per-bucket maxima form a TINY
+    * frame whose strict-suffix max (higher buckets only) comes from one
+    * window over ~hundreds of rows and re-enters as a broadcast;
+    * (3) within-bucket strictly-higher-spend prefix maxima run as
+    * per-bucket windows (work ∝ bucket occupancy, the q201 grid
+    * discipline). A cell survives iff its ymax beats both covers —
+    * exactly global dominance, since any dominator lives either in a
+    * strictly higher bucket or above it in the same bucket. The final
+    * point join keeps every tied (spend, ymax) customer. The oracle runs
+    * the textbook single-window formulation to pin equivalence. */
+  private def q225(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.orders(s, dir)
+      .select(col("o_custkey").as("custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("custkey")
+      .agg(sum("cents").as("spend_c"), (-count(lit(1))).as("y"))
+    val g = pts.groupBy("spend_c").agg(max("y").as("ymax"))
+      .withColumn("b", expr("spend_c DIV 1000000"))
+    val wSuffix = Window.orderBy(col("b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sm = g.groupBy("b").agg(max("ymax").as("bymax"))
+      .withColumn("sm", max("bymax").over(wSuffix))
+      .select("b", "sm")
+    val wInB = Window.partitionBy("b").orderBy(col("spend_c").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sky = g.join(broadcast(sm), Seq("b"))
+      .withColumn("pm", greatest(col("sm"), max("ymax").over(wInB)))
+      .filter(col("pm").isNull || col("ymax") > col("pm"))
+      .select(col("spend_c").as("sky_spend"), col("ymax").as("sky_n"))
+    pts.join(broadcast(sky),
+        pts("spend_c") === col("sky_spend") && pts("y") === col("sky_n"))
+      .select(col("custkey"), col("spend_c"), (-col("y")).as("n_orders"))
+      .orderBy(col("spend_c").desc, col("custkey"))
+  }
+
+  /** q226: dense global row numbering — assign 1..N in (price desc, key)
+    * order WITHOUT the single-partition window `row_number() OVER
+    * (ORDER BY …)` plans (the classic driver-melting anti-pattern; the
+    * primitive behind stable example ids, pagination snapshots, and
+    * rank-addressed exports). Three-step zipWithIndex shape, pure
+    * DataFrame: range-repartition + in-partition sort establish the
+    * global order across partitions; `monotonically_increasing_id`
+    * encodes (partition, position) as pid·2³³ + pos for free on the
+    * sorted layout; per-partition counts (a ~32-row frame) prefix-sum
+    * into offsets that re-enter by broadcast join — the big side never
+    * shuffles again. rn = offset(pid) + pos + 1 is exactly the global
+    * row number because partitions are range-ordered and rows sorted
+    * within each. The oracle runs the single-window formulation. */
+  private def q226(s: SparkSession, dir: String): DataFrame = {
+    val sorted = Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"))
+      .repartitionByRange(32, col("price_c").desc, col("o_orderkey"))
+      .sortWithinPartitions(col("price_c").desc, col("o_orderkey"))
+      .withColumn("mid", monotonically_increasing_id())
+      .withColumn("pid", expr("mid DIV 8589934592"))
+      .withColumn("pos", expr("mid % 8589934592"))
+    val wOff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sorted.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum("cnt").over(wOff), lit(0L)))
+      .select("pid", "off")
+    sorted.join(broadcast(offsets), Seq("pid"))
+      .select(col("o_orderkey"), col("price_c"),
+        (col("off") + col("pos") + 1).as("rn"))
+      .orderBy("rn")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q225_pareto_skyline", q225, Some(
+      """WITH p AS (SELECT o_custkey AS custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS spend_c,
+        |    -count(*) AS y
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT spend_c, max(y) AS ymax FROM p GROUP BY 1),
+        |s AS (SELECT *, max(ymax) OVER (ORDER BY spend_c DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM g),
+        |sky AS (SELECT spend_c, ymax FROM s WHERE pm IS NULL OR ymax > pm)
+        |SELECT p.custkey, p.spend_c, CAST(-p.y AS BIGINT) AS n_orders
+        |FROM p JOIN sky ON p.spend_c = sky.spend_c AND p.y = sky.ymax
+        |ORDER BY p.spend_c DESC, p.custkey""".stripMargin)),
+    Q("q226_global_row_number", q226, Some(
+      """SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |  row_number() OVER (
+        |    ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+        |      o_orderkey) AS rn
+        |FROM orders ORDER BY rn""".stripMargin)),
     Q("q220_ks_drift", q220, Some(
       """WITH e AS (SELECT event_type, day(ts) <= 15 AS is_ref,
         |    CASE WHEN NOT day(ts) <= 15 AND event_type = 'click'

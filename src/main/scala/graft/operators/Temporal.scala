@@ -498,7 +498,64 @@ object Temporal extends QueryPack {
       .orderBy("event_type", "day")
   }
 
+  /** q228: rolling robust anomaly detection — per (event_type, day)
+    * volumes scored against the trailing 7 days' median/MAD: robust z =
+    * (n − med) / (1.4826·MAD), flag |z| > 3.5 (Iglewicz–Hoaglin). The
+    * monitoring primitive a pipeline runs over every partition's row
+    * counts: median/MAD shrug off the spike being scored (breakdown 50%),
+    * where a rolling mean/stddev (q122's EWMA family) drags the baseline
+    * toward the outlier it should flag.
+    *
+    * Scale shape: the corpus collapses to the (type, day) count frame in
+    * one map-side-combined shuffle; the rolling window then carries a
+    * BOUNDED 7-element list per row (collect_list over ROWS BETWEEN 7
+    * PRECEDING AND 1 PRECEDING — state is 7 longs, never a group scan),
+    * and the exact median/MAD come from sort_array + element_at on that
+    * constant-size array via codegen'd higher-order functions. All
+    * inputs to the flag are exact integers; doubles enter only at z.
+    * Rows without a full 7-day history emit nothing (no partial-window
+    * false positives); a zero-MAD baseline falls back to flagging any
+    * deviation from the constant. */
+  private def q228(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w7 = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-7, -1)
+    val med = element_at(sort_array(col("arr")), 4)
+    val z = (col("n") - col("med")) / (lit(1.4826) * col("mad"))
+    daily
+      .withColumn("arr", collect_list("n").over(w7))
+      .filter(size(col("arr")) === 7)
+      .withColumn("med", med)
+      .withColumn("mad", element_at(sort_array(
+        transform(col("arr"), v => abs(v - col("med")))), 4))
+      .select(col("event_type"), col("day"), col("n"), col("med"), col("mad"),
+        when(col("mad") > 0, round(z, 6)).as("robust_z"),
+        when(col("mad") === 0, col("n") =!= col("med"))
+          .otherwise(abs(z) > 3.5).as("anomaly"))
+      .orderBy("event_type", "day")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q228_rolling_anomaly", q228, Some(
+      """WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT *, list(n) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS arr FROM d),
+        |m AS (SELECT event_type, day, n, list_sort(arr)[4] AS med, arr
+        |  FROM w WHERE len(arr) = 7),
+        |x AS (SELECT event_type, day, n, med,
+        |    list_sort(list_transform(arr, v -> abs(v - med)))[4] AS mad
+        |  FROM m)
+        |SELECT event_type, day, n, med, mad,
+        |  CASE WHEN mad > 0
+        |       THEN round((n - med) / (1.4826 * mad), 6) END AS robust_z,
+        |  CASE WHEN mad = 0 THEN n <> med
+        |       ELSE abs((n - med) / (1.4826 * mad)) > 3.5 END AS anomaly
+        |FROM x ORDER BY event_type, day""".stripMargin)),
     Q("q224_ohlc_bars", q224, Some(
       """WITH e AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
         |    epoch_us(ts) AS us, event_id, value FROM events),

@@ -131,6 +131,17 @@ class PlanSpec extends AnyFunSuite {
       "q224 open-pick must combine map-side")
   }
 
+  test("q229 NFC normalization is a codegen expression, not a UDF") {
+    val qe = SparkEntry.queries("q229_nfc_normalize")(spark, sf).queryExecution
+    val udfs = qe.optimizedPlan.flatMap(_.expressions.flatMap(_.collect {
+      case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+    }))
+    assert(udfs.isEmpty, s"q229 plan contains ScalaUDF: $udfs")
+    assert(qe.analyzed.toString.toLowerCase.contains("nfcnormalize") ||
+      qe.analyzed.toString.contains("graft_nfc"),
+      "expected the native NfcNormalize expression in the plan")
+  }
+
   test("q223 feature hashing combines map-side (no vocabulary pass)") {
     val p = executedPlan("q223_feature_hashing")
     assert(p.contains("partial_sum"), "q223 weights must combine map-side")

@@ -181,4 +181,20 @@ class DataPrepSpec extends AnyFunSuite {
     assert(rows === expected.toMap,
       "hash-trick weights must be exactly re-derivable per token")
   }
+
+  test("q231 label index is dense, frequency-ordered, and total") {
+    val rows = SparkEntry.queries("q231_label_encoding")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(rows.length.toLong === nDocs, "every doc must be encoded")
+    val dict = rows.map(t => (t._2, t._3, t._4)).distinct.sortBy(_._2)
+    // indices are exactly 0..k-1 with counts non-increasing (ties lexical)
+    assert(dict.map(_._2).toSeq === dict.indices.toSeq)
+    for (w <- dict.sliding(2) if w.length == 2) {
+      val (a, b) = (w(0), w(1))
+      assert(a._3 > b._3 || (a._3 == b._3 && a._1 < b._1),
+        s"order violated between ${a._1} and ${b._1}")
+    }
+    assert(dict.map(_._3).sum === nDocs, "dictionary counts must total N")
+  }
 }

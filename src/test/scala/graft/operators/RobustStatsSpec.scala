@@ -172,6 +172,64 @@ class RobustStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("q227 Mann-Whitney matches a driver-side brute-force rank test") {
+    import org.apache.spark.sql.functions._
+    val row = SparkEntry.queries("q227_mann_whitney")(spark, sf).head()
+    val xs = graft.sources.Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .select((col("event_type") === "click").as("is1"),
+        round(col("value") * 100).cast("long").as("vc"))
+      .collect().map(r => (r.getBoolean(0), r.getLong(1)))
+    val n1 = xs.count(_._1).toLong
+    val n2 = xs.length - n1
+    // brute-force average ranks over the raw sorted sample
+    val sorted = xs.map(_._2).sorted
+    val rankOf = sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, g) => v -> (g.map(_._2 + 1L).sum.toDouble / g.length) }
+    val r1 = xs.filter(_._1).map(t => rankOf(t._2)).sum
+    val u1 = r1 - n1.toDouble * (n1 + 1) / 2
+    val n = (n1 + n2).toDouble
+    val tieTerm = sorted.groupBy(identity).values
+      .map(g => math.pow(g.length.toDouble, 3) - g.length).sum
+    val sigma = math.sqrt(n1.toDouble * n2 / 12.0 *
+      ((n + 1) - tieTerm / (n * (n - 1))))
+    val z = (u1 - n1.toDouble * n2 / 2.0) / sigma
+    assert(row.getLong(0) === n1)
+    assert(row.getLong(1) === n2)
+    assert(math.abs(row.getDouble(2) - u1) < 1e-6, "u1")
+    assert(math.abs(row.getDouble(3) - z) < 1e-5, "z")
+    assert(row.getBoolean(4) === (math.abs(z) > 1.959964), "significant")
+  }
+
+  test("q228 rolling median/MAD flags match a driver-side re-derivation") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q228_rolling_anomaly")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(6))).toMap
+    val daily = graft.sources.Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    var checked = 0
+    for ((et, g) <- daily) {
+      val series = g.sortBy(_._2)
+      for (i <- series.indices.drop(7)) {
+        val (_, day, n) = series(i)
+        val arr = series.slice(i - 7, i).map(_._3)
+        val med = arr.sorted.apply(3)
+        val mad = arr.map(v => math.abs(v - med)).sorted.apply(3)
+        val (gn, gmed, gmad, ganom) = rows((et, day))
+        assert(gn === n && gmed === med && gmad === mad, s"$et $day")
+        val anom = if (mad == 0) n != med
+          else math.abs((n - med).toDouble / (1.4826 * mad)) > 3.5
+        assert(ganom === anom, s"$et $day anomaly")
+        checked += 1
+      }
+    }
+    assert(checked === rows.size, "every emitted row re-derived")
+  }
+
   test("q224 OHLC argmin/argmax picks match an explicit per-bar sort") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q224_ohlc_bars")(spark, sf).collect()

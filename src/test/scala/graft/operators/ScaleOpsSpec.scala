@@ -115,4 +115,41 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(counts.max < counts.min * 3,
       s"salted partitions unbalanced: min=${counts.min} max=${counts.max}")
   }
+
+  test("q225 bucketed skyline equals brute-force pairwise dominance") {
+    val sky = SparkEntry.queries("q225_pareto_skyline")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pts = Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .groupBy("o_custkey").agg(sum("c").as("x"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = pts.filter { case (_, x, n) =>
+      !pts.exists { case (_, qx, qn) =>
+        qx >= x && qn <= n && (qx > x || qn < n)
+      }
+    }.map { case (ck, x, n) => (ck, x, n) }.toSet
+    assert(sky === expected, "skyline must be exactly the undominated set")
+    assert(sky.size > 1, "fixture should yield a non-trivial frontier")
+  }
+
+  test("q226 offsets-based numbering equals the global sort order") {
+    val rows = SparkEntry.queries("q226_global_row_number")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._3).toSeq === (1L to rows.length).toSeq,
+      "rn must be dense 1..N with no gaps or duplicates")
+    val sorted = rows.sortBy { case (k, p, _) => (-p, k) }
+    assert(sorted.map(_._3).toSeq === (1L to rows.length).toSeq,
+      "rn must follow (price desc, key) order exactly")
+  }
+
+  test("q226 big side joins by broadcast after one range exchange") {
+    val df = SparkEntry.queries("q226_global_row_number")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      "global order must come from a range repartition")
+    assert(plan.contains("BroadcastHashJoin"),
+      "offsets must re-enter by broadcast, never a big-side shuffle join")
+  }
 }
