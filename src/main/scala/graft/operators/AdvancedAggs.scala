@@ -420,7 +420,84 @@ object AdvancedAggs extends QueryPack {
           col("n_inter")) <= col("n_union") * lit(0.10)).as("inter_ok"))
   }
 
+  /** q236: ordered LISTAGG (Spark 4 surface) — the within-group ordered
+    * string concatenation every report/export layer needs (and the one
+    * aggregate where determinism REQUIRES the explicit WITHIN GROUP
+    * clause: an unordered listagg is nondeterministic at any
+    * parallelism, since partial-aggregate arrival order differs run to
+    * run). Two shapes: per-priority customer-count-ranked order-status
+    * roll (DISTINCT variant) and per-status ordered priority list.
+    * Only surfaced through SQL text — WITHIN GROUP has no Column-API
+    * spelling — so this also gates the SQL parser path. Group count is
+    * tiny (status × priority); the heavy side pre-aggregates first, so
+    * the string build never sees raw rows. */
+  private def q236(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders236")
+    s.sql(
+      """WITH pc AS (SELECT o_orderstatus AS status,
+        |    o_orderpriority AS priority, count(*) AS n
+        |  FROM graft_orders236 GROUP BY 1, 2)
+        |SELECT status,
+        |  listagg(priority, '|') WITHIN GROUP (ORDER BY n DESC, priority)
+        |    AS priorities_by_freq,
+        |  listagg(DISTINCT substring(priority, 1, 1), '')
+        |    WITHIN GROUP (ORDER BY substring(priority, 1, 1))
+        |    AS priority_codes
+        |FROM pc GROUP BY status ORDER BY status""".stripMargin)
+  }
+
+  /** q237: exact MEDIAN and deterministic MODE builtins (Spark 4
+    * `median` / `mode(…, deterministic := true)`) — the one-call
+    * spellings of what q72 (holistic MR median) and the value-count
+    * machinery (q211/q217) build by hand; gated so the builtin path is
+    * pinned to the same R-7 interpolation and lowest-value tie-break
+    * the hand-rolled operators contract to. The oracle spells the
+    * tie-break explicitly (min over argmax counts) rather than trusting
+    * DuckDB's own mode() tie behavior. Per-group cardinality is the
+    * value domain, not the row count — both aggregates partial-combine
+    * on (group, value) cells. */
+  private def q237(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(round(median(col("l_quantity")), 6).as("med_qty"),
+        mode(col("l_quantity"), deterministic = true).as("mode_qty"),
+        mode(col("l_linestatus"), deterministic = true).as("mode_status"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q236_listagg", q236, Some(
+      """WITH pc AS (SELECT o_orderstatus AS status,
+        |    o_orderpriority AS priority, count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |codes AS (SELECT status, string_agg(c, '' ORDER BY c)
+        |    AS priority_codes
+        |  FROM (SELECT DISTINCT status, substring(priority, 1, 1) AS c
+        |        FROM pc) GROUP BY status),
+        |lists AS (SELECT status,
+        |    string_agg(priority, '|' ORDER BY n DESC, priority)
+        |      AS priorities_by_freq
+        |  FROM pc GROUP BY status)
+        |SELECT lists.status, priorities_by_freq, priority_codes
+        |FROM lists JOIN codes USING (status) ORDER BY status""".stripMargin)),
+    Q("q237_mode_median", q237, Some(
+      """WITH cells AS (SELECT l_returnflag, l_quantity, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |scells AS (SELECT l_returnflag, l_linestatus, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l.l_returnflag,
+        |  round(median(l.l_quantity), 6) AS med_qty,
+        |  (SELECT min(l_quantity) FROM cells
+        |   WHERE cells.l_returnflag = l.l_returnflag
+        |     AND c = (SELECT max(c) FROM cells c2
+        |              WHERE c2.l_returnflag = l.l_returnflag)) AS mode_qty,
+        |  (SELECT min(l_linestatus) FROM scells
+        |   WHERE scells.l_returnflag = l.l_returnflag
+        |     AND c = (SELECT max(c) FROM scells c2
+        |              WHERE c2.l_returnflag = l.l_returnflag)) AS mode_status,
+        |  count(*) AS n
+        |FROM lineitem l GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q230_hll_set_algebra", q230, Some(
       """SELECT
         |  count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)

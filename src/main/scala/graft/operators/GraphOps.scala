@@ -164,7 +164,72 @@ object GraphOps extends QueryPack {
       .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_triangles"))))
   }
 
+  /** q233: multi-source BFS shortest-hop distance — the min-plus
+    * counterpart of q115's sum-times PageRank iteration and the third
+    * canonical edge-list loop (after reachability q66 and value
+    * propagation q115): "how far is every entity from a trusted seed
+    * set" powers crawl-frontier prioritization and seed-based quality
+    * propagation over link graphs. Graph: the UNDIRECTED supplier ↔
+    * customer trade graph (both orientations of q115's edges); seeds:
+    * suppliers with suppkey ≡ 0 (mod 37); 3 expansion rounds.
+    *
+    * Scale design: edges are distinct'd, hash-partitioned on `src` and
+    * checkpointed ONCE (q115/q66 discipline); each round shuffles only
+    * the CURRENT frontier into that fixed layout. Proper delta-BFS, not
+    * min-merge over everything reached: the frontier is exactly the
+    * nodes first reached last round (anti-join against the settled set),
+    * so round i's join cost is ∝ |frontier_i|'s out-edges — re-expanding
+    * settled nodes would redo every earlier round's work each step. The
+    * settled set is re-checkpointed per round to keep the anti-join's
+    * lineage O(1). Monotone layering makes min-merge ≡ first-reach,
+    * which is what the oracle's explicit 3-level min formulation pins. */
+  private def q233(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val fwd = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("s:"), col("l_suppkey")).as("src"),
+        concat(lit("c:"), col("o_custkey")).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    var settled = Tables.supplier(s, dir)
+      .filter(col("s_suppkey") % 37 === 0)
+      .select(concat(lit("s:"), col("s_suppkey")).as("node"),
+        lit(0).as("dist"))
+      .localCheckpoint(true)
+    var frontier = settled
+    for (i <- 1 to 3) {
+      val reached = frontier
+        .join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node")).distinct()
+      frontier = reached.join(settled, Seq("node"), "left_anti")
+        .withColumn("dist", lit(i))
+        .localCheckpoint(true)
+      settled = settled.union(frontier).localCheckpoint(true)
+    }
+    settled.orderBy("node")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q233_bfs_hops", q233, {
+      def step(prev: String, cur: String): String =
+        s"""$cur AS (SELECT node, min(dist) AS dist FROM (
+           |  SELECT node, dist FROM $prev UNION ALL
+           |  SELECT e.dst, p.dist + 1 FROM $prev p JOIN e ON e.src = p.node)
+           |  GROUP BY 1)""".stripMargin
+      Some(
+        s"""WITH e0 AS (SELECT DISTINCT 's:' || l_suppkey AS src,
+           |    'c:' || o_custkey AS dst
+           |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+           |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+           |d0 AS (SELECT 's:' || s_suppkey AS node, 0 AS dist
+           |  FROM supplier WHERE s_suppkey % 37 = 0),
+           |${step("d0", "d1")},
+           |${step("d1", "d2")},
+           |${step("d2", "d3")}
+           |SELECT node, dist FROM d3 ORDER BY node""".stripMargin)
+    }),
     Q("q115_pagerank", q115, Some(
       s"""WITH e AS (SELECT DISTINCT 's:' || l_suppkey AS src,
          |             'c:' || o_custkey AS dst

@@ -490,7 +490,51 @@ object Relational extends QueryPack {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }
 
+  /** q238: COLLATION-aware grouping (Spark 4 surface) — case-insensitive
+    * semantics pushed into the string TYPE via `collate(…,
+    * 'UTF8_LCASE')` instead of wrapping every reference in lower().
+    * The collated comparison participates in partitioning and
+    * aggregation natively (one shuffle on the collation key; Spark 4.1
+    * plans collated group keys as map-side-combining SortAggregate —
+    * collation-aware hashing isn't wired into HashAggregate yet, a real
+    * cost to know about before collating a 100 TB group key), and
+    * unlike the lower()-wrap idiom it also governs joins/sorts/DISTINCT
+    * wherever the typed column flows. Input case-noise is derived
+    * deterministically (custkey mod 3 → UPPER / lower / Initcap), the
+    * group key is re-exported as a plain lower-cased UTF8_BINARY string
+    * so the sink schema carries no collation, and the oracle mirrors
+    * with lower() grouping — same groups by construction. */
+  private def q238(s: SparkSession, dir: String): DataFrame = {
+    val noisy = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_acctbal"),
+        when(col("c_custkey") % 3 === 0, upper(col("c_mktsegment")))
+          .when(col("c_custkey") % 3 === 1, lower(col("c_mktsegment")))
+          .otherwise(initcap(lower(col("c_mktsegment")))).as("seg"))
+    noisy
+      .groupBy(collate(col("seg"), "UTF8_LCASE").as("k"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("seg")).as("n_case_variants"),
+        // exact decimal sum: double summation order differs per engine
+        round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2)
+          .as("bal"))
+      .select(lower(col("k")).cast("string").as("segment"), col("n"),
+        col("n_case_variants"), col("bal"))
+      .orderBy("segment")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q238_collation_group", q238, Some(
+      """WITH noisy AS (SELECT c_custkey, c_acctbal,
+        |    CASE WHEN c_custkey % 3 = 0 THEN upper(c_mktsegment)
+        |         WHEN c_custkey % 3 = 1 THEN lower(c_mktsegment)
+        |         ELSE upper(substring(c_mktsegment, 1, 1)) ||
+        |              lower(substring(c_mktsegment, 2)) END AS seg
+        |  FROM customer)
+        |SELECT lower(seg) AS segment, count(*) AS n,
+        |  count(DISTINCT seg) AS n_case_variants,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS bal
+        |FROM noisy GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q213_sql_functions", q213, Some(
       """WITH b(band, lo, hi) AS (VALUES
         |    ('low', 0.0, 10.0), ('mid', 10.0, 30.0), ('high', 30.0, 51.0))

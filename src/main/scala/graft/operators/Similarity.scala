@@ -339,7 +339,59 @@ object Similarity extends QueryPack {
     "round(list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s))), 6)"
   private def cs(a: String, b: String) = cosSql.format(a, b, a, a, b, b)
 
+  /** q235: scalar INT8 quantization (SQ8) of the embedding corpus — the
+    * standard 4× memory compression applied before an ANN index is
+    * built (PQ q113 is the coarser 32×; SQ8 is the near-lossless tier):
+    * per vector, scale = max|x|/127, code_i = round(x_i/scale) ∈
+    * [−127, 127]. Map-only over the corpus — no shuffle at all except
+    * the output sort — so it scales embarrassingly; all lambdas are
+    * codegen'd higher-order array functions, never a UDF.
+    *
+    * Engine-neutral determinism: both sides compute the IDENTICAL double
+    * expression floor(x·127/amax + 0.5) (round-half-up, not the
+    * half-even `round()` whose tie behavior differs per engine), and the
+    * reconstruction error re-derives the code inline so the compared
+    * doubles come from the same IEEE op sequence. Rounded once at the
+    * edge (scale 9 dp, err 6 dp). */
+  private def q235(s: SparkSession, dir: String): DataFrame = {
+    val code: Column => Column => Column =
+      amax => x => floor(x * lit(127.0) / amax + lit(0.5))
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("amax") > 0)
+      .withColumn("q", transform(col("v"), code(col("amax"))))
+    e.select(col("vec_id"), size(col("v")).as("n_dims"),
+        round(col("amax") / 127.0, 9).as("sq_scale"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("code_sum"),
+        array_min(col("q")).as("code_min"),
+        array_max(col("q")).as("code_max"),
+        round(array_max(transform(col("v"),
+          x => abs(x - code(col("amax"))(x) * (col("amax") / lit(127.0))))),
+          6).as("recon_err"))
+      .orderBy("vec_id")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q235_sq8_quantize", q235, Some(
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |a AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS amax
+        |  FROM v WHERE list_max(list_transform(v, x -> abs(x))) > 0),
+        |c AS (SELECT vec_id, v, amax,
+        |    list_transform(v, x -> floor(x * 127.0 / amax + 0.5)) AS q
+        |  FROM a)
+        |SELECT vec_id, len(v) AS n_dims, round(amax / 127.0, 9) AS sq_scale,
+        |  CAST(list_sum(q) AS BIGINT) AS code_sum,
+        |  CAST(list_min(q) AS BIGINT) AS code_min,
+        |  CAST(list_max(q) AS BIGINT) AS code_max,
+        |  round(list_max(list_transform(v, x ->
+        |    abs(x - floor(x * 127.0 / amax + 0.5) * (amax / 127.0)))), 6)
+        |    AS recon_err
+        |FROM c ORDER BY vec_id""".stripMargin)),
     Q("q46_ann_bruteforce", q46, Some(
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),

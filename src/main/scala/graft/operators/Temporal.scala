@@ -538,7 +538,117 @@ object Temporal extends QueryPack {
       .orderBy("event_type", "day")
   }
 
+  /** q232: feature-store POINT-IN-TIME enrichment — each event picks up
+    * the dimension version that was valid AT its timestamp (the lookup
+    * every training pipeline needs to avoid feature leakage: joining
+    * "current" attributes onto historical facts trains on the future).
+    * The dimension is an SCD2-style version history derived in-flight
+    * from orders: customer k's i-th order (by date, orderkey) opens
+    * version i with attributes (n_orders = i, tier_price), valid until
+    * the next order's date.
+    *
+    * Scale design: NOT an interval join — a key-equi join against a
+    * versioned dimension multiplies |facts per key| × |versions per key|
+    * before the interval filter prunes, and a general range join is
+    * worse. Instead the as-of UNION-WINDOW shape (q35's trick,
+    * generalized to in-flight SCD2): version-open rows and fact rows
+    * union into ONE frame, one shuffle on the key, and a per-key ordered
+    * window carries the last-opened version forward onto each fact via
+    * `last(_, ignoreNulls)`. Work is O((|facts|+|versions|) log) per
+    * key with no pair blowup; ordering (us, kind, ok) makes a version
+    * opening at exactly the fact's timestamp visible to it (valid_from
+    * inclusive) and the later of two same-instant versions win — exactly
+    * the empty-interval semantics of the oracle's half-open [vf, vt)
+    * join. Events before a user's first version (or with no customer
+    * match at all) keep NULLs: the leakage-critical "no data yet" case. */
+  private def q232(s: SparkSession, dir: String): DataFrame = {
+    val wVer = Window.partitionBy("user_id").orderBy("us", "ok")
+    val dim = Tables.orders(s, dir)
+      .select(col("o_custkey").as("user_id"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us"),
+        col("o_orderkey").as("ok"),
+        round(col("o_totalprice"), 2).as("tier_price"))
+      .withColumn("n_orders", row_number().over(wVer).cast("long"))
+      .select(col("user_id"), col("us"), lit(0).as("kind"), col("ok"),
+        col("n_orders"), col("tier_price"),
+        lit(null).cast("long").as("event_id"))
+    val fact = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        lit(1).as("kind"), col("event_id").as("ok"),
+        lit(null).cast("long").as("n_orders"),
+        lit(null).cast("double").as("tier_price"), col("event_id"))
+    val wAsOf = Window.partitionBy("user_id").orderBy("us", "kind", "ok")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dim.unionByName(fact)
+      .withColumn("v", last(col("n_orders"), ignoreNulls = true).over(wAsOf))
+      .withColumn("p", last(col("tier_price"), ignoreNulls = true).over(wAsOf))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("v").as("n_orders"),
+        col("p").as("tier_price"), col("v").isNotNull.as("has_dim"))
+      .orderBy("event_id")
+  }
+
+  /** q234: engagement stickiness — per day, DAU, trailing-7-day WAU and
+    * the DAU/WAU ratio. Rolling DISTINCT counts don't decompose from
+    * daily tallies (a user active twice in the window must count once),
+    * so the exact scale plan is the fan-out trick: each distinct
+    * (day, user) activity contributes itself to the 7 window-end days it
+    * falls into (`explode` of a 7-element sequence), then one distinct +
+    * count per (window_end, user). Work is a constant 7× the user-day
+    * frame — already |users|-bounded per day — vs the quadratic blowup
+    * of a per-day range self-join; window ends with no 7 full days of
+    * history are dropped so every ratio is over a complete window. */
+  private def q234(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select((unix_micros(col("ts")) / lit(86400000000L))
+        .cast("long").as("day"), col("user_id"))
+      .distinct()
+    val bounds = ud.agg(min("day").as("d0"), max("day").as("d1"))
+    val wau = ud
+      .select(explode(sequence(col("day"), col("day") + 6)).as("day"),
+        col("user_id"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    dau.join(wau, "day")
+      .join(broadcast(bounds),
+        col("day") >= col("d0") + 6 && col("day") <= col("d1"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+      .orderBy("day")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q232_pit_join", q232, Some(
+      """WITH d AS (SELECT o_custkey AS user_id,
+        |    epoch_us(o_orderdate) AS vf, o_orderkey AS ok,
+        |    round(o_totalprice, 2) AS tier_price,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS n_orders
+        |  FROM orders),
+        |d2 AS (SELECT *, lead(vf) OVER (PARTITION BY user_id
+        |    ORDER BY vf, ok) AS vt FROM d),
+        |f AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+        |SELECT f.event_id, f.user_id, d2.n_orders, d2.tier_price,
+        |  d2.n_orders IS NOT NULL AS has_dim
+        |FROM f LEFT JOIN d2 ON f.user_id = d2.user_id
+        |  AND d2.vf <= f.us AND (d2.vt IS NULL OR f.us < d2.vt)
+        |ORDER BY event_id""".stripMargin)),
+    Q("q234_stickiness", q234, Some(
+      """WITH ud AS (SELECT DISTINCT
+        |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, user_id
+        |  FROM events),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        |wau AS (SELECT w.day, count(*) AS wau FROM (
+        |    SELECT DISTINCT ud.day + g.i AS day, user_id
+        |    FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS i) g) w
+        |  GROUP BY 1)
+        |SELECT dau.day, dau, wau,
+        |  round(dau / CAST(wau AS DOUBLE), 6) AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.day, b
+        |WHERE dau.day >= b.d0 + 6 AND dau.day <= b.d1
+        |ORDER BY 1""".stripMargin)),
     Q("q228_rolling_anomaly", q228, Some(
       """WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
         |    count(*) AS n

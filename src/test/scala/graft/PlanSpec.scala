@@ -148,6 +148,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "q223 must stay a pure aggregation")
   }
 
+  test("q238 groups on a COLLATED key (collation in the plan, not a lower() wrap)") {
+    val qe = SparkEntry.queries("q238_collation_group")(spark, sf).queryExecution
+    assert(qe.analyzed.toString.contains("UTF8_LCASE"),
+      "q238 must group on a UTF8_LCASE-collated key")
+    // engine fact worth pinning: collated group keys are NOT
+    // hash-aggregable in Spark 4.1 — they plan as SortAggregate. The
+    // scale property that matters is that the aggregation still
+    // partials map-side before the exchange.
+    val p = qe.executedPlan.toString
+    assert(p.contains("SortAggregate"),
+      s"q238 expected the collated-key SortAggregate plan:\n$p")
+    assert(p.contains("merge_count") || p.contains("partial_count"),
+      "q238 aggregation must combine map-side before the exchange")
+  }
+
+  test("q235 SQ8 quantization is pure codegen HOFs (no UDF, map-only)") {
+    val qe = SparkEntry.queries("q235_sq8_quantize")(spark, sf).queryExecution
+    val udfs = qe.executedPlan.collect {
+      case p if p.toString.contains("ScalaUDF") => p.nodeName
+    }
+    assert(udfs.isEmpty, s"q235 plan contains ScalaUDF: $udfs")
+    val p = qe.executedPlan.toString
+    assert(!p.contains("Exchange") || p.indexOf("Exchange") ==
+      p.lastIndexOf("Exchange"), // only the final orderBy range exchange
+      s"q235 must stay map-only up to the output sort:\n$p")
+  }
+
   test("NO query plans a cartesian / nested-loop join (bounded-broadcast baselines exempt)") {
     // Repo-wide scale pin: every join must be an equi-join (hash/sort) —
     // a CartesianProduct or BroadcastNestedLoopJoin node anywhere else is
@@ -209,7 +236,11 @@ class PlanSpec extends AnyFunSuite {
       // q221 — chi-square: the 1-row grand-total N broadcast re-entering
       //        the r×c cell frame (q69 pattern); the marginal joins are
       //        equi on the row/column labels.
-      "q216_negative_sampling", "q219_hybrid_rrf", "q221_chi2_independence")
+      "q216_negative_sampling", "q219_hybrid_rrf", "q221_chi2_independence",
+      // q234 — stickiness: the 1-row (min,max) day-bounds broadcast
+      //        trimming partial windows (q69 pattern); DAU/WAU joins
+      //        are equi on day.
+      "q234_stickiness")
     // Streaming queries execute a full drain in fn() and return a
     // collected local frame whose "plan" pins nothing; their batch-side
     // shapes are pinned by their own specs — skip the expensive drains.
