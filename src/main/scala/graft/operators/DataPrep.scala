@@ -729,7 +729,49 @@ object DataPrep extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** q241: path-hierarchy rollup (`du` over a namespace) — per-directory
+    * file counts and byte totals at EVERY ancestor level, when the
+    * hierarchy lives inside a single path column (object-store keys,
+    * crawl URLs, dataset shard layouts) rather than in separate columns
+    * a CUBE/ROLLUP could use. Each path explodes into its ancestor
+    * prefixes (slice + array_join over the split — codegen HOFs), then
+    * ONE count/sum shuffle serves all depths at once: work is
+    * Σ depth ≈ 4× the scan, vs one full scan per level for the naive
+    * per-depth loop, and the output is directory-cardinality-sized.
+    * The leaf (file) level is excluded so the result stays a namespace
+    * summary, not a copy of the listing. */
+  private def q241(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(concat(lit("corpus/"), col("source"), lit("/"), col("lang"),
+        lit("/b"), pmod(col("doc_id"), lit(10)), lit("/doc_"),
+        col("doc_id"), lit(".txt")).as("path"), col("n_chars"))
+      .withColumn("parts", split(col("path"), "/"))
+    d.select(explode(transform(
+        sequence(lit(1), size(col("parts")) - 1),
+        k => array_join(slice(col("parts"), lit(1), k), "/"))).as("dir_path"),
+        col("n_chars"))
+      .groupBy("dir_path")
+      .agg(count(lit(1)).as("n_files"), sum(col("n_chars")).as("total_chars"))
+      .withColumn("depth", size(split(col("dir_path"), "/")))
+      .select(col("dir_path"), col("depth"), col("n_files"), col("total_chars"))
+      .orderBy("dir_path")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q241_path_rollup", q241, Some(
+      """WITH d AS (SELECT 'corpus/' || source || '/' || lang || '/b' ||
+        |    CAST(doc_id % 10 AS VARCHAR) || '/doc_' ||
+        |    CAST(doc_id AS VARCHAR) || '.txt' AS path, n_chars
+        |  FROM documents),
+        |p AS (SELECT string_split(path, '/') AS parts, n_chars FROM d),
+        |x AS (SELECT array_to_string(parts[1:g.k], '/') AS dir_path,
+        |    n_chars
+        |  FROM p CROSS JOIN (SELECT unnest(range(1, 5)) AS k) g
+        |  WHERE g.k <= len(parts) - 1)
+        |SELECT dir_path, len(string_split(dir_path, '/')) AS depth,
+        |  count(*) AS n_files,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q231_label_encoding", q231, Some(
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents
         |  GROUP BY 1),

@@ -211,7 +211,67 @@ object GraphOps extends QueryPack {
     settled.orderBy("node")
   }
 
+  /** q239: synchronous label propagation (2 rounds, RAK-style community
+    * detection) over the undirected trade graph — the cheap community
+    * primitive between q66's exact components (too coarse: one label
+    * per connected blob) and modularity methods (not join-expressible).
+    * Each round every node adopts the most frequent label among its
+    * NEIGHBORS (ties → lexicographically smallest), synchronously.
+    * Deterministic by construction — the argmax is a total order — so
+    * it gates exactly, unlike the async textbook variant whose result
+    * depends on visit order.
+    *
+    * Scale design: edges partitioned on src + checkpointed once (q115/
+    * q233 discipline); a round is labels(src-keyed, |V|-sized) joined
+    * into the fixed edge layout, then one (dst, label) count shuffle
+    * that partial-aggregates map-side, then the per-node argmax as
+    * min(struct(-count, label)) — an ordinary partial-aggregable
+    * aggregate, never a per-node window sort. */
+  private def q239(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val fwd = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("s:"), col("l_suppkey")).as("src"),
+        concat(lit("c:"), col("o_custkey")).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 2) {
+      labels = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(min(struct((-col("c")).as("nc"), col("label"))).as("b"))
+        .select(col("node"), col("b.label").as("label"))
+        .localCheckpoint(true)
+    }
+    labels.orderBy("node")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q239_label_prop", q239, {
+      def round(prev: String, cur: String): String =
+        s"""$cur AS (SELECT node, label FROM (
+           |  SELECT e.dst AS node, p.label, count(*) AS c,
+           |    row_number() OVER (PARTITION BY e.dst
+           |      ORDER BY count(*) DESC, p.label) AS rn
+           |  FROM e JOIN $prev p ON p.node = e.src GROUP BY 1, 2)
+           |  WHERE rn = 1)""".stripMargin
+      Some(
+        s"""WITH e0 AS (SELECT DISTINCT 's:' || l_suppkey AS src,
+           |    'c:' || o_custkey AS dst
+           |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+           |e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+           |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+           |${round("l0", "l1")},
+           |${round("l1", "l2")}
+           |SELECT node, label FROM l2 ORDER BY node""".stripMargin)
+    }),
     Q("q233_bfs_hops", q233, {
       def step(prev: String, cur: String): String =
         s"""$cur AS (SELECT node, min(dist) AS dist FROM (

@@ -388,7 +388,80 @@ object Reshape extends QueryPack {
       (abs(z) > 1.959964).as("significant"))
   }
 
+  /** q242: Welch's unequal-variance t-test — the parametric companion to
+    * the nonparametric drift suite (q220 KS, q221 chi-square, q227
+    * Mann–Whitney): does mean click value differ from mean view value,
+    * per user cohort (user_id mod 4)? One scan, one (cohort)-keyed
+    * aggregation carrying exact DECIMAL power sums (n, Σx, Σx² at
+    * scale-2/scale-4 — associative, partial-aggregable, engine-exact);
+    * means, variances, t and the Welch–Satterthwaite df drop to double
+    * only in the final projection, where both engines evaluate the
+    * IDENTICAL expression over identical decimal inputs (q58/q161
+    * discipline). No window, no sort, no second pass — this is the
+    * test you can afford per-segment across a 100 TB fact table. */
+  private def q242(s: SparkSession, dir: String): DataFrame = {
+    def pow(t: String, suffix: String) = Seq(
+      sum(when(col("event_type") === t, lit(1L)).otherwise(lit(0L)))
+        .as(s"n$suffix"),
+      sum(when(col("event_type") === t,
+        col("value").cast("decimal(18,2)")).otherwise(lit(null)))
+        .as(s"s$suffix"),
+      sum(when(col("event_type") === t,
+        (col("value").cast("decimal(18,2)") *
+          col("value").cast("decimal(18,2)")).cast("decimal(38,4)"))
+        .otherwise(lit(null))).as(s"ss$suffix"))
+    val sums = pow("click", "1") ++ pow("view", "2")
+    val agg = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(pmod(col("user_id"), lit(4)).as("cohort"))
+      .agg(sums.head, sums.tail: _*)
+    def m(i: Int) = col(s"s$i").cast("double") / col(s"n$i")
+    def v(i: Int) = (col(s"ss$i").cast("double") -
+      col(s"n$i") * m(i) * m(i)) / (col(s"n$i") - 1)
+    val se1 = v(1) / col("n1")
+    val se2 = v(2) / col("n2")
+    val t = (m(1) - m(2)) / sqrt(se1 + se2)
+    val df = (se1 + se2) * (se1 + se2) /
+      (se1 * se1 / (col("n1") - 1) + se2 * se2 / (col("n2") - 1))
+    agg.select(col("cohort"), col("n1"), col("n2"),
+        round(m(1), 6).as("mean1"), round(m(2), 6).as("mean2"),
+        round(t, 6).as("t_stat"), round(df, 3).as("df"),
+        (abs(t) > 1.96).as("significant"))
+      .orderBy("cohort")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q242_welch_ttest", q242, Some(
+      """WITH a AS (SELECT user_id % 4 AS cohort,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN event_type = 'click'
+        |        THEN CAST(value AS DECIMAL(18,2)) END) AS s1,
+        |    sum(CASE WHEN event_type = 'click'
+        |        THEN CAST(CAST(value AS DECIMAL(18,2)) *
+        |                  CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))
+        |        END) AS ss1,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n2,
+        |    sum(CASE WHEN event_type = 'view'
+        |        THEN CAST(value AS DECIMAL(18,2)) END) AS s2,
+        |    sum(CASE WHEN event_type = 'view'
+        |        THEN CAST(CAST(value AS DECIMAL(18,2)) *
+        |                  CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))
+        |        END) AS ss2
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+        |x AS (SELECT cohort, n1, n2,
+        |    CAST(s1 AS DOUBLE) / n1 AS m1, CAST(s2 AS DOUBLE) / n2 AS m2,
+        |    (CAST(ss1 AS DOUBLE) - n1 * (CAST(s1 AS DOUBLE) / n1) *
+        |      (CAST(s1 AS DOUBLE) / n1)) / (n1 - 1) / n1 AS se1,
+        |    (CAST(ss2 AS DOUBLE) - n2 * (CAST(s2 AS DOUBLE) / n2) *
+        |      (CAST(s2 AS DOUBLE) / n2)) / (n2 - 1) / n2 AS se2
+        |  FROM a)
+        |SELECT cohort, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  round(m1, 6) AS mean1, round(m2, 6) AS mean2,
+        |  round((m1 - m2) / sqrt(se1 + se2), 6) AS t_stat,
+        |  round((se1 + se2) * (se1 + se2) /
+        |    (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1)), 3) AS df,
+        |  abs((m1 - m2) / sqrt(se1 + se2)) > 1.96 AS significant
+        |FROM x ORDER BY cohort""".stripMargin)),
     Q("q227_mann_whitney", q227, Some(
       """WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS vc,
         |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n1c,

@@ -472,6 +472,96 @@ object StreamingQueries extends QueryPack {
     outDf
   }
 
+  /** q240: CHAINED stateful operators in one streaming query — a
+    * watermarked stream-stream join whose output feeds a downstream
+    * event-time window aggregation (Spark 4 multi-stateful support;
+    * before 3.4 this exact pipeline was rejected at analysis). The
+    * capability under test is WATERMARK PROPAGATION: the aggregation's
+    * watermark must be derived through the join (input watermark minus
+    * the join's own event-time lag) so late-ness is judged correctly at
+    * the second state store — one query, one checkpoint, exactly-once
+    * across BOTH state stores, vs. the two-query-plus-intermediate-sink
+    * workaround that loses atomicity.
+    *
+    * Drain discipline: join matches emit within their data batch, but
+    * the window agg in append mode only emits once the PROPAGATED
+    * watermark passes a window's end — the q173 two-sentinel +
+    * trivial-flush pattern (each side's watermark operator advances
+    * only on rows its event_type filter passes). The same-instant
+    * sentinel pair does join, but its far-future window never
+    * finalizes, so it stays in state and never reaches the sink;
+    * outputs are additionally bounded to real corpus windows. State at
+    * scale: join side ∝ rate × (delay + range), agg side ∝ open
+    * windows — both watermark-bounded, never history-bounded. */
+  private def q240(s: SparkSession, dir: String): DataFrame = {
+    val shards = dumpDayShards(s, dir, "events_stream_days_upsert")
+    val schema = dayShardSchema("events_stream_days_upsert")
+    def side(eventType: String, prefix: String) = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "15")
+      .parquet(shards)
+      .filter(col("event_type") === eventType && pmod(col("user_id"), lit(2)) === 0)
+      .select(col("user_id").as(s"${prefix}_user"),
+        expr("timestamp_micros(us)").as(s"${prefix}_ts"),
+        col("event_id").as(s"${prefix}_id"))
+      .withWatermark(s"${prefix}_ts", "2 hours")
+    val joined = side("purchase", "p").join(side("click", "c"),
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+    val agg = joined
+      .withColumn("gap_us", unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+      .groupBy(window(col("p_ts"), "1 day"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("gap_us")).as("sum_gap_us"))
+      .select(unix_micros(col("window.start")).as("ws_us"),
+        col("n_pairs"), col("sum_gap_us"))
+    val name = "graft_q240_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = withConfs(s,
+      "spark.sql.shuffle.partitions" -> "2",
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
+      agg.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    }
+    val maxUs = eventsMaxUs(s, dir)
+    val flushUs = maxUs + 42L * 86400L * 1000000L
+    val flush2Us = flushUs + 86400L * 1000000L
+    def dayOf(us: Long): String = java.time.Instant
+      .ofEpochSecond(us / 1000000L).atZone(java.time.ZoneOffset.UTC)
+      .toLocalDate.toString
+    val flushDay = dayOf(flushUs)
+    val flush2Day = dayOf(flush2Us)
+    val outDf =
+      try {
+        try {
+          query.processAllAvailable()
+          s.createDataFrame(java.util.Arrays.asList(
+              org.apache.spark.sql.Row(-2L, -1L, "purchase", 0.0, flushUs, flushDay),
+              org.apache.spark.sql.Row(-2L, -2L, "click", 0.0, flushUs, flushDay)),
+            schema)
+            .write.mode("append").partitionBy("day").parquet(shards)
+          query.processAllAvailable()
+          // finalized windows evict a batch after the watermark moves —
+          // force that REAL batch with a row both sides filter out
+          s.createDataFrame(java.util.Arrays.asList(
+              org.apache.spark.sql.Row(-3L, -3L, "flush", 0.0, flush2Us, flush2Day)),
+            schema)
+            .write.mode("append").partitionBy("day").parquet(shards)
+          query.processAllAvailable()
+          recordBatchId("q240", query)
+        } finally query.stop()
+        val result = s.table(name)
+          .filter(col("ws_us") <= maxUs) // real corpus windows only
+          .orderBy("ws_us")
+        val rows = result.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+      } finally rmrfAll(s,
+        Seq(flushDay, flush2Day).distinct.map(d => s"$shards/day=$d"): _*)
+    s.catalog.dropTempView(name)
+    outDf
+  }
+
   /** q191: stream-stream FULL OUTER join — completes the streaming join
     * matrix (q84 inner, q173 left outer): clicks with no purchase in
     * the hour AFTER them must also emit, null-padded on the purchase
@@ -1567,6 +1657,17 @@ object StreamingQueries extends QueryPack {
     // watermark (pushed past every real join window by the sentinels)
     // closes all real purchases, so matched + null-padded rows together
     // equal batch semantics exactly.
+    Q("q240_chained_stateful", q240, Some(
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS us FROM events
+        |           WHERE event_type = 'purchase' AND user_id % 2 = 0),
+        |c AS (SELECT user_id, epoch_us(ts) AS us FROM events
+        |      WHERE event_type = 'click' AND user_id % 2 = 0),
+        |j AS (SELECT p.us AS p_us, p.us - c.us AS gap_us
+        |      FROM p JOIN c ON p.user_id = c.user_id
+        |        AND c.us >= p.us - 3600000000 AND c.us <= p.us)
+        |SELECT (p_us // 86400000000) * 86400000000 AS ws_us,
+        |  count(*) AS n_pairs, CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q173_stream_outer_join", q173, Some(
       """WITH p AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events
         |           WHERE event_type = 'purchase' AND user_id % 2 = 0),

@@ -22,6 +22,7 @@ class MultiBatchSpec extends AnyFunSuite {
     "q118" -> "q118_stream_upsert_sink",
     "q125" -> "q125_transform_with_state",
     "q173" -> "q173_stream_outer_join",
+    "q240" -> "q240_chained_stateful",
     "q191" -> "q191_stream_full_outer",
     "q175" -> "q175_stream_restart",
     "q176" -> "q176_trigger_available_now",
