@@ -32,6 +32,53 @@ object AdvancedAggs extends QueryPack {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** One (priceCents, orderkey) candidate for [[Top3ByPrice]]. */
+  case class TopEntry(p: Long, k: Long)
+  /** Bounded top-k buffer (k entries, ordered). A case class rather than
+    * a bare Seq so `Encoders.product` covers both buffer and output. */
+  case class TopBuf(es: Seq[TopEntry])
+
+  /** Bounded per-key TOP-K as a typed Aggregator: the buffer is a
+    * k-element ordered list (largest price first, orderkey ties
+    * ascending), so reduce/merge are O(k) and the shuffle carries k
+    * entries per key — never the key's full history. This is the
+    * scale-correct alternative to the row_number() window for "top 3
+    * per customer": the window SORTS EVERY GROUP'S ROWS (full data
+    * sort on the exchange) where the heap aggregates map-side and
+    * ships only survivors. Exact cents keep the ordering engine-neutral. */
+  object Top3ByPrice extends Aggregator[TopEntry, TopBuf, TopBuf] {
+    private val K = 3
+    private val ord: Ordering[TopEntry] =
+      Ordering.by((e: TopEntry) => (-e.p, e.k))
+    override def zero: TopBuf = TopBuf(Nil)
+    override def reduce(b: TopBuf, a: TopEntry): TopBuf =
+      TopBuf((a +: b.es).sorted(ord).take(K))
+    override def merge(x: TopBuf, y: TopBuf): TopBuf =
+      TopBuf((x.es ++ y.es).sorted(ord).take(K))
+    override def finish(b: TopBuf): TopBuf = b
+    override def bufferEncoder: Encoder[TopBuf] = Encoders.product[TopBuf]
+    override def outputEncoder: Encoder[TopBuf] = Encoders.product[TopBuf]
+  }
+
+  /** q243: top-3 orders per customer via the bounded [[Top3ByPrice]]
+    * aggregator — shuffle volume O(k·|keys|) with map-side combine,
+    * vs the oracle's row_number() window that sorts every customer's
+    * full order history on the exchange. The udaf registration path is
+    * the q179 machinery; `posexplode` flattens the k-list back to
+    * ranked rows. */
+  private def q243(s: SparkSession, dir: String): DataFrame = {
+    val top = udaf(Top3ByPrice)
+    Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(top(round(col("o_totalprice") * 100).cast("long"),
+        col("o_orderkey")).as("t"))
+      .select(col("o_custkey"), posexplode(col("t.es")))
+      .select(col("o_custkey"), (col("pos") + 1).as("rnk"),
+        col("col.k").as("o_orderkey"),
+        round(col("col.p") / 100.0, 2).as("price"))
+      .orderBy("o_custkey", "rnk")
+  }
+
   /** q38: typed Aggregator — average quantity per return flag. */
   private def q38(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -467,6 +514,17 @@ object AdvancedAggs extends QueryPack {
   }
 
   override def queries: Seq[Q] = Seq(
+    Q("q243_topk_aggregator", q243, Some(
+      """WITH r AS (SELECT o_custkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+        |               o_orderkey) AS rnk
+        |  FROM orders)
+        |SELECT o_custkey, rnk, o_orderkey,
+        |  round(cents / 100.0, 2) AS price
+        |FROM r WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin)),
     Q("q236_listagg", q236, Some(
       """WITH pc AS (SELECT o_orderstatus AS status,
         |    o_orderpriority AS priority, count(*) AS n

@@ -711,7 +711,57 @@ object FileIO extends QueryPack {
       .select("n_rows", "price_sum", "n_files", "ranges_disjoint")
   }
 
+  /** q247: custom DataSource V2 scan with pushdown —
+    * [[graft.sources.TsvSourceProvider]] reads the reference's TSV
+    * dialect (mapreduce.py:91-99 splits on `\t`, picks fields by index)
+    * as a first-class Spark source: the planner pushes the projection
+    * and the eligible predicates INTO the reader, so unused columns are
+    * never parsed and rejected rows are dropped before row assembly —
+    * vs the q74/q75 text front doors, where every line is fully split
+    * inside the user lambda. Gate: a 6-column TSV dump of events (8
+    * shards → 8 input partitions), queried through the source with a
+    * type filter + a user band + a 2-column projection; PlanSpec pins
+    * the plan to `GraftTsvScan` with the filters in PushedFilters and a
+    * pruned ReadSchema. The oracle computes the same aggregate from the
+    * parquet table. */
+  private def q247(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "events_tsv_dsv2")
+    if (layoutSource.get(out) != dir) {
+      // text writer, not the csv one: TSV-with-no-quoting is the
+      // reference's dialect, and the csv writer would quote-wrap any
+      // field containing '"' (props is JSON). concat_ws would silently
+      // DROP a null field and shift every later column, so each field
+      // is null-coalesced explicitly.
+      Tables.events(s, dir)
+        .select(concat_ws("\t",
+          col("event_id"), unix_micros(col("ts")),
+          col("user_id"), coalesce(col("event_type"), lit("")),
+          col("value").cast("decimal(18,2)").cast("string"),
+          coalesce(col("props"), lit(""))).as("value"))
+        .repartition(8)
+        .write.mode("overwrite").text(out)
+      layoutSource.put(out, dir)
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, us BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+    s.read.format(classOf[graft.sources.TsvSourceProvider].getName)
+      .schema(schema)
+      .option("path", out)
+      .load()
+      .filter(col("event_type") === "click" && col("user_id") >= 50)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .orderBy("user_id")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q247_dsv2_pushdown", q247, Some(
+      """SELECT user_id, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events WHERE event_type = 'click' AND user_id >= 50
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q209_sorted_export", q209, Some(
       """SELECT count(*) AS n_rows,
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)

@@ -516,7 +516,51 @@ object ScaleOps extends QueryPack {
       .orderBy("rn")
   }
 
+  /** q244: shuffle-skew FORECAST — before repartitioning 100 TB on a
+    * candidate key, measure what each of R prospective reducers would
+    * receive: per-bucket load, load ratio vs the uniform ideal, and the
+    * hottest bucket(s). One count shuffle over the bucketed key (the
+    * diagnostic costs R-bounded output, not a dry-run of the real
+    * shuffle); the grand total re-enters as a 1-row broadcast. The
+    * bucket hash is the repo's engine-neutral rolling hash, NOT Spark's
+    * Murmur3 — the point is a deterministic, oracle-checkable loadmap
+    * of an ARBITRARY hash family, and the skew verdict (ratio spread)
+    * is hash-agnostic. Companion to q105 (CMS heavy hitters find the
+    * keys; this prices the partitioning) and q110 (the salted fix). */
+  private def q244(s: SparkSession, dir: String): DataFrame = {
+    val R = 32
+    val bucket = pmod(graft.functions.Exact.rollingHash(
+      transform(regexp_extract_all(
+        concat_ws("|", lit("skew"), col("o_custkey")), lit("."), lit(0)),
+        c => ascii(c).cast("long"))), lit(R.toLong))
+    val loads = Tables.orders(s, dir)
+      .select(bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("bucket_load"))
+    val tot = loads.agg(sum(col("bucket_load")).as("total"),
+      max(col("bucket_load")).as("max_load"))
+    loads.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("bucket_load"),
+        round(col("bucket_load") * R / col("total").cast("double"), 6)
+          .as("load_ratio"),
+        (col("bucket_load") === col("max_load")).as("is_hottest"))
+      .orderBy("bucket")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q244_skew_forecast", q244, Some(
+      """WITH k AS (SELECT list_reduce(list_prepend(0, list_transform(
+        |      regexp_extract_all('skew|' || o_custkey, '.'),
+        |      x -> CAST(ascii(x) AS BIGINT))),
+        |    (a, v) -> (a * 31 + v) % 1000000000000000) % 32 AS bucket
+        |  FROM orders),
+        |l AS (SELECT bucket, count(*) AS bucket_load FROM k GROUP BY 1),
+        |t AS (SELECT CAST(sum(bucket_load) AS BIGINT) AS total,
+        |    max(bucket_load) AS max_load FROM l)
+        |SELECT bucket, bucket_load,
+        |  round(bucket_load * 32 / CAST(total AS DOUBLE), 6) AS load_ratio,
+        |  bucket_load = max_load AS is_hottest
+        |FROM l, t ORDER BY bucket""".stripMargin)),
     Q("q225_pareto_skyline", q225, Some(
       """WITH p AS (SELECT o_custkey AS custkey,
         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

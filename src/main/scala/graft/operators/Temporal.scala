@@ -618,7 +618,179 @@ object Temporal extends QueryPack {
       .orderBy("day")
   }
 
+  /** q245: time-weighted average (TWAP) over irregular ticks — the
+    * correct "average value" when observations arrive unevenly: each
+    * reading holds until the NEXT one, so it is weighted by its dwell
+    * time (the last reading of a day holds to day end). One window
+    * exchange on (series, day) supplies lead(); the weighted sums are
+    * exact DECIMAL cents × integer microseconds, so both engines add
+    * identical integers and the single double division happens once at
+    * the edge. The plain AVG — which a naive pipeline would compute —
+    * is emitted alongside so the gate also demonstrates WHY the
+    * distinction matters (they differ whenever value correlates with
+    * arrival gaps). */
+  private def q245(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val w = Window.partitionBy("event_type", "day").orderBy("us", "event_id")
+    Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .withColumn("day", (col("us") / dayUs).cast("long"))
+      .withColumn("dwell",
+        coalesce(lead(col("us"), 1).over(w), (col("day") + 1) * dayUs) -
+          col("us"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_ticks"),
+        round((sum(col("v") * col("dwell")).cast("double") /
+          sum(col("dwell"))), 6).as("twap"),
+        // exact decimal sum over the count — never a double-accumulated
+        // avg(), whose partial-sum order differs per engine
+        round(sum(col("v")).cast("double") / count(lit(1)), 6)
+          .as("naive_avg"))
+      .orderBy("event_type", "day")
+  }
+
+  /** q246: first-order Markov transition matrix over each user's
+    * event-type sequence — P(next | current) estimated from ordered
+    * per-user streams, the building block of next-action models and
+    * session-anomaly scoring. One window exchange on user_id supplies
+    * lead(); counting then collapses to the (cur, next) frame (≤
+    * |types|² rows), where the row-conditional normalization runs as a
+    * window over that TINY frame — the corpus is never re-shuffled.
+    * Last events (no successor) drop out identically on both engines. */
+  private def q246(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val wCur = Window.partitionBy("cur")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("next", lead(col("event_type"), 1).over(w))
+      .filter(col("next").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("next"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round(col("n") / sum(col("n")).over(wCur).cast("double"), 6))
+      .orderBy("cur", "next")
+  }
+
+  /** q248: the BATCH spelling of `session_window` — the same built-in
+    * that powers the streaming gate (q177) also runs in plain groupBy,
+    * and pinning it against the oracle's explicit gaps-and-islands SQL
+    * proves the engine's session semantics (window end = last event +
+    * gap; same-timestamp events never split) match the hand-rolled
+    * q37/q143 machinery. Plans as one exchange on user_id + the
+    * session-merging aggregate — no self-join, no second pass. */
+  private def q248(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("ss_us"),
+        unix_micros(col("session_window.end")).as("se_us"),
+        col("n_events"))
+      .orderBy("user_id", "ss_us")
+  }
+
+  /** q249: FORWARD as-of join with a tolerance band — each event picks
+    * the NEXT order of the same customer (earliest o_orderdate ≥ ts),
+    * but only if it lands within 7 days; otherwise NULL. Completes the
+    * as-of matrix next to q35 (backward, unbounded): direction and
+    * tolerance are the two knobs of a feature-store/fill lookup
+    * (pandas merge_asof's `direction`/`tolerance`). Same union-window
+    * shape as q232 — one shuffle on the key, scan DESCENDING so
+    * `last(ignoreNulls)` always holds the EARLIEST qualifying order
+    * (min (o_us, orderkey) among those ≥ the event; dim rows sort
+    * before facts at equal instants so equality matches) — never the
+    * versions×facts equi-join blowup. The tolerance is applied to the
+    * matched candidate afterwards, which is equivalent: any order
+    * inside the band is earlier than one beyond it. */
+  private def q249(s: SparkSession, dir: String): DataFrame = {
+    val tolUs = 7L * 86400L * 1000000L
+    val dim = Tables.orders(s, dir)
+      .select(col("o_custkey").as("user_id"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us"),
+        lit(0).as("kind"), col("o_orderkey").as("ok"),
+        lit(null).cast("long").as("event_id"))
+    val fact = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        lit(1).as("kind"), col("event_id").as("ok"), col("event_id"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").desc, col("kind"), col("ok").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dim.unionByName(fact)
+      .withColumn("cand_ok",
+        last(when(col("kind") === 0, col("ok")), ignoreNulls = true).over(w))
+      .withColumn("cand_us",
+        last(when(col("kind") === 0, col("us")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"),
+        when(col("cand_us") - col("us") <= tolUs, col("cand_ok"))
+          .otherwise(lit(null)).as("next_orderkey"),
+        when(col("cand_us") - col("us") <= tolUs, col("cand_us") - col("us"))
+          .otherwise(lit(null)).as("wait_us"))
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("next_orderkey"), lit(-1L)).as("next_orderkey"),
+        coalesce(col("wait_us"), lit(-1L)).as("wait_us"))
+      .orderBy("event_id")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q248_batch_session_window", q248, Some(
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT user_id, us,
+        |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |           IS NULL
+        |         OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |           > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |g AS (SELECT user_id, us,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, min(us) AS ss_us,
+        |  max(us) + 1800000000 AS se_us, count(*) AS n_events
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, ss_us""".stripMargin)),
+    Q("q249_asof_tolerance", q249, Some(
+      """WITH o AS (SELECT o_custkey AS user_id,
+        |    epoch_us(o_orderdate) AS o_us, o_orderkey FROM orders),
+        |f AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+        |j AS (SELECT f.event_id, o.o_us, o.o_orderkey, f.us,
+        |    row_number() OVER (PARTITION BY f.event_id
+        |      ORDER BY o.o_us, o.o_orderkey) AS rn
+        |  FROM f JOIN o ON f.user_id = o.user_id
+        |    AND o.o_us >= f.us AND o.o_us <= f.us + 604800000000)
+        |SELECT f.event_id, f.user_id,
+        |  coalesce(j.o_orderkey, -1) AS next_orderkey,
+        |  coalesce(j.o_us - j.us, -1) AS wait_us
+        |FROM f LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+        |  ON f.event_id = j.event_id
+        |ORDER BY f.event_id""".stripMargin)),
+    Q("q245_twap", q245, Some(
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us,
+        |    CAST(value AS DECIMAL(18,2)) AS v,
+        |    epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |d AS (SELECT event_type, day, v,
+        |    coalesce(lead(us) OVER (PARTITION BY event_type, day
+        |        ORDER BY us, event_id),
+        |      (day + 1) * 86400000000) - us AS dwell
+        |  FROM e)
+        |SELECT event_type, day, count(*) AS n_ticks,
+        |  round(CAST(sum(v * dwell) AS DOUBLE) / sum(dwell), 6) AS twap,
+        |  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS naive_avg
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    Q("q246_markov_transitions", q246, Some(
+      """WITH t AS (SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS next
+        |  FROM events),
+        |c AS (SELECT cur, next, count(*) AS n FROM t
+        |  WHERE next IS NOT NULL GROUP BY 1, 2)
+        |SELECT cur, next, n,
+        |  round(n / CAST(sum(n) OVER (PARTITION BY cur) AS DOUBLE), 6) AS p
+        |FROM c ORDER BY cur, next""".stripMargin)),
     Q("q232_pit_join", q232, Some(
       """WITH d AS (SELECT o_custkey AS user_id,
         |    epoch_us(o_orderdate) AS vf, o_orderkey AS ok,

@@ -175,6 +175,28 @@ class PlanSpec extends AnyFunSuite {
       s"q235 must stay map-only up to the output sort:\n$p")
   }
 
+  test("q243 bounded top-k aggregates without a window sort (shuffle carries k per key)") {
+    val p = executedPlan("q243_topk_aggregator")
+    assert(!p.contains("Window"), s"q243 must not plan a window sort:\n$p")
+    assert(p.contains("partial_top3byprice") || p.contains("ObjectHashAggregate"),
+      s"q243 must partial-aggregate the bounded heap map-side:\n$p")
+  }
+
+  test("q247 DSv2 source receives the pushed filters and a pruned read schema") {
+    // string-match the executed plan: under AQE the BatchScanExec sits
+    // inside AdaptiveSparkPlanExec's private current plan, which a
+    // plain collect() does not traverse — toString renders it all
+    val d = SparkEntry.queries("q247_dsv2_pushdown")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(d.contains("BatchScan graft_tsv"), s"q247 must plan a DSv2 BatchScan:\n$d")
+    assert(d.contains("GraftTsvScan"), s"expected the graft TSV scan:\n$d")
+    assert(d.contains("EqualTo(event_type,click)") &&
+      d.contains("GreaterThanOrEqual(user_id,50)"),
+      s"q247 predicates must reach the source as PushedFilters:\n$d")
+    assert(d.contains("ReadSchema: struct<user_id:bigint,value:double>"),
+      s"q247 read schema must prune to the two projected columns:\n$d")
+  }
+
   test("NO query plans a cartesian / nested-loop join (bounded-broadcast baselines exempt)") {
     // Repo-wide scale pin: every join must be an equi-join (hash/sort) —
     // a CartesianProduct or BroadcastNestedLoopJoin node anywhere else is
@@ -240,7 +262,9 @@ class PlanSpec extends AnyFunSuite {
       // q234 — stickiness: the 1-row (min,max) day-bounds broadcast
       //        trimming partial windows (q69 pattern); DAU/WAU joins
       //        are equi on day.
-      "q234_stickiness")
+      // q244 — skew forecast: the 1-row (total, max) broadcast re-enters
+      //        the R-row loadmap (q69 pattern); no data-sized join at all.
+      "q234_stickiness", "q244_skew_forecast")
     // Streaming queries execute a full drain in fn() and return a
     // collected local frame whose "plan" pins nothing; their batch-side
     // shapes are pinned by their own specs — skip the expensive drains.
