@@ -124,6 +124,28 @@ object ScalarFunctions extends QueryPack {
         expr("try_variant_get(v, '$.absent', 'string')").as("absent"))
       .orderBy("event_id")
 
+  /** q251: `variant_explode` — the GENERATOR half of the VARIANT
+    * surface (q104 gates typed point extraction; this enumerates every
+    * top-level field of a semi-structured value without knowing its
+    * schema). The lateral generator fans each row into its (key, value)
+    * entries, then a plain aggregate summarizes per key — the
+    * schema-on-read audit ("what keys exist in this JSON column, how
+    * often, what do the numeric ones sum to") that runs before anyone
+    * writes an extraction schema. Values cross out of VARIANT via
+    * to_json (engine-neutral scalar text: numbers print canonically),
+    * and the numeric leg re-parses under try_cast so non-numeric keys
+    * aggregate as NULL instead of failing the scan. */
+  private def q251(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("graft_events251")
+    s.sql(
+      """SELECT t.key,
+        |  count(*) AS n,
+        |  sum(try_cast(to_json(t.value) AS BIGINT)) AS sum_v
+        |FROM graft_events251,
+        |  LATERAL variant_explode(parse_json(props)) AS t
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** CASE/WHEN bucketing + conditional aggregation. */
   private def q34(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -325,6 +347,15 @@ object ScalarFunctions extends QueryPack {
   }
 
   override def queries: Seq[Q] = Seq(
+    // oracle: DuckDB's json extension is not loadable offline, so the
+    // fixtures' single-key props are re-derived by regex — same rows
+    Q("q251_variant_explode", q251, Some(
+      """WITH kv AS (SELECT
+        |    regexp_extract(props, '"([^"]+)" *:', 1) AS key,
+        |    CAST(regexp_extract(props, ': *(-?[0-9]+)', 1) AS BIGINT) AS v
+        |  FROM events)
+        |SELECT key, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v
+        |FROM kv GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q229_nfc_normalize", q229, Some(
       """WITH r AS (SELECT doc_id,
         |    substr(text, 1, 40) || ' ' ||

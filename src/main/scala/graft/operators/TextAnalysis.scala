@@ -35,6 +35,37 @@ object TextAnalysis extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** q250: quality-CLASSIFIER inference at scan speed — the apply side
+    * of the fastText/logistic quality models every curation pipeline
+    * runs over its full corpus (q50 is the hand-tuned heuristic; this
+    * is "trained weights arrive as constants, score 100 TB in one
+    * map-only pass"). Features are the q50 set ROUNDED TO 4 first, so
+    * both engines feed bit-identical doubles into the identical
+    * left-associated linear form; the sigmoid's exp() is the one
+    * libm-sensitive op (same accepted class as q153's ln), rounded
+    * once at the edge. Calibration bucket comes from the ROUNDED
+    * score, so the bucketing is integer-exact. No shuffle anywhere
+    * before the presentation sort. */
+  private def q250(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val sr = round(size(filter(toks, t => t.isInCollection(enStop)))
+      .cast("double") / nTok, 4)
+    val pr = round(length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+      .cast("double") / length(col("text")), 4)
+    val mtl = round(aggregate(transform(toks, t => length(t)), lit(0),
+      (acc, x) => acc + x).cast("double") / nTok, 4)
+    val lnorm = least(nTok, lit(100)).cast("double") / 100
+    val z = lit(-1.2) + lit(3.0) * sr - lit(4.0) * pr +
+      lit(0.15) * mtl + lit(2.0) * lnorm
+    val score = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), score.as("score"),
+        (score >= 0.5).as("keep"),
+        floor(score * 10).cast("int").as("calib_bucket"))
+      .orderBy("doc_id")
+  }
+
   private val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "to"),
     "es" -> Seq("el", "la", "de", "que", "y"),
@@ -708,6 +739,26 @@ object TextAnalysis extends QueryPack {
   }
 
   override def queries: Seq[Q] = Seq(
+    Q("q250_quality_inference", q250, Some(
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w
+         |  FROM documents),
+         |f AS (SELECT doc_id,
+         |    round(len(list_filter(w, t -> list_contains(
+         |      ${sqlList(enStop)}, t))) * 1.0 / len(w), 4) AS sr,
+         |    round(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+         |      * 1.0 / length(text), 4) AS pr,
+         |    round(list_sum(list_transform(w, t -> length(t)))
+         |      * 1.0 / len(w), 4) AS mtl,
+         |    least(len(w), 100) / 100.0 AS ln
+         |  FROM t),
+         |z AS (SELECT doc_id,
+         |    -1.2 + 3.0 * sr - 4.0 * pr + 0.15 * mtl + 2.0 * ln AS z
+         |  FROM f)
+         |SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS score,
+         |  round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep,
+         |  CAST(floor(round(1.0 / (1.0 + exp(-z)), 6) * 10) AS INT)
+         |    AS calib_bucket
+         |FROM z ORDER BY doc_id""".stripMargin)),
     Q("q214_vocab_coverage", q214, Some(
       """WITH c AS (SELECT tok, count(*) AS n FROM (
         |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
