@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Contract tests for the DSv2 TSV source (q247's engine): value
+  * fidelity against Spark's own csv reader, null semantics for empty
+  * fields, pushdown-vs-residual routing, and quote transparency (a TSV
+  * field containing '"' must pass through byte-exact — the csv reader
+  * needs quote gymnastics for that; the TSV dialect has none). */
+class TsvSourceSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+
+  private val schema = StructType.fromDDL(
+    "id BIGINT, name STRING, score DOUBLE, note STRING")
+
+  private def writeTsv(lines: Seq[String]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsv_spec").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-00000.txt"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    dir
+  }
+
+  private def readTsv(dir: String) =
+    spark.read.format(classOf[TsvSourceProvider].getName)
+      .schema(schema).option("path", dir).load()
+
+  test("values round-trip byte-exact, including embedded quotes and empty→NULL") {
+    val dir = writeTsv(Seq(
+      "1\talice\t2.50\tplain",
+      "2\tbob\t-0.75\thas \"quotes\" inside",
+      "3\t\t1.00\t",          // empty name and note → NULL
+      "4\tdora\t3.25"))        // short row: missing trailing field → NULL
+    val rows = readTsv(dir).orderBy("id").collect()
+    assert(rows.length == 4)
+    assert(rows(1).getString(3) == "has \"quotes\" inside")
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(3))
+    assert(rows(3).isNullAt(3))
+    assert(rows(0).getDouble(2) == 2.50 && rows(1).getDouble(2) == -0.75)
+  }
+
+  test("numeric range + string equality push down; the scan result matches an unpushed baseline") {
+    val dir = writeTsv((1 to 50).map(i =>
+      s"$i\tn$i\t${i % 7}.25\t${if (i % 2 == 0) "even" else "odd"}"))
+    val pushed = readTsv(dir)
+      .filter(col("id") >= 10 && col("id") < 20 && col("note") === "even")
+      .select(col("id"), col("score"))
+    val plan = pushed.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(id,10)") &&
+      plan.contains("LessThan(id,20)") && plan.contains("EqualTo(note,even)"),
+      s"expected all three predicates in PushedFilters:\n$plan")
+    val baseline = spark.read.schema(schema).option("sep", "\t")
+      .csv(dir + "/part-00000.txt")
+      .filter(col("id") >= 10 && col("id") < 20 && col("note") === "even")
+      .select(col("id"), col("score"))
+    assert(pushed.orderBy("id").collect().toSeq ==
+      baseline.orderBy("id").collect().toSeq)
+  }
+
+  test("string RANGE predicates are declined (residual Filter stays in the plan) yet results stay correct") {
+    val dir = writeTsv(Seq("1\tapple\t1.0\tx", "2\tbanana\t2.0\ty",
+      "3\tcherry\t3.0\tz"))
+    val df = readTsv(dir).filter(col("name") > "avocado").select("id", "name")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("GreaterThan(name,avocado)") ||
+      plan.contains("Filter"),
+      s"string range must not be trusted to the source alone:\n$plan")
+    // the residual Filter node must exist (Spark evaluates it)
+    assert(plan.contains("Filter"), s"expected a residual Spark Filter:\n$plan")
+    assert(df.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("banana", "cherry"))
+  }
+
+  test("column pruning: projecting one column still parses filter columns only as needed") {
+    val dir = writeTsv(Seq("1\ta\t1.5\tn1", "2\tb\tnot_a_number\tn2"))
+    // score is malformed on row 2, but a projection that never touches
+    // score must not fail — proof the reader skips unparsed columns
+    val names = readTsv(dir).select("name").orderBy("name")
+      .collect().map(_.getString(0)).toSeq
+    assert(names == Seq("a", "b"))
+  }
+}
