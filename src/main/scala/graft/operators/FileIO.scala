@@ -736,7 +736,7 @@ object FileIO extends QueryPack {
         .select(concat_ws("\t",
           col("event_id"), unix_micros(col("ts")),
           col("user_id"), coalesce(col("event_type"), lit("")),
-          col("value").cast("decimal(18,2)").cast("string"),
+          coalesce(col("value").cast("decimal(18,2)").cast("string"), lit("")),
           coalesce(col("props"), lit(""))).as("value"))
         .repartition(8)
         .write.mode("overwrite").text(out)

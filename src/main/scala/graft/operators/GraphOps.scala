@@ -183,16 +183,43 @@ object GraphOps extends QueryPack {
     * settled set is re-checkpointed per round to keep the anti-join's
     * lineage O(1). Monotone layering makes min-merge ≡ first-reach,
     * which is what the oracle's explicit 3-level min formulation pins. */
+  /** UNDIRECTED trade graph (both orientations of q115's supplier ↔
+    * customer edges), distinct'd, hash-partitioned on `src` and
+    * checkpointed ONCE PER PROCESS per source dir — q233 (BFS) and
+    * q239 (label propagation) iterate over the identical frame, so a
+    * shared pinned checkpoint (the Dedup shingle-cache pattern,
+    * including its live-context validation: blocks are context-owned,
+    * a stopped-and-recreated context means they are gone) halves the
+    * graph pack's build cost and makes edge-derivation drift between
+    * the two queries impossible. */
+  private val undirectedEdgesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def sameLiveContext(cached: DataFrame, s: SparkSession): Boolean =
+    (cached.sparkSession.sparkContext eq s.sparkContext) &&
+      !cached.sparkSession.sparkContext.isStopped
+  private def undirectedTradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val hit = undirectedEdgesCache.get(dir)
+    if (hit != null && sameLiveContext(hit, s)) hit
+    else undirectedEdgesCache.compute(dir, (_, cached) =>
+      if (cached != null && sameLiveContext(cached, s)) cached
+      else {
+        if (cached != null) graft.PinnedBlocks.release(cached)
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val ord = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"))
+        val fwd = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(concat(lit("s:"), col("l_suppkey")).as("src"),
+            concat(lit("c:"), col("o_custkey")).as("dst"))
+        graft.PinnedBlocks.pinnedCheckpoint(
+          fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+            .distinct()
+            .repartition(col("src")))
+      })
+  }
+
   private def q233(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-    val fwd = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("s:"), col("l_suppkey")).as("src"),
-        concat(lit("c:"), col("o_custkey")).as("dst"))
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .repartition(col("src"))
-      .localCheckpoint(true)
+    val edges = undirectedTradeEdges(s, dir)
     var settled = Tables.supplier(s, dir)
       .filter(col("s_suppkey") % 37 === 0)
       .select(concat(lit("s:"), col("s_suppkey")).as("node"),
@@ -228,15 +255,7 @@ object GraphOps extends QueryPack {
     * min(struct(-count, label)) — an ordinary partial-aggregable
     * aggregate, never a per-node window sort. */
   private def q239(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-    val fwd = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("s:"), col("l_suppkey")).as("src"),
-        concat(lit("c:"), col("o_custkey")).as("dst"))
-    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .repartition(col("src"))
-      .localCheckpoint(true)
+    val edges = undirectedTradeEdges(s, dir)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)

@@ -64,11 +64,21 @@ class TsvSourceSpec extends AnyFunSuite {
       "3\tcherry\t3.0\tz"))
     val df = readTsv(dir).filter(col("name") > "avocado").select("id", "name")
     val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("GreaterThan(name,avocado)") ||
-      plan.contains("Filter"),
-      s"string range must not be trusted to the source alone:\n$plan")
-    // the residual Filter node must exist (Spark evaluates it)
-    assert(plan.contains("Filter"), s"expected a residual Spark Filter:\n$plan")
+    // the DECLINE is the contract: the predicate must NOT appear in the
+    // scan's PushedFilters list (a bare plan.contains("Filter") would be
+    // vacuous — the "PushedFilters:" label itself contains "Filter")
+    val pushedList = plan.linesIterator
+      .filter(_.contains("PushedFilters:")).mkString("\n")
+    assert(pushedList.nonEmpty, s"expected a GraftTsvScan in the plan:\n$plan")
+    assert(!pushedList.contains("GreaterThan(name"),
+      s"string range predicates must stay Spark's (UTF-16 vs UTF8 binary " +
+        s"ordering diverges outside ASCII):\n$pushedList")
+    // and Spark must still apply it: a real FilterExec node evaluates
+    // the residual (collect via the plan tree, not a substring)
+    val hasFilterNode = df.queryExecution.executedPlan.exists {
+      p => p.isInstanceOf[org.apache.spark.sql.execution.FilterExec]
+    }
+    assert(hasFilterNode, s"expected a residual Spark FilterExec:\n$plan")
     assert(df.orderBy("id").collect().map(_.getString(1)).toSeq ==
       Seq("banana", "cherry"))
   }
