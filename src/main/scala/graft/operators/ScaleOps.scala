@@ -547,7 +547,61 @@ object ScaleOps extends QueryPack {
       .orderBy("bucket")
   }
 
+  /** q252: declarative data-quality rule audit — the expectations gate
+    * (Great-Expectations/dbt-test shape) that runs BEFORE a table is
+    * published: a rule set declared as (name, predicate) pairs, audited
+    * in ONE scan via conditional aggregation — per rule: violation
+    * count, rate, and the first offending key (min orderkey, −1 when
+    * clean). The per-rule columns unpivot through `stack` into the
+    * report frame, so cost is one map-side-combined pass over the fact
+    * table regardless of rule count — never a scan per rule — and the
+    * zero-violation path is exercised (domain + positivity rules pass,
+    * range rules fail on real rows). */
+  private def q252(s: SparkSession, dir: String): DataFrame = {
+    val rules: Seq[(String, Column)] = Seq(
+      "qty_in_1_50" -> (col("l_quantity") >= 1 && col("l_quantity") <= 50),
+      "price_positive" -> (col("l_extendedprice") > 0),
+      "discount_le_5pct" -> (col("l_discount") <= 0.05),
+      "tax_le_8pct" -> (col("l_tax") <= 0.08),
+      "returnflag_domain" -> col("l_returnflag").isin("A", "N", "R"))
+    val aggs = rules.flatMap { case (name, ok) =>
+      Seq(sum(when(!ok, lit(1L)).otherwise(lit(0L))).as(s"v_$name"),
+        coalesce(min(when(!ok, col("l_orderkey"))), lit(-1L))
+          .as(s"k_$name"))
+    } :+ count(lit(1)).as("n_rows")
+    val one = Tables.lineitem(s, dir).agg(aggs.head, aggs.tail: _*)
+    val stackExpr = rules.map { case (name, _) =>
+      s"'$name', v_$name, k_$name"
+    }.mkString(s"stack(${rules.size}, ", ", ", ")")
+    one.select(expr(
+        s"$stackExpr AS (rule, n_violations, first_bad_orderkey)"),
+        col("n_rows"))
+      .select(col("rule"), col("n_violations"),
+        round(col("n_violations") / col("n_rows").cast("double"), 6)
+          .as("violation_rate"),
+        col("first_bad_orderkey"))
+      .orderBy("rule")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q252_dq_audit", q252, {
+      def leg(name: String, notOk: String): String =
+        s"""SELECT '$name' AS rule,
+           |  CAST(sum(CASE WHEN $notOk THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_violations,
+           |  round(sum(CASE WHEN $notOk THEN 1 ELSE 0 END)
+           |    / CAST(count(*) AS DOUBLE), 6) AS violation_rate,
+           |  coalesce(min(CASE WHEN $notOk THEN l_orderkey END), -1)
+           |    AS first_bad_orderkey
+           |FROM lineitem""".stripMargin
+      Some(Seq(
+        leg("qty_in_1_50", "NOT (l_quantity >= 1 AND l_quantity <= 50)"),
+        leg("price_positive", "NOT (l_extendedprice > 0)"),
+        leg("discount_le_5pct", "NOT (l_discount <= 0.05)"),
+        leg("tax_le_8pct", "NOT (l_tax <= 0.08)"),
+        leg("returnflag_domain", "l_returnflag NOT IN ('A', 'N', 'R')"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY rule"))
+    }),
     Q("q244_skew_forecast", q244, Some(
       """WITH k AS (SELECT list_reduce(list_prepend(0, list_transform(
         |      regexp_extract_all('skew|' || o_custkey, '.'),

@@ -735,7 +735,76 @@ object Temporal extends QueryPack {
       .orderBy("event_id")
   }
 
+  /** q253: LINEAR interpolation of masked points in a daily series —
+    * the imputation tier above q159's LOCF (step-hold): a missing day
+    * takes the line between its nearest observed neighbors. Every 3rd
+    * day of the per-type daily cent sums is deterministically masked,
+    * interpolated from the surviving points, and compared against the
+    * ACTUAL value it was hiding — so the gate measures interpolation
+    * error rather than assuming the method. One (type)-keyed window
+    * exchange serves both neighbor lookups (prev = last-observed
+    * ignoreNulls over the preceding frame, next = first-observed over
+    * the following frame; day and value pick from the same row because
+    * both are non-null exactly on observed rows). Integer cents until
+    * the single slope division, identically parenthesized on both
+    * engines. */
+  private def q253(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"),
+        (unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum(col("cents")).as("cents"))
+      .withColumn("obs", pmod(col("day"), lit(3)) =!= 0)
+    val wPrev = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val interp = col("pc") +
+      (col("nc") - col("pc")) * (col("day") - col("pd")) /
+        (col("nd") - col("pd"))
+    daily
+      .withColumn("pd", last(when(col("obs"), col("day")), ignoreNulls = true).over(wPrev))
+      .withColumn("pc", last(when(col("obs"), col("cents")), ignoreNulls = true).over(wPrev))
+      .withColumn("nd", first(when(col("obs"), col("day")), ignoreNulls = true).over(wNext))
+      .withColumn("nc", first(when(col("obs"), col("cents")), ignoreNulls = true).over(wNext))
+      .filter(!col("obs") && col("pd").isNotNull && col("nd").isNotNull)
+      .select(col("event_type"), col("day"), col("cents").as("actual_cents"),
+        round(interp, 6).as("interp_cents"),
+        round(abs(col("cents") - interp), 6).as("abs_err"))
+      .orderBy("event_type", "day")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q253_linear_interp", q253, Some(
+      """WITH d AS (SELECT event_type,
+        |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT *, day % 3 <> 0 AS obs FROM d),
+        |n AS (SELECT event_type, day, cents, obs,
+        |    last_value(CASE WHEN obs THEN day END IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pd,
+        |    last_value(CASE WHEN obs THEN cents END IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc,
+        |    first_value(CASE WHEN obs THEN day END IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nd,
+        |    first_value(CASE WHEN obs THEN cents END IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nc
+        |  FROM m)
+        |SELECT event_type, day, cents AS actual_cents,
+        |  round(pc + (nc - pc) * (day - pd) / (nd - pd), 6)
+        |    AS interp_cents,
+        |  round(abs(cents - (pc + (nc - pc) * (day - pd) / (nd - pd))), 6)
+        |    AS abs_err
+        |FROM n
+        |WHERE NOT obs AND pd IS NOT NULL AND nd IS NOT NULL
+        |ORDER BY event_type, day""".stripMargin)),
     Q("q248_batch_session_window", q248, Some(
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
         |m AS (SELECT user_id, us,

@@ -658,6 +658,68 @@ object StreamingQueries extends QueryPack {
     * purchases age out of state silently when the watermark passes).
     * State bounds as q84: each side buffers arrival rate × (delay +
     * range), never history. */
+  /** q254: streaming OBSERVABILITY surface — `StreamingQueryListener`
+    * (the async monitoring bus a production deployment wires to its
+    * metrics system) and `query.recentProgress` (the synchronous
+    * in-process view), gated against each other and against the oracle:
+    * Σ numInputRows over all progress events must equal the exact row
+    * count of the replayed source. The pipeline under observation is a
+    * stateless projection (cheapest possible drain, 2 main batches);
+    * the capability under test is that the metrics REPORT the truth.
+    * Listener delivery is asynchronous, so the gate polls the listener
+    * totals until they match the synchronous recentProgress view
+    * (bounded wait) — the pattern any listener-driven monitor needs. */
+  private def q254(s: SparkSession, dir: String): DataFrame = {
+    val shards = dumpDayShards(s, dir, "events_stream_days_upsert")
+    val schema = dayShardSchema("events_stream_days_upsert")
+    val rows = new java.util.concurrent.atomic.AtomicLong(0)
+    val progresses = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        rows.addAndGet(e.progress.numInputRows)
+        progresses.incrementAndGet()
+      }
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    s.streams.addListener(listener)
+    val name = "graft_q254_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    try {
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "15")
+        .parquet(shards)
+        .select(col("event_id"))
+      val query = withConfs(s,
+        "spark.sql.shuffle.partitions" -> "2",
+        "spark.sql.streaming.noDataMicroBatches.enabled" -> "false") {
+        stream.writeStream.outputMode("append")
+          .format("memory").queryName(name).start()
+      }
+      val syncRows =
+        try {
+          query.processAllAvailable()
+          recordBatchId("q254", query)
+          query.recentProgress.map(_.numInputRows).sum
+        } finally query.stop()
+      // listener events ride an async bus: wait (bounded) until the
+      // listener's total catches the synchronous recentProgress view
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (rows.get() < syncRows && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      import s.implicits._
+      Seq((rows.get(), syncRows, rows.get() == syncRows,
+        progresses.get() >= 2L))
+        .toDF("listener_rows", "progress_rows", "views_agree",
+          "multi_batch")
+    } finally {
+      s.streams.removeListener(listener)
+      s.catalog.dropTempView(name)
+    }
+  }
+
   private def q218(s: SparkSession, dir: String): DataFrame = {
     val shards = dumpDayShards(s, dir, "events_stream_days_upsert")
     val schema = dayShardSchema("events_stream_days_upsert")
@@ -1642,6 +1704,11 @@ object StreamingQueries extends QueryPack {
     // q218's oracle is the batch EXISTS semi join: semi emission is
     // match-driven (no watermark proof needed), so the finite drain
     // equals it with no sentinels at all.
+    Q("q254_stream_listener", q254, Some(
+      """SELECT CAST(count(*) AS BIGINT) AS listener_rows,
+        |  CAST(count(*) AS BIGINT) AS progress_rows,
+        |  true AS views_agree, true AS multi_batch
+        |FROM events""".stripMargin)),
     Q("q218_stream_semi_join", q218, Some(
       """SELECT p.event_id AS p_id, p.user_id AS p_user,
         |  epoch_us(p.ts) AS p_us

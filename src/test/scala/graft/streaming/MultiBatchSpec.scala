@@ -52,4 +52,13 @@ class MultiBatchSpec extends AnyFunSuite {
       s"q218 drained in ${if (batchId == null) "?" else batchId + 1} " +
         "micro-batches; cross-batch join buffering is no longer covered")
   }
+
+  test("q254 listener gate observes >= 2 micro-batches (progress-per-batch coverage)") {
+    val rows = graft.SparkEntry.queries("q254_stream_listener")(spark, sf).count()
+    assert(rows > 0, "q254 returned no rows")
+    val batchId = StreamingQueries.lastBatchId.get("q254")
+    assert(batchId != null && batchId >= 1L,
+      s"q254 drained in ${if (batchId == null) "?" else batchId + 1} " +
+        "micro-batches; the multi-progress listener contract is no longer covered")
+  }
 }
