@@ -64,11 +64,12 @@ final class TsvTable(tableSchema: StructType, path: String)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TsvScanBuilder(tableSchema, path)
+    new TsvScanBuilder(tableSchema, path,
+      options.getLong("split_bytes", 32L * 1024 * 1024))
 }
 
-final class TsvScanBuilder(fullSchema: StructType, path: String)
-    extends ScanBuilder
+final class TsvScanBuilder(fullSchema: StructType, path: String,
+    splitBytes: Long) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = fullSchema
@@ -109,11 +110,13 @@ final class TsvScanBuilder(fullSchema: StructType, path: String)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new TsvScan(fullSchema, required, pushed, path)
+  override def build(): Scan =
+    new TsvScan(fullSchema, required, pushed, path, splitBytes)
 }
 
 final class TsvScan(fullSchema: StructType, required: StructType,
-    pushed: Array[Filter], path: String) extends Scan with Batch {
+    pushed: Array[Filter], path: String, splitBytes: Long)
+    extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -121,14 +124,30 @@ final class TsvScan(fullSchema: StructType, required: StructType,
     s"GraftTsvScan path=$path, ReadSchema: ${required.simpleString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]"
 
+  /** One partition per newline-aligned BYTE RANGE, not per file — the
+    * Hadoop TextInputFormat contract: a 10 GB TSV must parallelize
+    * across the cluster, not become one task. Each split owns exactly
+    * the lines whose FIRST byte falls inside [start, end): a split
+    * starting mid-line discards up to the first newline (the previous
+    * split owns that line) and the last owned line is read to ITS end
+    * even past the split boundary — every line is read exactly once
+    * with no coordination. Split size comes from the `split_bytes`
+    * read option (default 32 MiB; tests shrink it to force many
+    * splits per file). */
   override def planInputPartitions(): Array[InputPartition] = {
     val f = new java.io.File(stripScheme(path))
     val files =
       if (f.isDirectory)
         f.listFiles().filter(x => x.isFile && !x.getName.startsWith("_")
-          && !x.getName.startsWith(".")).map(_.getPath).sorted
-      else Array(f.getPath)
-    files.map(p => TsvInputPartition(p): InputPartition)
+          && !x.getName.startsWith(".")).sortBy(_.getPath)
+      else Array(f)
+    files.flatMap { file =>
+      val len = file.length()
+      if (len == 0) Nil
+      else (0L until len by splitBytes).map { start =>
+        TsvInputPartition(file.getPath, start, math.min(start + splitBytes, len))
+      }
+    }.map(p => p: InputPartition)
   }
 
   private def stripScheme(p: String): String =
@@ -138,19 +157,24 @@ final class TsvScan(fullSchema: StructType, required: StructType,
     new TsvReaderFactory(fullSchema, required, pushed)
 }
 
-final case class TsvInputPartition(file: String) extends InputPartition
+final case class TsvInputPartition(file: String, start: Long, end: Long)
+    extends InputPartition
 
 final class TsvReaderFactory(fullSchema: StructType, required: StructType,
     pushed: Array[Filter]) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new TsvPartitionReader(fullSchema, required, pushed,
-      partition.asInstanceOf[TsvInputPartition].file)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[TsvInputPartition]
+    new TsvPartitionReader(fullSchema, required, pushed, p.file, p.start, p.end)
+  }
 }
 
 /** Per-split reader: parses ONLY the fields the projection + pushed
-  * filters touch, evaluates pushed predicates before row assembly. */
+  * filters touch, evaluates pushed predicates before row assembly.
+  * Owns the lines STARTING in [start, end) per the split contract
+  * documented on [[TsvScan.planInputPartitions]]. */
 final class TsvPartitionReader(fullSchema: StructType, required: StructType,
-    pushed: Array[Filter], file: String) extends PartitionReader[InternalRow] {
+    pushed: Array[Filter], file: String, start: Long, end: Long)
+    extends PartitionReader[InternalRow] {
 
   private val fullIdx = fullSchema.fieldNames.zipWithIndex.toMap
   // field positions the output row needs, in output order
@@ -185,13 +209,44 @@ final class TsvPartitionReader(fullSchema: StructType, required: StructType,
     case _ => _ => true // unreachable: pushFilters only accepted the above
   }
 
-  private val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
-    new java.io.FileInputStream(file), java.nio.charset.StandardCharsets.UTF_8))
+  // byte-position-tracking line reader (BufferedReader hides offsets,
+  // which the split-ownership contract needs)
+  private val in = new java.io.BufferedInputStream(
+    new java.io.FileInputStream(file), 1 << 16)
+  private var pos: Long = 0L
+  private def skipTo(target: Long): Unit = {
+    var remaining = target
+    while (remaining > 0) {
+      val skipped = in.skip(remaining)
+      if (skipped <= 0) return // EOF inside the skip: next read sees -1
+      remaining -= skipped
+      pos += skipped
+    }
+  }
+  /** Read one \n-terminated line (UTF-8), advancing `pos` past the
+    * terminator; null at EOF. A final unterminated line is returned. */
+  private def readLine(): String = {
+    var b = in.read()
+    if (b == -1) return null
+    val out = new java.io.ByteArrayOutputStream(128)
+    while (b != -1 && b != '\n') { out.write(b); pos += 1; b = in.read() }
+    if (b == '\n') pos += 1
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+  // Position to the split. A split starting mid-file discards up to
+  // the first newline (that partial line belongs to the previous
+  // split) — but seek to start−1, NOT start (the TextInputFormat
+  // trick): when byte start−1 is itself the terminator, the discarded
+  // "line" is just that newline and a line beginning exactly AT the
+  // boundary is correctly kept; seeking to start would throw it away.
+  if (start > 0) { skipTo(start - 1); readLine() }
+
   private var row: InternalRow = _
 
   override def next(): Boolean = {
-    var line = reader.readLine()
-    while (line != null) {
+    while (pos < end) { // lines STARTING in [start, end) are ours
+      val line = readLine()
+      if (line == null) return false
       // -1 keeps trailing empty fields — same contract as the repo's
       // split(_, -1) text paths (MapReduce.scala)
       val parts = line.split("\t", -1)
@@ -215,11 +270,10 @@ final class TsvPartitionReader(fullSchema: StructType, required: StructType,
         row = InternalRow.fromSeq(values.toIndexedSeq)
         return true
       }
-      line = reader.readLine()
     }
     false
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = reader.close()
+  override def close(): Unit = in.close()
 }

@@ -83,6 +83,31 @@ class TsvSourceSpec extends AnyFunSuite {
       Seq("banana", "cherry"))
   }
 
+  test("byte-range splits: every split size yields the identical row set (lines read exactly once)") {
+    // varied line lengths + a final UNTERMINATED line, so boundaries
+    // land mid-line, exactly on '\n', and exactly on a line start
+    val lines = (1 to 40).map(i => s"$i\t${"x" * (i % 7)}\t$i.5\tnote$i")
+    val dir = writeTsv(lines) // writeTsv joins with \n, no trailing newline
+    val baseline = readTsv(dir).orderBy("id").collect().toSeq
+    assert(baseline.size == 40)
+    // exhaustive sweep over tiny split sizes: every possible boundary
+    // alignment occurs somewhere in 1..40 bytes
+    for (split <- 1 to 40) {
+      val df = spark.read.format(classOf[TsvSourceProvider].getName)
+        .schema(schema).option("path", dir)
+        .option("split_bytes", split.toString).load()
+      val got = df.orderBy("id").collect().toSeq
+      assert(got == baseline,
+        s"split_bytes=$split read ${got.size} rows, expected 40 " +
+          s"(duplicated or lost lines at a boundary)")
+    }
+    // and the plan really fans out: a 40-line file at 16-byte splits
+    // is many input partitions, not one
+    val parts = new TsvScan(schema, schema, Array.empty,
+      dir, 16L).planInputPartitions()
+    assert(parts.length > 5, s"expected many splits, got ${parts.length}")
+  }
+
   test("column pruning: projecting one column still parses filter columns only as needed") {
     val dir = writeTsv(Seq("1\ta\t1.5\tn1", "2\tb\tnot_a_number\tn2"))
     // score is malformed on row 2, but a projection that never touches
