@@ -513,7 +513,41 @@ object AdvancedAggs extends QueryPack {
       .orderBy("l_returnflag")
   }
 
+  /** q255: ANSI `percentile_cont` / `percentile_disc` WITHIN GROUP —
+    * the standard-SQL ordered-set aggregates (Spark 4 surface; only
+    * spellable through SQL text, like q236's listagg). cont is pinned
+    * to the same R-7 interpolation as the `percentile`/`median`
+    * builtins (q55/q237) and the hand-rolled value-count machinery
+    * (q211/q217); disc is pinned to "first value whose cumulative
+    * distribution ≥ p" — a VALUE FROM THE SET, never interpolated,
+    * which is the variant a percentile-of-categorical-codes pipeline
+    * must use. Both partial-aggregate on (group, value) cells. */
+  private def q255(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity"))
+      .createOrReplaceTempView("graft_q255_lineitem")
+    s.sql(
+      """SELECT l_returnflag,
+        |  round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity),
+        |    6) AS p25_cont,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)
+        |    AS p25_disc,
+        |  round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity),
+        |    6) AS p90_cont,
+        |  percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)
+        |    AS p90_disc
+        |FROM graft_q255_lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q255_percentile_within_group", q255, Some(
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS p25_cont,
+        |  quantile_disc(l_quantity, 0.25) AS p25_disc,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_cont,
+        |  quantile_disc(l_quantity, 0.9) AS p90_disc
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q243_topk_aggregator", q243, Some(
       """WITH r AS (SELECT o_custkey,
         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,

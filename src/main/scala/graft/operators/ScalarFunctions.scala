@@ -124,6 +124,33 @@ object ScalarFunctions extends QueryPack {
         expr("try_variant_get(v, '$.absent', 'string')").as("absent"))
       .orderBy("event_id")
 
+  /** q256: array SET ALGEBRA for behavioral churn — per user, the
+    * event-type sets of the first vs second half of the observed
+    * window, compared with array_intersect / array_except / the
+    * union'd Jaccard: "what did this user start doing, stop doing,
+    * keep doing". Sets build as map-side-combined collect_set (types
+    * alphabet-bounded, so state is O(|types|) per key, never the
+    * event history); every set is array_sort'd before export so the
+    * output is deterministic at any parallelism. One shuffle on
+    * user_id serves both halves via conditional aggregation — never
+    * a self-join of the two periods. */
+  private def q256(s: SparkSession, dir: String): DataFrame = {
+    val mid = lit(1704067200000000L + 15L * 86400000000L) // day 15 of the fixture month
+    val half1 = when(unix_micros(col("ts")) < mid, col("event_type"))
+    val half2 = when(unix_micros(col("ts")) >= mid, col("event_type"))
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(array_sort(collect_set(half1)).as("w1"),
+        array_sort(collect_set(half2)).as("w2"))
+      .select(col("user_id"),
+        array_sort(array_except(col("w2"), col("w1"))).as("started"),
+        array_sort(array_except(col("w1"), col("w2"))).as("stopped"),
+        array_sort(array_intersect(col("w1"), col("w2"))).as("kept"),
+        round(size(array_intersect(col("w1"), col("w2"))).cast("double") /
+          size(array_union(col("w1"), col("w2"))), 6).as("jaccard"))
+      .orderBy("user_id")
+  }
+
   /** q251: `variant_explode` — the GENERATOR half of the VARIANT
     * surface (q104 gates typed point extraction; this enumerates every
     * top-level field of a semi-structured value without knowing its
@@ -349,6 +376,24 @@ object ScalarFunctions extends QueryPack {
   override def queries: Seq[Q] = Seq(
     // oracle: DuckDB's json extension is not loadable offline, so the
     // fixtures' single-key props are re-derived by regex — same rows
+    Q("q256_array_set_algebra", q256, Some(
+      """WITH s AS (SELECT user_id,
+        |    coalesce(list_sort(list_distinct(list(event_type)
+        |      FILTER (WHERE epoch_us(ts) < 1705363200000000))), [])
+        |      AS w1,
+        |    coalesce(list_sort(list_distinct(list(event_type)
+        |      FILTER (WHERE epoch_us(ts) >= 1705363200000000))), [])
+        |      AS w2
+        |  FROM events GROUP BY 1)
+        |SELECT user_id,
+        |  list_sort(list_filter(w2, x -> NOT list_contains(w1, x)))
+        |    AS started,
+        |  list_sort(list_filter(w1, x -> NOT list_contains(w2, x)))
+        |    AS stopped,
+        |  list_sort(list_filter(w1, x -> list_contains(w2, x))) AS kept,
+        |  round(len(list_filter(w1, x -> list_contains(w2, x))) * 1.0 /
+        |    len(list_distinct(list_concat(w1, w2))), 6) AS jaccard
+        |FROM s ORDER BY user_id""".stripMargin)),
     Q("q251_variant_explode", q251, Some(
       """WITH kv AS (SELECT
         |    regexp_extract(props, '"([^"]+)" *:', 1) AS key,
