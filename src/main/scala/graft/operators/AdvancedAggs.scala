@@ -540,7 +540,56 @@ object AdvancedAggs extends QueryPack {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** q257: SKETCH ROLLUP — trailing-7-day distinct users from mergeable
+    * daily HLL sketches (hll_sketch_agg per day once, hll_union_agg
+    * across each window), the 100 TB shape q234's exact fan-out
+    * graduates to: the corpus is touched ONCE to build |days| sketches
+    * (4 KB each), and any window length / alignment after that is
+    * sketch arithmetic on the days frame — where the exact method
+    * re-fans the full user-day set per window family. The gate rides
+    * both: the exact WAU column is oracle-hash-checked, and the sketch
+    * estimate must land within 5% of it (at fixture cardinalities the
+    * Datasketches HLL is still in exact sparse mode, so the bound is
+    * conservative — the 100 TB error story is q151/q230's). */
+  private def q257(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select((unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+        .as("day"), col("user_id"))
+    val daily = ud.groupBy("day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val bounds = daily.agg(min("day").as("d0"), max("day").as("d1"))
+    val rolled = daily
+      .select(explode(sequence(col("day"), col("day") + 6)).as("wend"),
+        col("sk"))
+      .groupBy("wend")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = ud.distinct()
+      .select(explode(sequence(col("day"), col("day") + 6)).as("wend"),
+        col("user_id"))
+      .distinct()
+      .groupBy("wend").agg(count(lit(1)).as("wau_exact"))
+    exact.join(rolled, "wend")
+      .join(broadcast(bounds),
+        col("wend") >= col("d0") + 6 && col("wend") <= col("d1"))
+      .select(col("wend").as("day"), col("wau_exact"),
+        (abs(col("est") - col("wau_exact")) <=
+          col("wau_exact") * 0.05).as("approx_within_5pct"))
+      .orderBy("day")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q257_sketch_rollup", q257, Some(
+      """WITH ud AS (SELECT DISTINCT
+        |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, user_id
+        |  FROM events),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+        |wau AS (SELECT w.day, count(*) AS wau_exact FROM (
+        |    SELECT DISTINCT ud.day + g.i AS day, user_id
+        |    FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS i) g) w
+        |  GROUP BY 1)
+        |SELECT wau.day, wau_exact, true AS approx_within_5pct
+        |FROM wau, b WHERE wau.day >= b.d0 + 6 AND wau.day <= b.d1
+        |ORDER BY 1""".stripMargin)),
     Q("q255_percentile_within_group", q255, Some(
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.25), 6) AS p25_cont,

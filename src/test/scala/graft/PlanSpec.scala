@@ -264,7 +264,9 @@ class PlanSpec extends AnyFunSuite {
       //        are equi on day.
       // q244 — skew forecast: the 1-row (total, max) broadcast re-enters
       //        the R-row loadmap (q69 pattern); no data-sized join at all.
-      "q234_stickiness", "q244_skew_forecast")
+      // q257 — sketch rollup: q234's 1-row day-bounds broadcast trims
+      //        partial windows; the sketch/exact joins are equi on day.
+      "q234_stickiness", "q244_skew_forecast", "q257_sketch_rollup")
     // Streaming queries execute a full drain in fn() and return a
     // collected local frame whose "plan" pins nothing; their batch-side
     // shapes are pinned by their own specs — skip the expensive drains.
