@@ -34,15 +34,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *     back as residuals and Spark keeps its own Filter for them, so
   *     semantics never depend on the source's coverage.
   *
-  * Parallelism: one input partition per file — the layout writers in
-  * this repo shard TSV into many part files, which is also the only
-  * split boundary that's safe without an index for quoted/multi-byte
-  * text. (A production upgrade splits large files at newline-aligned
-  * byte ranges, same as Hadoop's TextInputFormat.)
+  * Parallelism: newline-aligned BYTE-RANGE splits within each file
+  * (the Hadoop TextInputFormat contract — see
+  * [[TsvScan.planInputPartitions]]), so one large TSV parallelizes
+  * across the cluster instead of becoming one task; split size is the
+  * `split_bytes` read option.
   *
   * Scope: local/HDFS-style paths through java.io (the repo's scratch
   * layouts are local), BIGINT/DOUBLE/STRING columns, `\t` delimiter,
   * no quoting — exactly the reference's dialect. Empty field → NULL.
+  * Line terminators: `\n` and `\r\n` (trailing CR stripped); lone-CR
+  * files (classic-Mac) are NOT supported — they parse as one line.
   */
 class TsvSourceProvider extends TableProvider {
   // schema is caller-provided (the reference's TSVs are headerless)
@@ -63,9 +65,14 @@ final class TsvTable(tableSchema: StructType, path: String)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TsvScanBuilder(tableSchema, path,
-      options.getLong("split_bytes", 32L * 1024 * 1024))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val splitBytes = options.getLong("split_bytes", 32L * 1024 * 1024)
+    // fail loudly at plan time: 0 would throw an opaque NumericRange
+    // error, a negative value would SILENTLY plan zero partitions
+    require(splitBytes > 0,
+      s"graft tsv source: split_bytes must be positive, got $splitBytes")
+    new TsvScanBuilder(tableSchema, path, splitBytes)
+  }
 }
 
 final class TsvScanBuilder(fullSchema: StructType, path: String,
@@ -209,11 +216,22 @@ final class TsvPartitionReader(fullSchema: StructType, required: StructType,
     case _ => _ => true // unreachable: pushFilters only accepted the above
   }
 
-  // byte-position-tracking line reader (BufferedReader hides offsets,
-  // which the split-ownership contract needs)
-  private val in = new java.io.BufferedInputStream(
-    new java.io.FileInputStream(file), 1 << 16)
+  // Byte-position-tracking CHUNKED line reader. BufferedReader hides
+  // offsets (the split-ownership contract needs them), and a per-byte
+  // read() loop pays a synchronized call per data byte — this scans a
+  // 64 KiB buffer for '\n' and materializes each line in one copy,
+  // spilling to a growable buffer only when a line crosses a chunk
+  // boundary. `pos` is the absolute offset of the next unread byte.
+  private val in = new java.io.FileInputStream(file)
+  private val buf = new Array[Byte](1 << 16)
+  private var bufLen = 0
+  private var bufPos = 0
   private var pos: Long = 0L
+  private def fill(): Boolean = {
+    bufLen = in.read(buf)
+    bufPos = 0
+    bufLen > 0
+  }
   private def skipTo(target: Long): Unit = {
     var remaining = target
     while (remaining > 0) {
@@ -223,15 +241,43 @@ final class TsvPartitionReader(fullSchema: StructType, required: StructType,
       pos += skipped
     }
   }
-  /** Read one \n-terminated line (UTF-8), advancing `pos` past the
-    * terminator; null at EOF. A final unterminated line is returned. */
+  private def toLine(bytes: Array[Byte], off: Int, len: Int): String = {
+    // strip one trailing CR: \r\n files parse identically to \n files
+    val n = if (len > 0 && bytes(off + len - 1) == '\r') len - 1 else len
+    new String(bytes, off, n, java.nio.charset.StandardCharsets.UTF_8)
+  }
+  /** Read one \n-terminated line (UTF-8, trailing \r stripped),
+    * advancing `pos` past the terminator; null at EOF. A final
+    * unterminated line is returned. */
   private def readLine(): String = {
-    var b = in.read()
-    if (b == -1) return null
-    val out = new java.io.ByteArrayOutputStream(128)
-    while (b != -1 && b != '\n') { out.write(b); pos += 1; b = in.read() }
-    if (b == '\n') pos += 1
-    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    if (bufPos >= bufLen && !fill()) return null
+    var spill: java.io.ByteArrayOutputStream = null
+    while (true) {
+      var i = bufPos
+      while (i < bufLen && buf(i) != '\n') i += 1
+      if (i < bufLen) { // terminator inside the current chunk
+        val line =
+          if (spill == null) toLine(buf, bufPos, i - bufPos)
+          else {
+            spill.write(buf, bufPos, i - bufPos)
+            val all = spill.toByteArray
+            toLine(all, 0, all.length)
+          }
+        pos += (i - bufPos) + 1
+        bufPos = i + 1
+        return line
+      }
+      // line crosses the chunk boundary: spill and refill
+      if (spill == null) spill = new java.io.ByteArrayOutputStream(256)
+      spill.write(buf, bufPos, bufLen - bufPos)
+      pos += bufLen - bufPos
+      bufPos = bufLen
+      if (!fill()) { // EOF: the spilled bytes are a final unterminated line
+        val all = spill.toByteArray
+        return toLine(all, 0, all.length)
+      }
+    }
+    null // unreachable
   }
   // Position to the split. A split starting mid-file discards up to
   // the first newline (that partial line belongs to the previous

@@ -672,21 +672,25 @@ object StreamingQueries extends QueryPack {
   private def q254(s: SparkSession, dir: String): DataFrame = {
     val shards = dumpDayShards(s, dir, "events_stream_days_upsert")
     val schema = dayShardSchema("events_stream_days_upsert")
+    val name = "graft_q254_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val rows = new java.util.concurrent.atomic.AtomicLong(0)
     val progresses = new java.util.concurrent.atomic.AtomicLong(0)
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
-        rows.addAndGet(e.progress.numInputRows)
-        progresses.incrementAndGet()
-      }
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        // the listener bus is SESSION-global and async: a queued event
+        // from the previous gate's query would otherwise inflate the
+        // totals (flaky, load-dependent) — count only OUR query
+        if (e.progress.name == name) {
+          rows.addAndGet(e.progress.numInputRows)
+          progresses.incrementAndGet()
+        }
       override def onQueryTerminated(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
     s.streams.addListener(listener)
-    val name = "graft_q254_" + java.util.UUID.randomUUID().toString.replace("-", "")
     try {
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "15")

@@ -108,6 +108,39 @@ class TsvSourceSpec extends AnyFunSuite {
     assert(parts.length > 5, s"expected many splits, got ${parts.length}")
   }
 
+  test("CRLF terminators parse identically to LF (trailing CR stripped, even off a numeric last column)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsv_crlf").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-00000.txt"),
+      "1\talice\t2.50\tnote1\r\n2\tbob\t3.25\tnote2\r\n".getBytes("UTF-8"))
+    val rows = readTsv(dir).orderBy("id").collect()
+    assert(rows.map(_.getString(3)).toSeq == Seq("note1", "note2"),
+      "trailing CR must be stripped from the last field")
+    // numeric parse of a CR-terminated numeric column (schema without
+    // the trailing string field) must not throw
+    val numSchema = StructType.fromDDL("id BIGINT, name STRING, score DOUBLE")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-00001.txt"),
+      "3\tcara\t4.75\r\n".getBytes("UTF-8"))
+    val all = spark.read.format(classOf[TsvSourceProvider].getName)
+      .schema(numSchema).option("path", dir).load()
+      .filter(col("id") === 3).collect()
+    assert(all.length == 1 && all(0).getDouble(2) == 4.75)
+  }
+
+  test("split_bytes must be positive: 0 and negatives fail loudly at plan time") {
+    val dir = writeTsv(Seq("1\ta\t1.0\tx"))
+    for (bad <- Seq("0", "-1")) {
+      val e = intercept[IllegalArgumentException] {
+        spark.read.format(classOf[TsvSourceProvider].getName)
+          .schema(schema).option("path", dir)
+          .option("split_bytes", bad).load().count()
+      }
+      assert(e.getMessage.contains("split_bytes"),
+        s"expected the split_bytes guard, got: ${e.getMessage}")
+    }
+  }
+
   test("column pruning: projecting one column still parses filter columns only as needed") {
     val dir = writeTsv(Seq("1\ta\t1.5\tn1", "2\tb\tnot_a_number\tn2"))
     // score is malformed on row 2, but a projection that never touches
