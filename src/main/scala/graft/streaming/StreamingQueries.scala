@@ -1629,7 +1629,52 @@ object StreamingQueries extends QueryPack {
     out
   }
 
+  /** q258: stream-STATIC LEFT ANTI join — the blocklist/compliance
+    * filter shape (drop in-flight events whose user appears in a static
+    * suppression table) that completes the stream-static family next
+    * to q168's enrichment join. Anti against a static side is
+    * stateless: the dimension broadcasts once per micro-batch epoch,
+    * no state store, no watermark — the row either has a match NOW or
+    * it never will (the static side doesn't grow), which is exactly
+    * why Spark permits it in append mode. Blocklist = customers with
+    * negative balance; survivors aggregate per type so the output is
+    * small and deterministic. */
+  private def q258(s: SparkSession, dir: String): DataFrame = withNanosAsLong(s) {
+    import graft.functions.Exact.dec
+    val blocked = Tables.customer(s, dir)
+      .filter(col("c_acctbal") < 0)
+      .select(col("c_custkey"))
+    val surviving = eventsStream(s, dir)
+      .join(broadcast(blocked), col("user_id") === col("c_custkey"),
+        "left_anti")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec(col("value"))).cast("double"), 2).as("total_value"))
+    val name = "graft_q258_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = surviving.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+    val result = s.table(name).orderBy("event_type")
+    val rows = result.collect()
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
+    s.catalog.dropTempView(name)
+    out
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q258_stream_static_anti", q258, Some(
+      """SELECT event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS total_value
+        |FROM events
+        |WHERE user_id NOT IN (SELECT c_custkey FROM customer
+        |                      WHERE c_acctbal < 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q168_stream_enrich", q168, Some(
       """SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment, event_type,
         |  count(*) AS n,

@@ -277,7 +277,7 @@ class PlanSpec extends AnyFunSuite {
     val skip = SparkEntry.all.map(_.name).filter(_.matches(
       "q70_.*|q71_.*|q78_.*|q84_.*|q87_.*|q100_.*|q106_.*|q109_.*|q118_.*|q125_.*" +
         "|q165_.*|q168_.*|q173_.*|q175_.*|q176_.*|q177_.*|q180_.*|q184_.*|q191_.*" +
-        "|q240_.*|q254_.*")).toSet
+        "|q240_.*|q254_.*|q258_.*")).toSet
     for (q <- SparkEntry.all.map(_.name) if !exempt(q) && !skip(q)) {
       val plan = SparkEntry.queries(q)(spark, sf)
         .queryExecution.executedPlan.toString
