@@ -130,22 +130,38 @@ object ScalarFunctions extends QueryPack {
     * union'd Jaccard: "what did this user start doing, stop doing,
     * keep doing". Sets build as map-side-combined collect_set (types
     * alphabet-bounded, so state is O(|types|) per key, never the
-    * event history); every set is array_sort'd before export so the
-    * output is deterministic at any parallelism. One shuffle on
-    * user_id serves both halves via conditional aggregation — never
-    * a self-join of the two periods. */
+    * event history); every set is array_sort'd, then array_join'd to a
+    * '|'-string before export — atomic output columns so any
+    * row-hashing harness can sort/compare the frame, and deterministic
+    * at any parallelism. The compared windows are the first and last
+    * QUINTILE of the observed [min ts, max ts] span — derived from the
+    * data as a broadcast 1-row aggregate (never a hardcoded fixture
+    * epoch), and narrow enough that per-user sets genuinely differ
+    * (half-vs-half windows saturate: every user shows every type in
+    * both and the except/intersect legs never fire). One shuffle on
+    * user_id serves both windows via conditional aggregation — never a
+    * self-join of the two periods. */
   private def q256(s: SparkSession, dir: String): DataFrame = {
-    val mid = lit(1704067200000000L + 15L * 86400000000L) // day 15 of the fixture month
-    val half1 = when(unix_micros(col("ts")) < mid, col("event_type"))
-    val half2 = when(unix_micros(col("ts")) >= mid, col("event_type"))
-    Tables.events(s, dir)
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val bounds = ev.agg(
+      expr("min(us) + (max(us) - min(us)) div 5").as("cut1"),
+      expr("max(us) - (max(us) - min(us)) div 5").as("cut2"))
+    ev.crossJoin(broadcast(bounds))
       .groupBy("user_id")
-      .agg(array_sort(collect_set(half1)).as("w1"),
-        array_sort(collect_set(half2)).as("w2"))
+      .agg(
+        array_sort(collect_set(when(col("us") < col("cut1"), col("event_type"))))
+          .as("w1"),
+        array_sort(collect_set(when(col("us") >= col("cut2"), col("event_type"))))
+          .as("w2"))
       .select(col("user_id"),
-        array_sort(array_except(col("w2"), col("w1"))).as("started"),
-        array_sort(array_except(col("w1"), col("w2"))).as("stopped"),
-        array_sort(array_intersect(col("w1"), col("w2"))).as("kept"),
+        array_join(array_sort(array_except(col("w2"), col("w1"))), "|")
+          .as("started"),
+        array_join(array_sort(array_except(col("w1"), col("w2"))), "|")
+          .as("stopped"),
+        array_join(array_sort(array_intersect(col("w1"), col("w2"))), "|")
+          .as("kept"),
         round(size(array_intersect(col("w1"), col("w2"))).cast("double") /
           size(array_union(col("w1"), col("w2"))), 6).as("jaccard"))
       .orderBy("user_id")
@@ -377,20 +393,27 @@ object ScalarFunctions extends QueryPack {
     // oracle: DuckDB's json extension is not loadable offline, so the
     // fixtures' single-key props are re-derived by regex — same rows
     Q("q256_array_set_algebra", q256, Some(
-      """WITH s AS (SELECT user_id,
+      """WITH b AS (SELECT
+        |    min(epoch_us(ts)) + (max(epoch_us(ts)) - min(epoch_us(ts))) // 5
+        |      AS cut1,
+        |    max(epoch_us(ts)) - (max(epoch_us(ts)) - min(epoch_us(ts))) // 5
+        |      AS cut2
+        |  FROM events),
+        |s AS (SELECT user_id,
         |    coalesce(list_sort(list_distinct(list(event_type)
-        |      FILTER (WHERE epoch_us(ts) < 1705363200000000))), [])
+        |      FILTER (WHERE epoch_us(ts) < (SELECT cut1 FROM b)))), [])
         |      AS w1,
         |    coalesce(list_sort(list_distinct(list(event_type)
-        |      FILTER (WHERE epoch_us(ts) >= 1705363200000000))), [])
+        |      FILTER (WHERE epoch_us(ts) >= (SELECT cut2 FROM b)))), [])
         |      AS w2
         |  FROM events GROUP BY 1)
         |SELECT user_id,
-        |  list_sort(list_filter(w2, x -> NOT list_contains(w1, x)))
-        |    AS started,
-        |  list_sort(list_filter(w1, x -> NOT list_contains(w2, x)))
-        |    AS stopped,
-        |  list_sort(list_filter(w1, x -> list_contains(w2, x))) AS kept,
+        |  coalesce(array_to_string(list_sort(list_filter(w2,
+        |    x -> NOT list_contains(w1, x))), '|'), '') AS started,
+        |  coalesce(array_to_string(list_sort(list_filter(w1,
+        |    x -> NOT list_contains(w2, x))), '|'), '') AS stopped,
+        |  coalesce(array_to_string(list_sort(list_filter(w1,
+        |    x -> list_contains(w2, x))), '|'), '') AS kept,
         |  round(len(list_filter(w1, x -> list_contains(w2, x))) * 1.0 /
         |    len(list_distinct(list_concat(w1, w2))), 6) AS jaccard
         |FROM s ORDER BY user_id""".stripMargin)),
