@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.functions.expr
+
 import org.apache.spark.sql.types.{BooleanType, DataType}
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -45,43 +45,32 @@ case class BloomMightContainLong(child: Expression, bloom: BloomFilter)
 }
 
 object BloomFunctions {
-  private val fnName = "graft_bloom_probe"
-  private val counter = new java.util.concurrent.atomic.AtomicLong(0)
-  // ring of our own recent registrations per session: old entries pin a
-  // whole BloomFilter each, so without eviction a long-lived session
-  // (repeated bench/verify rounds) would leak one sketch per call
-  private val recent = new java.util.concurrent.ConcurrentHashMap[
-    SparkSession, java.util.ArrayDeque[String]]()
-  private val Keep = 8
-
   /** `mightContainLong(keyCol)` against `bloom`, fully codegen'd.
     *
-    * The sketch can't be spelled in SQL text, so registration closes
-    * over it — same registry route as [[VectorFunctions]], but the
-    * registered name is salted with a MONOTONIC counter: a shared name
-    * would rebind the session-global entry on every call, and two frames
-    * built concurrently (or interleaved before analysis) in one session
-    * could silently resolve against the WRONG BloomFilter —
-    * false-negative row drops with no error (ADVICE r10). (A counter,
-    * not identityHashCode: identity hashes can collide between two live
-    * sketches, which would reintroduce the same race.) Names resolve at
-    * ANALYSIS time — once a frame is analyzed the expression holds the
-    * sketch directly — so only a bounded window of recent registrations
-    * is kept per session; older ones are dropped to stop the registry
-    * from pinning one sketch per call forever. */
+    * The sketch can't be spelled in SQL text, so the Column is built
+    * DIRECTLY around the expression (via
+    * [[org.apache.spark.sql.GraftColumnBridge]]) — no temp-function
+    * registry round-trip. The registry route this replaces needed a
+    * salted name per call (a shared name rebinds the session-global
+    * entry: two frames interleaved before analysis could resolve against
+    * the WRONG BloomFilter — silent false-negative row drops, ADVICE
+    * r10) and then an eviction ring to stop one pinned sketch per call
+    * leaking forever — and the ring itself failed when more than its
+    * keep-window of probe Columns were built before their frames
+    * analyzed (evicted name → "undefined function", ADVICE r11). Direct
+    * construction has none of those states: the expression holds its own
+    * sketch from birth, resolves at analysis like any built-in, and is
+    * garbage-collected with the frames that reference it.
+    *
+    * `s` is unused but kept in the signature: every registry-based
+    * sibling (VectorFunctions, TextFunctions) takes the session, and
+    * call sites shouldn't churn if this implementation changes again. */
   def mightContain(s: SparkSession, bloom: BloomFilter, keyCol: String): Column = {
-    val name = fnName + "_" + counter.incrementAndGet()
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => BloomMightContainLong(exprs.head, bloom), "built-in")
-    val ring = recent.computeIfAbsent(s, _ => new java.util.ArrayDeque[String]())
-    ring.synchronized {
-      ring.addLast(name)
-      while (ring.size > Keep) {
-        val stale = ring.removeFirst()
-        s.sessionState.functionRegistry.dropFunction(
-          org.apache.spark.sql.catalyst.FunctionIdentifier(stale))
-      }
-    }
-    expr(s"$name($keyCol)")
+    val _ = s
+    org.apache.spark.sql.GraftColumnBridge.column(
+      BloomMightContainLong(
+        org.apache.spark.sql.GraftColumnBridge.expression(
+          org.apache.spark.sql.functions.col(keyCol)),
+        bloom))
   }
 }

@@ -508,21 +508,27 @@ object Temporal extends QueryPack {
     *
     * Scale shape: the corpus collapses to the (type, day) count frame in
     * one map-side-combined shuffle; the rolling window then carries a
-    * BOUNDED 7-element list per row (collect_list over ROWS BETWEEN 7
-    * PRECEDING AND 1 PRECEDING — state is 7 longs, never a group scan),
-    * and the exact median/MAD come from sort_array + element_at on that
-    * constant-size array via codegen'd higher-order functions. All
+    * BOUNDED ≤7-element list per row (collect_list over RANGE BETWEEN 7
+    * PRECEDING AND 1 PRECEDING on the NUMERIC day — state is at most 7
+    * longs, never a group scan), and the exact median/MAD come from
+    * sort_array + element_at on that constant-size array via codegen'd
+    * higher-order functions. The frame is RANGE-based on day number, not
+    * ROWS-based: a type with missing days must NOT silently stretch its
+    * "trailing 7 days" across more than 7 calendar days (ADVICE r11) —
+    * under the range frame a gap shrinks the baseline instead, and the
+    * completeness filter (exactly 7 observations in the 7 calendar days)
+    * then guarantees every scored row has a gap-free week behind it. All
     * inputs to the flag are exact integers; doubles enter only at z.
-    * Rows without a full 7-day history emit nothing (no partial-window
+    * Rows without that full history emit nothing (no partial-window
     * false positives); a zero-MAD baseline falls back to flagging any
     * deviation from the constant. */
   private def q228(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"),
-        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        (unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day_num"))
       .agg(count(lit(1)).as("n"))
-    val w7 = Window.partitionBy("event_type").orderBy("day")
-      .rowsBetween(-7, -1)
+    val w7 = Window.partitionBy("event_type").orderBy("day_num")
+      .rangeBetween(-7, -1)
     val med = element_at(sort_array(col("arr")), 4)
     val z = (col("n") - col("med")) / (lit(1.4826) * col("mad"))
     daily
@@ -531,7 +537,10 @@ object Temporal extends QueryPack {
       .withColumn("med", med)
       .withColumn("mad", element_at(sort_array(
         transform(col("arr"), v => abs(v - col("med")))), 4))
-      .select(col("event_type"), col("day"), col("n"), col("med"), col("mad"),
+      .select(col("event_type"),
+        date_format(timestamp_micros(col("day_num") * lit(86400000000L)),
+          "yyyy-MM-dd").as("day"),
+        col("n"), col("med"), col("mad"),
         when(col("mad") > 0, round(z, 6)).as("robust_z"),
         when(col("mad") === 0, col("n") =!= col("med"))
           .otherwise(abs(z) > 3.5).as("anomaly"))
@@ -891,12 +900,14 @@ object Temporal extends QueryPack {
         |WHERE dau.day >= b.d0 + 6 AND dau.day <= b.d1
         |ORDER BY 1""".stripMargin)),
     Q("q228_rolling_anomaly", q228, Some(
-      """WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+      """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day_num,
         |    count(*) AS n
         |  FROM events GROUP BY 1, 2),
-        |w AS (SELECT *, list(n) OVER (PARTITION BY event_type ORDER BY day
-        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS arr FROM d),
-        |m AS (SELECT event_type, day, n, list_sort(arr)[4] AS med, arr
+        |w AS (SELECT *, list(n) OVER (PARTITION BY event_type ORDER BY day_num
+        |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING) AS arr FROM d),
+        |m AS (SELECT event_type,
+        |    strftime(make_timestamp(day_num * 86400000000), '%Y-%m-%d') AS day,
+        |    n, list_sort(arr)[4] AS med, arr
         |  FROM w WHERE len(arr) = 7),
         |x AS (SELECT event_type, day, n, med,
         |    list_sort(list_transform(arr, v -> abs(v - med)))[4] AS mad

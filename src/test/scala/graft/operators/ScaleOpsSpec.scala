@@ -62,6 +62,29 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"bloom passes $bloomPass vs $trueMatches true matches on ${fact.length} rows")
   }
 
+  test("bloom probe Columns survive unbounded deferred analysis (no registry)") {
+    // Regression for ADVICE r11 (BloomExpressions ring): with the old
+    // temp-function registry, building more than the ring's keep-window
+    // (8) of probe Columns BEFORE analyzing any of their frames evicted
+    // the oldest names; the first frame then failed analysis with
+    // "undefined function". Direct expression-backed Columns have no
+    // registry, so all N frames must analyze and each must probe its OWN
+    // sketch (distinct pass counts prove no cross-binding).
+    val fact = Tables.lineitem(spark, sf).select("l_partkey")
+    val frames = (1 to 12).map { sz =>
+      val dims = Tables.part(spark, sf).filter(col("p_size") <= sz)
+      val bloom = dims.stat.bloomFilter("p_partkey", 1 << 15, 0.01)
+      // build the Column now, analyze much later
+      sz -> fact.filter(
+        graft.functions.BloomFunctions.mightContain(spark, bloom, "l_partkey"))
+    }
+    val passes = frames.map { case (sz, f) => sz -> f.count() }
+    // pass counts must be monotonically non-decreasing in the dim filter
+    // width — a stale/evicted/cross-bound sketch breaks this ordering
+    passes.sliding(2).foreach { case Seq((_, a), (_, b)) => assert(a <= b) }
+    assert(passes.head._2 < passes.last._2)
+  }
+
   test("mortonCode bit-interleaves exactly (vs a bit-twiddling reference)") {
     def ref(x: Long, y: Long): Long = {
       var z = 0L
