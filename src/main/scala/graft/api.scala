@@ -22,6 +22,56 @@ trait QueryPack {
   def queries: Seq[Q]
 }
 
+/** Lineage-truncating materialization for iterative operators, with a
+  * conf-selected durability tier.
+  *
+  * Iterative ops (CC label propagation, PageRank, BPE merge loops,
+  * k-means steps) must materialize each iteration's frame: without it
+  * the logical plan nests one level per iteration and Catalyst
+  * re-optimization grows without bound (observed 49 s → ~2 s on q66).
+  * `localCheckpoint(eager = true)` is the cheap default — executor-local
+  * blocks, no FS round-trip — but those blocks are NON-RECOVERABLE: on a
+  * real cluster, losing one executor mid-loop kills the job with no
+  * recompute path (lineage was truncated). A 1000-executor × multi-hour
+  * run wants the RELIABLE tier instead: `checkpoint(eager = true)` to
+  * the cluster FS, which survives executor loss at the cost of a
+  * write+read per iteration.
+  *
+  * Selection is per-session conf, so the same operator code serves both:
+  *   - `spark.graft.checkpoint.reliable` = true|false (default false)
+  *   - `spark.graft.checkpoint.dir` — if set and the context has no
+  *     checkpoint dir yet, it is installed on first use (reliable mode
+  *     requires SOME checkpoint dir; an explicit
+  *     `sparkContext.setCheckpointDir` also works)
+  * Set `spark.cleaner.referenceTracking.cleanCheckpoints=true` on
+  * long-lived sessions so reliable checkpoint files are reclaimed when
+  * their frames are garbage-collected.
+  */
+object Materialize {
+  val ReliableConf = "spark.graft.checkpoint.reliable"
+  val DirConf = "spark.graft.checkpoint.dir"
+
+  def apply(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    val reliable =
+      s.conf.getOption(ReliableConf).exists(_.trim.equalsIgnoreCase("true"))
+    if (reliable) {
+      if (s.sparkContext.getCheckpointDir.isEmpty)
+        s.sparkContext.setCheckpointDir(s.conf.getOption(DirConf).getOrElse(
+          throw new IllegalStateException(
+            s"$ReliableConf=true needs a checkpoint dir: set $DirConf " +
+              "or call sparkContext.setCheckpointDir")))
+      df.checkpoint(eager = true)
+    } else df.localCheckpoint(eager = true)
+  }
+
+  /** Postfix form: `frame.materialized` reads like the
+    * `.localCheckpoint(true)` calls it replaces. */
+  implicit class MaterializeOps(private val df: DataFrame) extends AnyVal {
+    def materialized: DataFrame = Materialize(df)
+  }
+}
+
 /** Registry of PROCESS-PINNED localCheckpoint blocks.
   *
   * Query packs may cache an eagerly-checkpointed frame per source dir

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryPack}
+import graft.Materialize.MaterializeOps
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
@@ -381,7 +382,7 @@ object AdvancedAggs extends QueryPack {
     val perFlag = li.groupBy("l_returnflag")
       .agg(countDistinct("l_partkey").as("exact_distinct"),
         hll_sketch_agg(col("l_partkey"), lit(12)).as("sk"))
-      .localCheckpoint(true)
+      .materialized
     def gated(est: Column, exact: Column): Column =
       abs(est.cast("double") - exact) <= exact * lit(0.05)
     val flagRows = perFlag.select(col("l_returnflag"), col("exact_distinct"),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryPack}
+import graft.Materialize.MaterializeOps
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -243,7 +244,7 @@ object Clustering extends QueryPack {
     // materialize the assignment ONCE: three consumers (pair left, pair
     // right, final kept-join) would otherwise each replan the
     // scan+broadcast+window subtree — 3 corpus passes at 100 TB. Same
-    // localCheckpoint convention (and cluster fault-tolerance contract,
+    // Materialize convention (and cluster fault-tolerance contract,
     // SCALING.md) as the iterative GraphOps/Dedup frames.
     val assigned = e.crossJoin(broadcast(seeds))
       .withColumn("ccos",
@@ -252,7 +253,7 @@ object Clustering extends QueryPack {
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select("vec_id", "cid", "v", "nrm")
-      .localCheckpoint(true)
+      .materialized
     val left = assigned.select(col("vec_id").as("vid_a"), col("cid"),
       col("v").as("va"), col("nrm").as("na"))
     val right = assigned.select(col("vec_id").as("vid_b"), col("cid"),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryPack}
+import graft.Materialize.MaterializeOps
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -51,21 +52,21 @@ object GraphOps extends QueryPack {
         concat(lit("c:"), col("o_custkey")).as("dst"))
       .distinct()
       .repartition(col("src"))
-      .localCheckpoint(true)
+      .materialized
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .materialized
     // |V| rides along as a broadcast 1-row aggregate (the q69 corpus-size
     // pattern) — never a driver-side collect
     val n = nodes.agg(count(lit(1)).cast("double").as("n"))
     // degree inherits the edges' src-partitioning (no exchange) and is
     // materialized once, not recomputed per iteration
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .materialized
     var ranks = nodes.crossJoin(broadcast(n))
       .select(col("node"), (lit(1.0) / col("n")).as("rank"))
-      .localCheckpoint(true)
+      .materialized
     for (_ <- 1 to Iters) {
       // ONE materialization per iteration (the q66 discipline): without
       // it the three iterations nest into a single self-referencing
@@ -85,7 +86,7 @@ object GraphOps extends QueryPack {
         .select(col("node"),
           round(lit(RestartMass) / col("n") +
             lit(Damping) * coalesce(col("in_sum"), lit(0.0)), 9).as("rank"))
-        .localCheckpoint(true)
+        .materialized
     }
     ranks.orderBy("node")
   }
@@ -132,7 +133,7 @@ object GraphOps extends QueryPack {
       .filter(col("x.sk") < col("y.sk"))
       .select(col("x.sk").as("a"), col("y.sk").as("b"))
       .distinct()
-      .localCheckpoint(true)
+      .materialized
     val deg = edges.select(col("a").as("v"))
       .union(edges.select(col("b")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
@@ -151,7 +152,7 @@ object GraphOps extends QueryPack {
           .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"),
         col("e.ddst").as("ddst"))
-      .localCheckpoint(true)
+      .materialized
     // wedges at the low vertex, then close against the oriented edge set
     val w = oriented.as("e1").join(oriented.as("e2"), "src")
       .filter(col("e1.ddst") < col("e2.ddst") ||
@@ -224,7 +225,7 @@ object GraphOps extends QueryPack {
       .filter(col("s_suppkey") % 37 === 0)
       .select(concat(lit("s:"), col("s_suppkey")).as("node"),
         lit(0).as("dist"))
-      .localCheckpoint(true)
+      .materialized
     var frontier = settled
     for (i <- 1 to 3) {
       val reached = frontier
@@ -232,8 +233,8 @@ object GraphOps extends QueryPack {
         .select(col("dst").as("node")).distinct()
       frontier = reached.join(settled, Seq("node"), "left_anti")
         .withColumn("dist", lit(i))
-        .localCheckpoint(true)
-      settled = settled.union(frontier).localCheckpoint(true)
+        .materialized
+      settled = settled.union(frontier).materialized
     }
     settled.orderBy("node")
   }
@@ -258,7 +259,7 @@ object GraphOps extends QueryPack {
     val edges = undirectedTradeEdges(s, dir)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint(true)
+      .materialized
     for (_ <- 1 to 2) {
       labels = edges
         .join(labels.withColumnRenamed("node", "src"), "src")
@@ -267,7 +268,7 @@ object GraphOps extends QueryPack {
         .groupBy("node")
         .agg(min(struct((-col("c")).as("nc"), col("label"))).as("b"))
         .select(col("node"), col("b.label").as("label"))
-        .localCheckpoint(true)
+        .materialized
     }
     labels.orderBy("node")
   }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryPack}
+import graft.Materialize.MaterializeOps
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -168,12 +169,12 @@ object Temporal extends QueryPack {
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
     val clicks = ev.filter(col("event_type") === "click")
       .groupBy("user_id").agg(min("us").as("c_us"))
-      .localCheckpoint(true)
+      .materialized
     val views = ev.filter(col("event_type") === "view")
       .join(clicks, "user_id")
       .filter(col("us") > col("c_us") && col("us") <= col("c_us") + stepUs)
       .groupBy("user_id").agg(min("us").as("v_us"))
-      .localCheckpoint(true)
+      .materialized
     val purchases = ev.filter(col("event_type") === "purchase")
       .join(views, "user_id")
       .filter(col("us") > col("v_us") && col("us") <= col("v_us") + stepUs)
@@ -374,7 +375,7 @@ object Temporal extends QueryPack {
     val baskets = Tables.events(s, dir)
       .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
       .distinct()
-      .localCheckpoint(true)
+      .materialized
     val nBaskets = baskets.select("user_id", "d").distinct()
       .agg(count(lit(1)).as("nb"))
     val typeCounts = baskets.groupBy(col("event_type").as("t"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, QueryPack}
+import graft.Materialize.MaterializeOps
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -496,7 +497,7 @@ object TextAnalysis extends QueryPack {
       .select(col("word"), col("freq"),
         posexplode(split(col("word"), "")).as(Seq("pos0", "sym")))
       .select(col("word"), col("freq"), (col("pos0") + 1).as("pos"), col("sym"))
-      .localCheckpoint(true)
+      .materialized
     val wPos = Window.partitionBy("word").orderBy("pos")
     var rules: DataFrame = null
     for (round <- 1 to rounds) {
@@ -506,7 +507,7 @@ object TextAnalysis extends QueryPack {
         .agg(sum("freq").as("weighted_count"))
         .orderBy(col("weighted_count").desc, col("ma"), col("mb"))
         .limit(1)
-        .localCheckpoint(true)
+        .materialized
       val rule = top.select(lit(round).as("round"), col("ma").as("sym_a"),
         col("mb").as("sym_b"), col("weighted_count"))
       rules = if (rules == null) rule else rules.unionByName(rule)
@@ -529,7 +530,7 @@ object TextAnalysis extends QueryPack {
           row_number().over(wPos).as("pos"),
           when(col("keep"), concat(col("sym"), col("nsym")))
             .otherwise(col("sym")).as("sym"))
-      syms = merged.localCheckpoint(true)
+      syms = merged.materialized
     }
     (rules.orderBy("round"), syms)
   }

@@ -175,4 +175,29 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(total < 1.0 + 1e-6, s"rank mass exceeds 1: $total")
     assert(total > 0.15, s"rank mass collapsed: $total")
   }
+
+  test("reliable-checkpoint tier: identical results, files on the checkpoint FS") {
+    // The iterative ops default to localCheckpoint (executor-local,
+    // non-recoverable on executor loss); spark.graft.checkpoint.reliable
+    // flips them to cluster-FS checkpoint() for fault tolerance at scale
+    // (VERDICT r11 item 4). Same operator code must produce identical
+    // rows on both tiers, and the reliable run must actually write
+    // checkpoint data under the configured dir.
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-reliable-ck")
+    val local = graft.SparkEntry.queries("q66_dedup_groups")(spark, sf)
+      .collect().map(_.toString).sorted
+    try {
+      spark.conf.set(graft.Materialize.ReliableConf, "true")
+      spark.conf.set(graft.Materialize.DirConf, ckDir.toUri.toString)
+      val reliable = graft.SparkEntry.queries("q66_dedup_groups")(spark, sf)
+        .collect().map(_.toString).sorted
+      assert(reliable === local)
+      val wrote = java.nio.file.Files.walk(ckDir).filter(p =>
+        java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, s"no checkpoint files under $ckDir")
+    } finally {
+      spark.conf.unset(graft.Materialize.ReliableConf)
+      spark.conf.unset(graft.Materialize.DirConf)
+    }
+  }
 }
