@@ -77,10 +77,24 @@ final class TsvTable(tableSchema: StructType, path: String)
 
 final class TsvScanBuilder(fullSchema: StructType, path: String,
     splitBytes: Long) extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+
+  /** LIMIT pushdown: each split stops parsing after `l` surviving rows
+    * (the limit applies AFTER the pushed filters, matching Spark's
+    * Filter→Limit order at this plan position). Inherently PARTIAL for
+    * a multi-split source — k splits can emit up to k·l rows — so
+    * [[isPartiallyPushed]] stays true and Spark keeps its global Limit;
+    * the win is each task touching at most `l` matching lines instead
+    * of its whole byte range (CollectLimitExec already runs splits
+    * incrementally, so `LIMIT n` on a 10 GB TSV reads ~one split AND
+    * that split now stops after n rows). */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Spark hands the post-projection schema; keep its column order
@@ -118,18 +132,19 @@ final class TsvScanBuilder(fullSchema: StructType, path: String,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new TsvScan(fullSchema, required, pushed, path, splitBytes)
+    new TsvScan(fullSchema, required, pushed, path, splitBytes, limit)
 }
 
 final class TsvScan(fullSchema: StructType, required: StructType,
-    pushed: Array[Filter], path: String, splitBytes: Long)
+    pushed: Array[Filter], path: String, splitBytes: Long, limit: Int)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftTsvScan path=$path, ReadSchema: ${required.simpleString}, " +
-      s"PushedFilters: [${pushed.mkString(", ")}]"
+      s"PushedFilters: [${pushed.mkString(", ")}]" +
+      (if (limit >= 0) s", PushedLimit: $limit" else "")
 
   /** One partition per newline-aligned BYTE RANGE, not per file — the
     * Hadoop TextInputFormat contract: a 10 GB TSV must parallelize
@@ -161,17 +176,18 @@ final class TsvScan(fullSchema: StructType, required: StructType,
     if (p.startsWith("file:")) p.stripPrefix("file:") else p
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TsvReaderFactory(fullSchema, required, pushed)
+    new TsvReaderFactory(fullSchema, required, pushed, limit)
 }
 
 final case class TsvInputPartition(file: String, start: Long, end: Long)
     extends InputPartition
 
 final class TsvReaderFactory(fullSchema: StructType, required: StructType,
-    pushed: Array[Filter]) extends PartitionReaderFactory {
+    pushed: Array[Filter], limit: Int) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TsvInputPartition]
-    new TsvPartitionReader(fullSchema, required, pushed, p.file, p.start, p.end)
+    new TsvPartitionReader(fullSchema, required, pushed, limit,
+      p.file, p.start, p.end)
   }
 }
 
@@ -180,8 +196,12 @@ final class TsvReaderFactory(fullSchema: StructType, required: StructType,
   * Owns the lines STARTING in [start, end) per the split contract
   * documented on [[TsvScan.planInputPartitions]]. */
 final class TsvPartitionReader(fullSchema: StructType, required: StructType,
-    pushed: Array[Filter], file: String, start: Long, end: Long)
+    pushed: Array[Filter], limit: Int, file: String, start: Long, end: Long)
     extends PartitionReader[InternalRow] {
+
+  // rows emitted by THIS split; a pushed limit caps it (partial push —
+  // Spark's global Limit still runs above)
+  private var emitted = 0
 
   private val fullIdx = fullSchema.fieldNames.zipWithIndex.toMap
   // field positions the output row needs, in output order
@@ -290,6 +310,7 @@ final class TsvPartitionReader(fullSchema: StructType, required: StructType,
   private var row: InternalRow = _
 
   override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
     while (pos < end) { // lines STARTING in [start, end) are ours
       val line = readLine()
       if (line == null) return false
@@ -314,6 +335,7 @@ final class TsvPartitionReader(fullSchema: StructType, required: StructType,
           i += 1
         }
         row = InternalRow.fromSeq(values.toIndexedSeq)
+        emitted += 1
         return true
       }
     }

@@ -1287,13 +1287,18 @@ object StreamingQueries extends QueryPack {
     val dayUs = 86400L * 1000000L
     val shards = dumpDayShards(s, dir, "events_stream_days")
     val schema = dayShardSchema("events_stream_days")
-    val sessEnc = implicitly[org.apache.spark.sql.Encoder[List[(Long, Long, Long)]]]
+    // state type is Seq, NOT List: the value deserializer materializes a
+    // List under codegen but a Vector under the interpreted fallback
+    // (factoryMode=NO_CODEGEN, [[gateExecConfs]]) — a List-typed state
+    // would CCE the moment the interpreted path runs. Seq admits both;
+    // merge() normalizes to List internally for the :: patterns.
+    val sessEnc = implicitly[org.apache.spark.sql.Encoder[Seq[(Long, Long, Long)]]]
     val processor =
       new StatefulProcessor[Long, (Long, Long, java.sql.Timestamp), (Long, Long, Long, Long)] {
-        @transient private var st: ValueState[List[(Long, Long, Long)]] = _
+        @transient private var st: ValueState[Seq[(Long, Long, Long)]] = _
         override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
           st = getHandle.getValueState("sessions", sessEnc, TTLConfig.NONE)
-        private def merge(pieces: List[(Long, Long, Long)]) =
+        private def merge(pieces: Seq[(Long, Long, Long)]) =
           pieces.sortBy(p => (p._1, p._2))
             .foldLeft(List.empty[(Long, Long, Long)]) { (acc, p) =>
               acc match {
@@ -1304,7 +1309,7 @@ object StreamingQueries extends QueryPack {
             }.reverse
         /** One timer per key at the earliest possible close (µs→ms
           * rounded UP so the expiry sits strictly past the watermark). */
-        private def rearm(open: List[(Long, Long, Long)]): Unit = {
+        private def rearm(open: Seq[(Long, Long, Long)]): Unit = {
           getHandle.listTimers().foreach(getHandle.deleteTimer)
           if (open.nonEmpty)
             getHandle.registerTimer((open.map(_._2).min + gapUs + 999L) / 1000L)
@@ -1666,7 +1671,37 @@ object StreamingQueries extends QueryPack {
     out
   }
 
-  override def queries: Seq[Q] = Seq(
+  /** Harness-scale execution confs applied around every streaming GATE
+    * (not the batch analogs like q71): interpreted expression/stage
+    * execution for the micro-batch machinery. Why: each micro-batch
+    * re-plans with fresh watermark/batchId literals baked into the
+    * generated code, so the codegen class cache misses on EVERY batch
+    * and each ~1k-row batch pays a Janino compile per stage to save
+    * microseconds of row work. Honest sizing: interleaved A/B on warm
+    * q240 shows ~0.3–0.5 s/invocation (within host noise on single
+    * runs; compile cost itself shrinks once the JVM has C2-compiled
+    * Janino) — the gates' warm floor is state-store stage overhead, not
+    * codegen. Kept because the direction is strictly right at this
+    * batch size and it compounds across 22 gates × 3 bench passes.
+    * Scoped via [[withConfs]] around the gate body (streaming queries
+    * capture session confs at start), so batch queries in the same
+    * session keep whole-stage codegen. This is BATCH-SIZE tuning, not a
+    * global recommendation: a production stream at millions of rows per
+    * micro-batch amortizes the compile and should leave codegen on. */
+  private val gateExecConfs: Seq[(String, String)] = Seq(
+    "spark.sql.codegen.wholeStage" -> "false",
+    "spark.sql.codegen.factoryMode" -> "NO_CODEGEN")
+
+  /** Queries whose fn is pure batch (streaming-semantics twins gated
+    * batch-side) — these keep codegen: they scan the real corpus. */
+  private val batchAnalogs = Set("q71_session_window")
+
+  override def queries: Seq[Q] = registered.map { q =>
+    if (batchAnalogs(q.name)) q
+    else q.copy(fn = (s, dir) => withConfs(s, gateExecConfs: _*)(q.fn(s, dir)))
+  }
+
+  private def registered: Seq[Q] = Seq(
     Q("q258_stream_static_anti", q258, Some(
       """SELECT event_type, count(*) AS n,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)

@@ -266,7 +266,11 @@ class PlanSpec extends AnyFunSuite {
       //        the R-row loadmap (q69 pattern); no data-sized join at all.
       // q257 — sketch rollup: q234's 1-row day-bounds broadcast trims
       //        partial windows; the sketch/exact joins are equi on day.
-      "q234_stickiness", "q244_skew_forecast", "q257_sketch_rollup")
+      // q256 — churn set algebra: the 1-row (cut1, cut2) quintile-bounds
+      //        broadcast feeding the conditional collect_sets (q69
+      //        pattern); the only other exchange is the user_id agg.
+      "q234_stickiness", "q244_skew_forecast", "q257_sketch_rollup",
+      "q256_array_set_algebra")
     // Streaming queries execute a full drain in fn() and return a
     // collected local frame whose "plan" pins nothing; their batch-side
     // shapes are pinned by their own specs — skip the expensive drains.

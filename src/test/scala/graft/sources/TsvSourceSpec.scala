@@ -104,7 +104,7 @@ class TsvSourceSpec extends AnyFunSuite {
     // and the plan really fans out: a 40-line file at 16-byte splits
     // is many input partitions, not one
     val parts = new TsvScan(schema, schema, Array.empty,
-      dir, 16L).planInputPartitions()
+      dir, 16L, -1).planInputPartitions()
     assert(parts.length > 5, s"expected many splits, got ${parts.length}")
   }
 
@@ -139,6 +139,30 @@ class TsvSourceSpec extends AnyFunSuite {
       assert(e.getMessage.contains("split_bytes"),
         s"expected the split_bytes guard, got: ${e.getMessage}")
     }
+  }
+
+  test("limit pushdown: the scan carries PushedLimit and results stay exact") {
+    val dir = writeTsv((1 to 200).map(i => s"$i\tn$i\t$i.5\tx$i"))
+    val df = readTsv(dir).filter(col("id") > 50).limit(7)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 7"),
+      s"limit must reach the source (partial push):\n$plan")
+    // partial push: Spark's global Limit still bounds the result, and
+    // the pushed filter applies BEFORE the per-split row cap
+    val got = df.collect().map(_.getLong(0))
+    assert(got.length == 7 && got.forall(_ > 50))
+  }
+
+  test("limit pushdown caps each split without dropping later splits' rows") {
+    // many tiny splits: per-split limit 3 emits up to 3 rows per split,
+    // but a global collect (no Spark limit) must still see every row —
+    // guard that isPartiallyPushed=true keeps correctness when the
+    // pushed limit exceeds no split's row count
+    val dir = writeTsv((1 to 40).map(i => s"$i\tn$i\t$i.5\tx$i"))
+    val full = spark.read.format(classOf[TsvSourceProvider].getName)
+      .schema(schema).option("path", dir).option("split_bytes", "64")
+      .load().limit(1000).collect()
+    assert(full.length == 40)
   }
 
   test("column pruning: projecting one column still parses filter columns only as needed") {
