@@ -63,7 +63,7 @@ object Dedup extends QueryPack {
   private def sameLiveContext(cached: DataFrame, s: SparkSession): Boolean =
     (cached.sparkSession.sparkContext eq s.sparkContext) &&
       !cached.sparkSession.sparkContext.isStopped
-  private def docsWithShinglesCk(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def docsWithShinglesCk(s: SparkSession, dir: String): DataFrame = {
     // lock-free fast path on a valid hit; compute() (bin-locked) only
     // for miss/stale so replacement stays atomic per dir
     val hit = shingleCkCache.get(dir)

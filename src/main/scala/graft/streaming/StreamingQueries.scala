@@ -1671,6 +1671,94 @@ object StreamingQueries extends QueryPack {
     out
   }
 
+  /** q260: streaming NEAR-DUP ADMISSION CONTROL — dedup at ingestion,
+    * the production join of the streaming and dedup families: new
+    * documents arrive as a stream and every batch is screened against a
+    * STATIC corpus LSH index (MinHash bands, q42's exact machinery);
+    * pairs that exact-verify at Jaccard ≥ 0.7 are the rejections a
+    * curation pipeline would bounce before they ever reach the corpus.
+    * q97 gates the batch form of this (work ∝ batch); this gate proves
+    * the same contract holds arriving incrementally.
+    *
+    * Pipeline shape — STATELESS by construction, which is the scale
+    * story: shingle + band fan-out are per-row maps; the band join and
+    * the verify join are both stream-STATIC (the index can't grow
+    * mid-query), so append mode needs no state store and no watermark —
+    * per-batch cost is batch_size × bands probes against the
+    * hash-partitioned index, independent of stream history. The probe's
+    * own shingle set RIDES THROUGH the band fan-out as a column: joining
+    * the band stream back to a probe-shingle stream would be
+    * stream-stream (state, watermarks) for no reason — the verify needs
+    * each candidate's two shingle sets and only the corpus side is
+    * joinable statically. Candidate pairs sharing several bands
+    * duplicate across the join; they collapse in the gate's read-back
+    * distinct (a production sink would fold them per batch in
+    * foreachBatch — batch-local work either way, never cross-batch
+    * state). Recall is the q42 argument unchanged: identical shingles →
+    * identical MinHash bands, and the gated threshold's pairs all share
+    * ≥ 1 of the 32 bands on this corpus (the batch q42 oracle-proves
+    * that every round); precision is exact via the verify. */
+  private def q260(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextHash
+    val shards = graft.operators.FileIO.scratch(dir, "docs_stream_shards")
+    if (!dumped.contains(shards)) {
+      Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+        .select("doc_id", "text")
+        .repartition(4) // 4 files at 2/trigger = 2 main micro-batches
+        .write.mode("overwrite").parquet(shards)
+      dumped.add(shards)
+    }
+    // static index side: the process-cached corpus shingle frame (shared
+    // with q42/q43/q44/q96/q97), minus the probe split
+    val corpus = graft.operators.Dedup.docsWithShinglesCk(s, dir)
+      .filter(col("doc_id") % 5 =!= 0)
+    val corpusBands = corpus.select(col("doc_id"), col("sh"))
+      .as[(Long, Seq[String])]
+      .flatMap { case (id, sh) =>
+        TextHash.bands(TextHash.minhash(sh)).iterator.zipWithIndex
+          .map { case (bandVal, bandIdx) => (id, bandIdx, bandVal) } }
+      .toDF("corpus_id", "band_idx", "band_val")
+    val corpusSh = corpus.select(col("doc_id").as("corpus_id"),
+      col("sh").as("sh_b"))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    val probe = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(shards)
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        (id, TextHash.shingles(text.split(" ", -1).toSeq, 3).toSeq) }
+      .flatMap { case (id, sh) =>
+        TextHash.bands(TextHash.minhash(sh)).iterator.zipWithIndex
+          .map { case (bandVal, bandIdx) => (id, sh, bandIdx, bandVal) } }
+      .toDF("probe_id", "sh_a", "band_idx", "band_val")
+    val verified = probe
+      .join(corpusBands, Seq("band_idx", "band_val")) // stream-static
+      .join(corpusSh, "corpus_id")                    // stream-static
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
+      .filter(col("jaccard") >= 0.7)
+      .select("probe_id", "corpus_id", "jaccard")
+    val name = "graft_q260_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = verified.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try {
+      query.processAllAvailable()
+      recordBatchId("q260", query)
+    } finally query.stop()
+    val result = s.table(name).distinct().orderBy("probe_id", "corpus_id")
+    val rows = result.collect()
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
+    s.catalog.dropTempView(name)
+    out
+  }
+
   /** Harness-scale execution confs applied around every streaming GATE
     * (not the batch analogs like q71): interpreted expression/stage
     * execution for the micro-batch machinery. Why: each micro-batch
@@ -1702,6 +1790,25 @@ object StreamingQueries extends QueryPack {
   }
 
   private def registered: Seq[Q] = Seq(
+    Q("q260_stream_dedup_admission", q260, Some(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |         [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |          FOR i IN generate_series(1, len(w) - 2)])) AS s FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS probe_id, b.doc_id AS corpus_id,
+        |    count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s
+        |  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        |  GROUP BY 1, 2)
+        |SELECT probe_id, corpus_id,
+        |  round(inter * 1.0 / (na.n + nb.n - inter), 4) AS jaccard
+        |FROM pairs
+        |JOIN sizes na ON na.doc_id = pairs.probe_id
+        |JOIN sizes nb ON nb.doc_id = pairs.corpus_id
+        |WHERE round(inter * 1.0 / (na.n + nb.n - inter), 4) >= 0.7
+        |ORDER BY probe_id, corpus_id""".stripMargin)),
     Q("q258_stream_static_anti", q258, Some(
       """SELECT event_type, count(*) AS n,
         |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)

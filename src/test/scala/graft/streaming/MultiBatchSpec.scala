@@ -53,6 +53,19 @@ class MultiBatchSpec extends AnyFunSuite {
         "micro-batches; cross-batch join buffering is no longer covered")
   }
 
+  test("q260 admission screen drains across >= 2 micro-batches (stateless stream-static)") {
+    // admission control is stateless (both joins are stream-static), so
+    // no sentinels exist to pad the count — the 4-shard/2-per-trigger
+    // split IS the cross-batch coverage: batch 2's probes must hit the
+    // same static index batch 1's did
+    val rows = graft.SparkEntry.queries("q260_stream_dedup_admission")(spark, sf).count()
+    assert(rows > 0, "q260 returned no rows")
+    val batchId = StreamingQueries.lastBatchId.get("q260")
+    assert(batchId != null && batchId >= 1L,
+      s"q260 drained in ${if (batchId == null) "?" else batchId + 1} " +
+        "micro-batches; incremental-admission coverage is gone")
+  }
+
   test("q254 listener gate observes >= 2 micro-batches (progress-per-batch coverage)") {
     val rows = graft.SparkEntry.queries("q254_stream_listener")(spark, sf).count()
     assert(rows > 0, "q254 returned no rows")
