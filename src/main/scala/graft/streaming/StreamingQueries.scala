@@ -1759,6 +1759,134 @@ object StreamingQueries extends QueryPack {
     out
   }
 
+  /** q261: SEQUENTIAL corpus-build dedup — the self-building half of
+    * ingestion dedup (q260 screens against a FIXED index; here the
+    * stream IS the corpus): documents arrive in id order and each doc
+    * is admitted iff it near-dups no SMALLER-id document — the
+    * deterministic "keep first occurrence" policy (RefinedWeb-style),
+    * stated order-theoretically so the answer is independent of how the
+    * stream happens to batch. Each foreachBatch round screens the batch
+    * against (a) itself and (b) the band index accumulated from every
+    * earlier batch, then APPENDS the batch's shingles and bands to that
+    * index — cross-batch visibility is the whole point: a batch-2 dup
+    * of a batch-1 doc must be rejected BY it.
+    *
+    * Why foreachBatch and not a stateful operator: the "state" here is
+    * a growing inverted band index — far past what a keyed state store
+    * should hold, and exactly what a parquet table on the cluster FS
+    * is for (same argument as q118's upsert target). Work per batch is
+    * batch × 32 band probes against the hash-partitioned index plus
+    * exact-Jaccard verify on candidates; the id-ordered shards
+    * guarantee a doc's smaller-id peers are never in a LATER batch, so
+    * one pass is exact for the policy. Per-run scratch (index, results)
+    * is UUID-fresh and reclaimed; only the input shards are the shared
+    * process-cached dump. Oracle: the policy is closed-form in SQL —
+    * admitted(d) ⇔ ∄ p < d with round(J(p,d),4) ≥ 0.7 — no recursion,
+    * no batch-boundary knowledge needed (that independence is the
+    * design claim under test). */
+  private def q261(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextHash
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val shards = graft.operators.FileIO.scratch(dir, "docs_seq_shards")
+    val fs = FileSystem.get(new java.net.URI(shards),
+      s.sparkContext.hadoopConfiguration)
+    if (!dumped.contains(shards)) {
+      // 4 id-RANGE shard files written smallest-range-first: the file
+      // source drains oldest-(mtime,path)-first, so batches are
+      // id-ordered — the policy's one-pass precondition
+      val bounds = Tables.documents(s, dir)
+        .agg(min("doc_id").as("lo"), max("doc_id").as("hi")).head()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val step = (hi - lo) / 4 + 1
+      fs.delete(new Path(shards), true)
+      fs.mkdirs(new Path(shards))
+      for (i <- 0 until 4) {
+        val tmp = shards + s"_tmp$i"
+        Tables.documents(s, dir).select("doc_id", "text")
+          .filter(col("doc_id") >= lo + i * step &&
+            col("doc_id") < lo + (i + 1) * step)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = fs.listStatus(new Path(tmp))
+          .map(_.getPath).filter(_.getName.startsWith("part-")).head
+        fs.rename(part, new Path(shards, f"shard-$i%04d.parquet"))
+        fs.delete(new Path(tmp), true)
+      }
+      dumped.add(shards)
+    }
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val idxShPath = graft.operators.FileIO.scratch(dir, s"seq_idx_sh_$runId")
+    val idxBandPath = graft.operators.FileIO.scratch(dir, s"seq_idx_band_$runId")
+    val resPath = graft.operators.FileIO.scratch(dir, s"seq_result_$runId")
+    def shingle(df: DataFrame): DataFrame = df.as[(Long, String)]
+      .map { case (id, t) =>
+        (id, TextHash.shingles(t.split(" ", -1).toSeq, 3).toSeq) }
+      .toDF("doc_id", "sh")
+    def bandsOf(sh: DataFrame): DataFrame = sh.as[(Long, Seq[String])]
+      .flatMap { case (id, shs) =>
+        TextHash.bands(TextHash.minhash(shs)).iterator.zipWithIndex
+          .map { case (v, i) => (id, i, v) } }
+      .toDF("doc_id", "band_idx", "band_val")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(shards)
+    val name = "graft_q261_" + runId
+    val query = stream.writeStream
+      .queryName(name)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sh = shingle(batch)
+        val bands = bandsOf(sh)
+        val haveIdx = fs.exists(new Path(idxShPath))
+        val local = bands.toDF("id_b", "band_idx", "band_val")
+          .join(bands.toDF("id_a", "band_idx", "band_val"),
+            Seq("band_idx", "band_val"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_b").as("doc_id"), col("id_a").as("prev_id"))
+        val fromIdx =
+          if (!haveIdx) local.limit(0)
+          else bands
+            .join(s.read.parquet(idxBandPath)
+              .toDF("prev_id", "band_idx", "band_val"),
+              Seq("band_idx", "band_val"))
+            .select(col("doc_id"), col("prev_id"))
+        val prevSh =
+          (if (haveIdx) s.read.parquet(idxShPath) else sh.limit(0))
+            .toDF("prev_id", "sh_p")
+            .unionByName(sh.toDF("prev_id", "sh_p"))
+        val dupOf = local.unionByName(fromIdx).distinct()
+          .join(sh.toDF("doc_id", "sh_d"), "doc_id")
+          .join(prevSh, "prev_id")
+          .withColumn("inter",
+            size(array_intersect(col("sh_d"), col("sh_p"))))
+          .withColumn("jaccard", round(col("inter").cast("double") /
+            (size(col("sh_d")) + size(col("sh_p")) - col("inter")), 4))
+          .filter(col("jaccard") >= 0.7)
+          .groupBy("doc_id").agg(min("prev_id").as("dup_of"))
+        sh.select("doc_id")
+          .join(dupOf, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("dup_of"),
+            col("dup_of").isNull.as("admitted"))
+          .write.mode("append").parquet(resPath)
+        // index extends with EVERY screened doc (the policy compares
+        // against all smaller ids, admitted or not)
+        sh.write.mode("append").parquet(idxShPath)
+        bands.write.mode("append").parquet(idxBandPath)
+        ()
+      }
+      .start()
+    try {
+      try {
+        query.processAllAvailable()
+        recordBatchId("q261", query)
+      } finally query.stop()
+      val result = s.read.parquet(resPath).orderBy("doc_id")
+      val rows = result.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally rmrfAll(s, idxShPath, idxBandPath, resPath)
+  }
+
   /** Harness-scale execution confs applied around every streaming GATE
     * (not the batch analogs like q71): interpreted expression/stage
     * execution for the micro-batch machinery. Why: each micro-batch
@@ -1790,6 +1918,26 @@ object StreamingQueries extends QueryPack {
   }
 
   private def registered: Seq[Q] = Seq(
+    Q("q261_sequential_dedup", q261, Some(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |         [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |          FOR i IN generate_series(1, len(w) - 2)])) AS s FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |p AS (SELECT a.doc_id AS prev_id, b.doc_id AS doc_id,
+        |    count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |rej AS (SELECT p.doc_id AS doc_id, min(prev_id) AS dup_of
+        |  FROM p
+        |  JOIN sizes na ON na.doc_id = p.prev_id
+        |  JOIN sizes nb ON nb.doc_id = p.doc_id
+        |  WHERE round(inter * 1.0 / (na.n + nb.n - inter), 4) >= 0.7
+        |  GROUP BY 1)
+        |SELECT d.doc_id, r.dup_of, r.dup_of IS NULL AS admitted
+        |FROM documents d LEFT JOIN rej r ON r.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin)),
     Q("q260_stream_dedup_admission", q260, Some(
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
         |  FROM documents),

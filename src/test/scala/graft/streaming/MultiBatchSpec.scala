@@ -66,6 +66,27 @@ class MultiBatchSpec extends AnyFunSuite {
         "micro-batches; incremental-admission coverage is gone")
   }
 
+  test("q261 sequential dedup: >= 2 batches AND cross-batch rejections exist") {
+    // the gate's design claim is batch-INDEPENDENCE of the keep-first
+    // policy; that claim is only exercised if some rejection's canonical
+    // dup lives in an EARLIER batch (visible only through the
+    // foreachBatch-appended index). Recompute the id-range batching the
+    // gate uses (4 shards, 2/trigger) and require at least one such pair.
+    val out = graft.SparkEntry.queries("q261_sequential_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(out.nonEmpty)
+    val batchId = StreamingQueries.lastBatchId.get("q261")
+    assert(batchId != null && batchId >= 1L,
+      s"q261 drained in ${if (batchId == null) "?" else batchId + 1} micro-batches")
+    val ids = out.map(_._1)
+    val (lo, hi) = (ids.min, ids.max)
+    val step = (hi - lo) / 4 + 1
+    def batchOf(id: Long): Long = (id - lo) / (2 * step)
+    val crossBatch = out.filter { case (d, p) => p >= 0 && batchOf(p) != batchOf(d) }
+    assert(crossBatch.nonEmpty,
+      "no rejection crossed a batch boundary — the accumulated index is untested")
+  }
+
   test("q254 listener gate observes >= 2 micro-batches (progress-per-batch coverage)") {
     val rows = graft.SparkEntry.queries("q254_stream_listener")(spark, sf).count()
     assert(rows > 0, "q254 returned no rows")
