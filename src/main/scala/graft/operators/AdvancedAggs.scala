@@ -578,7 +578,79 @@ object AdvancedAggs extends QueryPack {
       .orderBy("day")
   }
 
+  /** q262: rolling QUANTILES from mergeable daily HISTOGRAMS — q257's
+    * sketch-along-time idea applied to order statistics. Exact rolling
+    * quantiles don't decompose from daily aggregates (the k-th value of
+    * a union isn't a function of per-day k-th values), and re-scanning
+    * the corpus per window family is the q234 cost problem all over —
+    * so the pipeline keeps ONE mergeable sketch per (type, day): a
+    * fixed-width integer histogram (unit bins over the clamped [0, 511]
+    * value domain). Histogram union is vector addition, so any trailing
+    * window is a grouped SUM over the tiny daily-histogram frame
+    * (constant 7× fan-out of histogram ROWS, never events), and the
+    * histogram quantile — smallest bin whose cumulative count reaches
+    * ⌈q·n⌉ — is one cumulative window over ≤512 bins per group. The
+    * error contract is the bin width (≤1.0 here) and, because both
+    * engines run the identical integer arithmetic (⌈q·n⌉ spelled as
+    * cum·100 ≥ n·99 etc. — no doubles anywhere), the gate hash-checks
+    * EXACTLY, unlike interpolating t-digest/KLL implementations whose
+    * estimates differ per engine. At 100 TB: corpus touched once per
+    * day; every window/percentile after that is arithmetic on
+    * |days|×|types|×≤512 rows. */
+  private def q262(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"),
+        (unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+        greatest(least(floor(col("value")), lit(511)), lit(0))
+          .cast("long").as("bin"))
+      .groupBy("event_type", "day", "bin").agg(count(lit(1)).as("cnt"))
+    val bounds = daily.agg(min("day").as("d0"), max("day").as("d1"))
+    val merged = daily
+      .select(col("event_type"),
+        explode(sequence(col("day"), col("day") + 6)).as("wend"),
+        col("bin"), col("cnt"))
+      .groupBy("event_type", "wend", "bin").agg(sum("cnt").as("cnt"))
+    val wCum = Window.partitionBy("event_type", "wend").orderBy("bin")
+    val wAll = Window.partitionBy("event_type", "wend")
+    merged
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(wAll))
+      .groupBy("event_type", "wend")
+      .agg(max("n").as("n"),
+        min(when(col("cum") * 2 >= col("n"), col("bin"))).as("p50"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("bin"))).as("p90"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("bin"))).as("p99"))
+      .join(broadcast(bounds),
+        col("wend") >= col("d0") + 6 && col("wend") <= col("d1"))
+      .select(col("event_type"), col("wend").as("day"), col("n"),
+        col("p50"), col("p90"), col("p99"))
+      .orderBy("event_type", "day")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q262_quantile_rollup", q262, Some(
+      """WITH e AS (SELECT event_type,
+        |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        |    CAST(greatest(least(floor(value), 511), 0) AS BIGINT) AS bin
+        |  FROM events),
+        |daily AS (SELECT event_type, day, bin, count(*) AS cnt
+        |  FROM e GROUP BY 1, 2, 3),
+        |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |m AS (SELECT event_type, day + g.i AS wend, bin, sum(cnt) AS cnt
+        |  FROM daily CROSS JOIN (SELECT unnest(range(0, 7)) AS i) g
+        |  GROUP BY 1, 2, 3),
+        |c AS (SELECT event_type, wend, bin,
+        |    sum(cnt) OVER (PARTITION BY event_type, wend ORDER BY bin)
+        |      AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type, wend) AS n
+        |  FROM m)
+        |SELECT event_type, wend AS day, CAST(max(n) AS BIGINT) AS n,
+        |  min(CASE WHEN cum * 2 >= n THEN bin END) AS p50,
+        |  min(CASE WHEN cum * 10 >= n * 9 THEN bin END) AS p90,
+        |  min(CASE WHEN cum * 100 >= n * 99 THEN bin END) AS p99
+        |FROM c, b WHERE wend >= b.d0 + 6 AND wend <= b.d1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     Q("q257_sketch_rollup", q257, Some(
       """WITH ud AS (SELECT DISTINCT
         |    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, user_id

@@ -269,8 +269,10 @@ class PlanSpec extends AnyFunSuite {
       // q256 — churn set algebra: the 1-row (cut1, cut2) quintile-bounds
       //        broadcast feeding the conditional collect_sets (q69
       //        pattern); the only other exchange is the user_id agg.
+      // q262 — quantile rollup: the same 1-row day-bounds broadcast
+      //        (q234/q257 pattern); histogram merge + cumsum are equi.
       "q234_stickiness", "q244_skew_forecast", "q257_sketch_rollup",
-      "q256_array_set_algebra")
+      "q256_array_set_algebra", "q262_quantile_rollup")
     // Streaming queries execute a full drain in fn() and return a
     // collected local frame whose "plan" pins nothing; their batch-side
     // shapes are pinned by their own specs — skip the expensive drains.
