@@ -490,6 +490,72 @@ object Relational extends QueryPack {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   }
 
+  /** q263: SQL SCRIPTING (Spark 4 procedural surface) — BEGIN/END,
+    * DECLARE'd session variables, WHILE — driving a computation that
+    * genuinely NEEDS a loop over full queries: the exact global median
+    * by K-ARY SEARCH over the value domain. Each iteration probes 63
+    * evenly-spaced split points in ONE grouped pass (a 63-row probe
+    * frame cross-joined into conditional counts — 63 counters per data
+    * row, still a single read) and shrinks the bracket ~64×, so an
+    * exact order statistic of an arbitrarily large corpus costs
+    * ⌈log₆₄ domain⌉ ≈ 5 passes with O(1) driver state — the
+    * bounded-memory exact-quantile scheme, fanned wide because at scale
+    * PASSES are the currency, not per-pass counters (binary bisection's
+    * 26 passes measured 1.7× slower here at sf0.1, and the gap widens
+    * with data since each extra pass is a full read). Both bracket
+    * bounds come
+    * back from the single pass PACKED into one BIGINT (lo·10⁹ + hi, lo
+    * and hi < 10⁹) because script variables assign one scalar per SET —
+    * two SETs would re-run the pass. Prices are exact integer cents, so
+    * the invariant (count(≤lo) < ⌈n/2⌉ ≤ count(≤hi)) terminates on a
+    * real data value = the lower median, convention-free. The
+    * single-column frame is cached for the script's lifetime: the k
+    * passes re-read one materialized column — the honest cost profile
+    * of the technique (vs the one-pass sort of percentile_disc when
+    * memory allows — q255's territory). */
+  private def q263(s: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.orders(s, dir)
+      .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+    cents.cache()
+    try {
+      cents.createOrReplaceTempView("graft_cents263")
+      val result = s.sql(
+        """BEGIN
+          |  DECLARE lo BIGINT;
+          |  DECLARE hi BIGINT;
+          |  DECLARE n BIGINT;
+          |  DECLARE k BIGINT;
+          |  DECLARE step BIGINT;
+          |  DECLARE packed BIGINT;
+          |  SET lo = (SELECT min(cents) - 1 FROM graft_cents263);
+          |  SET hi = (SELECT max(cents) FROM graft_cents263);
+          |  SET n = (SELECT count(*) FROM graft_cents263);
+          |  SET k = (n + 1) DIV 2;
+          |  WHILE hi - lo > 1 DO
+          |    SET step = greatest((hi - lo) DIV 64, 1);
+          |    SET packed = (
+          |      SELECT coalesce(max(CASE WHEN cnt < k THEN p END), lo)
+          |               * 1000000000
+          |           + coalesce(min(CASE WHEN cnt >= k THEN p END), hi)
+          |      FROM (SELECT p.p,
+          |              sum(CASE WHEN c.cents <= p.p THEN 1 ELSE 0 END)
+          |                AS cnt
+          |            FROM graft_cents263 c
+          |            CROSS JOIN (SELECT lo + id * step AS p
+          |                        FROM range(1, 64)
+          |                        WHERE lo + id * step < hi) p
+          |            GROUP BY p.p));
+          |    SET lo = packed DIV 1000000000;
+          |    SET hi = packed % 1000000000;
+          |  END WHILE;
+          |  SELECT hi AS median_cents, n AS n_rows;
+          |END""".stripMargin)
+      val rows = result.collect()
+      s.catalog.dropTempView("graft_cents263")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally cents.unpersist(false)
+  }
+
   /** q238: COLLATION-aware grouping (Spark 4 surface) — case-insensitive
     * semantics pushed into the string TYPE via `collate(…,
     * 'UTF8_LCASE')` instead of wrapping every reference in lower().
@@ -535,6 +601,15 @@ object Relational extends QueryPack {
         |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
         |    AS bal
         |FROM noisy GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q263_sql_scripting_bisect", q263, Some(
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+        |    AS cents FROM orders),
+        |r AS (SELECT cents,
+        |    row_number() OVER (ORDER BY cents) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM c)
+        |SELECT cents AS median_cents, CAST(n AS BIGINT) AS n_rows
+        |FROM r WHERE rn = (n + 1) // 2""".stripMargin)),
     Q("q213_sql_functions", q213, Some(
       """WITH b(band, lo, hi) AS (VALUES
         |    ('low', 0.0, 10.0), ('mid', 10.0, 30.0), ('high', 30.0, 51.0))
