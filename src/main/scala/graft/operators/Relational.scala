@@ -504,9 +504,10 @@ object Relational extends QueryPack {
     * 26 passes measured 1.7× slower here at sf0.1, and the gap widens
     * with data since each extra pass is a full read). Both bracket
     * bounds come
-    * back from the single pass PACKED into one BIGINT (lo·10⁹ + hi, lo
-    * and hi < 10⁹) because script variables assign one scalar per SET —
-    * two SETs would re-run the pass. Prices are exact integer cents, so
+    * back from the single pass PACKED into one BIGINT (base-shifted,
+    * dynamic radix = bracket width + 2, sound for negative/zero minima
+    * and brackets up to ~3·10⁹ wide) because script variables assign
+    * one scalar per SET — two SETs would re-run the pass. Prices are exact integer cents, so
     * the invariant (count(≤lo) < ⌈n/2⌉ ≤ count(≤hi)) terminates on a
     * real data value = the lower median, convention-free. The
     * single-column frame is cached for the script's lifetime: the k
@@ -526,17 +527,27 @@ object Relational extends QueryPack {
           |  DECLARE n BIGINT;
           |  DECLARE k BIGINT;
           |  DECLARE step BIGINT;
+          |  DECLARE base BIGINT;
+          |  DECLARE radix BIGINT;
           |  DECLARE packed BIGINT;
           |  SET lo = (SELECT min(cents) - 1 FROM graft_cents263);
           |  SET hi = (SELECT max(cents) FROM graft_cents263);
           |  SET n = (SELECT count(*) FROM graft_cents263);
           |  SET k = (n + 1) DIV 2;
+          |  -- base-shifted dynamic-radix packing: (lo - base) and
+          |  -- (hi - base) are non-negative and < radix for ANY value
+          |  -- domain (negative or zero minima included — a fixed 10^9
+          |  -- radix silently corrupted on lo < 0), and packed <= radix^2
+          |  -- stays in BIGINT up to a ~3*10^9-wide bracket
+          |  SET base = lo;
+          |  SET radix = hi - lo + 2;
           |  WHILE hi - lo > 1 DO
           |    SET step = greatest((hi - lo) DIV 64, 1);
           |    SET packed = (
-          |      SELECT coalesce(max(CASE WHEN cnt < k THEN p END), lo)
-          |               * 1000000000
-          |           + coalesce(min(CASE WHEN cnt >= k THEN p END), hi)
+          |      SELECT (coalesce(max(CASE WHEN cnt < k THEN p END), lo)
+          |                - base) * radix
+          |           + (coalesce(min(CASE WHEN cnt >= k THEN p END), hi)
+          |                - base)
           |      FROM (SELECT p.p,
           |              sum(CASE WHEN c.cents <= p.p THEN 1 ELSE 0 END)
           |                AS cnt
@@ -545,8 +556,8 @@ object Relational extends QueryPack {
           |                        FROM range(1, 64)
           |                        WHERE lo + id * step < hi) p
           |            GROUP BY p.p));
-          |    SET lo = packed DIV 1000000000;
-          |    SET hi = packed % 1000000000;
+          |    SET lo = base + packed DIV radix;
+          |    SET hi = base + packed % radix;
           |  END WHILE;
           |  SELECT hi AS median_cents, n AS n_rows;
           |END""".stripMargin)
