@@ -567,6 +567,45 @@ object Relational extends QueryPack {
     } finally cents.unpersist(false)
   }
 
+  /** q264: PARAMETERIZED SQL — the injection-safe query surface next to
+    * q263's scripting: a session VARIABLE carries a runtime-derived
+    * parameter, `EXECUTE IMMEDIATE ... USING` binds it (with a named
+    * :param marker) into a query TEMPLATE, and the same template also
+    * runs through the Scala-side `spark.sql(text, args)` named-parameter
+    * API — both paths must agree row-for-row (the gate unions them and
+    * requires each group to appear exactly twice). Parameters bind as
+    * typed literals in the plan, never string-spliced, so the template
+    * is safe for hostile parameter values and Catalyst still
+    * constant-folds/pushes the bound predicate like any literal. The
+    * parameter itself is data-derived (the corpus median price from a
+    * 1-row aggregate) — the realistic shape where one query's result
+    * feeds the next query's binding. */
+  private def q264(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders264")
+    s.sql("DECLARE OR REPLACE VARIABLE graft_cut264 DOUBLE")
+    s.sql("""SET VAR graft_cut264 =
+            |  (SELECT percentile_disc(0.5) WITHIN GROUP
+            |     (ORDER BY o_totalprice) FROM graft_orders264)""".stripMargin)
+    val template =
+      """SELECT o_orderpriority AS priority, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    AS DOUBLE), 2) AS revenue
+        |FROM graft_orders264 WHERE o_totalprice > :cut
+        |GROUP BY 1""".stripMargin
+    val viaExec = s.sql(
+      s"EXECUTE IMMEDIATE '${template.replace("\n", " ").replace("'", "''")}' " +
+        "USING graft_cut264 AS cut")
+    val cut = s.sql("SELECT graft_cut264").head().getDouble(0)
+    val viaArgs = s.sql(template, Map("cut" -> cut))
+    val out = viaExec.unionByName(viaArgs)
+      .groupBy("priority", "n", "revenue")
+      .agg(count(lit(1)).as("paths_agreeing"))
+      .orderBy("priority")
+    val rows = out.collect()
+    s.catalog.dropTempView("graft_orders264")
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** q238: COLLATION-aware grouping (Spark 4 surface) — case-insensitive
     * semantics pushed into the string TYPE via `collate(…,
     * 'UTF8_LCASE')` instead of wrapping every reference in lower().
@@ -612,6 +651,15 @@ object Relational extends QueryPack {
         |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
         |    AS bal
         |FROM noisy GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q264_parameterized_sql", q264, Some(
+      """WITH c AS (SELECT quantile_disc(o_totalprice, 0.5) AS cut
+        |  FROM orders)
+        |SELECT o_orderpriority AS priority, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    AS DOUBLE), 2) AS revenue,
+        |  2 AS paths_agreeing
+        |FROM orders, c WHERE o_totalprice > c.cut
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q263_sql_scripting_bisect", q263, Some(
       """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
         |    AS cents FROM orders),
