@@ -61,6 +61,26 @@ object Materialize {
           throw new IllegalStateException(
             s"$ReliableConf=true needs a checkpoint dir: set $DirConf " +
               "or call sparkContext.setCheckpointDir")))
+      else s.conf.getOption(DirConf).foreach { want =>
+        // the checkpoint dir is CONTEXT-global: a second session asking
+        // for a different dir would silently checkpoint into the first
+        // session's — surface the divergence instead (ADVICE r12). The
+        // installed dir is setCheckpointDir's resolved URI (absolute,
+        // scheme-qualified, plus a per-context UUID subdir), so compare
+        // by prefix after resolving `want` the same way.
+        val installed = s.sparkContext.getCheckpointDir.get
+        val wantResolved = scala.util.Try {
+          val p = new org.apache.hadoop.fs.Path(want)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .makeQualified(p).toString
+        }.getOrElse(want)
+        if (!installed.stripSuffix("/").startsWith(
+            wantResolved.stripSuffix("/")))
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"graft: $DirConf=$want differs from the context's installed " +
+              s"checkpoint dir $installed; reliable checkpoints go to the " +
+              "installed dir (call sparkContext.setCheckpointDir to move it)")
+      }
       df.checkpoint(eager = true)
     } else df.localCheckpoint(eager = true)
   }

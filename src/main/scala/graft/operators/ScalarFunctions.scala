@@ -162,8 +162,14 @@ object ScalarFunctions extends QueryPack {
           .as("stopped"),
         array_join(array_sort(array_intersect(col("w1"), col("w2"))), "|")
           .as("kept"),
-        round(size(array_intersect(col("w1"), col("w2"))).cast("double") /
-          size(array_union(col("w1"), col("w2"))), 6).as("jaccard"))
+        // explicit empty-union guard: a user active only in the middle
+        // quintiles has w1 = w2 = [], and 0/0 is engine-divergent
+        // (Spark NULL vs DuckDB NaN/NULL by version) — both sides of
+        // the gate state jaccard([],[]) = 0 instead (ADVICE r12)
+        when(size(array_union(col("w1"), col("w2"))) === 0, lit(0.0))
+          .otherwise(
+            round(size(array_intersect(col("w1"), col("w2"))).cast("double") /
+              size(array_union(col("w1"), col("w2"))), 6)).as("jaccard"))
       .orderBy("user_id")
   }
 
@@ -414,8 +420,9 @@ object ScalarFunctions extends QueryPack {
         |    x -> NOT list_contains(w2, x))), '|'), '') AS stopped,
         |  coalesce(array_to_string(list_sort(list_filter(w1,
         |    x -> list_contains(w2, x))), '|'), '') AS kept,
-        |  round(len(list_filter(w1, x -> list_contains(w2, x))) * 1.0 /
-        |    len(list_distinct(list_concat(w1, w2))), 6) AS jaccard
+        |  CASE WHEN len(list_distinct(list_concat(w1, w2))) = 0 THEN 0.0
+        |    ELSE round(len(list_filter(w1, x -> list_contains(w2, x))) * 1.0 /
+        |      len(list_distinct(list_concat(w1, w2))), 6) END AS jaccard
         |FROM s ORDER BY user_id""".stripMargin)),
     Q("q251_variant_explode", q251, Some(
       """WITH kv AS (SELECT

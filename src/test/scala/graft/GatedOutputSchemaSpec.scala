@@ -40,8 +40,16 @@ class GatedOutputSchemaSpec extends AnyFunSuite {
     val bad = SparkEntry.all
       .filterNot(q => streaming.contains(q.name))
       .flatMap { q =>
-        // analysis only — no job runs; a fn that cannot even analyze at
-        // sf0.001 would fail the driver's verify anyway, surface it here
+        // MOSTLY analysis-only: `.schema` resolves most frames without a
+        // job. Not all, though (ADVICE r12): gates that collect() inside
+        // fn (q263/q264's scripted/parameterized SQL) and the iterative
+        // ops that eagerly checkpoint while BUILDING the frame (q66
+        // components, PageRank, BPE) genuinely execute end-to-end at
+        // sf0.001 here, with their usual side effects (temp views,
+        // session variables, scratch writes). That keeps this sweep
+        // honest (the lint sees the schema the driver will see) at a
+        // few-seconds cost; a fn that cannot even analyze would fail
+        // the driver's verify anyway, surface it here.
         val nested = nestedCols(q.fn(spark, sf).schema)
         if (nested.isEmpty) None else Some(s"${q.name} -> ${nested.mkString(", ")}")
       }
