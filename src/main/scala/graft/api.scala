@@ -92,6 +92,23 @@ object Materialize {
   }
 }
 
+/** Shared conf-scoping helper: run `body` with session confs
+  * temporarily set, restoring each key's prior EXPLICIT value (or unset)
+  * on exit — getAll, not get/getOption, so a registered conf's default
+  * never gets pinned as an explicit session entry. Assumes gates run
+  * sequentially on the session (true for Verify/Bench; concurrent gates
+  * would need a cloned `newSession()`). */
+private[graft] object SessionConfs {
+  def withConfs[T](s: SparkSession, kvs: (String, String)*)(body: => T): T = {
+    val prev = kvs.map { case (k, _) => k -> s.conf.getAll.get(k) }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach { case (k, po) =>
+      po.fold(s.conf.unset(k))(v => s.conf.set(k, v))
+    }
+  }
+}
+
 /** Registry of PROCESS-PINNED localCheckpoint blocks.
   *
   * Query packs may cache an eagerly-checkpointed frame per source dir

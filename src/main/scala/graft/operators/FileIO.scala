@@ -756,7 +756,78 @@ object FileIO extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** q265 setup: stats'd catalog tables for the CBO gate, built once per
+    * source dir. `ANALYZE TABLE ... FOR ALL COLUMNS` collects the
+    * row/size stats plus per-column NDV/min/max that cost-based join
+    * reordering needs. Returns the database name. */
+  private[graft] def cboSetup(s: SparkSession, dir: String): String = {
+    val db = s"graft_cbo_${math.abs(dir.hashCode)}"
+    if (layoutSource.get(db) != dir) {
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
+        .write.mode("overwrite").saveAsTable(s"$db.lineitem_cbo")
+      Tables.part(s, dir).select("p_partkey", "p_brand")
+        .write.mode("overwrite").saveAsTable(s"$db.part_cbo")
+      Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+        .write.mode("overwrite").saveAsTable(s"$db.supplier_cbo")
+      Seq("lineitem_cbo", "part_cbo", "supplier_cbo").foreach(t =>
+        s.sql(s"ANALYZE TABLE $db.$t COMPUTE STATISTICS FOR ALL COLUMNS"))
+      layoutSource.put(db, dir)
+    }
+    db
+  }
+
+  /** q265's star query, written in the deliberately WORST syntactic
+    * order: the fact joins the unfiltered 2k-row part dim first and the
+    * selective supplier dim (s_nationkey = 0 keeps ~2%) last. Without
+    * stats Catalyst keeps this order (its rule-based ReorderJoin only
+    * rescues cross products); with ANALYZE stats + CBO the DP join
+    * reorderer flips it — supplier's filtered ~2 rows shrink the fact
+    * 50× before part is touched. PlanSpec pins both optimized orders. */
+  private[graft] def cboSql(db: String): String =
+    s"""SELECT p_brand, count(*) AS n,
+       |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+       |    AS revenue
+       |FROM $db.lineitem_cbo
+       |JOIN $db.part_cbo ON l_partkey = p_partkey
+       |JOIN $db.supplier_cbo ON l_suppkey = s_suppkey
+       |WHERE s_nationkey = 0
+       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  private[graft] val cboConfs: Seq[(String, String)] = Seq(
+    "spark.sql.cbo.enabled" -> "true",
+    "spark.sql.cbo.joinReorder.enabled" -> "true")
+
+  /** q265: cost-based join reordering (§4.1's missing optimizer half —
+    * the reference has NO optimizer; this gate completes the "Catalyst
+    * supersedes it" story with stats-driven evidence). At 100 TB the
+    * difference between joining a fact against an unfiltered dim vs a
+    * stats-known-selective dim first is the job's dominant shuffle; CBO
+    * makes that choice from ANALYZE statistics instead of query-author
+    * luck. The result is collected INSIDE the conf scope (optimization
+    * happens at execution, so returning a lazy frame would optimize
+    * after the confs are restored). Values are order-independent — the
+    * oracle checks the reordered plan computes the same answer. */
+  private def q265(s: SparkSession, dir: String): DataFrame = {
+    val db = cboSetup(s, dir)
+    graft.SessionConfs.withConfs(s, cboConfs: _*) {
+      val result = s.sql(cboSql(db))
+      val rows = result.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    }
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q265_cbo_join_reorder", q265, Some(
+      """SELECT p_brand, count(*) AS n,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE s_nationkey = 0
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
     Q("q247_dsv2_pushdown", q247, Some(
       """SELECT user_id, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents

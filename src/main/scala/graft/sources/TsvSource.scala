@@ -137,7 +137,7 @@ final class TsvScanBuilder(fullSchema: StructType, path: String,
 
 final class TsvScan(fullSchema: StructType, required: StructType,
     pushed: Array[Filter], path: String, splitBytes: Long, limit: Int)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -145,6 +145,36 @@ final class TsvScan(fullSchema: StructType, required: StructType,
     s"GraftTsvScan path=$path, ReadSchema: ${required.simpleString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]" +
       (if (limit >= 0) s", PushedLimit: $limit" else "")
+
+  /** Size estimate for the planner ([[SupportsReportStatistics]]):
+    * without it a DSv2 relation defaults to "unknown = huge", so a
+    * 100 KB TSV dimension joins as a full shuffle instead of a
+    * broadcast — the planner literally cannot see that the side is
+    * small. Reported size = on-disk bytes scaled by the PROJECTED
+    * column fraction (TSV bytes are roughly proportional to field
+    * count, and what reaches the join is the pruned row), so AQE /
+    * autoBroadcastJoinThreshold decisions see the post-pruning
+    * payload. File lengths come from the same listing the partition
+    * planner uses — metadata only, no data read at plan time.
+    * numRows stays empty: estimating it would need a byte sample, and
+    * sizeInBytes alone drives the broadcast decision. */
+  override def estimateStatistics(): Statistics = {
+    val f = new java.io.File(stripScheme(path))
+    val totalBytes =
+      (if (f.isDirectory)
+        f.listFiles().filter(x => x.isFile && !x.getName.startsWith("_")
+          && !x.getName.startsWith(".")).map(_.length()).sum
+      else f.length())
+    val fraction =
+      math.max(1, required.size).toDouble / math.max(1, fullSchema.size)
+    val estimate = math.max(1L, math.ceil(totalBytes * fraction).toLong)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(estimate)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
 
   /** One partition per newline-aligned BYTE RANGE, not per file — the
     * Hadoop TextInputFormat contract: a 10 GB TSV must parallelize

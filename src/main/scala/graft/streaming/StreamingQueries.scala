@@ -56,20 +56,11 @@ object StreamingQueries extends QueryPack {
         case (st, (n, t)) => st.add(n, t)
       }
 
-  /** Run `body` with session confs temporarily set, restoring each key's
-    * prior EXPLICIT value (or unset) on exit — getAll, not get/getOption,
-    * so a registered conf's default never gets pinned as an explicit
-    * session entry (the [[withNanosAsLong]] trap). Streaming queries
-    * capture their session confs at `start()`, so wrapping just the
-    * start call scopes a conf to that query. */
-  private def withConfs[T](s: SparkSession, kvs: (String, String)*)(body: => T): T = {
-    val prev = kvs.map { case (k, _) => k -> s.conf.getAll.get(k) }
-    kvs.foreach { case (k, v) => s.conf.set(k, v) }
-    try body
-    finally prev.foreach { case (k, po) =>
-      po.fold(s.conf.unset(k))(v => s.conf.set(k, v))
-    }
-  }
+  /** Conf scoping (see [[graft.SessionConfs]] — shared with the batch
+    * packs). Streaming queries capture their session confs at `start()`,
+    * so wrapping just the start call scopes a conf to that query. */
+  private def withConfs[T](s: SparkSession, kvs: (String, String)*)(body: => T): T =
+    graft.SessionConfs.withConfs(s, kvs: _*)(body)
 
   /** Final `batchId` of each multi-batch gate's most recent drain,
     * keyed by gate prefix (e.g. "q87") — pinned ≥ 2 by MultiBatchSpec so

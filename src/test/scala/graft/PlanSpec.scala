@@ -197,6 +197,37 @@ class PlanSpec extends AnyFunSuite {
       s"q247 read schema must prune to the two projected columns:\n$d")
   }
 
+  test("q265 join order flips with ANALYZE stats (CBO join reorder)") {
+    import org.apache.spark.sql.catalyst.catalog.HiveTableRelation
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    // the stats-driven reorder is the pin: the SAME query optimizes to
+    // the syntactic order without CBO and to a supplier-first order
+    // with CBO + stats — table statistics, not query-author luck,
+    // choose which dim shrinks the fact first
+    val db = graft.operators.FileIO.cboSetup(spark, sf)
+    def leafOrder(cbo: Boolean): Seq[String] = {
+      val confs =
+        if (cbo) graft.operators.FileIO.cboConfs
+        else graft.operators.FileIO.cboConfs.map { case (k, _) => k -> "false" }
+      SessionConfs.withConfs(spark, confs: _*) {
+        // optimizedPlan is forced INSIDE the conf scope (lazy val)
+        spark.sql(graft.operators.FileIO.cboSql(db))
+          .queryExecution.optimizedPlan.collectLeaves().collect {
+            case r: LogicalRelation =>
+              r.catalogTable.map(_.identifier.table).getOrElse("?")
+            case h: HiveTableRelation => h.tableMeta.identifier.table
+          }
+      }
+    }
+    val off = leafOrder(cbo = false)
+    val on = leafOrder(cbo = true)
+    assert(off == Seq("lineitem_cbo", "part_cbo", "supplier_cbo"),
+      s"without CBO the syntactic (worst) order must survive: $off")
+    assert(on != off, s"CBO did not reorder the join: $on")
+    assert(on.indexOf("supplier_cbo") < on.indexOf("part_cbo"),
+      s"stats must pull the selective supplier dim before part: $on")
+  }
+
   test("NO query plans a cartesian / nested-loop join (bounded-broadcast baselines exempt)") {
     // Repo-wide scale pin: every join must be an equi-join (hash/sort) —
     // a CartesianProduct or BroadcastNestedLoopJoin node anywhere else is

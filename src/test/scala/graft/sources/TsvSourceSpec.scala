@@ -173,4 +173,31 @@ class TsvSourceSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(names == Seq("a", "b"))
   }
+
+  test("reported statistics reflect pruning and make a small TSV dim broadcast (VERDICT r12 item 5)") {
+    val dir = writeTsv((1 to 200).map(i => s"$i\tn$i\t${i % 7}.25\tx$i"))
+    val diskBytes = new java.io.File(dir).listFiles()
+      .filter(_.isFile).map(_.length()).sum
+    // the pruned relation's logical stats must be the scan's estimate:
+    // on-disk bytes scaled by the 1-of-4 projected-column fraction
+    val pruned = readTsv(dir).select("id")
+    val scanStats = pruned.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes.toLong)
+    assert(scanStats == Seq(math.ceil(diskBytes / 4.0).toLong),
+      s"expected pruned-size stats, got $scanStats (disk $diskBytes)")
+    // and those stats must DRIVE planning: the big side's known size
+    // (24 MB > autoBroadcastJoinThreshold) rules it out, so the TSV dim
+    // broadcasts only because its reported size is visibly tiny —
+    // without SupportsReportStatistics a DSv2 relation is "unknown =
+    // huge" and this join sort-merges
+    val big = spark.range(0, 3000000).withColumnRenamed("id", "k")
+    val j = big.join(readTsv(dir).select(col("id")), col("k") === col("id"))
+    j.collect() // finalize AQE
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small TSV dim must broadcast under reported stats:\n$plan")
+    val bcastIdx = plan.indexOf("BroadcastExchange")
+    assert(bcastIdx >= 0 && plan.indexOf("BatchScan graft_tsv", bcastIdx) > bcastIdx,
+      s"the TSV side must be the broadcast side:\n$plan")
+  }
 }
