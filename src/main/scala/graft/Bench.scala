@@ -69,18 +69,29 @@ object Bench {
     // bench, 2.6s in the next). Interleaving spreads a query's samples
     // minutes apart so the median rejects any spike shorter than a pass.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
+    // Streaming gates get EXTRA interleaved passes (default +2, so 5
+    // samples when repeats=3): their micro-batch machinery shows ±0.5 s
+    // host noise that 3-sample medians can't separate from real
+    // regressions (VERDICT r12 item 7) — a 5-sample median rejects two
+    // outliers instead of one. Batch gates stay at `repeats`: their
+    // noise floor is far lower and the extra passes would double the
+    // bench wall-clock for nothing.
+    val streamExtra = sys.env.getOrElse("SPARK_GRAFT_STREAM_EXTRA", "2").toInt
+    val streamingNames = graft.streaming.StreamingQueries.queries.map(_.name).toSet
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => selected(name) }
-    val samples = (1 to repeats).flatMap { _ =>
-      named.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-          catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        clearState()
-        (name, dt, ok)
-      }
-    }
+    def pass(only: String => Boolean) =
+      named.filter { case (name, _) => only(name) }
+        .map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+            catch { case _: Throwable => false }
+          val dt = (System.nanoTime() - t0) / 1e9
+          clearState()
+          (name, dt, ok)
+        }
+    val samples = (1 to repeats).flatMap(_ => pass(_ => true)) ++
+      (1 to streamExtra).flatMap(_ => pass(streamingNames))
     val results = named.map { case (name, _) =>
       val mine = samples.filter(_._1 == name)
       val med = mine.map(_._2).sorted.apply(mine.size / 2)
@@ -97,7 +108,7 @@ object Bench {
     val fullQs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"repeats":$repeats}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"repeats":$repeats,"stream_repeats":${repeats + streamExtra}}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
