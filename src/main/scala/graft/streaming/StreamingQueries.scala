@@ -1926,11 +1926,17 @@ object StreamingQueries extends QueryPack {
             Seq("band_idx", "band_val"))
           .filter(col("id_a") < col("id_b"))
           .select(col("id_b").as("doc_id"), col("id_a").as("prev_id"))
-        // probe the accumulated index: merge hint so the bucketed scan's
-        // HashPartitioning is used (no Exchange, no per-batch broadcast
-        // rebuild of a growing index) — only the O(batch) side shuffles
-        val fromIdx = bands
-          .join(s.table(idxTbl).hint("merge")
+        // probe the accumulated index: the bucketed scan's
+        // HashPartitioning means NO Exchange and no per-batch broadcast
+        // rebuild of a growing index — only the O(batch) side shuffles.
+        // shuffle_hash (build = the small batch side), not merge: the
+        // index accumulates one file per bucket per batch, and a
+        // multi-file bucket scan reports unsorted, so a merge join
+        // would re-SORT the whole index every micro-batch (measured
+        // 0.60 step exponent at 10× vs 0.51 before bucketing); the
+        // hash join streams the bucket files as-is
+        val fromIdx = bands.hint("shuffle_hash")
+          .join(s.table(idxTbl)
             .select(col("doc_id").as("prev_id"),
               col("band_idx"), col("band_val")),
             Seq("band_idx", "band_val"))
