@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   *   - q110: salted skew join — rewrite a hot-key shuffle join into
   *     (key, salt) so one pathological key spreads over N reducers
   *     instead of stalling the stage on a single straggler task.
+  *   - q266: the ENGINE-NATIVE counterpart of q107 — Catalyst's
+  *     InjectRuntimeFilter plants the bloom probe itself from a
+  *     selective dim filter, no query-author code.
+  *   - q267: the RUNTIME counterpart of q110 — AQE's OptimizeSkewedJoin
+  *     splits the hot reducer partition from real map-output sizes,
+  *     no salt, no dim replication.
   *
   * All three are result-transparent: the oracle is the plain declarative
   * query, and the spec layer (ScaleOpsSpec) pins the plan-shape claims
@@ -583,7 +589,153 @@ object ScaleOps extends QueryPack {
       .orderBy("rule")
   }
 
+  /** q266's scoped confs + frame, shared with PlanSpec's pins.
+    *
+    * The application-side scan threshold drops to 0 so the sf-scale
+    * fixture qualifies for injection (the production default, 10 GB,
+    * is the right bar on a real cluster — a runtime filter only pays
+    * for itself when the pruned scan/shuffle is big). Broadcast is
+    * disabled on BOTH planners so the join is the shuffle join the
+    * rule targets: `InjectRuntimeFilter` skips joins it judges
+    * broadcastable, because a broadcast hash join never shuffles the
+    * fact side and the sketch would buy nothing. */
+  private[graft] val runtimeBloomConfs: Seq[(String, String)] = Seq(
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+
+  private[graft] def runtimeBloomFrame(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_extendedprice", "l_returnflag")
+    // equality-to-literal is what the optimizer's isLikelySelective
+    // recognizes: a creation side that provably shrinks
+    val dim = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2)
+          .as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q266: NATIVE runtime bloom-filter injection (`InjectRuntimeFilter`).
+    *
+    * q107 builds its semi-join sketch BY HAND; this gate proves the
+    * engine's own optimizer performs the same rewrite unprompted: a
+    * selective equality filter on the dim side makes Catalyst aggregate
+    * the surviving join keys into a bloom sketch and plant a
+    * `might_contain` probe into the fact side's scan filters, so the
+    * fact exchange carries only probable matches. At 100 TB this is the
+    * difference between shuffling the full fact table and shuffling the
+    * ~20% that can possibly join — with zero query-author code, which
+    * is exactly the optimizer story SURVEY.md §4.1 tells (the reference
+    * has no optimizer at all). Result is collected INSIDE the conf
+    * scope (injection happens at execution-time optimization); PlanSpec
+    * pins the injected probe in the optimized plan under these confs
+    * and its absence under production defaults. */
+  private def q266(s: SparkSession, dir: String): DataFrame =
+    graft.SessionConfs.withConfs(s, runtimeBloomConfs: _*) {
+      val result = runtimeBloomFrame(s, dir)
+      val rows = result.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    }
+
+  /** q267's scoped confs + frame, shared with PlanSpec's pins.
+    *
+    * Thresholds are scaled to the fixture: a partition is skewed when
+    * its COMPRESSED map-output size beats 8 KiB AND 2x the median, and
+    * splits into ~8 KiB chunks (production values — 256 MiB advisory,
+    * factor 5 — express the same policy at cluster scale; sizes here are
+    * post-compression, so a 3k-row hot partition is only ~30 KiB).
+    * Broadcast is off on both planners so the
+    * join stays the sort-merge join the skew reader targets;
+    * force-apply covers the agg-after-join reshuffle. Partition
+    * coalescing stays ON — proving the two AQE rewrites compose is the
+    * point (coalesce packs the 499 cold keys; the skew reader splits
+    * the hot one). */
+  private[graft] val skewJoinConfs: Seq[(String, String)] = Seq(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8192",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8192",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+
+  private[graft] def skewJoinFrame(s: SparkSession, dir: String): DataFrame = {
+    // deterministic CASE funnels ~half the fact onto key 0 (the oracle
+    // sees the same data); the other half spreads over 499 keys.
+    // repartition(8) manufactures 8 map tasks: the skew reader splits a
+    // hot reduce partition at MAP-OUTPUT granularity, and the fixture's
+    // single-file scan is one mapper (unsplittable) — a real 100 TB fact
+    // scan has thousands of mappers and needs no such step.
+    val fact = Tables.lineitem(s, dir).repartition(8).select(
+      when(col("l_quantity") <= 25, lit(0L))
+        .otherwise(col("l_orderkey") % 25).as("jk"),
+      col("l_extendedprice"), col("l_returnflag"))
+    // dim keys unique BY CONSTRUCTION (n_nationkey), no aggregate: the
+    // skew reader's pattern is SMJ(Sort(shuffle), Sort(shuffle)) — an
+    // agg between sort and shuffle on either side opts the join out
+    val dim = Tables.nation(s, dir)
+      .select(col("n_nationkey").cast("long").as("jk"),
+        col("n_name").as("dim_name"))
+    fact.join(dim, "jk")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("dim_name")).as("n_dims"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2)
+          .as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q267: AQE SKEW-JOIN SPLIT — the runtime answer to the same hot-key
+    * problem q110 solves by hand. q110's salt rewrite changes the query
+    * (key becomes (key, salt), dim replicates 16x); AQE's
+    * `OptimizeSkewedJoin` instead reads the REAL map-output sizes at the
+    * stage boundary, declares the hot reducer partition skewed, and has
+    * multiple reader tasks each take a slice of its map outputs joined
+    * against the full matching dim partition — no salt, no replication,
+    * no query change, correct for any join the sort-merge path runs. At
+    * 100 TB this is what turns "one straggler task holds the stage for
+    * an hour" into N parallel slices; the salt rewrite remains the tool
+    * for broadcast/hash paths where the skew reader doesn't apply.
+    * Result is collected INSIDE the conf scope (the split happens at
+    * execution); PlanSpec pins `skew=true` on the executed sort-merge
+    * join under these confs and its absence with skew handling off. */
+  private def q267(s: SparkSession, dir: String): DataFrame =
+    graft.SessionConfs.withConfs(s, skewJoinConfs: _*) {
+      val result = skewJoinFrame(s, dir)
+      val rows = result.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    }
+
   override def queries: Seq[Q] = Seq(
+    Q("q266_runtime_bloom_inject", q266, Some(
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q267_aqe_skew_join", q267, Some(
+      """WITH fact AS (
+        |  SELECT CASE WHEN l_quantity <= 25 THEN 0
+        |              ELSE l_orderkey % 25 END AS jk,
+        |    l_extendedprice, l_returnflag
+        |  FROM lineitem),
+        |dim AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS jk, n_name AS dim_name
+        |  FROM nation)
+        |SELECT l_returnflag, count(*) AS n,
+        |  count(DISTINCT dim_name) AS n_dims,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS revenue
+        |FROM fact JOIN dim USING (jk)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q252_dq_audit", q252, {
       def leg(name: String, notOk: String): String =
         s"""SELECT '$name' AS rule,

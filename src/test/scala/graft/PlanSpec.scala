@@ -228,6 +228,50 @@ class PlanSpec extends AnyFunSuite {
       s"stats must pull the selective supplier dim before part: $on")
   }
 
+  test("q266 Catalyst injects a runtime bloom probe into the fact side") {
+    import graft.operators.ScaleOps
+    // under the gate's confs the optimizer must plant might_contain(...)
+    // on the lineitem side of the join, fed by a bloom_filter_agg over
+    // the filtered orders keys — the engine-native version of q107
+    val injected = SessionConfs.withConfs(spark, ScaleOps.runtimeBloomConfs: _*) {
+      ScaleOps.runtimeBloomFrame(spark, sf).queryExecution.optimizedPlan.toString
+    }
+    assert(injected.contains("might_contain"),
+      s"expected an injected runtime bloom probe:\n$injected")
+    assert(injected.contains("bloom_filter_agg"),
+      s"expected the bloom sketch built from the dim keys:\n$injected")
+    // under production defaults the 10 GB application-side threshold
+    // correctly refuses to pay the sketch cost for a tiny scan
+    val default = ScaleOps.runtimeBloomFrame(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!default.contains("might_contain"),
+      "threshold gating lost: a sub-threshold scan got a runtime filter")
+  }
+
+  test("q267 AQE splits the skewed partition of the sort-merge join") {
+    import graft.operators.ScaleOps
+    // executed (final adaptive) plan: the hot-key reducer partition must
+    // be marked skew=true — the runtime split, not q110's salt rewrite
+    def finalPlan(confs: Seq[(String, String)]): String =
+      SessionConfs.withConfs(spark, confs: _*) {
+        val df = ScaleOps.skewJoinFrame(spark, sf)
+        df.collect()
+        df.queryExecution.executedPlan.toString
+      }
+    val withSkew = finalPlan(ScaleOps.skewJoinConfs)
+    assert(withSkew.contains("SortMergeJoin"),
+      s"the skew reader targets sort-merge joins; got:\n$withSkew")
+    assert(withSkew.contains("skew=true"),
+      s"expected OptimizeSkewedJoin to mark the join skewed:\n$withSkew")
+    val noSkew = finalPlan(ScaleOps.skewJoinConfs.map {
+      case (k, _) if k.contains("skewJoin.enabled") ||
+        k.contains("forceOptimizeSkewedJoin") => k -> "false"
+      case kv => kv
+    })
+    assert(!noSkew.contains("skew=true"),
+      "skew handling off must leave the join unsplit (contrast pin)")
+  }
+
   test("NO query plans a cartesian / nested-loop join (bounded-broadcast baselines exempt)") {
     // Repo-wide scale pin: every join must be an equi-join (hash/sort) —
     // a CartesianProduct or BroadcastNestedLoopJoin node anywhere else is
