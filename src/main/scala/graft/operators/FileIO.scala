@@ -756,6 +756,60 @@ object FileIO extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** q268 layout: the fact table partitioned by ship month — the layout
+    * a 100 TB time-series fact lives in, written once per source dir
+    * (same amortization contract as every layout here). */
+  private[graft] def dppLayout(s: SparkSession, dir: String): String = {
+    val out = scratch(dir, "lineitem_by_month")
+    if (layoutSource.get(out) != dir) {
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_shipdate"))
+        .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+        .repartition(col("ship_month"))
+        .write.mode("overwrite").partitionBy("ship_month").parquet(out)
+      layoutSource.put(out, dir)
+    }
+    out
+  }
+
+  /** q268's frame, shared with PlanSpec's dynamicpruning pin. */
+  private[graft] def dppFrame(s: SparkSession, dir: String): DataFrame = {
+    val fact = s.read.parquet(dppLayout(s, dir))
+    // a dates dimension: month → quarter (functional, so DISTINCT gives
+    // unique keys). The query filters on the dim ATTRIBUTE, never on the
+    // partition column itself — static pruning (q86) cannot see through
+    // the join; only the runtime subquery can.
+    val dim = Tables.orders(s, dir)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        concat(year(col("o_orderdate")), lit("-Q"),
+          quarter(col("o_orderdate"))).as("qtr"))
+      .distinct()
+      .filter(col("qtr") === "1997-Q1")
+    fact.join(dim, fact("ship_month") === dim("month"))
+      .groupBy("ship_month")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2)
+          .as("revenue"))
+      .orderBy("ship_month")
+  }
+
+  /** q268: DYNAMIC partition pruning — the star-schema scan killer q86's
+    * static pruning cannot do. The predicate lives on a dim attribute
+    * (quarter); at planning time no literal filter on the fact's
+    * partition column exists, so a naive engine scans every partition
+    * and lets the join discard 3/4 of them. Catalyst instead plants a
+    * `dynamicpruning` subquery into the fact scan's PartitionFilters:
+    * the dim side's broadcast is REUSED (reuseBroadcastOnly default) to
+    * enumerate the surviving months before the fact scan starts, so only
+    * matching partition directories are listed and read. At 100 TB —
+    * where a time-partitioned fact is hundreds of partitions and a query
+    * usually wants a handful — this is the difference between scanning
+    * the table and scanning the quarter. Default confs; PlanSpec pins
+    * the dynamicpruning PartitionFilter and its absence when DPP is
+    * disabled. */
+  private def q268(s: SparkSession, dir: String): DataFrame =
+    dppFrame(s, dir)
+
   /** q265 setup: stats'd catalog tables for the CBO gate, built once per
     * source dir. `ANALYZE TABLE ... FOR ALL COLUMNS` collects the
     * row/size stats plus per-column NDV/min/max that cost-based join
@@ -819,6 +873,20 @@ object FileIO extends QueryPack {
   }
 
   override def queries: Seq[Q] = Seq(
+    Q("q268_dynamic_partition_pruning", q268, Some(
+      """WITH dim AS (
+        |  SELECT DISTINCT strftime(l.month_ts, '%Y-%m') AS month,
+        |    CAST(year(l.month_ts) AS VARCHAR) || '-Q' ||
+        |      CAST(quarter(l.month_ts) AS VARCHAR) AS qtr
+        |  FROM (SELECT o_orderdate AS month_ts FROM orders) l)
+        |SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN dim ON strftime(l_shipdate, '%Y-%m') = month
+        |WHERE qtr = '1997-Q1'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q265_cbo_join_reorder", q265, Some(
       """SELECT p_brand, count(*) AS n,
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)

@@ -272,6 +272,22 @@ class PlanSpec extends AnyFunSuite {
       "skew handling off must leave the join unsplit (contrast pin)")
   }
 
+  test("q268 fact scan carries a dynamicpruning PartitionFilter") {
+    import graft.operators.FileIO
+    // the dim filter is on an attribute (quarter), not the partition
+    // column — only the runtime subquery can prune the fact partitions
+    val pruned = FileIO.dppFrame(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(pruned.contains("dynamicpruning"),
+      s"expected a dynamicpruning expression in PartitionFilters:\n$pruned")
+    val off = SessionConfs.withConfs(spark,
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "false") {
+      FileIO.dppFrame(spark, sf).queryExecution.executedPlan.toString
+    }
+    assert(!off.contains("dynamicpruning"),
+      "with DPP disabled the fact scan must fall back to a full scan")
+  }
+
   test("NO query plans a cartesian / nested-loop join (bounded-broadcast baselines exempt)") {
     // Repo-wide scale pin: every join must be an equi-join (hash/sort) —
     // a CartesianProduct or BroadcastNestedLoopJoin node anywhere else is
