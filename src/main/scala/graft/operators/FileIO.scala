@@ -810,6 +810,61 @@ object FileIO extends QueryPack {
   private def q268(s: SparkSession, dir: String): DataFrame =
     dppFrame(s, dir)
 
+  /** q269's scoped confs, shared with FileIOSpec's file-count pins.
+    * Advisory size is fixture-scaled (64 KiB vs the 64 MiB+ a real
+    * cluster uses); the policy — split hot output partitions at map
+    * granularity, coalesce small ones — is scale-free. */
+  private[graft] val rebalanceConfs: Seq[(String, String)] = Seq(
+    "spark.sql.adaptive.optimizeSkewsInRebalancePartitions.enabled" -> "true",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536")
+
+  /** q269 write target (always under the per-dir scratch root). */
+  private[graft] def rebalancedOrdersPath(dir: String): String =
+    scratch(dir, "orders_rebalanced")
+
+  /** q269: SKEW-AWARE partitioned write via the REBALANCE hint — the
+    * write-side twin of q267's skew-join split. A partitioned write
+    * shuffled by the partition column alone puts each value's rows in
+    * ONE task: at 100 TB a hot value (a deterministic CASE funnels 75%
+    * of orders into `status_class='hot'`; the oracle sees the same
+    * data) becomes one straggler task writing one giant file, while the
+    * 8 cold values fragment into slivers. The REBALANCE hint keys the
+    * shuffle by the partition column but lets AQE's
+    * OptimizeSkewsInRebalancePartitions split each oversized reducer
+    * partition at map-output granularity (several even files for the
+    * hot value, still value-clustered so partitionBy never re-sorts)
+    * and coalesce tiny ones — evenly sized output files from skewed
+    * data with no query-author salting. The gate hashes the
+    * round-tripped data (per-class rows + exact-decimal totals);
+    * FileIOSpec pins the file shape: >1 file for the hot class, 1 for a
+    * cold one. The class column is projected AFTER the 8-way
+    * repartition so CollapseRepartition can't merge the two shuffles —
+    * the rebalance needs >1 mapper to split (same fixture note as
+    * q267: a real fact scan has thousands of map tasks). */
+  private def q269(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact.dec
+    val out = rebalancedOrdersPath(dir)
+    if (layoutSource.get(out) != dir) {
+      graft.SessionConfs.withConfs(s, rebalanceConfs: _*) {
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_custkey"))
+          .repartition(8)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            when(col("o_custkey") % 4 < 3, lit("hot"))
+              .otherwise(concat(lit("cold_"),
+                (col("o_custkey") % 8).cast("string"))).as("status_class"))
+          .hint("rebalance", col("status_class"))
+          .write.mode("overwrite").partitionBy("status_class").parquet(out)
+      }
+      layoutSource.put(out, dir)
+    }
+    s.read.parquet(out)
+      .groupBy(col("status_class").cast("string").as("status_class"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec(col("o_totalprice"))).cast("double"), 2).as("total"))
+      .orderBy("status_class")
+  }
+
   /** q265 setup: stats'd catalog tables for the CBO gate, built once per
     * source dir. `ANALYZE TABLE ... FOR ALL COLUMNS` collects the
     * row/size stats plus per-column NDV/min/max that cost-based join
@@ -873,6 +928,14 @@ object FileIO extends QueryPack {
   }
 
   override def queries: Seq[Q] = Seq(
+    Q("q269_rebalance_write", q269, Some(
+      """SELECT CASE WHEN o_custkey % 4 < 3 THEN 'hot'
+        |            ELSE 'cold_' || CAST(o_custkey % 8 AS VARCHAR) END
+        |    AS status_class,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q268_dynamic_partition_pruning", q268, Some(
       """WITH dim AS (
         |  SELECT DISTINCT strftime(l.month_ts, '%Y-%m') AS month,

@@ -120,6 +120,23 @@ class FileIOSpec extends AnyFunSuite {
     assert(parts >= 4, s"expected >= 4 read partitions for 4 .gz shards, got $parts")
   }
 
+  test("q269 rebalance write splits the hot class, keeps cold ones whole") {
+    import org.apache.spark.sql.functions._
+    // sf0.01: 'hot' holds ~75% of orders (well over the gate's 64 KiB
+    // advisory) and must fan out into >1 evenly-sized file; each cold
+    // class (~3%) is under it and must stay a single file
+    val sf01 = "/root/testdata/sf0.01"
+    SparkEntry.queries("q269_rebalance_write")(spark, sf01).collect()
+    val files = spark.read.parquet(FileIO.rebalancedOrdersPath(sf01))
+      .groupBy(col("status_class").cast("string").as("status_class"))
+      .agg(countDistinct(col("_metadata.file_path")).as("n_files"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(files("hot") > 1, s"hot class must split: $files")
+    val cold = files.filter(_._1.startsWith("cold_"))
+    assert(cold.nonEmpty && cold.values.forall(_ == 1),
+      s"cold classes must each stay one file: $files")
+  }
+
   test("q158 dynamic overwrite leaves untouched partitions' files intact") {
     // The reload writes ONLY prio=1-URGENT; every other partition must
     // keep its ORIGINAL files (same paths — dynamic mode never
