@@ -865,6 +865,85 @@ object FileIO extends QueryPack {
       .orderBy("status_class")
   }
 
+  /** q270's layout: two per-user aggregate tables (clicks, purchases)
+    * written hive-style keyed by `shard = user_id % 16` — the co-keyed
+    * layout a storage-partitioned join consumes. Built once per dir. */
+  private[graft] def spjLayout(s: SparkSession, dir: String): (String, String) = {
+    val clicks = scratch(dir, "spj_clicks")
+    val purchases = scratch(dir, "spj_purchases")
+    if (layoutSource.get(clicks) != dir) {
+      def side(evType: String, out: String): Unit =
+        Tables.events(s, dir)
+          .filter(col("event_type") === evType)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 100).cast("long")).as("cents"))
+          .select(col("user_id"), col("n"), col("cents"),
+            (col("user_id") % 16).as("shard"))
+          .repartition(col("shard"))
+          .write.mode("overwrite").partitionBy("shard")
+          .option("sep", "\t").csv(out)
+      side("click", clicks)
+      side("purchase", purchases)
+      layoutSource.put(clicks, dir)
+      layoutSource.put(purchases, dir)
+    }
+    (clicks, purchases)
+  }
+
+  private[graft] val spjConfs: Seq[(String, String)] = Seq(
+    // lets the planner consume the source-reported KeyGroupedPartitioning
+    "spark.sql.sources.v2.bucketing.enabled" -> "true",
+    // partition keys (shard) are a SUBSET of the join keys
+    // (shard, user_id) — co-partitioning on the subset still co-locates
+    // every join row, so don't demand all cluster keys
+    "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+    // keep the join a shuffle join so the elision is observable
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+
+  private[graft] def spjFrame(s: SparkSession, dir: String): DataFrame = {
+    val (clicks, purchases) = spjLayout(s, dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id BIGINT, n BIGINT, cents BIGINT, shard BIGINT")
+    def readSide(path: String): DataFrame =
+      s.read.format(classOf[graft.sources.TsvSourceProvider].getName)
+        .schema(schema)
+        .option("path", path)
+        .option("partition_col", "shard")
+        .load()
+    val c = readSide(clicks)
+      .withColumnRenamed("n", "n_clicks")
+      .withColumnRenamed("cents", "click_cents")
+    val p = readSide(purchases)
+      .withColumnRenamed("n", "n_purchases")
+      .withColumnRenamed("cents", "purchase_cents")
+    c.join(p, Seq("shard", "user_id"))
+      .select(col("user_id"), col("n_clicks"), col("click_cents"),
+        col("n_purchases"), col("purchase_cents"))
+      .orderBy("user_id")
+  }
+
+  /** q270: STORAGE-PARTITIONED JOIN — the DSv2 scan itself tells the
+    * planner how the data is keyed, and the join plans with NO shuffle
+    * on either side. The TSV source reads a hive-style
+    * `shard=<v>/` layout, reports KeyGroupedPartitioning(identity
+    * (shard)) with a partition key per split
+    * ([[graft.sources.TsvScan.outputPartitioning]]), and Spark groups
+    * splits by key and zips matching shards directly. This is the
+    * DSv2-native analog of q77's bucketed-table join: q77 elides the
+    * exchange via catalog bucketing metadata; here the SOURCE carries
+    * the layout contract, which is how Iceberg/Delta-style lakehouse
+    * tables join shuffle-free at 100 TB. Result collected inside the
+    * conf scope; PlanSpec pins zero hash exchanges under the gate's
+    * confs and their return when v2 bucketing is off. */
+  private def q270(s: SparkSession, dir: String): DataFrame =
+    graft.SessionConfs.withConfs(s, spjConfs: _*) {
+      val result = spjFrame(s, dir)
+      val rows = result.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    }
+
   /** q265 setup: stats'd catalog tables for the CBO gate, built once per
     * source dir. `ANALYZE TABLE ... FOR ALL COLUMNS` collects the
     * row/size stats plus per-column NDV/min/max that cost-based join
@@ -928,6 +1007,20 @@ object FileIO extends QueryPack {
   }
 
   override def queries: Seq[Q] = Seq(
+    Q("q270_storage_partitioned_join", q270, Some(
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS n_clicks,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS click_cents
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |p AS (
+        |  SELECT user_id, count(*) AS n_purchases,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS purchase_cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT c.user_id, n_clicks, click_cents, n_purchases, purchase_cents
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |ORDER BY c.user_id""".stripMargin)),
     Q("q269_rebalance_write", q269, Some(
       """SELECT CASE WHEN o_custkey % 4 < 3 THEN 'hot'
         |            ELSE 'cold_' || CAST(o_custkey % 8 AS VARCHAR) END

@@ -71,12 +71,23 @@ final class TsvTable(tableSchema: StructType, path: String)
     // error, a negative value would SILENTLY plan zero partitions
     require(splitBytes > 0,
       s"graft tsv source: split_bytes must be positive, got $splitBytes")
-    new TsvScanBuilder(tableSchema, path, splitBytes)
+    // `partition_col`: the source reads a hive-style layout
+    // (<col>=<value>/ subdirectories) and REPORTS the key-grouped
+    // partitioning to the planner — see TsvScan.outputPartitioning
+    val partitionCol = Option(options.get("partition_col"))
+    partitionCol.foreach { c =>
+      val field = tableSchema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft tsv source: partition_col '$c' not in schema"))
+      require(field.dataType == LongType,
+        s"graft tsv source: partition_col must be BIGINT, got ${field.dataType}")
+    }
+    new TsvScanBuilder(tableSchema, path, splitBytes, partitionCol)
   }
 }
 
 final class TsvScanBuilder(fullSchema: StructType, path: String,
-    splitBytes: Long) extends ScanBuilder
+    splitBytes: Long, partitionCol: Option[String] = None) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownLimit {
 
@@ -110,12 +121,17 @@ final class TsvScanBuilder(fullSchema: StructType, path: String,
     * diverges from it outside ASCII — a silent wrong-rows bug, so the
     * source declines and Spark filters those itself. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    def numeric(a: String): Boolean =
+    // the partition column is NOT in the file data (hive-style layout),
+    // so its predicates can't be evaluated on parsed fields — declined,
+    // Spark filters the synthesized column itself
+    def inFile(a: String): Boolean = !partitionCol.contains(a)
+    def numeric(a: String): Boolean = inFile(a) &&
       fullSchema.fields.find(_.name == a).exists(_.dataType match {
         case LongType | IntegerType | DoubleType | FloatType => true
         case _ => false
       })
-    def known(a: String): Boolean = fullSchema.fieldNames.contains(a)
+    def known(a: String): Boolean =
+      inFile(a) && fullSchema.fieldNames.contains(a)
     val (ok, residual) = filters.partition {
       case EqualTo(a, _) => known(a)
       case GreaterThan(a, _) => numeric(a)
@@ -132,19 +148,65 @@ final class TsvScanBuilder(fullSchema: StructType, path: String,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new TsvScan(fullSchema, required, pushed, path, splitBytes, limit)
+    new TsvScan(fullSchema, required, pushed, path, splitBytes, limit,
+      partitionCol)
 }
 
 final class TsvScan(fullSchema: StructType, required: StructType,
-    pushed: Array[Filter], path: String, splitBytes: Long, limit: Int)
-    extends Scan with Batch with SupportsReportStatistics {
+    pushed: Array[Filter], path: String, splitBytes: Long, limit: Int,
+    partitionCol: Option[String] = None)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftTsvScan path=$path, ReadSchema: ${required.simpleString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]" +
-      (if (limit >= 0) s", PushedLimit: $limit" else "")
+      (if (limit >= 0) s", PushedLimit: $limit" else "") +
+      partitionCol.fold("")(c => s", KeyGroupedBy: $c")
+
+  /** STORAGE-PARTITIONED JOIN support ([[SupportsReportPartitioning]]).
+    *
+    * When the layout is keyed (hive-style `<col>=<value>/` dirs), the
+    * scan reports [[KeyGroupedPartitioning]] on the identity transform
+    * of the partition column, and every split carries its key
+    * ([[TsvKeyedInputPartition.partitionKey]]). Under
+    * `spark.sql.sources.v2.bucketing.enabled` Spark groups the splits
+    * by key and an equi-join of two co-keyed sources plans with NO
+    * Exchange on either side — the DSv2-native analog of the repo's
+    * bucketed-table joins (q77), and what turns a 100 TB fact-fact
+    * join from two full shuffles into a zip of co-located key groups.
+    * Unkeyed layouts report [[UnknownPartitioning]] (the DSv2
+    * default). */
+  override def outputPartitioning():
+      org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    partitionCol match {
+      case Some(c) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .identity(c)),
+            partitionDirs.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
+
+  /** Keyed subdirectories of a hive-style layout, sorted by key value
+    * for deterministic planning. */
+  private lazy val partitionDirs: Seq[(Long, java.io.File)] = {
+    val c = partitionCol.get
+    val root = new java.io.File(stripScheme(path))
+    require(root.isDirectory,
+      s"graft tsv source: partition_col layout needs a directory: $path")
+    val dirs = root.listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith(c + "="))
+      .toSeq
+    require(dirs.nonEmpty,
+      s"graft tsv source: no $c=<value> subdirectories under $path")
+    dirs.map(d => d.getName.stripPrefix(c + "=").toLong -> d).sortBy(_._1)
+  }
 
   /** Size estimate for the planner ([[SupportsReportStatistics]]):
     * without it a DSv2 relation defaults to "unknown = huge", so a
@@ -161,9 +223,7 @@ final class TsvScan(fullSchema: StructType, required: StructType,
   override def estimateStatistics(): Statistics = {
     val f = new java.io.File(stripScheme(path))
     val totalBytes =
-      (if (f.isDirectory)
-        f.listFiles().filter(x => x.isFile && !x.getName.startsWith("_")
-          && !x.getName.startsWith(".")).map(_.length()).sum
+      (if (f.isDirectory) listDataFiles(f).map(_.length()).sum
       else f.length())
     val fraction =
       math.max(1, required.size).toDouble / math.max(1, fullSchema.size)
@@ -186,38 +246,74 @@ final class TsvScan(fullSchema: StructType, required: StructType,
     * with no coordination. Split size comes from the `split_bytes`
     * read option (default 32 MiB; tests shrink it to force many
     * splits per file). */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val f = new java.io.File(stripScheme(path))
-    val files =
-      if (f.isDirectory)
-        f.listFiles().filter(x => x.isFile && !x.getName.startsWith("_")
-          && !x.getName.startsWith(".")).sortBy(_.getPath)
-      else Array(f)
-    files.flatMap { file =>
-      val len = file.length()
-      if (len == 0) Nil
-      else (0L until len by splitBytes).map { start =>
-        TsvInputPartition(file.getPath, start, math.min(start + splitBytes, len))
-      }
-    }.map(p => p: InputPartition)
+  override def planInputPartitions(): Array[InputPartition] =
+    partitionCol match {
+      case Some(_) =>
+        // keyed layout: byte-range splits within each key directory's
+        // files; every split carries its key so Spark can group them
+        partitionDirs.flatMap { case (value, d) =>
+          dataFilesIn(d).flatMap(file => byteSplits(file).map {
+            case (start, end) =>
+              TsvKeyedInputPartition(file.getPath, start, end, value)
+          })
+        }.map(p => p: InputPartition).toArray
+      case None =>
+        val f = new java.io.File(stripScheme(path))
+        val files = if (f.isDirectory) listDataFiles(f) else Seq(f)
+        files.flatMap(file => byteSplits(file).map {
+          case (start, end) => TsvInputPartition(file.getPath, start, end)
+        }).map(p => p: InputPartition).toArray
+    }
+
+  private def byteSplits(file: java.io.File): Seq[(Long, Long)] = {
+    val len = file.length()
+    if (len == 0) Nil
+    else (0L until len by splitBytes)
+      .map(start => (start, math.min(start + splitBytes, len)))
   }
+
+  private def dataFilesIn(d: java.io.File): Seq[java.io.File] =
+    d.listFiles().filter(x => x.isFile && !x.getName.startsWith("_")
+      && !x.getName.startsWith(".")).sortBy(_.getPath).toSeq
+
+  /** Data files directly under `f`, plus those one level down inside
+    * hive-style `name=value` subdirectories. */
+  private def listDataFiles(f: java.io.File): Seq[java.io.File] =
+    dataFilesIn(f) ++ f.listFiles().filter(d =>
+      d.isDirectory && d.getName.contains("=")).sortBy(_.getPath)
+      .flatMap(dataFilesIn)
 
   private def stripScheme(p: String): String =
     if (p.startsWith("file:")) p.stripPrefix("file:") else p
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TsvReaderFactory(fullSchema, required, pushed, limit)
+    new TsvReaderFactory(fullSchema, required, pushed, limit, partitionCol)
 }
 
 final case class TsvInputPartition(file: String, start: Long, end: Long)
     extends InputPartition
 
+/** A split of a keyed (hive-style) layout: [[HasPartitionKey]] hands the
+  * key to Spark so splits group into key-partitions for
+  * storage-partitioned joins. */
+final case class TsvKeyedInputPartition(file: String, start: Long, end: Long,
+    value: Long) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(value)
+}
+
 final class TsvReaderFactory(fullSchema: StructType, required: StructType,
-    pushed: Array[Filter], limit: Int) extends PartitionReaderFactory {
+    pushed: Array[Filter], limit: Int, partitionCol: Option[String] = None)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[TsvInputPartition]
-    new TsvPartitionReader(fullSchema, required, pushed, limit,
-      p.file, p.start, p.end)
+    partition match {
+      case p: TsvKeyedInputPartition =>
+        new TsvPartitionReader(fullSchema, required, pushed, limit,
+          p.file, p.start, p.end, partitionCol.map(_ -> p.value))
+      case _ =>
+        val p = partition.asInstanceOf[TsvInputPartition]
+        new TsvPartitionReader(fullSchema, required, pushed, limit,
+          p.file, p.start, p.end, None)
+    }
   }
 }
 
@@ -226,16 +322,23 @@ final class TsvReaderFactory(fullSchema: StructType, required: StructType,
   * Owns the lines STARTING in [start, end) per the split contract
   * documented on [[TsvScan.planInputPartitions]]. */
 final class TsvPartitionReader(fullSchema: StructType, required: StructType,
-    pushed: Array[Filter], limit: Int, file: String, start: Long, end: Long)
+    pushed: Array[Filter], limit: Int, file: String, start: Long, end: Long,
+    partValue: Option[(String, Long)] = None)
     extends PartitionReader[InternalRow] {
 
   // rows emitted by THIS split; a pushed limit caps it (partial push —
   // Spark's global Limit still runs above)
   private var emitted = 0
 
-  private val fullIdx = fullSchema.fieldNames.zipWithIndex.toMap
-  // field positions the output row needs, in output order
-  private val outPos: Array[Int] = required.fieldNames.map(fullIdx)
+  // hive-style layouts carry the partition column in the DIRECTORY
+  // name, not the file data: index raw fields against the file's
+  // schema (full minus partition col) and synthesize the column
+  private val fullIdx = fullSchema.fieldNames
+    .filterNot(n => partValue.exists(_._1 == n)).zipWithIndex.toMap
+  // field positions the output row needs, in output order; -1 marks
+  // the synthesized partition column
+  private val outPos: Array[Int] =
+    required.fieldNames.map(n => fullIdx.getOrElse(n, -1))
   private val outType: Array[DataType] = required.fields.map(_.dataType)
   // filter evaluators over the raw split fields
   private val preds: Array[Array[String] => Boolean] = pushed.map(compile)
@@ -351,6 +454,10 @@ final class TsvPartitionReader(fullSchema: StructType, required: StructType,
         val values = new Array[Any](outPos.length)
         var i = 0
         while (i < outPos.length) {
+          if (outPos(i) == -1) { // synthesized partition column
+            values(i) = partValue.get._2
+            i += 1
+          } else {
           val raw = fieldAt(parts, outPos(i))
           values(i) =
             if (raw == null) null
@@ -363,6 +470,7 @@ final class TsvPartitionReader(fullSchema: StructType, required: StructType,
               case _ => UTF8String.fromString(raw)
             }
           i += 1
+          }
         }
         row = InternalRow.fromSeq(values.toIndexedSeq)
         emitted += 1

@@ -272,6 +272,34 @@ class PlanSpec extends AnyFunSuite {
       "skew handling off must leave the join unsplit (contrast pin)")
   }
 
+  test("q270 storage-partitioned join plans with zero hash exchanges") {
+    import graft.operators.FileIO
+    // the source-reported KeyGroupedPartitioning must satisfy the
+    // join's distribution: no Exchange on either side (only the final
+    // orderBy's range exchange remains)
+    val spj = SessionConfs.withConfs(spark, FileIO.spjConfs: _*) {
+      val df = FileIO.spjFrame(spark, sf)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    assert(spj.contains("SortMergeJoin"), s"expected a sort-merge join:\n$spj")
+    assert(!spj.contains("Exchange hashpartitioning"),
+      s"SPJ must elide both join-side exchanges:\n$spj")
+    assert(spj.contains("BatchScan graft_tsv"),
+      s"both sides must stay DSv2 scans:\n$spj")
+    val off = SessionConfs.withConfs(spark,
+      FileIO.spjConfs.map {
+        case (k, _) if k.contains("v2.bucketing") => k -> "false"
+        case kv => kv
+      }: _*) {
+      val df = FileIO.spjFrame(spark, sf)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    assert(off.contains("Exchange hashpartitioning"),
+      "with v2 bucketing off the join must fall back to shuffles (contrast)")
+  }
+
   test("q268 fact scan carries a dynamicpruning PartitionFilter") {
     import graft.operators.FileIO
     // the dim filter is on an attribute (quarter), not the partition
