@@ -200,4 +200,76 @@ class TsvSourceSpec extends AnyFunSuite {
     assert(bcastIdx >= 0 && plan.indexOf("BatchScan graft_tsv", bcastIdx) > bcastIdx,
       s"the TSV side must be the broadcast side:\n$plan")
   }
+
+  private val keyedSchema = StructType.fromDDL(
+    "id BIGINT, name STRING, score DOUBLE, note STRING, shard BIGINT")
+
+  private def writeKeyedTsv(): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft_tsv_keyed").toString
+    for (v <- 0 to 2) {
+      val d = java.nio.file.Paths.get(root, s"shard=$v")
+      java.nio.file.Files.createDirectory(d)
+      val lines = (1 to 30).filter(_ % 3 == v).map(i =>
+        s"$i\tn$i\t$i.5\tx$i")
+      java.nio.file.Files.write(d.resolve("part-00000.txt"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+    root
+  }
+
+  private def readKeyed(dir: String, extra: (String, String)*) = {
+    val r = spark.read.format(classOf[TsvSourceProvider].getName)
+      .schema(keyedSchema).option("path", dir).option("partition_col", "shard")
+    extra.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+  }
+
+  test("keyed layout synthesizes the partition column from the directory name") {
+    val dir = writeKeyedTsv()
+    val rows = readKeyed(dir).orderBy("id").collect()
+    assert(rows.length == 30)
+    assert(rows.forall(r => r.getLong(4) == r.getLong(0) % 3),
+      "shard must equal the directory's value for every row")
+    // projecting ONLY the synthesized column works (no file field read)
+    val shards = readKeyed(dir).select("shard").collect().map(_.getLong(0))
+    assert(shards.length == 30 && shards.toSet == Set(0L, 1L, 2L))
+  }
+
+  test("keyed layout: partition-col predicates stay Spark's job (declined, still correct)") {
+    val dir = writeKeyedTsv()
+    val q = readKeyed(dir).filter(col("shard") === 1 && col("id") >= 10)
+      .select("id", "shard")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("EqualTo(shard"),
+      s"shard predicates must NOT appear in PushedFilters:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(id,10)"),
+      s"file-column predicates must still push:\n$plan")
+    val got = q.collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (10 to 30).filter(_ % 3 == 1).map(_.toLong),
+      s"unexpected rows: $got")
+  }
+
+  test("keyed layout: byte-range splits group back into key partitions, results exact") {
+    val dir = writeKeyedTsv()
+    // tiny splits force several TsvKeyedInputPartitions per file — but
+    // the reported KeyGroupedPartitioning makes Spark GROUP them by
+    // key, so the RDD must come out with exactly one partition per key
+    // (the contract a storage-partitioned join relies on)
+    val small = readKeyed(dir, "split_bytes" -> "16")
+    assert(small.rdd.getNumPartitions == 3,
+      "splits must group into one partition per key")
+    assert(small.orderBy("id").collect().toSeq ==
+      readKeyed(dir).orderBy("id").collect().toSeq)
+  }
+
+  test("keyed layout rejects a non-BIGINT or unknown partition column at plan time") {
+    val dir = writeKeyedTsv()
+    def readWith(c: String) =
+      spark.read.format(classOf[TsvSourceProvider].getName)
+        .schema(keyedSchema).option("path", dir).option("partition_col", c)
+        .load()
+    val e1 = intercept[IllegalArgumentException](readWith("name").collect())
+    assert(e1.getMessage.contains("must be BIGINT"))
+    val e2 = intercept[IllegalArgumentException](readWith("nope").collect())
+    assert(e2.getMessage.contains("not in schema"))
+  }
 }
