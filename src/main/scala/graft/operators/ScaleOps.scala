@@ -713,7 +713,64 @@ object ScaleOps extends QueryPack {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
     }
 
+  /** q271's scoped confs + frame, shared with PlanSpec's pins.
+    *
+    * Plan-time broadcast is priced out (4 KiB threshold vs a dim
+    * estimate Catalyst CANNOT shrink: without column stats a Filter
+    * keeps its child's size estimate, so the filtered dim still "looks"
+    * like the whole table); the ADAPTIVE threshold stays at 1 MiB, so
+    * when the shuffle materializes and the dim turns out to be a few
+    * KB, AQE replans the remaining stages around a broadcast. */
+  private[graft] val joinSwitchConfs: Seq[(String, String)] = Seq(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.autoBroadcastJoinThreshold" -> "4096",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "1048576")
+
+  private[graft] def joinSwitchFrame(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_extendedprice", "l_returnflag")
+    // the double filter keeps ~1.5% of orders, but the PLAN-time size
+    // estimate is the unfiltered relation's — only runtime knows better
+    val dim = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderkey") % 13 === 0)
+      .select("o_orderkey")
+    fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2)
+          .as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q271: AQE RUNTIME JOIN-STRATEGY SWITCH — the third adaptive rewrite
+    * next to q267 (skew split) and the coalescing every gate inherits.
+    * A selective dim filter is invisible to plan-time sizing (no column
+    * stats → the Filter inherits the full relation's estimate), so the
+    * join plans as sort-merge; when the dim's shuffle stage materializes
+    * at a few KB, AQE replans the rest of the query as a broadcast hash
+    * join and the fact side reads its own map outputs locally instead
+    * of exchanging them. At 100 TB this is the difference between
+    * shuffling the fact table because the optimizer guessed wrong and
+    * paying only for the guess's first stage — runtime statistics, not
+    * estimates, pick the join strategy. Collected inside the conf
+    * scope; PlanSpec pins SortMergeJoin in the initial plan and
+    * BroadcastHashJoin in the final one. */
+  private def q271(s: SparkSession, dir: String): DataFrame =
+    graft.SessionConfs.withConfs(s, joinSwitchConfs: _*) {
+      val result = joinSwitchFrame(s, dir)
+      val rows = result.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    }
+
   override def queries: Seq[Q] = Seq(
+    Q("q271_aqe_join_switch", q271, Some(
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 13 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q266_runtime_bloom_inject", q266, Some(
       """SELECT l_returnflag, count(*) AS n,
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)

@@ -272,6 +272,27 @@ class PlanSpec extends AnyFunSuite {
       "skew handling off must leave the join unsplit (contrast pin)")
   }
 
+  test("q271 AQE switches the sort-merge join to broadcast at runtime") {
+    import graft.operators.ScaleOps
+    SessionConfs.withConfs(spark, ScaleOps.joinSwitchConfs: _*) {
+      val df = ScaleOps.joinSwitchFrame(spark, sf)
+      // initial plan: the dim's PLAN-TIME estimate (whole relation —
+      // a stat-less Filter shrinks nothing) prices broadcast out
+      val initial = df.queryExecution.executedPlan.toString
+      assert(initial.contains("SortMergeJoin"),
+        s"plan-time strategy must be sort-merge:\n$initial")
+      assert(!initial.contains("BroadcastHashJoin"),
+        s"broadcast must NOT be chosen at plan time:\n$initial")
+      df.collect()
+      // final plan: the materialized dim stage is a few KB, AQE replans
+      val fin = df.queryExecution.executedPlan.toString
+      assert(fin.contains("BroadcastHashJoin"),
+        s"runtime stats must flip the join to broadcast:\n$fin")
+      assert(fin.contains("AQEShuffleRead local"),
+        s"the fact side must read its map outputs locally:\n$fin")
+    }
+  }
+
   test("q270 storage-partitioned join plans with zero hash exchanges") {
     import graft.operators.FileIO
     // the source-reported KeyGroupedPartitioning must satisfy the
