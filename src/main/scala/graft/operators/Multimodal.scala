@@ -26,6 +26,13 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal extends QueryPack {
 
+  // ImageIO's default stream cache backs every read/write with a TEMP
+  // FILE on disk — for the in-memory byte-array codec calls here that
+  // is one create+delete of a file PER IMAGE, dwarfing the actual
+  // encode/decode work. Disable it process-wide (object init runs once
+  // per executor JVM before any codec call): streams stay in memory.
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaRow(doc_id: Long, payload: Array[Byte])
   case class MediaFeature(doc_id: Long, width: Int, height: Int,
       n_pixels: Int, payload_kind: String, pix_checksum: Long)
