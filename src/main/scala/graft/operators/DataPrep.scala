@@ -466,6 +466,93 @@ object DataPrep extends QueryPack {
       .orderBy("doc_id")
   }
 
+  /** q272's two snapshots, shared with DataPrepSpec: synthesized from
+    * the documents table with partition key `part = doc_id % 16`. The
+    * drift is PARTITION-SPARSE on purpose — real replica divergence is
+    * (a few late/failed partition loads, not uniform noise), and sparse
+    * drift is what makes digest pruning worth its pass:
+    *   - part 5 misses some rows in A  → "added" when B is the target
+    *   - part 11 misses some rows in B → "removed"
+    *   - part 3 has rewritten text in B → "changed"
+    * The other 13 partitions are bit-identical and must be reconciled
+    * from digests alone. */
+  private[graft] def reconcileSnapshots(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val P = 16
+    val part = pmod(col("doc_id"), lit(P))
+    val docs = Tables.documents(s, dir)
+    val a = docs.filter(!(part === 5 && pmod(col("doc_id"), lit(7)) === 1))
+      .select(col("doc_id"), part.as("part"),
+        sha2(col("text"), 256).as("fp"))
+    val b = docs.filter(!(part === 11 && pmod(col("doc_id"), lit(5)) === 2))
+      .select(col("doc_id"), part.as("part"),
+        sha2(when(part === 3 && pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")),
+          256).as("fp"))
+    (a, b)
+  }
+
+  /** q272: partition-digest ANTI-ENTROPY reconciliation — how two
+    * replicas of a 100 TB keyed table are actually compared. q193's
+    * row-level full-outer diff is correct but touches every row of both
+    * snapshots; at scale the standard trick (Merkle-style, as in
+    * Dynamo/Cassandra anti-entropy) is TWO-LEVEL: first compare
+    * per-partition DIGESTS — an order-independent fold of per-row
+    * hashes, here sum(xxhash64(doc_id, fingerprint)) per `part` — and
+    * only row-diff the partitions whose (digest, count) mismatch.
+    *
+    * Scale shape: the digest pass is one map-side-combined aggregate
+    * per snapshot (16 groups — O(partitions) exchange bytes, O(N) scan);
+    * the mismatched-partition list is tiny and BROADCAST to gate the
+    * row-level full-outer join, so row comparison work is proportional
+    * to CHANGED partitions only — on partitioned storage the pruned
+    * scan never reads clean partitions at all. Matched partitions are
+    * reported as zero-diff rows without any row comparison; the oracle
+    * states the same report from the full row-level diff, so the gate
+    * proves digest-pruning loses nothing. The digest is internal (both
+    * engines never compare it) — sum-of-xxhash64 collisions across a
+    * whole partition are the usual anti-entropy residual risk and the
+    * reason production reconcilers also compare row counts, as this
+    * does. */
+  private def q272(s: SparkSession, dir: String): DataFrame = {
+    val (snapA, snapB) = reconcileSnapshots(s, dir)
+    def digest(df: DataFrame, n: String, d: String): DataFrame =
+      df.groupBy("part").agg(
+        count(lit(1)).as(n),
+        sum(xxhash64(col("doc_id"), col("fp")).cast("decimal(38,0)")).as(d))
+    val digests = digest(snapA, "n_a", "dig_a")
+      .join(digest(snapB, "n_b", "dig_b"), Seq("part"), "full_outer")
+    val mismatched = digests
+      .filter(not(col("dig_a") <=> col("dig_b")) ||
+        not(col("n_a") <=> col("n_b")))
+      .select("part")
+    val detail = snapA.join(broadcast(mismatched), Seq("part"))
+      .select(col("doc_id"), col("part").as("pa"), col("fp").as("fp_a"))
+      .join(snapB.join(broadcast(mismatched), Seq("part"))
+          .select(col("doc_id"), col("part").as("pb"), col("fp").as("fp_b")),
+        Seq("doc_id"), "full_outer")
+      .select(coalesce(col("pa"), col("pb")).as("part"),
+        when(col("fp_a").isNull, lit("added"))
+          .when(col("fp_b").isNull, lit("removed"))
+          .when(col("fp_a") =!= col("fp_b"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .groupBy("part").agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("d_add"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("d_rem"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("d_chg"))
+    // every partition present in either snapshot reports; clean ones
+    // ride through on the digest verdict alone (zeros, no row work)
+    digests.select("part")
+      .join(detail, Seq("part"), "left")
+      .select(col("part"),
+        coalesce(col("d_add"), lit(0L)).as("n_added"),
+        coalesce(col("d_rem"), lit(0L)).as("n_removed"),
+        coalesce(col("d_chg"), lit(0L)).as("n_changed"))
+      .withColumn("digest_match",
+        col("n_added") + col("n_removed") + col("n_changed") === 0L)
+      .orderBy("part")
+  }
+
   /** q195: per-domain token-budget capping — the anti-spam/diversity
     * curation rule: no single domain may contribute more than B tokens
     * to the corpus. Unlike q111's per-source ROW quota, the cap is a
@@ -890,6 +977,31 @@ object DataPrep extends QueryPack {
         |      CAST(unnest(generate_series(1, n_reps)) AS VARCHAR))
         |    AS interleave_key
         |FROM r ORDER BY doc_id, epoch""".stripMargin)),
+    Q("q272_partition_reconcile", q272, Some(
+      """WITH a AS (SELECT doc_id, doc_id % 16 AS part, sha256(text) AS fp
+        |  FROM documents
+        |  WHERE NOT (doc_id % 16 = 5 AND doc_id % 7 = 1)),
+        |b AS (SELECT doc_id, doc_id % 16 AS part,
+        |    sha256(CASE WHEN doc_id % 16 = 3 AND doc_id % 3 = 0
+        |                THEN text || ' v2' ELSE text END) AS fp
+        |  FROM documents
+        |  WHERE NOT (doc_id % 16 = 11 AND doc_id % 5 = 2)),
+        |d AS (SELECT coalesce(a.part, b.part) AS part,
+        |    CASE WHEN a.doc_id IS NULL THEN 'added'
+        |         WHEN b.doc_id IS NULL THEN 'removed'
+        |         WHEN a.fp <> b.fp THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM a FULL JOIN b ON a.doc_id = b.doc_id)
+        |SELECT part,
+        |  CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_added,
+        |  CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_changed,
+        |  sum(CASE WHEN status <> 'unchanged' THEN 1 ELSE 0 END) = 0
+        |    AS digest_match
+        |FROM d GROUP BY part ORDER BY part""".stripMargin)),
     Q("q193_snapshot_diff", q193, Some(
       """WITH a AS (SELECT doc_id, sha256(text) AS fp_a FROM documents
         |           WHERE doc_id % 7 <> 3),

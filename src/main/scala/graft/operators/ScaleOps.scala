@@ -763,7 +763,60 @@ object ScaleOps extends QueryPack {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
     }
 
+  /** q274's frame, shared with PlanSpec's reuse pins. */
+  private[graft] def exchangeReuseFrame(s: SparkSession, dir: String): DataFrame = {
+    // ONE daily-revenue aggregate val feeds both join sides, so the two
+    // subtrees canonicalize identically — the precondition for reuse
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+    val prev = daily.select(date_add(col("day"), 7).as("day"),
+      col("rev_c").as("prev_rev_c"))
+    daily.join(prev, Seq("day"), "full_outer")
+      .select(col("day"), round(col("rev_c") / 100.0, 2).as("revenue"),
+        round(col("prev_rev_c") / 100.0, 2).as("prev_revenue"),
+        round((col("rev_c") - col("prev_rev_c")) / 100.0, 2).as("wow_delta"))
+      .orderBy("day")
+  }
+
+  /** q274: EXCHANGE REUSE — the self-join shape every week-over-week /
+    * cohort-vs-cohort report has: the same aggregate CTE appears on both
+    * sides of a join. Naively that is two full scans + two full shuffles
+    * of the fact table; Spark's `ReuseExchange` physical rule instead
+    * canonicalizes the two identical Exchange subtrees and executes ONE
+    * — the second side reads the first's shuffle files (under AQE, the
+    * reused stage's map outputs). At 100 TB this halves the job's
+    * dominant scan+shuffle cost with zero query rewrite. Only the
+    * post-aggregate day-grain frames (tiny) are joined and re-shuffled
+    * on the derived `day+7` key.
+    *
+    * The join is FULL OUTER twice over: (a) a WoW report must show days
+    * missing either side (first week, gaps) rather than drop them, and
+    * (b) an INNER self-join here silently DEFEATS reuse — the join
+    * infers `isnotnull` on each side's key and pushes ASYMMETRIC
+    * filters into the two scan branches (`isnotnull(day)` left,
+    * `isnotnull(date_add(day, 7))` right), so the exchanges no longer
+    * canonicalize equal and the fact is scanned twice. Outer joins
+    * infer no key constraints, keeping both subtrees identical — a
+    * plan-shape trap worth pinning, since the "faster" inner variant
+    * is the one that doubles the 100 TB scan. PlanSpec pins exactly
+    * one orders FileScan and a reused exchange/stage in the executed
+    * plan. */
+  private def q274(s: SparkSession, dir: String): DataFrame =
+    exchangeReuseFrame(s, dir)
+
   override def queries: Seq[Q] = Seq(
+    Q("q274_exchange_reuse_wow", q274, Some(
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS rev_c
+        |  FROM orders GROUP BY 1)
+        |SELECT coalesce(a.day, b.day + 7) AS day,
+        |  round(a.rev_c / 100.0, 2) AS revenue,
+        |  round(b.rev_c / 100.0, 2) AS prev_revenue,
+        |  round((a.rev_c - b.rev_c) / 100.0, 2) AS wow_delta
+        |FROM d a FULL JOIN d b ON a.day = b.day + 7
+        |ORDER BY day""".stripMargin)),
     Q("q271_aqe_join_switch", q271, Some(
       """SELECT l_returnflag, count(*) AS n,
         |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)

@@ -2,8 +2,9 @@ package graft.operators
 
 import graft.{Q, QueryPack}
 import graft.sources.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the embeddings table (north-star extension):
@@ -373,7 +374,98 @@ object Similarity extends QueryPack {
       .orderBy("vec_id")
   }
 
+  /** One upper-triangular cell of the corpus Gram matrix (1-based dims). */
+  case class GramCell(i: Int, j: Int, s: Long)
+
+  /** One-pass GRAM/COVARIANCE accumulator over the embedding corpus —
+    * the statistic PCA-whitening, decorrelation checks, and linear-probe
+    * feature analysis all start from: G[i][j] = Σ_docs e_i·e_j.
+    *
+    * Scale design: the naive formulation explodes every vector to its
+    * d(d+1)/2 = 2 080 (i, j, e_i·e_j) terms and groups by (i, j) —
+    * N·d²/2 shuffled rows. This typed Aggregator instead carries ONE
+    * fixed d(d+1)/2-cell buffer per task: reduce folds each vector into
+    * the local buffer (map-side combine), merge adds buffers
+    * elementwise, and the exchange moves O(d²) longs per map partition
+    * total — at 100 TB the shuffle is measured in kilobytes per task
+    * regardless of N. Compute is the irreducible N·d²/2 multiply-adds,
+    * running at scan speed with no intermediate row blow-up.
+    *
+    * Engine-neutral exactness: each float is mapped to a scaled integer
+    * n = floor(x·10⁶) — float→double is exact, the double product
+    * x·10⁶ is exact (24-bit mantissa × 5⁶ < 2⁵³), and floor has no
+    * tie — so both engines derive the IDENTICAL integers and the cell
+    * sums are exact 64-bit arithmetic, hash-equal by construction
+    * (the q235 floor-not-round discipline). Overflow headroom: with
+    * max|e| ≈ 0.58 each term is < 3.6·10¹¹, so Long holds ~2.5·10⁷
+    * rows; a 100 TB corpus promotes the buffer to per-cell DECIMAL(38)
+    * (or double + tolerance oracle) — the aggregation shape is
+    * unchanged. Fixture dims are 64 across all scale factors. */
+  object GramAgg extends Aggregator[Seq[Float], Array[Long], Seq[GramCell]] {
+    private val D = 64
+    override def zero: Array[Long] = new Array[Long](D * (D + 1) / 2)
+    override def reduce(b: Array[Long], e: Seq[Float]): Array[Long] = {
+      val n = new Array[Long](D)
+      var i = 0
+      while (i < D) {
+        n(i) = math.floor(e(i).toDouble * 1e6).toLong
+        i += 1
+      }
+      var k = 0
+      i = 0
+      while (i < D) {
+        var j = i
+        while (j < D) { b(k) += n(i) * n(j); k += 1; j += 1 }
+        i += 1
+      }
+      b
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var k = 0
+      while (k < x.length) { x(k) += y(k); k += 1 }
+      x
+    }
+    override def finish(b: Array[Long]): Seq[GramCell] = {
+      val out = Seq.newBuilder[GramCell]
+      var k = 0
+      var i = 0
+      while (i < D) {
+        var j = i
+        while (j < D) { out += GramCell(i + 1, j + 1, b(k)); k += 1; j += 1 }
+        i += 1
+      }
+      out.result()
+    }
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[GramCell]] = ExpressionEncoder()
+  }
+
+  /** q273: corpus Gram matrix in ONE aggregation pass via [[GramAgg]] —
+    * a single global agg (partial buffers map-side, one merged row),
+    * exploded back to 2 080 (i, j, gram) cells only at the gate edge.
+    * The oracle states the same integers via the N·d²/2 explode-and-sum
+    * formulation, which is exactly the shuffle blow-up the Aggregator
+    * avoids. */
+  private def q273(s: SparkSession, dir: String): DataFrame = {
+    val gram = udaf(GramAgg, ExpressionEncoder[Seq[Float]]())
+    Tables.embeddings(s, dir)
+      .agg(gram(col("embedding")).as("g"))
+      .select(explode(col("g")).as("c"))
+      .select(col("c.i").cast("long").as("i"),
+        col("c.j").cast("long").as("j"), col("c.s").as("gram"))
+      .orderBy("i", "j")
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q273_gram_matrix", q273, Some(
+      """WITH n AS (SELECT list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |ij AS (SELECT s.i, t.j
+        |  FROM generate_series(1, 64) s(i), generate_series(1, 64) t(j)
+        |  WHERE t.j >= s.i)
+        |SELECT i, j, CAST(sum(v[i] * v[j]) AS BIGINT) AS gram
+        |FROM n, ij GROUP BY i, j ORDER BY i, j""".stripMargin)),
     Q("q235_sq8_quantize", q235, Some(
       """WITH v AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -337,6 +337,49 @@ class PlanSpec extends AnyFunSuite {
       "with DPP disabled the fact scan must fall back to a full scan")
   }
 
+  test("q273 gram aggregation is partial and carries one buffer row to the exchange") {
+    val plan = executedPlan("q273_gram_matrix")
+    // the typed Aggregator must partial-aggregate map-side (the whole
+    // point vs the explode-and-groupBy formulation the oracle states)
+    assert(plan.contains("partial_gramagg"),
+      s"expected map-side partial gram buffers:\n$plan")
+  }
+
+  test("q272 row-level diff is gated by a broadcast of the mismatched-partition list") {
+    val plan = executedPlan("q272_partition_reconcile")
+    // clean partitions must never reach the row-level full-outer join:
+    // the tiny digest-mismatch list broadcasts into both snapshot scans
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast pruning joins on the mismatched parts:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected the row-level full-outer diff join:\n$plan")
+  }
+
+  test("q272 reports exactly the planted dirty partitions, zeros elsewhere") {
+    val rows = SparkEntry.queries("q272_partition_reconcile")(spark, sf).collect()
+    val dirty = rows.filter(!_.getBoolean(4)).map(_.getLong(0)).toSet
+    assert(dirty === Set(3L, 5L, 11L),
+      s"planted drift sits in parts 3/5/11; got $dirty")
+    for (r <- rows if r.getBoolean(4))
+      assert(r.getLong(1) == 0 && r.getLong(2) == 0 && r.getLong(3) == 0,
+        s"digest-matched partition ${r.getLong(0)} must report zero diffs")
+  }
+
+  test("q274 the WoW self-join executes ONE orders scan+shuffle (exchange reuse)") {
+    import graft.operators.ScaleOps
+    val df = ScaleOps.exchangeReuseFrame(spark, sf)
+    df.collect()
+    // the AQE string carries the pre-reuse "Initial Plan" section too —
+    // pin the FINAL (executed) section only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"expected the second aggregate side to reuse the first's exchange:\n$plan")
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1,
+      s"the orders fact must be scanned exactly once, found $scans:\n$plan")
+  }
+
   test("NO query plans a cartesian / nested-loop join (bounded-broadcast baselines exempt)") {
     // Repo-wide scale pin: every join must be an equi-join (hash/sort) —
     // a CartesianProduct or BroadcastNestedLoopJoin node anywhere else is
