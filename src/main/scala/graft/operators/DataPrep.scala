@@ -503,10 +503,11 @@ object DataPrep extends QueryPack {
     *
     * Scale shape: the digest pass is one map-side-combined aggregate
     * per snapshot (16 groups — O(partitions) exchange bytes, O(N) scan);
-    * the mismatched-partition list is tiny and BROADCAST to gate the
-    * row-level full-outer join, so row comparison work is proportional
-    * to CHANGED partitions only — on partitioned storage the pruned
-    * scan never reads clean partitions at all. Matched partitions are
+    * the mismatched-partition list is O(partitions) and COLLECTED to
+    * the driver (the repair driver needs it anyway), so the row-level
+    * full-outer diff is gated by a LITERAL isin predicate — static
+    * partition pruning on partitioned storage, and row comparison work
+    * proportional to CHANGED partitions only. Matched partitions are
     * reported as zero-diff rows without any row comparison; the oracle
     * states the same report from the full row-level diff, so the gate
     * proves digest-pruning loses nothing. The digest is internal (both
@@ -522,13 +523,18 @@ object DataPrep extends QueryPack {
         sum(xxhash64(col("doc_id"), col("fp")).cast("decimal(38,0)")).as(d))
     val digests = digest(snapA, "n_a", "dig_a")
       .join(digest(snapB, "n_b", "dig_b"), Seq("part"), "full_outer")
-    val mismatched = digests
+    // the mismatch list is O(partitions) — collect it at the driver
+    // (the anti-entropy repair driver holds this list anyway) so the
+    // row-diff stage gets a LITERAL isin predicate: on partitioned
+    // storage that is a static partition-pruning filter, and the plan
+    // carries no second digest computation under a broadcast subtree
+    val mismatched: Seq[Long] = digests
       .filter(not(col("dig_a") <=> col("dig_b")) ||
         not(col("n_a") <=> col("n_b")))
-      .select("part")
-    val detail = snapA.join(broadcast(mismatched), Seq("part"))
+      .select("part").collect().map(_.getLong(0)).toSeq
+    val detail = snapA.filter(col("part").isin(mismatched: _*))
       .select(col("doc_id"), col("part").as("pa"), col("fp").as("fp_a"))
-      .join(snapB.join(broadcast(mismatched), Seq("part"))
+      .join(snapB.filter(col("part").isin(mismatched: _*))
           .select(col("doc_id"), col("part").as("pb"), col("fp").as("fp_b")),
         Seq("doc_id"), "full_outer")
       .select(coalesce(col("pa"), col("pb")).as("part"),

@@ -724,7 +724,9 @@ object FileIO extends QueryPack {
     * the plan to `GraftTsvScan` with the filters in PushedFilters and a
     * pruned ReadSchema. The oracle computes the same aggregate from the
     * parquet table. */
-  private def q247(s: SparkSession, dir: String): DataFrame = {
+  /** The 6-column events TSV dump q247/q275 read through the DSv2
+    * source, built once per source dir, loaded with its schema. */
+  private[graft] def eventsTsvDf(s: SparkSession, dir: String): DataFrame = {
     val out = scratch(dir, "events_tsv_dsv2")
     if (layoutSource.get(out) != dir) {
       // text writer, not the csv one: TSV-with-no-quoting is the
@@ -749,11 +751,134 @@ object FileIO extends QueryPack {
       .schema(schema)
       .option("path", out)
       .load()
+  }
+
+  private def q247(s: SparkSession, dir: String): DataFrame = {
+    eventsTsvDf(s, dir)
       .filter(col("event_type") === "click" && col("user_id") >= 50)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100).cast("long")).as("cents"))
       .orderBy("user_id")
+  }
+
+  /** q275's frame, shared with PlanSpec's pushed-aggregate pins. */
+  private[graft] def tsvAggFrame(s: SparkSession, dir: String): DataFrame =
+    eventsTsvDf(s, dir)
+      .filter(col("user_id") >= 10)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        min("event_id").as("min_eid"),
+        max("event_id").as("max_eid"),
+        sum("user_id").as("sum_uid"))
+      .orderBy(col("event_type").asc_nulls_first)
+
+  /** q275: DSv2 AGGREGATE PUSHDOWN ([[graft.sources.TsvSourceProvider]],
+    * `SupportsPushDownAggregates`) — the last step of the source-side
+    * pushdown ladder after columns (q247), filters (q247), limit, and
+    * key-grouped layout (q270): the scan itself PRE-AGGREGATES. Each
+    * split folds its surviving lines into one row per group, so what
+    * leaves the source is |groups| rows per split, not N parsed rows —
+    * map-side combine moved INTO the reader, before Spark allocates
+    * anything per-row. Pushdown is PARTIAL by design (the source
+    * declares supportCompletePushDown=false): Spark's final aggregate
+    * merges the per-split rows, keeping the cross-split merge parallel
+    * and spill-safe. The filter composes: user_id ≥ 10 is fully pushed,
+    * which is the rule's precondition for attempting the aggregate at
+    * all. Unsupported shapes (expression inputs like q247's
+    * sum(round(value*100)), DISTINCT) are refused by the source and
+    * planned as ordinary Spark aggregates over the raw scan — coverage
+    * never changes semantics. At 100 TB this is the difference between
+    * shipping the fact table's parsed rows to an exchange and shipping
+    * a few group rows per split. PlanSpec pins PushedAggregates +
+    * PushedGroupBy in the scan description, the aggregated ReadSchema,
+    * and their absence on q247's expression aggregate. */
+  private def q275(s: SparkSession, dir: String): DataFrame =
+    tsvAggFrame(s, dir)
+
+  /** q276's frame, shared with PlanSpec's runtime-filter pins: the
+    * keyed clicks layout (q270's) probed by a selective cohort dim. */
+  private[graft] def runtimeFilterFrame(s: SparkSession, dir: String): DataFrame = {
+    val (clicks, _) = spjLayout(s, dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id BIGINT, n_clicks BIGINT, click_cents BIGINT, shard BIGINT")
+    val fact = s.read.format(classOf[graft.sources.TsvSourceProvider].getName)
+      .schema(schema)
+      .option("path", clicks)
+      .option("partition_col", "shard")
+      .load()
+    // the cohort dim: purchase users in resharding cohort 5-of-32 — a
+    // user_id % 32 cohort lands on exactly TWO of the 16 shards (5 and
+    // 21 % 16), so a correct runtime filter must read 2 dirs of 16.
+    // The predicate is on the DIM's attributes; the fact side has no
+    // static filter at all — only the runtime subquery can prune it.
+    val dim = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase" &&
+        pmod(col("user_id"), lit(32)) === 5)
+      .select(col("user_id").as("u"),
+        pmod(col("user_id"), lit(16)).as("shard"))
+      .distinct()
+    // the dim must be the BROADCAST side: DPP's default
+    // (reuseBroadcastOnly) only plants the runtime filter when it can
+    // reuse the dim's broadcast for the pruning subquery. At 100 TB
+    // the planner picks this by itself (the fact dwarfs the dim); at
+    // fixture scale BOTH sides are broadcast-small and Spark may build
+    // on the fact, which silently drops the pruning opportunity — the
+    // hint states the production asymmetry.
+    fact.join(broadcast(dim),
+        fact("shard") === dim("shard") && fact("user_id") === dim("u"))
+      .select(fact("user_id"), col("n_clicks"), col("click_cents"))
+      .orderBy("user_id")
+  }
+
+  /** q276: DSv2 RUNTIME FILTERING (`SupportsRuntimeV2Filtering` via the
+    * V1-filter convenience trait) — q268's dynamic partition pruning
+    * re-expressed at the SOURCE contract level, no catalog table
+    * involved: the TSV scan declares its partition column filterable,
+    * Catalyst plants a `dynamicpruning` subquery into the scan, and at
+    * execution the dim's surviving shard keys reach
+    * [[graft.sources.TsvScan.filter]] BEFORE partition planning — the
+    * pruned `shard=<v>/` dirs are never listed, split, or read (2 of
+    * 16 dirs survive here). This is how a lakehouse source keeps a
+    * 100 TB fact-dim join from scanning the full fact: the join itself
+    * tells the scan which partitions matter. PlanSpec pins the
+    * RuntimeFilters on the BatchScan and TsvSourceSpec pins the
+    * contract (filter() → fewer planned partitions). */
+  private def q276(s: SparkSession, dir: String): DataFrame =
+    runtimeFilterFrame(s, dir)
+
+  /** q277: DSv2 TSV SINK (`SupportsWrite`, BATCH_WRITE + TRUNCATE) —
+    * the write half of the reference's TSV front door (its jobs emit
+    * tab-joined lines), as a first-class batch write with a real
+    * task-commit protocol: tasks write `_temporary/<job>/part-…-<task>`
+    * files, the driver renames ONLY committed attempts into the target
+    * (speculative/retried losers vanish with the temp dir), abort
+    * leaves the target untouched. SaveMode.Overwrite arrives as the
+    * TRUNCATE capability and clears old data files at commit time —
+    * readers never observe a half-replaced directory within a task's
+    * visibility rules. The gate round-trips orders through the sink
+    * and re-aggregates through the READ side (whose aggregate pushdown
+    * then pre-folds each written file — the two halves compose); the
+    * oracle computes the same from parquet, so framing, null fields,
+    * and numeric formatting are all value-checked. TsvSourceSpec pins
+    * the protocol itself (overwrite-truncate, append, no temp
+    * leftovers, framing-byte refusal leaves the target clean). */
+  private def q277(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "tsv_sink_dsv2")
+    val ddl = "o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT"
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .write.format(classOf[graft.sources.TsvSourceProvider].getName)
+      .option("path", out).option("write_schema", ddl)
+      .mode("overwrite").save()
+    s.read.format(classOf[graft.sources.TsvSourceProvider].getName)
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      .option("path", out).load()
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"),
+        min("o_orderkey").as("min_key"))
+      .orderBy("o_orderstatus")
   }
 
   /** q268 layout: the fact table partitioned by ship month — the layout
@@ -1052,6 +1177,32 @@ object FileIO extends QueryPack {
         |JOIN supplier ON l_suppkey = s_suppkey
         |WHERE s_nationkey = 0
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+    Q("q277_dsv2_tsv_sink", q277, Some(
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  min(o_orderkey) AS min_key
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q276_dsv2_runtime_filter", q276, Some(
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS n_clicks,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS click_cents
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |d AS (
+        |  SELECT DISTINCT user_id FROM events
+        |  WHERE event_type = 'purchase' AND user_id % 32 = 5)
+        |SELECT c.user_id, n_clicks, click_cents
+        |FROM c JOIN d ON c.user_id = d.user_id
+        |ORDER BY c.user_id""".stripMargin)),
+    Q("q275_dsv2_agg_pushdown", q275, Some(
+      """SELECT nullif(event_type, '') AS event_type,
+        |  count(*) AS n,
+        |  min(event_id) AS min_eid,
+        |  max(event_id) AS max_eid,
+        |  CAST(sum(user_id) AS BIGINT) AS sum_uid
+        |FROM events WHERE user_id >= 10
+        |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin)),
     Q("q247_dsv2_pushdown", q247, Some(
       """SELECT user_id, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents

@@ -2,7 +2,8 @@ package graft.sources
 
 import java.util
 
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
@@ -47,10 +48,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * files (classic-Mac) are NOT supported — they parse as one line.
   */
 class TsvSourceProvider extends TableProvider {
-  // schema is caller-provided (the reference's TSVs are headerless)
+  // schema is caller-provided (the reference's TSVs are headerless).
+  // Reads state it via .schema(...); the WRITE path has no .schema()
+  // on DataFrameWriter, so writers state it as a `write_schema` DDL
+  // option (Spark validates the query's schema against it).
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    throw new IllegalArgumentException(
-      "graft tsv source requires an explicit .schema(...)")
+    Option(options.get("write_schema")).map(StructType.fromDDL).getOrElse(
+      throw new IllegalArgumentException(
+        "graft tsv source requires an explicit .schema(...) " +
+          "(reads) or option(\"write_schema\", <ddl>) (writes)"))
   override def supportsExternalMetadata(): Boolean = true
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -59,12 +65,18 @@ class TsvSourceProvider extends TableProvider {
 }
 
 final class TsvTable(tableSchema: StructType, path: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   require(path != null, "graft tsv source requires option(\"path\", ...)")
   override def name(): String = s"graft_tsv($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new TsvWriteBuilder(info.schema(), path)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val splitBytes = options.getLong("split_bytes", 32L * 1024 * 1024)
     // fail loudly at plan time: 0 would throw an opaque NumericRange
@@ -86,14 +98,107 @@ final class TsvTable(tableSchema: StructType, path: String)
   }
 }
 
+/** One pushed aggregate function: `op` ∈ count_star/count/min/max/sum,
+  * `col` the single input column (None for count_star), `resType` the
+  * PARTIAL result type Spark's final aggregate merges. */
+final case class TsvAggFn(op: String, col: Option[String], resType: DataType)
+
+/** A pushed (partial) aggregation: per-split pre-aggregation the final
+  * Spark Aggregate merges. Scan output = groupCols ++ fns, positionally
+  * matched by Spark's V2 pushdown rule. */
+final case class TsvAggSpec(groupCols: Seq[String], fns: Seq[TsvAggFn])
+
 final class TsvScanBuilder(fullSchema: StructType, path: String,
     splitBytes: Long, partitionCol: Option[String] = None) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var aggSpec: Option[TsvAggSpec] = None
+
+  /** AGGREGATE PUSHDOWN ([[SupportsPushDownAggregates]]), PARTIAL mode:
+    * each split pre-aggregates its own lines and emits one row per
+    * group; Spark's final Aggregate merges the k·|groups| partial rows
+    * (SUM of counts, MIN of mins, …). At 100 TB this turns the scan's
+    * output from N parsed rows into |groups| rows per split BEFORE
+    * anything reaches the exchange — the source-level analog of
+    * map-side combine, and the reason `supportCompletePushDown` stays
+    * false: complete pushdown would serialize the cross-split merge
+    * into the source, where partial keeps it in Spark's parallel
+    * aggregate. Accepted shapes: MIN/MAX/SUM/COUNT/COUNT(*) over plain
+    * BIGINT/DOUBLE/STRING columns (SUM numeric only, nothing DISTINCT),
+    * GROUP BY plain columns (file or partition). Anything else returns
+    * false and Spark plans its own aggregate over the raw scan —
+    * semantics never depend on the source's coverage, exactly the
+    * pushFilters residual contract. Memory: one (groupKey → state) map
+    * entry per DISTINCT group per split, the same bound as any hash
+    * aggregate at `|groups| ≪ rows`; a grouping that approaches row
+    * cardinality should not be pushed down by the caller's query shape
+    * in the first place (Spark's own agg spills, this map does not). */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = false
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    // a pushed LIMIT above an aggregate cannot happen in one plan slot;
+    // refuse defensively if it somehow does
+    if (limit >= 0) return false
+    def colName(
+        e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames()(0)).filter(n =>
+          fullSchema.fieldNames.contains(n))
+      case _ => None
+    }
+    def typeOf(n: String): DataType = fullSchema(n).dataType
+    val groups = agg.groupByExpressions.toSeq.map(colName)
+    if (groups.exists(_.isEmpty)) return false
+    val fns = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some(TsvAggFn("count_star", None, LongType))
+      case c: Count if !c.isDistinct =>
+        colName(c.column).map(n => TsvAggFn("count", Some(n), LongType))
+      case m: Min =>
+        colName(m.column).collect {
+          case n if Seq(LongType, DoubleType, StringType).contains(typeOf(n)) =>
+            TsvAggFn("min", Some(n), typeOf(n))
+        }
+      case m: Max =>
+        colName(m.column).collect {
+          case n if Seq(LongType, DoubleType, StringType).contains(typeOf(n)) =>
+            TsvAggFn("max", Some(n), typeOf(n))
+        }
+      case s: Sum if !s.isDistinct =>
+        colName(s.column).collect {
+          case n if typeOf(n) == LongType => TsvAggFn("sum", Some(n), LongType)
+          case n if typeOf(n) == DoubleType =>
+            TsvAggFn("sum", Some(n), DoubleType)
+        }
+      case _ => None
+    }
+    if (fns.exists(_.isEmpty)) return false
+    aggSpec = Some(TsvAggSpec(groups.map(_.get), fns.map(_.get)))
+    true
+  }
+
+  /** Scan output schema for a pushed aggregation: grouping columns
+    * first (their source types), then one column per aggregate (its
+    * partial-result type) — the positional contract of Spark's
+    * V2ScanRelationPushDown rewrite. */
+  private def aggSchema(spec: TsvAggSpec): StructType = {
+    val g = spec.groupCols.map(n => fullSchema(n))
+    val a = spec.fns.zipWithIndex.map { case (f, i) =>
+      StructField(s"${f.op}(${f.col.getOrElse("*")})_$i", f.resType)
+    }
+    StructType((g ++ a).toArray)
+  }
 
   /** LIMIT pushdown: each split stops parsing after `l` surviving rows
     * (the limit applies AFTER the pushed filters, matching Spark's
@@ -108,8 +213,10 @@ final class TsvScanBuilder(fullSchema: StructType, path: String,
   override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    // Spark hands the post-projection schema; keep its column order
-    required = requiredSchema
+    // Spark hands the post-projection schema; keep its column order.
+    // With a pushed aggregation the scan's output schema is fixed by
+    // aggSchema (Spark re-states it here positionally) — ignore.
+    if (aggSpec.isEmpty) required = requiredSchema
 
   /** Accept the predicate shapes the reader can evaluate EXACTLY on a
     * single parsed field; everything else stays Spark's job (returned
@@ -147,16 +254,59 @@ final class TsvScanBuilder(fullSchema: StructType, path: String,
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new TsvScan(fullSchema, required, pushed, path, splitBytes, limit,
-      partitionCol)
+  override def build(): Scan = aggSpec match {
+    case Some(spec) =>
+      new TsvScan(fullSchema, aggSchema(spec), pushed, path, splitBytes,
+        limit, partitionCol, Some(spec))
+    case None =>
+      new TsvScan(fullSchema, required, pushed, path, splitBytes, limit,
+        partitionCol)
+  }
 }
 
 final class TsvScan(fullSchema: StructType, required: StructType,
     pushed: Array[Filter], path: String, splitBytes: Long, limit: Int,
-    partitionCol: Option[String] = None)
+    partitionCol: Option[String] = None,
+    aggSpec: Option[TsvAggSpec] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsRuntimeFiltering {
+
+  /** RUNTIME FILTERING ([[SupportsRuntimeFiltering]]) — the DSv2 analog
+    * of dynamic partition pruning (q268): when a keyed layout's
+    * partition column is a join key against a filtered dimension,
+    * Spark plants a `dynamicpruning` subquery on this scan; at
+    * execution it calls [[filter]] with the dim's surviving key set
+    * and THEN [[planInputPartitions]], so pruned `shard=<v>/` dirs are
+    * never listed, split, or read. Only the partition column is
+    * offered ([[filterAttributes]]): its predicate evaluates on the
+    * DIRECTORY NAME — zero data bytes per pruned partition. A runtime
+    * predicate on a data column would have to parse every line to
+    * evaluate (no skip possible in headerless TSV), so the source
+    * honestly declines those — Spark keeps its own join-side filter.
+    * At 100 TB this is the q268 story without a catalog: the scan
+    * reads the joined-to shards, not the table. */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    partitionCol.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(c)).toArray
+
+  // driver-side runtime state: the surviving partition keys (None =
+  // no runtime filter delivered; Some(set) = prune to these)
+  private var runtimeKeys: Option[Set[Long]] = None
+
+  /** Test observability: the delivered runtime key set, if any. */
+  private[graft] def runtimeKeysSnapshot: Option[Set[Long]] = runtimeKeys
+
+  override def filter(filters: Array[Filter]): Unit =
+    filters.foreach {
+      case In(a, vs) if partitionCol.contains(a) =>
+        val keep = vs.collect { case n: java.lang.Number => n.longValue }.toSet
+        runtimeKeys = Some(runtimeKeys.fold(keep)(_ intersect keep))
+      case EqualTo(a, v: java.lang.Number) if partitionCol.contains(a) =>
+        val keep = Set(v.longValue)
+        runtimeKeys = Some(runtimeKeys.fold(keep)(_ intersect keep))
+      case _ => () // unsupported shape: Spark keeps its own filter
+    }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -164,7 +314,11 @@ final class TsvScan(fullSchema: StructType, required: StructType,
     s"GraftTsvScan path=$path, ReadSchema: ${required.simpleString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]" +
       (if (limit >= 0) s", PushedLimit: $limit" else "") +
-      partitionCol.fold("")(c => s", KeyGroupedBy: $c")
+      partitionCol.fold("")(c => s", KeyGroupedBy: $c") +
+      aggSpec.fold("")(sp =>
+        s", PushedAggregates: [${sp.fns.map(f =>
+            s"${f.op.toUpperCase}(${f.col.getOrElse("*")})").mkString(", ")}]" +
+          s", PushedGroupBy: [${sp.groupCols.mkString(", ")}]")
 
   /** STORAGE-PARTITIONED JOIN support ([[SupportsReportPartitioning]]).
     *
@@ -182,13 +336,15 @@ final class TsvScan(fullSchema: StructType, required: StructType,
   override def outputPartitioning():
       org.apache.spark.sql.connector.read.partitioning.Partitioning =
     partitionCol match {
-      case Some(c) =>
+      // with a pushed aggregation the split output is group rows, not
+      // key rows — only the raw keyed scan reports the key grouping
+      case Some(c) if aggSpec.isEmpty =>
         new org.apache.spark.sql.connector.read.partitioning
           .KeyGroupedPartitioning(
             Array(org.apache.spark.sql.connector.expressions.Expressions
               .identity(c)),
             partitionDirs.size)
-      case None =>
+      case _ =>
         new org.apache.spark.sql.connector.read.partitioning
           .UnknownPartitioning(0)
     }
@@ -250,13 +406,17 @@ final class TsvScan(fullSchema: StructType, required: StructType,
     partitionCol match {
       case Some(_) =>
         // keyed layout: byte-range splits within each key directory's
-        // files; every split carries its key so Spark can group them
-        partitionDirs.flatMap { case (value, d) =>
-          dataFilesIn(d).flatMap(file => byteSplits(file).map {
-            case (start, end) =>
-              TsvKeyedInputPartition(file.getPath, start, end, value)
-          })
-        }.map(p => p: InputPartition).toArray
+        // files; every split carries its key so Spark can group them.
+        // A delivered runtime filter prunes whole key dirs HERE — before
+        // any file is listed for splitting.
+        partitionDirs
+          .filter { case (v, _) => runtimeKeys.forall(_.contains(v)) }
+          .flatMap { case (value, d) =>
+            dataFilesIn(d).flatMap(file => byteSplits(file).map {
+              case (start, end) =>
+                TsvKeyedInputPartition(file.getPath, start, end, value)
+            })
+          }.map(p => p: InputPartition).toArray
       case None =>
         val f = new java.io.File(stripScheme(path))
         val files = if (f.isDirectory) listDataFiles(f) else Seq(f)
@@ -287,7 +447,8 @@ final class TsvScan(fullSchema: StructType, required: StructType,
     if (p.startsWith("file:")) p.stripPrefix("file:") else p
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new TsvReaderFactory(fullSchema, required, pushed, limit, partitionCol)
+    new TsvReaderFactory(fullSchema, required, pushed, limit, partitionCol,
+      aggSpec)
 }
 
 final case class TsvInputPartition(file: String, start: Long, end: Long)
@@ -302,19 +463,121 @@ final case class TsvKeyedInputPartition(file: String, start: Long, end: Long,
 }
 
 final class TsvReaderFactory(fullSchema: StructType, required: StructType,
-    pushed: Array[Filter], limit: Int, partitionCol: Option[String] = None)
+    pushed: Array[Filter], limit: Int, partitionCol: Option[String] = None,
+    aggSpec: Option[TsvAggSpec] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    // with a pushed aggregation, the raw reader parses only the columns
+    // the aggregation touches; the aggregating reader folds its rows
+    val rawSchema = aggSpec.fold(required) { sp =>
+      val need = (sp.groupCols ++ sp.fns.flatMap(_.col)).distinct
+      StructType(need.map(n => fullSchema(n)).toArray)
+    }
+    def raw(file: String, start: Long, end: Long,
+        pv: Option[(String, Long)]): TsvPartitionReader =
+      new TsvPartitionReader(fullSchema, rawSchema, pushed, limit,
+        file, start, end, pv)
+    def wrap(r: TsvPartitionReader): PartitionReader[InternalRow] =
+      aggSpec.fold(r: PartitionReader[InternalRow])(sp =>
+        new TsvAggregatingReader(r, rawSchema, sp))
     partition match {
       case p: TsvKeyedInputPartition =>
-        new TsvPartitionReader(fullSchema, required, pushed, limit,
-          p.file, p.start, p.end, partitionCol.map(_ -> p.value))
+        wrap(raw(p.file, p.start, p.end, partitionCol.map(_ -> p.value)))
       case _ =>
         val p = partition.asInstanceOf[TsvInputPartition]
-        new TsvPartitionReader(fullSchema, required, pushed, limit,
-          p.file, p.start, p.end, None)
+        wrap(raw(p.file, p.start, p.end, None))
     }
   }
+}
+
+/** Per-split PRE-AGGREGATION for a pushed [[TsvAggSpec]]: drains the
+  * raw reader into a (group key → state) hash map, then emits one row
+  * per group — the source-level map-side combine. Null semantics match
+  * Spark's partial aggregates exactly: COUNT(*) counts rows, COUNT(c)
+  * counts non-nulls, MIN/MAX/SUM ignore nulls and yield NULL on an
+  * all-null (or empty) group; a null GROUP key is a group like any
+  * other. Memory is one entry per distinct group per split ([[
+  * TsvScanBuilder.pushAggregation]] documents the bound). */
+final class TsvAggregatingReader(base: TsvPartitionReader,
+    rawSchema: StructType, spec: TsvAggSpec)
+    extends PartitionReader[InternalRow] {
+
+  private val rawIdx = rawSchema.fieldNames.zipWithIndex.toMap
+  private val groupIdx = spec.groupCols.map(rawIdx).toArray
+  private val groupType = spec.groupCols.map(n => rawSchema(n).dataType).toArray
+  private val fnIdx = spec.fns.map(f => f.col.map(rawIdx).getOrElse(-1)).toArray
+  private val fnInType: Array[DataType] =
+    spec.fns.map(f => f.col.map(n => rawSchema(n).dataType)
+      .getOrElse(LongType)).toArray
+
+  private def fold(state: Array[Any], r: InternalRow): Unit = {
+    var i = 0
+    while (i < spec.fns.length) {
+      val f = spec.fns(i)
+      val v: Any =
+        if (fnIdx(i) == -1) null
+        else if (r.isNullAt(fnIdx(i))) null
+        else r.get(fnIdx(i), fnInType(i))
+      f.op match {
+        case "count_star" =>
+          state(i) = state(i).asInstanceOf[Long] + 1L
+        case "count" =>
+          if (v != null) state(i) = state(i).asInstanceOf[Long] + 1L
+        case "sum" => if (v != null) state(i) match {
+          case null => state(i) = v
+          case s: java.lang.Long =>
+            state(i) = java.lang.Long.valueOf(s + v.asInstanceOf[Long])
+          case s: java.lang.Double =>
+            state(i) = java.lang.Double.valueOf(s + v.asInstanceOf[Double])
+        }
+        case "min" | "max" => if (v != null) {
+          val keep = state(i) == null || {
+            val c = (state(i), v) match {
+              case (a: java.lang.Long, b: java.lang.Long) =>
+                java.lang.Long.compare(a, b)
+              case (a: java.lang.Double, b: java.lang.Double) =>
+                java.lang.Double.compare(a, b)
+              case (a: UTF8String, b: UTF8String) => a.compareTo(b)
+            }
+            if (f.op == "min") c > 0 else c < 0
+          }
+          if (keep) state(i) = v
+        }
+      }
+      i += 1
+    }
+  }
+
+  private lazy val results: Iterator[InternalRow] = {
+    // LinkedHashMap: deterministic per-split emission order (first-seen)
+    val groups = new scala.collection.mutable.LinkedHashMap[Seq[Any], Array[Any]]
+    try {
+      while (base.next()) {
+        val r = base.get()
+        val key: Seq[Any] = groupIdx.indices.map(g =>
+          if (r.isNullAt(groupIdx(g))) null else r.get(groupIdx(g), groupType(g)))
+        val state = groups.getOrElseUpdate(key, {
+          val s = new Array[Any](spec.fns.length)
+          var i = 0
+          while (i < s.length) {
+            if (spec.fns(i).op.startsWith("count")) s(i) = 0L
+            i += 1
+          }
+          s
+        })
+        fold(state, r)
+      }
+    } finally base.close()
+    groups.iterator.map { case (k, s) =>
+      InternalRow.fromSeq(k ++ s.toSeq)
+    }
+  }
+
+  private var row: InternalRow = _
+  override def next(): Boolean =
+    if (results.hasNext) { row = results.next(); true } else false
+  override def get(): InternalRow = row
+  override def close(): Unit = base.close()
 }
 
 /** Per-split reader: parses ONLY the fields the projection + pushed
@@ -482,4 +745,159 @@ final class TsvPartitionReader(fullSchema: StructType, required: StructType,
 
   override def get(): InternalRow = row
   override def close(): Unit = in.close()
+}
+
+/** TSV WRITE path ([[SupportsWrite]], BATCH_WRITE + TRUNCATE): the
+  * reference emits its results as TSV lines (mapreduce.py writes
+  * tab-joined fields); this is that sink as a first-class DSv2 write
+  * with a real TASK-COMMIT protocol:
+  *
+  *   - every task writes to `_temporary/<jobUuid>/` under the target,
+  *     named by (partitionId, taskId) — SPECULATIVE or retried attempts
+  *     write distinct files and nothing under `_temporary` is ever
+  *     visible to readers;
+  *   - [[TsvDataWriter.commit]] returns the temp path as the task's
+  *     commit message — only messages from attempts Spark COMMITTED
+  *     reach the driver;
+  *   - [[TsvBatchWrite.commit]] renames exactly those files into the
+  *     target dir (and first clears old data files iff the write
+  *     TRUNCATEs, i.e. SaveMode.Overwrite) then deletes `_temporary` —
+  *     losers of speculative races vanish with it;
+  *   - [[TsvBatchWrite.abort]] deletes the whole temp dir, leaving the
+  *     target untouched.
+  *
+  * At 100 TB this protocol is why a thousand-task write survives task
+  * retries with neither duplicates nor torn output: visibility is a
+  * driver-side rename of committed attempts only (the same contract as
+  * Hadoop's FileOutputCommitter v1, expressed at the DSv2 surface).
+  * Dialect contract (mirrors the reader): `\t` separators, `\n`
+  * terminators, empty field = NULL, no quoting — a STRING containing a
+  * tab or newline would silently corrupt row framing, so the writer
+  * FAILS the task instead (fail-fast beats torn rows). BIGINT/DOUBLE/
+  * STRING columns only, like the read side. */
+final class TsvWriteBuilder(schema: StructType, path: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new TsvBatchWrite(schema, path, truncateFirst)
+  }
+}
+
+final case class TsvTaskCommit(tempFile: String, rows: Long)
+    extends WriterCommitMessage
+
+final class TsvBatchWrite(schema: StructType, path: String,
+    truncateFirst: Boolean) extends BatchWrite {
+  private val jobUuid = java.util.UUID.randomUUID().toString
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory =
+    new TsvWriterFactory(schema, path, jobUuid)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new java.io.File(TsvWritePaths.strip(path))
+    if (truncateFirst)
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .foreach(_.delete())
+    root.mkdirs()
+    messages.foreach { case TsvTaskCommit(tmp, _) =>
+      val src = new java.io.File(tmp)
+      val dst = new java.io.File(root, src.getName)
+      if (!src.renameTo(dst))
+        throw new java.io.IOException(s"graft tsv sink: rename failed: $tmp")
+    }
+    dropTemp(root)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    dropTemp(new java.io.File(TsvWritePaths.strip(path)))
+
+  /** Delete this job's temp dir; drop the shared `_temporary` parent
+    * too once empty (a concurrent job's subdir keeps it alive). */
+  private def dropTemp(root: java.io.File): Unit = {
+    val tempRoot = new java.io.File(root, "_temporary")
+    TsvWritePaths.deleteRecursively(new java.io.File(tempRoot, jobUuid))
+    tempRoot.delete()
+    ()
+  }
+}
+
+private[sources] object TsvWritePaths {
+  def strip(p: String): String =
+    if (p.startsWith("file:")) p.stripPrefix("file:") else p
+  def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+}
+
+final class TsvWriterFactory(schema: StructType, path: String,
+    jobUuid: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new TsvDataWriter(schema, path, jobUuid, partitionId, taskId)
+}
+
+final class TsvDataWriter(schema: StructType, path: String, jobUuid: String,
+    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+  private val tempDir =
+    new java.io.File(TsvWritePaths.strip(path), s"_temporary/$jobUuid")
+  tempDir.mkdirs()
+  // taskId in the name: a retried/speculative attempt of the same
+  // partition writes a DIFFERENT file; only the committed one is renamed.
+  // The job uuid is in the FINAL name too: taskIds restart at 0 in a new
+  // SparkContext, so an APPEND from a fresh session would otherwise
+  // collide with an earlier job's part-00000-0 and renameTo would
+  // silently replace it — losing the earlier write.
+  private val tempFile = new java.io.File(tempDir,
+    f"part-$partitionId%05d-$taskId-${jobUuid.take(8)}.txt")
+  private val out = new java.io.BufferedOutputStream(
+    new java.io.FileOutputStream(tempFile), 1 << 16)
+  private var rows = 0L
+  private val types = schema.fields.map(_.dataType)
+
+  override def write(r: InternalRow): Unit = {
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < types.length) {
+      if (i > 0) sb.append('\t')
+      if (!r.isNullAt(i)) types(i) match {
+        case LongType => sb.append(r.getLong(i))
+        case IntegerType => sb.append(r.getInt(i))
+        case DoubleType => sb.append(r.getDouble(i))
+        case StringType =>
+          val s = r.getUTF8String(i).toString
+          if (s.indexOf('\t') >= 0 || s.indexOf('\n') >= 0 ||
+            s.indexOf('\r') >= 0)
+            throw new IllegalArgumentException(
+              "graft tsv sink: string field contains a TSV framing byte " +
+                s"(tab/newline) — refusing to write a torn row: $s")
+          sb.append(s)
+        case t => throw new IllegalArgumentException(
+          s"graft tsv sink: unsupported column type $t")
+      }
+      i += 1
+    }
+    sb.append('\n')
+    out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    TsvTaskCommit(tempFile.getPath, rows)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    tempFile.delete()
+    ()
+  }
+
+  override def close(): Unit = out.close()
 }

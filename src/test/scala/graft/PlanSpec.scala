@@ -345,13 +345,14 @@ class PlanSpec extends AnyFunSuite {
       s"expected map-side partial gram buffers:\n$plan")
   }
 
-  test("q272 row-level diff is gated by a broadcast of the mismatched-partition list") {
+  test("q272 row-level diff is gated by the LITERAL mismatched-partition list") {
     val plan = executedPlan("q272_partition_reconcile")
     // clean partitions must never reach the row-level full-outer join:
-    // the tiny digest-mismatch list broadcasts into both snapshot scans
-    assert(plan.contains("BroadcastHashJoin"),
-      s"expected broadcast pruning joins on the mismatched parts:\n$plan")
-    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+    // the collected digest-mismatch list becomes a static isin filter
+    // on both snapshot scans (partition pruning on real layouts)
+    assert(plan.contains("IN (3,5,11)") || plan.contains("IN (3, 5, 11)"),
+      s"expected the planted dirty parts as a literal pruning filter:\n$plan")
+    assert(plan.contains("FullOuter"),
       s"expected the row-level full-outer diff join:\n$plan")
   }
 
@@ -378,6 +379,65 @@ class PlanSpec extends AnyFunSuite {
     val scans = "FileScan parquet".r.findAllIn(plan).length
     assert(scans == 1,
       s"the orders fact must be scanned exactly once, found $scans:\n$plan")
+  }
+
+  test("q275 aggregation is pushed into the TSV source (partial, final merge stays)") {
+    import graft.operators.FileIO
+    val df = FileIO.tsvAggFrame(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [COUNT_STAR(*), MIN(event_id), " +
+      "MAX(event_id), SUM(user_id)]"),
+      s"expected the aggregate functions pushed into the scan:\n$plan")
+    assert(plan.contains("PushedGroupBy: [event_type]"),
+      s"expected the grouping pushed into the scan:\n$plan")
+    // PARTIAL pushdown: Spark's final aggregate must still merge the
+    // per-split group rows (supportCompletePushDown=false by design)
+    assert(plan.contains("HashAggregate"),
+      s"expected the final merge aggregate above the scan:\n$plan")
+    // the contrast: q247's sum(round(value*100)) is an EXPRESSION input
+    // the source refuses — its aggregate stays a plain Spark aggregate
+    val q247 = executedPlan("q247_dsv2_pushdown")
+    assert(!q247.contains("PushedAggregates"),
+      s"expression aggregates must not be pushed:\n$q247")
+  }
+
+  test("q276 the keyed TSV fact scan carries a dynamicpruning runtime filter") {
+    import graft.operators.FileIO
+    val df = FileIO.runtimeFilterFrame(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the fact side has NO static filter — only the planted runtime
+    // subquery (fed by the dim's shard keys) can prune its partitions
+    assert(plan.contains("RuntimeFilters: [dynamicpruning"),
+      s"expected a dynamicpruning runtime filter on the TSV scan:\n$plan")
+    // execution evidence: the scan must emit only the surviving shards'
+    // rows (cohort 5-of-32 lives on 2 of 16 shard dirs), not the table
+    df.collect()
+    // AQE wraps stages: walk into query-stage subplans explicitly
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      (p +: p.children.flatMap(allNodes)) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allNodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allNodes(q.plan)
+        case _ => Nil
+      })
+    val scanRows = allNodes(df.queryExecution.executedPlan).collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.toString.contains("GraftTsvScan") =>
+        b.metrics("numOutputRows").value
+    }.get
+    val factTotal = graft.sources.Tables.events(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+      .select("user_id").distinct().count()
+    assert(scanRows > 0 && scanRows <= factTotal / 4,
+      s"runtime pruning must skip most shard dirs: read $scanRows of $factTotal")
+    val off = SessionConfs.withConfs(spark,
+      "spark.sql.optimizer.dynamicPartitionPruning.enabled" -> "false") {
+      FileIO.runtimeFilterFrame(spark, sf).queryExecution.executedPlan.toString
+    }
+    assert(!off.contains("dynamicpruning"),
+      "with DPP disabled the scan must carry no runtime filter (contrast)")
   }
 
   test("NO query plans a cartesian / nested-loop join (bounded-broadcast baselines exempt)") {

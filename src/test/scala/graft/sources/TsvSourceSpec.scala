@@ -272,4 +272,205 @@ class TsvSourceSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](readWith("nope").collect())
     assert(e2.getMessage.contains("not in schema"))
   }
+
+  // ---- write path (SupportsWrite: task-commit protocol) ----
+
+  private def writeFrame(rows: Seq[(Long, String, java.lang.Double, String)]) =
+    spark.createDataFrame(rows).toDF("id", "name", "score", "note")
+
+  private val writeDdl =
+    "id BIGINT, name STRING, score DOUBLE, note STRING"
+
+  private def sinkTo(df: org.apache.spark.sql.DataFrame, dir: String,
+      mode: String): Unit =
+    df.write.format(classOf[TsvSourceProvider].getName)
+      .option("path", dir).option("write_schema", writeDdl)
+      .mode(mode).save()
+
+  test("sink round-trips values byte-exact, including NULL fields") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsv_sink").toString
+    val df = writeFrame(Seq((1L, "alice", 2.5, "x"),
+      (2L, null, 3.25, null), (3L, "has \"quotes\"", -0.75, "y")))
+    sinkTo(df, dir, "overwrite")
+    val back = readTsv(dir).orderBy("id").collect()
+    assert(back.length == 3)
+    assert(back(1).isNullAt(1) && back(1).isNullAt(3))
+    assert(back(2).getString(1) == "has \"quotes\"")
+    assert(back.map(_.getDouble(2)).toSeq == Seq(2.5, 3.25, -0.75))
+    // commit hygiene: no _temporary residue, only data files visible
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+    assert(!names.exists(_.startsWith("_temporary")),
+      s"temp dir must be removed at commit: ${names.toSeq}")
+    assert(names.forall(_.startsWith("part-")), names.toSeq.toString)
+  }
+
+  test("sink overwrite truncates previous data; append adds to it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsv_sink").toString
+    sinkTo(writeFrame(Seq((1L, "a", 1.0, "x"), (2L, "b", 2.0, "y"))),
+      dir, "overwrite")
+    sinkTo(writeFrame(Seq((3L, "c", 3.0, "z"))), dir, "overwrite")
+    assert(readTsv(dir).collect().map(_.getLong(0)).toSeq == Seq(3L),
+      "overwrite must clear the previous write's files")
+    sinkTo(writeFrame(Seq((4L, "d", 4.0, "w"))), dir, "append")
+    assert(readTsv(dir).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(3L, 4L), "append must keep the previous write's files")
+  }
+
+  test("sink refuses framing bytes in strings and leaves the target clean") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsv_sink").toString
+    sinkTo(writeFrame(Seq((1L, "keep", 1.0, "x"))), dir, "overwrite")
+    val bad = writeFrame(Seq((2L, "tab\there", 2.0, "y")))
+    val e = intercept[Exception] { sinkTo(bad, dir, "append") }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => c.getMessage != null &&
+        c.getMessage.contains("framing byte")),
+      s"expected the framing-byte refusal, got: $e")
+    // the failed job aborted: original data intact, no new rows, no temp
+    assert(readTsv(dir).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("_temporary")),
+      "abort must remove the temp dir")
+  }
+
+  test("sink append from a fresh job never collides with an earlier job's files") {
+    // taskIds restart at 0 in a new SparkContext: two jobs with the
+    // SAME (partitionId, taskId) must still land as distinct files —
+    // a shared name would make renameTo silently replace the first
+    // job's data. Drive the write contract directly to pin it.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsv_sink").toString
+    def writeJob(id: Long): Unit = {
+      val bw = new TsvBatchWrite(schema, dir, truncateFirst = false)
+      val w = bw.createBatchWriterFactory(null).createWriter(0, 0L)
+      w.write(InternalRow(id, UTF8String.fromString(s"n$id"), 1.5, null))
+      val msg = w.commit()
+      bw.commit(Array(msg))
+    }
+    writeJob(1L)
+    writeJob(2L)
+    assert(readTsv(dir).orderBy("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L), "the second job must not replace the first job's file")
+  }
+
+  // ---- runtime filtering (SupportsRuntimeFiltering contract) ----
+
+  test("runtime filter() prunes whole key directories before partition planning") {
+    import org.apache.spark.sql.sources.{EqualTo => SEq, In => SIn}
+    val dir = writeKeyedTsv() // shards 0, 1, 2
+    def freshScan() = new TsvScanBuilder(keyedSchema, dir,
+      32L * 1024 * 1024, Some("shard")).build()
+      .asInstanceOf[TsvScan]
+    val unfiltered = freshScan()
+    assert(unfiltered.planInputPartitions().length == 3)
+    val pruned = freshScan()
+    pruned.filter(Array[org.apache.spark.sql.sources.Filter](SIn("shard", Array(0L, 2L))))
+    val parts = pruned.planInputPartitions()
+    assert(parts.length == 2, "two of three shard dirs must survive")
+    assert(parts.collect { case p: TsvKeyedInputPartition => p.value }
+      .toSet == Set(0L, 2L))
+    val eq = freshScan()
+    eq.filter(Array[org.apache.spark.sql.sources.Filter](SEq("shard", 2L)))
+    assert(eq.planInputPartitions().length == 1)
+    // repeated delivery intersects (conservative — never widens)
+    val twice = freshScan()
+    twice.filter(Array[org.apache.spark.sql.sources.Filter](SIn("shard", Array(0L, 1L))))
+    twice.filter(Array[org.apache.spark.sql.sources.Filter](SIn("shard", Array(1L, 2L))))
+    assert(twice.planInputPartitions().length == 1)
+    // unsupported shapes and non-partition columns are ignored, not
+    // misapplied: the scan stays unpruned and Spark keeps its filter
+    val ignored = freshScan()
+    ignored.filter(Array[org.apache.spark.sql.sources.Filter](SIn("id", Array(1L))))
+    assert(ignored.planInputPartitions().length == 3)
+  }
+
+  test("only keyed layouts offer runtime-filter attributes") {
+    val plain = new TsvScanBuilder(schema,
+      writeTsv(Seq("1\ta\t1.0\tx")), 1024L).build().asInstanceOf[TsvScan]
+    assert(plain.filterAttributes().isEmpty)
+    val keyed = new TsvScanBuilder(keyedSchema, writeKeyedTsv(),
+      1024L, Some("shard")).build().asInstanceOf[TsvScan]
+    assert(keyed.filterAttributes().map(_.describe()).toSeq == Seq("shard"))
+  }
+
+  // ---- aggregate pushdown (SupportsPushDownAggregates, partial) ----
+
+  private def aggFixture(): String = writeTsv((1 to 60).map { i =>
+    val name = if (i % 10 == 0) "" else s"g${i % 3}" // some NULL groups
+    val score = if (i % 7 == 0) "" else s"${i % 5}.5" // some NULL scores
+    s"$i\t$name\t$score\tx"
+  })
+
+  test("aggregate pushdown: pushed plan equals the unpushed baseline, incl. null groups/inputs") {
+    val dir = aggFixture()
+    val pushed = readTsv(dir)
+      .groupBy("name")
+      .agg(count(lit(1)).as("n"), count(col("score")).as("n_score"),
+        min(col("score")).as("min_s"), max(col("score")).as("max_s"),
+        sum(col("id")).as("sum_id"))
+    val plan = pushed.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [COUNT_STAR(*), COUNT(score), " +
+      "MIN(score), MAX(score), SUM(id)]") &&
+      plan.contains("PushedGroupBy: [name]"),
+      s"expected the aggregation in the scan description:\n$plan")
+    val baseline = spark.read.schema(schema).option("sep", "\t")
+      .csv(dir + "/part-00000.txt")
+      .groupBy("name")
+      .agg(count(lit(1)).as("n"), count(col("score")).as("n_score"),
+        min(col("score")).as("min_s"), max(col("score")).as("max_s"),
+        sum(col("id")).as("sum_id"))
+    assert(pushed.orderBy("name").collect().toSeq ==
+      baseline.orderBy("name").collect().toSeq)
+  }
+
+  test("aggregate pushdown: per-split partials merge exactly across many byte splits") {
+    val dir = aggFixture()
+    val whole = readTsv(dir).groupBy("name")
+      .agg(sum(col("id")).as("s"), count(lit(1)).as("n"))
+      .orderBy("name").collect().toSeq
+    for (sb <- Seq(16, 64, 257)) {
+      val split = spark.read.format(classOf[TsvSourceProvider].getName)
+        .schema(schema).option("path", dir)
+        .option("split_bytes", sb.toString).load()
+        .groupBy("name")
+        .agg(sum(col("id")).as("s"), count(lit(1)).as("n"))
+      assert(split.queryExecution.executedPlan.toString
+        .contains("PushedAggregates"), s"pushdown lost at split_bytes=$sb")
+      assert(split.orderBy("name").collect().toSeq == whole,
+        s"split_bytes=$sb diverged")
+    }
+  }
+
+  test("aggregate pushdown composes with fully-pushed filters; global (no-group) aggregates work") {
+    val dir = aggFixture()
+    val df = readTsv(dir).filter(col("id") > 20)
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [COUNT_STAR(*), SUM(id)]") &&
+      plan.contains("GreaterThan(id,20)"),
+      s"filter + global aggregate must both push:\n$plan")
+    val r = df.collect().head
+    assert(r.getLong(0) == 40 && r.getLong(1) == (21 to 60).sum)
+  }
+
+  test("aggregate pushdown refuses DISTINCT and expression inputs (falls back, stays correct)") {
+    val dir = aggFixture()
+    val distinct = readTsv(dir).groupBy("name")
+      .agg(countDistinct(col("score")).as("d"))
+    assert(!distinct.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"),
+      "COUNT(DISTINCT) must not be pushed")
+    val expr = readTsv(dir).groupBy("name")
+      .agg(sum(col("id") * 2).as("s2"))
+    assert(!expr.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"),
+      "expression aggregate inputs must not be pushed")
+    // both still compute correctly through Spark's own aggregate
+    val d = distinct.orderBy("name").collect().map(_.getLong(1)).toSeq
+    assert(d.nonEmpty && d.forall(_ > 0))
+    val s = expr.agg(sum(col("s2"))).collect().head.getLong(0)
+    assert(s == 2L * (1 to 60).sum)
+  }
 }
