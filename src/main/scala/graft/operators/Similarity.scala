@@ -405,6 +405,11 @@ object Similarity extends QueryPack {
     private val D = 64
     override def zero: Array[Long] = new Array[Long](D * (D + 1) / 2)
     override def reduce(b: Array[Long], e: Seq[Float]): Array[Long] = {
+      // loud invariant: a regenerated fixture with a different dim must
+      // fail with a message, not truncate (wrong-but-green vs oracle,
+      // which truncates identically) or throw an opaque OOB in a task
+      require(e.length == D,
+        s"GramAgg expects $D-dim embeddings, got ${e.length}")
       val n = new Array[Long](D)
       var i = 0
       while (i < D) {

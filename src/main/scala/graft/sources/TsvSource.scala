@@ -294,9 +294,6 @@ final class TsvScan(fullSchema: StructType, required: StructType,
   // no runtime filter delivered; Some(set) = prune to these)
   private var runtimeKeys: Option[Set[Long]] = None
 
-  /** Test observability: the delivered runtime key set, if any. */
-  private[graft] def runtimeKeysSnapshot: Option[Set[Long]] = runtimeKeys
-
   override def filter(filters: Array[Filter]): Unit =
     filters.foreach {
       case In(a, vs) if partitionCol.contains(a) =>
@@ -353,7 +350,7 @@ final class TsvScan(fullSchema: StructType, required: StructType,
     * for deterministic planning. */
   private lazy val partitionDirs: Seq[(Long, java.io.File)] = {
     val c = partitionCol.get
-    val root = new java.io.File(stripScheme(path))
+    val root = new java.io.File(TsvWritePaths.strip(path))
     require(root.isDirectory,
       s"graft tsv source: partition_col layout needs a directory: $path")
     val dirs = root.listFiles()
@@ -377,7 +374,7 @@ final class TsvScan(fullSchema: StructType, required: StructType,
     * numRows stays empty: estimating it would need a byte sample, and
     * sizeInBytes alone drives the broadcast decision. */
   override def estimateStatistics(): Statistics = {
-    val f = new java.io.File(stripScheme(path))
+    val f = new java.io.File(TsvWritePaths.strip(path))
     val totalBytes =
       (if (f.isDirectory) listDataFiles(f).map(_.length()).sum
       else f.length())
@@ -418,7 +415,7 @@ final class TsvScan(fullSchema: StructType, required: StructType,
             })
           }.map(p => p: InputPartition).toArray
       case None =>
-        val f = new java.io.File(stripScheme(path))
+        val f = new java.io.File(TsvWritePaths.strip(path))
         val files = if (f.isDirectory) listDataFiles(f) else Seq(f)
         files.flatMap(file => byteSplits(file).map {
           case (start, end) => TsvInputPartition(file.getPath, start, end)
@@ -442,9 +439,6 @@ final class TsvScan(fullSchema: StructType, required: StructType,
     dataFilesIn(f) ++ f.listFiles().filter(d =>
       d.isDirectory && d.getName.contains("=")).sortBy(_.getPath)
       .flatMap(dataFilesIn)
-
-  private def stripScheme(p: String): String =
-    if (p.startsWith("file:")) p.stripPrefix("file:") else p
 
   override def createReaderFactory(): PartitionReaderFactory =
     new TsvReaderFactory(fullSchema, required, pushed, limit, partitionCol,
@@ -826,6 +820,9 @@ final class TsvBatchWrite(schema: StructType, path: String,
   }
 }
 
+/** Path helpers shared by the scan and the sink — ONE copy of the
+  * file:-scheme normalization so read and write always resolve the
+  * same `path` option to the same directory. */
 private[sources] object TsvWritePaths {
   def strip(p: String): String =
     if (p.startsWith("file:")) p.stripPrefix("file:") else p
