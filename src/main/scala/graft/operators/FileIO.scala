@@ -881,6 +881,42 @@ object FileIO extends QueryPack {
       .orderBy("o_orderstatus")
   }
 
+  /** q278: DSv2 HIDDEN METADATA COLUMNS (`SupportsMetadataColumns`) —
+    * q163's `_metadata` lineage story at the source contract: the TSV
+    * scan exposes `_file` (split file path) and `_pos` (line-start byte
+    * offset) that materialize only when referenced. The gate is a
+    * record-level PROVENANCE AUDIT over the keyed clicks layout: every
+    * row's `_file` must come from its own shard's directory — the
+    * regexp-extracted `shard=<v>` from the file path is checked against
+    * the row's shard value, and the count of agreements must equal the
+    * row count (the oracle states it as such). n_files=1/shard and
+    * first_pos=0 pin the layout contract (one file per shard dir,
+    * offsets from byte 0). At 100 TB this is how audit trails and
+    * incremental error re-reads locate records without a lineage
+    * table: (_file, _pos) is a stable locator the scan provides for
+    * free — the reader already tracks its byte offset for the split
+    * contract. */
+  private def q278(s: SparkSession, dir: String): DataFrame = {
+    val (clicks, _) = spjLayout(s, dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id BIGINT, n_clicks BIGINT, click_cents BIGINT, shard BIGINT")
+    s.read.format(classOf[graft.sources.TsvSourceProvider].getName)
+      .schema(schema)
+      .option("path", clicks)
+      .option("partition_col", "shard")
+      .load()
+      .select(col("shard"), col("_file"), col("_pos"),
+        regexp_extract(col("_file"), "shard=(\\d+)", 1)
+          .cast("long").as("file_shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("_file")).as("n_files"),
+        sum(when(col("file_shard") === col("shard"), 1L).otherwise(0L))
+          .as("n_lineage_ok"),
+        min(col("_pos")).as("first_pos"))
+      .orderBy("shard")
+  }
+
   /** q268 layout: the fact table partitioned by ship month — the layout
     * a 100 TB time-series fact lives in, written once per source dir
     * (same amortization contract as every layout here). */
@@ -1177,6 +1213,15 @@ object FileIO extends QueryPack {
         |JOIN supplier ON l_suppkey = s_suppkey
         |WHERE s_nationkey = 0
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+    Q("q278_dsv2_metadata_cols", q278, Some(
+      """WITH c AS (SELECT DISTINCT user_id FROM events
+        |           WHERE event_type = 'click')
+        |SELECT user_id % 16 AS shard,
+        |  count(*) AS n_rows,
+        |  CAST(1 AS BIGINT) AS n_files,
+        |  count(*) AS n_lineage_ok,
+        |  CAST(0 AS BIGINT) AS first_pos
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q277_dsv2_tsv_sink", q277, Some(
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

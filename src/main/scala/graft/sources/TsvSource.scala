@@ -65,13 +65,30 @@ class TsvSourceProvider extends TableProvider {
 }
 
 final class TsvTable(tableSchema: StructType, path: String)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   require(path != null, "graft tsv source requires option(\"path\", ...)")
   override def name(): String = s"graft_tsv($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** HIDDEN METADATA COLUMNS ([[SupportsMetadataColumns]]) — the DSv2
+    * analog of the parquet `_metadata` struct (q163/q208): `_file`
+    * (the split's file path) and `_pos` (the byte offset of the line's
+    * first byte in that file) materialize ONLY when a query references
+    * them, at zero cost otherwise — record-level provenance without a
+    * lineage table. `_pos` is the reader's already-tracked split
+    * offset, so provenance costs nothing even when requested; the pair
+    * (_file, _pos) is a stable record locator for audit trails,
+    * incremental re-reads, and error reporting (the reference prints
+    * raw line context on parse errors — this is that capability as a
+    * queryable column). A data column of the same name shadows the
+    * metadata column, per the contract. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(TsvMetaCol("_file", StringType), TsvMetaCol("_pos", LongType))
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -96,6 +113,14 @@ final class TsvTable(tableSchema: StructType, path: String)
     }
     new TsvScanBuilder(tableSchema, path, splitBytes, partitionCol)
   }
+}
+
+/** A TSV metadata column (`_file`/`_pos`), hidden unless referenced. */
+final case class TsvMetaCol(colName: String, colType: DataType)
+    extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+  override def name(): String = colName
+  override def dataType(): DataType = colType
+  override def isNullable: Boolean = false
 }
 
 /** One pushed aggregate function: `op` ∈ count_star/count/min/max/sum,
@@ -592,10 +617,20 @@ final class TsvPartitionReader(fullSchema: StructType, required: StructType,
   // schema (full minus partition col) and synthesize the column
   private val fullIdx = fullSchema.fieldNames
     .filterNot(n => partValue.exists(_._1 == n)).zipWithIndex.toMap
-  // field positions the output row needs, in output order; -1 marks
-  // the synthesized partition column
-  private val outPos: Array[Int] =
-    required.fieldNames.map(n => fullIdx.getOrElse(n, -1))
+  // field positions the output row needs, in output order; sentinels
+  // mark synthesized columns: -1 the partition column, -2 the `_file`
+  // metadata column, -3 the `_pos` metadata column (a DATA column of
+  // the same name wins — it resolves through fullIdx first, honoring
+  // the SupportsMetadataColumns shadowing contract)
+  private val outPos: Array[Int] = required.fieldNames.map { n =>
+    fullIdx.get(n) match {
+      case Some(i) => i
+      case None if partValue.exists(_._1 == n) => -1
+      case None if n == "_file" => -2
+      case None if n == "_pos" => -3
+      case None => -1
+    }
+  }
   private val outType: Array[DataType] = required.fields.map(_.dataType)
   // filter evaluators over the raw split fields
   private val preds: Array[Array[String] => Boolean] = pushed.map(compile)
@@ -702,6 +737,7 @@ final class TsvPartitionReader(fullSchema: StructType, required: StructType,
   override def next(): Boolean = {
     if (limit >= 0 && emitted >= limit) return false
     while (pos < end) { // lines STARTING in [start, end) are ours
+      val lineStart = pos // byte offset of the line's first byte (_pos)
       val line = readLine()
       if (line == null) return false
       // -1 keeps trailing empty fields — same contract as the repo's
@@ -711,8 +747,12 @@ final class TsvPartitionReader(fullSchema: StructType, required: StructType,
         val values = new Array[Any](outPos.length)
         var i = 0
         while (i < outPos.length) {
-          if (outPos(i) == -1) { // synthesized partition column
-            values(i) = partValue.get._2
+          if (outPos(i) < 0) { // synthesized column
+            values(i) = outPos(i) match {
+              case -1 => partValue.get._2
+              case -2 => UTF8String.fromString(file)
+              case -3 => lineStart
+            }
             i += 1
           } else {
           val raw = fieldAt(parts, outPos(i))

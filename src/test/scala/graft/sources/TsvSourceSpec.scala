@@ -273,6 +273,42 @@ class TsvSourceSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("not in schema"))
   }
 
+  // ---- metadata columns (SupportsMetadataColumns contract) ----
+
+  test("_file/_pos materialize only when referenced; _pos is the line-start byte offset") {
+    // line lengths chosen so offsets are easy to state exactly:
+    // "1\ta\t1.0\tx\n" = 10 bytes, "22\tbb\t2.5\tyy\n" = 13 bytes
+    val dir = writeTsv(Seq("1\ta\t1.0\tx", "22\tbb\t2.5\tyy", "3\tc\t3.0\tz"))
+    val df = readTsv(dir)
+    // hidden: select * must NOT include the metadata columns
+    assert(df.columns.toSeq == Seq("id", "name", "score", "note"))
+    val rows = df.select(col("id"), col("_pos"), col("_file"))
+      .orderBy("id").collect()
+    // id order is 1, 3, 22 — their lines start at bytes 0, 23, 10
+    assert(rows.map(_.getLong(1)).toSeq == Seq(0L, 23L, 10L),
+      "_pos must be each line's first-byte offset")
+    assert(rows.map(_.getString(2)).distinct.toSeq.length == 1 &&
+      rows.head.getString(2).endsWith("part-00000.txt"))
+    // and offsets survive byte-range splitting (split mid-file)
+    val split = spark.read.format(classOf[TsvSourceProvider].getName)
+      .schema(schema).option("path", dir).option("split_bytes", "11").load()
+      .select(col("id"), col("_pos")).orderBy("id").collect()
+    assert(split.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 0L), (3L, 23L), (22L, 10L)).sortBy(_._1),
+      "split readers must report absolute file offsets")
+  }
+
+  test("a data column named _pos shadows the metadata column") {
+    val shadowSchema = StructType.fromDDL(
+      "id BIGINT, _pos BIGINT, score DOUBLE, note STRING")
+    val dir = writeTsv(Seq("1\t77\t1.0\tx"))
+    val r = spark.read.format(classOf[TsvSourceProvider].getName)
+      .schema(shadowSchema).option("path", dir).load()
+      .select(col("id"), col("_pos")).collect().head
+    assert(r.getLong(1) == 77L,
+      "the DATA column must win over the metadata column")
+  }
+
   // ---- write path (SupportsWrite: task-commit protocol) ----
 
   private def writeFrame(rows: Seq[(Long, String, java.lang.Double, String)]) =
