@@ -606,6 +606,37 @@ object Relational extends QueryPack {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** q279: SQL PIPE SYNTAX (Spark 4 `|>` operators) — the third modern
+    * SQL surface next to q263's scripting and q264's parameters: a
+    * linear pipeline of relational steps in source order (FROM first,
+    * each `|>` consuming the previous step's rows) instead of SQL's
+    * inside-out clause nesting. The gate exercises the operator set a
+    * reporting pipeline actually uses — WHERE before aggregation,
+    * `AGGREGATE … GROUP BY` (keys ride into the output), a second
+    * WHERE over the aggregate (HAVING without the keyword), EXTEND for
+    * a derived column over the aggregated frame, SELECT projection,
+    * ORDER BY — and the oracle states the identical query in classic
+    * nested SQL, so the gate proves pipe syntax is pure surface: the
+    * plan (and at 100 TB the shuffle structure) is exactly the classic
+    * query's. Exact-cents sums (q11 discipline); the derived average
+    * divides the same integers in both engines. */
+  private def q279(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_li279")
+    val out = s.sql(
+      """FROM graft_li279
+        ||> WHERE l_shipdate <= DATE'1998-09-02'
+        ||> AGGREGATE count(*) AS n,
+        |     sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS price_c
+        |     GROUP BY l_returnflag, l_linestatus
+        ||> WHERE n >= 10
+        ||> EXTEND round(price_c / (100.0 * n), 2) AS avg_price
+        ||> SELECT l_returnflag, l_linestatus, n, price_c, avg_price
+        ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    val rows = out.collect()
+    s.catalog.dropTempView("graft_li279")
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** q238: COLLATION-aware grouping (Spark 4 surface) — case-insensitive
     * semantics pushed into the string TYPE via `collate(…,
     * 'UTF8_LCASE')` instead of wrapping every reference in lower().
@@ -651,6 +682,18 @@ object Relational extends QueryPack {
         |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
         |    AS bal
         |FROM noisy GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q279_sql_pipe_syntax", q279, Some(
+      """WITH a AS (
+        |  SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS price_c
+        |  FROM lineitem
+        |  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |  GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, n, price_c,
+        |  round(price_c / (100.0 * n), 2) AS avg_price
+        |FROM a WHERE n >= 10
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
     Q("q264_parameterized_sql", q264, Some(
       """WITH c AS (SELECT quantile_disc(o_totalprice, 0.5) AS cut
         |  FROM orders)

@@ -440,6 +440,38 @@ class PlanSpec extends AnyFunSuite {
       "with DPP disabled the scan must carry no runtime filter (contrast)")
   }
 
+  test("q279 pipe syntax optimizes to the classic nested query's exact plan") {
+    graft.sources.Tables.lineitem(spark, sf)
+      .createOrReplaceTempView("graft_li279t")
+    val pipe = spark.sql(
+      """FROM graft_li279t
+        ||> WHERE l_shipdate <= DATE'1998-09-02'
+        ||> AGGREGATE count(*) AS n,
+        |     sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS price_c
+        |     GROUP BY l_returnflag, l_linestatus
+        ||> WHERE n >= 10
+        ||> EXTEND round(price_c / (100.0 * n), 2) AS avg_price
+        ||> SELECT l_returnflag, l_linestatus, n, price_c, avg_price
+        ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    val classic = spark.sql(
+      """SELECT l_returnflag, l_linestatus, n, price_c,
+        |  round(price_c / (100.0 * n), 2) AS avg_price
+        |FROM (SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |        sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS price_c
+        |      FROM graft_li279t
+        |      WHERE l_shipdate <= DATE'1998-09-02'
+        |      GROUP BY 1, 2) a
+        |WHERE n >= 10
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+    // pipe operators are pure SURFACE: after optimization the two
+    // queries must be plan-identical (same shuffles at any scale)
+    assert(pipe.queryExecution.optimizedPlan.canonicalized ==
+      classic.queryExecution.optimizedPlan.canonicalized,
+      s"pipe:\n${pipe.queryExecution.optimizedPlan}\n" +
+        s"classic:\n${classic.queryExecution.optimizedPlan}")
+    spark.catalog.dropTempView("graft_li279t")
+  }
+
   test("NO query plans a cartesian / nested-loop join (bounded-broadcast baselines exempt)") {
     // Repo-wide scale pin: every join must be an equi-join (hash/sort) —
     // a CartesianProduct or BroadcastNestedLoopJoin node anywhere else is
