@@ -917,6 +917,49 @@ object FileIO extends QueryPack {
       .orderBy("shard")
   }
 
+  /** q280: PARTITION-LEVEL DELETE (`SupportsDelete`) — the retention /
+    * right-to-be-forgotten primitive: `DELETE FROM t WHERE shard IN …`
+    * against the keyed TSV table drops whole `shard=<v>/` directories
+    * as a METADATA operation — no data read, no rewrite, O(partitions)
+    * filesystem work, which is the only delete shape that is sane
+    * against a 100 TB layout (a row-level delete would rewrite the
+    * table). Predicates not answerable from the layout (data columns)
+    * are REFUSED via canDeleteWhere and the statement fails loudly —
+    * a delete either maps to partition drops or it is not runnable
+    * here (TsvSourceSpec pins the refusal, truncate-all, and empty-IN
+    * no-op). The gate builds a FRESH mutable layout each run (it
+    * mutates it), deletes four cohort shards through SQL, and
+    * re-aggregates the survivors; the oracle states the same exclusion
+    * over the parquet events. */
+  private def q280(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "tsv_delete_target")
+    Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .select(col("user_id"), col("n"), col("cents"),
+        (col("user_id") % 16).as("shard"))
+      .repartition(col("shard"))
+      .write.mode("overwrite").partitionBy("shard")
+      .option("sep", "\t").csv(out)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id BIGINT, n BIGINT, cents BIGINT, shard BIGINT")
+    def load() = s.read
+      .format(classOf[graft.sources.TsvSourceProvider].getName)
+      .schema(schema).option("path", out)
+      .option("partition_col", "shard").load()
+    load().createOrReplaceTempView("graft_q280")
+    s.sql("DELETE FROM graft_q280 WHERE shard IN (0, 4, 8, 12)")
+    val result = load()
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_users"), sum("cents").as("cents"))
+      .orderBy("shard")
+    val rows = result.collect()
+    s.catalog.dropTempView("graft_q280")
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+  }
+
   /** q268 layout: the fact table partitioned by ship month — the layout
     * a 100 TB time-series fact lives in, written once per source dir
     * (same amortization contract as every layout here). */
@@ -1213,6 +1256,15 @@ object FileIO extends QueryPack {
         |JOIN supplier ON l_suppkey = s_suppkey
         |WHERE s_nationkey = 0
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+    Q("q280_dsv2_partition_delete", q280, Some(
+      """WITH c AS (SELECT user_id, count(*) AS n,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events WHERE event_type = 'click' GROUP BY 1)
+        |SELECT user_id % 16 AS shard, count(*) AS n_users,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM c WHERE user_id % 16 NOT IN (0, 4, 8, 12)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q278_dsv2_metadata_cols", q278, Some(
       """WITH c AS (SELECT DISTINCT user_id FROM events
         |           WHERE event_type = 'click')

@@ -61,13 +61,69 @@ class TsvSourceProvider extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new TsvTable(schema, properties.get("path"))
+    new TsvTable(schema, properties.get("path"),
+      Option(properties.get("partition_col")))
 }
 
-final class TsvTable(tableSchema: StructType, path: String)
+final class TsvTable(tableSchema: StructType, path: String,
+    tablePartitionCol: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   require(path != null, "graft tsv source requires option(\"path\", ...)")
+
+  /** PARTITION-LEVEL DELETE ([[SupportsDelete]]) — the retention /
+    * right-to-be-forgotten primitive at 100 TB: `DELETE FROM t WHERE
+    * <partition-col predicate>` drops whole `<col>=<v>/` directories as
+    * a METADATA operation (no data read, no rewrite). Only predicates
+    * the layout can answer exactly are accepted — equality/IN on the
+    * partition column (and AlwaysTrue = truncate); anything touching a
+    * data column would need a row-level rewrite this source does not
+    * implement, so [[canDeleteWhere]] says no and Spark FAILS the
+    * statement loudly rather than half-applying it. That refusal is
+    * the contract's point: a delete either maps to partition drops or
+    * it is not runnable here. */
+  /** Conjunction of the DELETE predicates as partition keys: outer None
+    * = some predicate is not answerable from the layout (refuse); inner
+    * None = no key constraint (truncate-all); inner Some(keys) = drop
+    * exactly those (an empty set deletes nothing — e.g. IN ()). */
+  private def deleteKeys(filters: Array[Filter])
+      : Option[Option[Set[Long]]] = {
+    def keysOf(f: Filter): Option[Option[Set[Long]]] = f match {
+      case EqualTo(a, v: java.lang.Number) if tablePartitionCol.contains(a) =>
+        Some(Some(Set(v.longValue)))
+      case In(a, vs) if tablePartitionCol.contains(a)
+          && vs.forall(_.isInstanceOf[java.lang.Number]) =>
+        Some(Some(vs.map(_.asInstanceOf[java.lang.Number].longValue).toSet))
+      case AlwaysTrue() => Some(None)
+      case _ => None
+    }
+    val per = filters.toSeq.map(keysOf)
+    if (per.exists(_.isEmpty)) None
+    else Some(per.flatten.foldLeft(Option.empty[Set[Long]]) {
+      case (None, k) => k
+      case (acc, None) => acc
+      case (Some(a), Some(b)) => Some(a.intersect(b))
+    })
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    tablePartitionCol.nonEmpty && deleteKeys(filters).nonEmpty
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val keys = deleteKeys(filters).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft tsv source: DELETE supports only ${tablePartitionCol
+            .getOrElse("<partition_col>")} equality/IN predicates, got " +
+          filters.mkString(", ")))
+    val c = tablePartitionCol.get
+    val root = new java.io.File(TsvWritePaths.strip(path))
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith(c + "="))
+      .filter(d => keys.forall(_.contains(
+        d.getName.stripPrefix(c + "=").toLong)))
+      .foreach(TsvWritePaths.deleteRecursively)
+  }
   override def name(): String = s"graft_tsv($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =

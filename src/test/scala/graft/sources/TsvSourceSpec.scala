@@ -273,6 +273,62 @@ class TsvSourceSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("not in schema"))
   }
 
+  // ---- partition delete (SupportsDelete contract) ----
+
+  private def deletableLayout(): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft_tsv_del").toString
+    for (v <- 0 to 3) {
+      val d = java.nio.file.Paths.get(root, s"shard=$v")
+      java.nio.file.Files.createDirectory(d)
+      java.nio.file.Files.write(d.resolve("part-0.txt"),
+        (0 until 3).map(i => s"${v * 10 + i}\tn$v\t1.5\tx")
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+    }
+    root
+  }
+
+  private val delSchema = StructType.fromDDL(
+    "id BIGINT, name STRING, score DOUBLE, shard BIGINT")
+
+  private def loadDeletable(root: String) = spark.read
+    .format(classOf[TsvSourceProvider].getName)
+    .schema(delSchema).option("path", root)
+    .option("partition_col", "shard").load()
+
+  test("DELETE on the partition column drops whole directories; data-column DELETE is refused") {
+    val root = deletableLayout()
+    loadDeletable(root).createOrReplaceTempView("graft_del_v")
+    spark.sql("DELETE FROM graft_del_v WHERE shard IN (1, 3)")
+    assert(loadDeletable(root).select("shard").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 2L))
+    assert(!new java.io.File(root, "shard=1").exists() &&
+      new java.io.File(root, "shard=0").exists())
+    // a data-column predicate cannot map to partition drops: the
+    // statement must FAIL (canDeleteWhere=false), never half-apply
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM graft_del_v WHERE id = 21")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"),
+      s"expected a delete-refusal error, got: ${e.getMessage}")
+    assert(loadDeletable(root).count() == 6, "refused DELETE must change nothing")
+    spark.catalog.dropTempView("graft_del_v")
+  }
+
+  test("DELETE without WHERE truncates every partition; IN () deletes nothing") {
+    val root = deletableLayout()
+    loadDeletable(root).createOrReplaceTempView("graft_del_t")
+    // the empty-IN edge first (while data still exists): no-op
+    val table = new TsvTable(delSchema, root, Some("shard"))
+    table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("shard", Array.empty)))
+    assert(loadDeletable(root).count() == 12, "IN () must delete nothing")
+    spark.sql("DELETE FROM graft_del_t")
+    assert(new java.io.File(root).listFiles()
+      .count(_.getName.startsWith("shard=")) == 0,
+      "truncate must drop every partition directory")
+    spark.catalog.dropTempView("graft_del_t")
+  }
+
   // ---- metadata columns (SupportsMetadataColumns contract) ----
 
   test("_file/_pos materialize only when referenced; _pos is the line-start byte offset") {
