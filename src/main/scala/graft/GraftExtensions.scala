@@ -29,5 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_sql2"),
       new ExpressionInfo(classOf[SquaredL2].getName, "graft_sql2"),
       (exprs: Seq[Expression]) => SquaredL2(exprs(0), exprs(1))))
+    // the native as-of join's planner strategy (preference (c) of the
+    // custom-operator ladder); NativeAsOfJoin.install is the runtime
+    // route for sessions built without extensions
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

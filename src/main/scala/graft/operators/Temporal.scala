@@ -702,6 +702,36 @@ object Temporal extends QueryPack {
       .orderBy("user_id", "ss_us")
   }
 
+  /** q281: the NATIVE as-of join operator (q35's semantics through
+    * [[graft.plans.NativeAsOfJoin]] — custom LogicalPlan + SparkStrategy
+    * + physical merge exec, preference (c) of the custom-operator
+    * ladder) feeding a downstream PER-KEY aggregate. The aggregate is
+    * the point: the exec reports the left child's hash partitioning as
+    * its output partitioning, so the groupBy(user_id) plans with NO
+    * additional exchange — one shuffle per side total, where the
+    * union-window shape (q35) re-shuffles for any downstream grouped
+    * consumer because its partitioning died with the internal `_k`
+    * column. AsOfJoinNativeSpec pins exec presence, result equality
+    * with the compositional path, and the exchange count. */
+  private def q281(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val ord = Tables.orders(s, dir)
+      .groupBy("o_custkey", "o_orderdate")
+      .agg(max("o_orderkey").as("o_orderkey"))
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"),
+        col("o_orderkey"))
+    graft.plans.NativeAsOfJoin
+      .leftAsOf(ev, ord, "user_id", "o_custkey", "us", "o_us")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("o_orderkey")).as("n_matched"),
+        count(when(col("us") - col("o_us") <= lit(30L * 86400L * 1000000L),
+          lit(1))).as("n_recent"))
+      .orderBy("user_id")
+  }
+
   /** q249: FORWARD as-of join with a tolerance band — each event picks
     * the NEXT order of the same customer (earliest o_orderdate ≥ ts),
     * but only if it lands within 7 days; otherwise NULL. Completes the
@@ -831,6 +861,19 @@ object Temporal extends QueryPack {
         |SELECT user_id, min(us) AS ss_us,
         |  max(us) + 1800000000 AS se_us, count(*) AS n_events
         |FROM g GROUP BY user_id, sid ORDER BY user_id, ss_us""".stripMargin)),
+    Q("q281_asof_native", q281, Some(
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+        |o AS (SELECT o_custkey, epoch_us(o_orderdate) AS o_us,
+        |    max(o_orderkey) AS o_orderkey FROM orders GROUP BY 1, 2),
+        |j AS (SELECT ev.event_id, ev.user_id, ev.us, o.o_us, o.o_orderkey,
+        |    row_number() OVER (PARTITION BY ev.event_id
+        |      ORDER BY o.o_us DESC) AS rn
+        |  FROM ev LEFT JOIN o
+        |    ON o.o_custkey = ev.user_id AND o.o_us <= ev.us)
+        |SELECT user_id, count(*) AS n_events,
+        |  count(o_orderkey) AS n_matched,
+        |  count(CASE WHEN us - o_us <= 2592000000000 THEN 1 END) AS n_recent
+        |FROM j WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q249_asof_tolerance", q249, Some(
       """WITH o AS (SELECT o_custkey AS user_id,
         |    epoch_us(o_orderdate) AS o_us, o_orderkey FROM orders),

@@ -1,0 +1,268 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftPlanBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
+
+/** Native Catalyst AS-OF JOIN — the whole-operator rung (preference (c))
+  * of the custom-operator ladder: a [[LogicalPlan]] node, a planner
+  * [[SparkStrategy]], and a physical [[AsOfJoinExec]] that declares its
+  * distribution/ordering REQUIREMENTS to Catalyst instead of encoding
+  * them as query shape.
+  *
+  * Semantics (identical to the compositional
+  * [[graft.operators.AsOfJoin.leftAsOf]], q35's union-window shape): for
+  * every left row, attach the payload of the LATEST right row with the
+  * same key and `rightTime <= leftTime`, nulls when none. Rows with a
+  * null key or null time never match (SQL comparison semantics). Right
+  * should be unique per (key, time) — among equal-time right rows the
+  * sort-tiebreak winner is carried, so pre-reduce ties upstream for
+  * determinism, exactly as the compositional contract states.
+  *
+  * Why a native operator when (a) already works — what the physical
+  * node buys over the union-window shape, all pinned in
+  * AsOfJoinNativeSpec:
+  *
+  *   - **No row widening.** The union shape pads BOTH sides to the
+  *     unioned schema (left columns nulled onto right rows and vice
+  *     versa) and shuffles the padded union; the native exec shuffles
+  *     each side at its own width, exactly like a join.
+  *   - **No window buffering.** `last(_, ignoreNulls).over(...)` runs a
+  *     WindowExec whose frame machinery buffers rows per partition; the
+  *     merge here is a single forward pass holding ONE candidate right
+  *     row — O(1) state per key group, never a spillable row buffer.
+  *   - **Partitioning survives.** The exec reports the left child's
+  *     hash partitioning as its own output partitioning, so a downstream
+  *     aggregate on the join key plans WITHOUT another exchange. The
+  *     union shape keys its window on an internal `_k` column that is
+  *     dropped afterwards, so the partitioning info dies with it and the
+  *     downstream aggregate re-shuffles — at 100 TB that is an entire
+  *     extra pass over the fact table.
+  *
+  * Scale shape: one hash exchange + sort per side (EnsureRequirements
+  * satisfies the declared [[ClusteredDistribution]]/[[SortOrder]]
+  * requirements; AQE coalesces/splits the exchanges as usual), then an
+  * O(left + right) streaming merge per partition with O(1) held state.
+  * Skew on the as-of key behaves exactly like join skew (same exchange),
+  * and the merge never materializes a key group.
+  *
+  * The reference has no temporal joins at all (its only notion of time
+  * is a string prefix — ray_mapreduce/examples, SURVEY.md §1.1); this
+  * operator exists for the events workload the blueprint adds.
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Attribute,
+    rightKey: Attribute,
+    leftTime: Attribute,
+    rightTime: Attribute) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def maxRows: Option[Long] = left.maxRows
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinNode]] → [[AsOfJoinExec]]; injected per session via
+  * [[NativeAsOfJoin.install]] (runtime) or [[graft.GraftExtensions]]
+  * (builder time). */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case n: AsOfJoinNode =>
+      AsOfJoinExec(n.leftKey, n.rightKey, n.leftTime, n.rightTime,
+        planLater(n.left), planLater(n.right)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical as-of join: requires both children hash-clustered on their
+  * key and sorted by (key, time); executes a per-partition forward merge
+  * that holds at most one candidate right row. Non-codegen (iterator
+  * based, like full-outer SMJ); the children's sorts and exchanges are
+  * ordinary codegen'd operators inserted by EnsureRequirements.
+  */
+case class AsOfJoinExec(
+    leftKey: Attribute,
+    rightKey: Attribute,
+    leftTime: Attribute,
+    rightTime: Attribute,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  /** Left rows pass through in input order on left's partitions — both
+    * properties survive for downstream planning (the point of the node). */
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  /** Physically-long types (stored as a primitive long in InternalRow):
+    * the common as-of shapes — bigint keys, epoch-micros / timestamp
+    * times — take a boxing-free merge path. */
+  private def physLong(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType => true
+    case _ => false
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val allOut = output
+    val numOutputRows = longMetric("numOutputRows")
+    val lkOrd = lOut.indexWhere(_.exprId == leftKey.exprId)
+    val ltOrd = lOut.indexWhere(_.exprId == leftTime.exprId)
+    val rkOrd = rOut.indexWhere(_.exprId == rightKey.exprId)
+    val rtOrd = rOut.indexWhere(_.exprId == rightTime.exprId)
+    require(lkOrd >= 0 && ltOrd >= 0 && rkOrd >= 0 && rtOrd >= 0,
+      "as-of key/time must be output attributes of their child")
+    val fastPath = physLong(leftKey.dataType) && physLong(leftTime.dataType)
+    val keyType = leftKey.dataType
+    val timeType = leftTime.dataType
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val nullRight = new GenericInternalRow(rOut.size)
+      val joined = new JoinedRow
+      val proj = UnsafeProjection.create(allOut, lOut ++ rOut)
+
+      if (fastPath) {
+        // primitive merge: getLong + Long compares, zero boxing per row
+        var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
+        var held: InternalRow = null      // copied — shuffle readers reuse buffers
+        var heldKey: Long = 0L
+        var hasHeld = false
+        def advance(): Unit = rHead = if (rIter.hasNext) rIter.next() else null
+        lIter.map { l =>
+          val out =
+            if (l.isNullAt(lkOrd) || l.isNullAt(ltOrd)) joined(l, nullRight)
+            else {
+              val lk = l.getLong(lkOrd)
+              val lt = l.getLong(ltOrd)
+              var scanning = true
+              while (scanning && rHead != null &&
+                  (rHead.isNullAt(rkOrd) || rHead.getLong(rkOrd) < lk)) advance()
+              while (scanning && rHead != null && rHead.getLong(rkOrd) == lk) {
+                if (rHead.isNullAt(rtOrd)) advance() // nulls sort first, never match
+                else if (rHead.getLong(rtOrd) <= lt) {
+                  held = rHead.copy(); heldKey = lk; hasHeld = true
+                  advance()
+                } else scanning = false
+              }
+              if (hasHeld && heldKey == lk) joined(l, held)
+              else joined(l, nullRight)
+            }
+          numOutputRows += 1
+          proj(out)
+        }
+      } else {
+        // generic merge: interpreted ordering over boxed values
+        val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
+        val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
+        var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
+        var held: InternalRow = null
+        var heldKey: Any = null  // derived from the COPIED row, never the buffer
+        def advance(): Unit = rHead = if (rIter.hasNext) rIter.next() else null
+        lIter.map { l =>
+          val lk = l.get(lkOrd, keyType)
+          val lt = l.get(ltOrd, timeType)
+          val out =
+            if (lk == null || lt == null) joined(l, nullRight)
+            else {
+              var scanning = true
+              while (scanning && rHead != null) {
+                val rk = rHead.get(rkOrd, keyType)
+                if (rk == null || keyOrd.compare(rk, lk) < 0) advance()
+                else if (keyOrd.compare(rk, lk) == 0) {
+                  val rt = rHead.get(rtOrd, timeType)
+                  if (rt == null) advance() // nulls sort first, never match
+                  else if (timeOrd.compare(rt, lt) <= 0) {
+                    held = rHead.copy()
+                    heldKey = held.get(rkOrd, keyType)
+                    advance()
+                  } else scanning = false
+                } else scanning = false
+              }
+              if (held != null && heldKey != null && keyOrd.compare(heldKey, lk) == 0)
+                joined(l, held)
+              else joined(l, nullRight)
+            }
+          numOutputRows += 1
+          proj(out)
+        }
+      }
+    }
+  }
+}
+
+/** User-facing API for the native as-of join. */
+object NativeAsOfJoin {
+
+  /** Idempotently install [[AsOfJoinStrategy]] on a live session (the
+    * builder-time path is `.withExtensions(new GraftExtensions)`). */
+  def install(s: SparkSession): Unit =
+    GraftPlanBridge.addStrategy(s, AsOfJoinStrategy)
+
+  /** Left as-of join via the native operator. Same contract as the
+    * compositional [[graft.operators.AsOfJoin.leftAsOf]]: right unique
+    * per (key, time) for determinism; output = left.* ++ right.* (right
+    * columns nullable — drop the right key/time if unwanted). Key and
+    * time columns are referenced BY NAME on their own side, so the two
+    * frames' column names may overlap freely except that callers should
+    * rename collisions before selecting from the result. */
+  def leftAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String): DataFrame = {
+    val s = left.sparkSession
+    install(s)
+    val lPlan = GraftPlanBridge.analyzed(left)
+    val rPlan = GraftPlanBridge.analyzed(right)
+    require(
+      lPlan.outputSet.intersect(rPlan.outputSet).isEmpty,
+      "left and right must not share attributes (self-as-of needs an " +
+        "explicit right.toDF() re-alias to get fresh expression ids)")
+    def attr(p: LogicalPlan, n: String, side: String): Attribute =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"$side column '$n' not found among ${p.output.map(_.name).mkString(", ")}"))
+    val lk = attr(lPlan, leftKey, "left")
+    val rk = attr(rPlan, rightKey, "right")
+    val lt = attr(lPlan, leftTime, "left")
+    val rt = attr(rPlan, rightTime, "right")
+    require(lk.dataType == rk.dataType,
+      s"key types differ: ${lk.dataType} vs ${rk.dataType}")
+    require(lt.dataType == rt.dataType,
+      s"time types differ: ${lt.dataType} vs ${rt.dataType}")
+    GraftPlanBridge.ofRows(s, AsOfJoinNode(lPlan, rPlan, lk, rk, lt, rt))
+  }
+}

@@ -1,0 +1,187 @@
+package graft.plans
+
+import graft.TestSpark
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract of the native as-of join (q281): semantics identical to the
+  * compositional union-window shape, plan strictly better — merge exec
+  * instead of WindowExec, per-side-width shuffles instead of a padded
+  * union, and output partitioning that survives into a downstream
+  * same-key aggregate. */
+class AsOfJoinNativeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  private def leftDf(rows: Seq[(java.lang.Long, java.lang.Long, String)]): DataFrame =
+    rows.toDF("k", "t", "l_tag")
+  private def rightDf(rows: Seq[(java.lang.Long, java.lang.Long, String)]): DataFrame =
+    rows.toDF("rk", "rt", "payload")
+
+  /** Reference semantics, computed driver-side. */
+  private def bruteAsOf(
+      left: Seq[(java.lang.Long, java.lang.Long, String)],
+      right: Seq[(java.lang.Long, java.lang.Long, String)])
+      : Set[(Option[Long], Option[Long], String, Option[String])] =
+    left.map { case (k, t, tag) =>
+      val m =
+        if (k == null || t == null) None
+        else right.filter(r => r._1 == k && r._2 != null && r._2 <= t)
+          .sortBy(_._2.longValue()).lastOption
+      (Option(k).map(_.longValue()), Option(t).map(_.longValue()), tag,
+        m.map(_._3))
+    }.toSet
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] =
+    p +: p.children.flatMap(collectAll)
+
+  test("boundary semantics: inclusive match, latest wins, nulls never match") {
+    val l = leftDf(Seq(
+      (1L, 100L, "a"),          // exact-time match is inclusive
+      (1L, 150L, "b"),          // picks the latest of two candidates
+      (1L, 50L, "c"),           // before every right row -> null
+      (2L, 100L, "d"),          // key absent on the right -> null
+      (null, 100L, "e"),        // null key -> null
+      (3L, null, "f"),          // null time -> null
+      (4L, 100L, "g")))         // right row for key 4 has null time -> null
+    val r = rightDf(Seq(
+      (1L, 100L, "r100"), (1L, 120L, "r120"), (4L, null, "rnull"),
+      (null, 10L, "rk-null")))
+    val out = NativeAsOfJoin.leftAsOf(l, r, "k", "rk", "t", "rt")
+      .select($"k", $"t", $"l_tag", $"payload")
+      .collect()
+      .map(x => (Option(x.get(0)).map(_.asInstanceOf[Long]),
+        Option(x.get(1)).map(_.asInstanceOf[Long]),
+        x.getString(2), Option(x.get(3)).map(_.asInstanceOf[String])))
+      .toSet
+    assert(out === Set(
+      (Some(1L), Some(100L), "a", Some("r100")),
+      (Some(1L), Some(150L), "b", Some("r120")),
+      (Some(1L), Some(50L), "c", None),
+      (Some(2L), Some(100L), "d", None),
+      (None, Some(100L), "e", None),
+      (Some(3L), None, "f", None),
+      (Some(4L), Some(100L), "g", None)))
+  }
+
+  test("randomized: native == compositional == brute force (nulls, dups, misses)") {
+    val rnd = new scala.util.Random(281)
+    for (round <- 1 to 3) {
+      val l = Seq.fill(300)((
+        if (rnd.nextInt(10) == 0) null else java.lang.Long.valueOf(rnd.nextInt(20)),
+        if (rnd.nextInt(15) == 0) null else java.lang.Long.valueOf(rnd.nextInt(50)),
+        s"l${rnd.nextInt(100000)}"))
+      // right unique per (key, time) — the operator's documented
+      // precondition (same as the compositional helper's)
+      val r = Seq.fill(200)((
+        if (rnd.nextInt(10) == 0) null else java.lang.Long.valueOf(rnd.nextInt(25)),
+        if (rnd.nextInt(15) == 0) null else java.lang.Long.valueOf(rnd.nextInt(50)),
+        s"r${rnd.nextInt(100000)}"))
+        .groupBy(x => (x._1, x._2)).map(_._2.head).toSeq
+      val native = NativeAsOfJoin
+        .leftAsOf(leftDf(l), rightDf(r), "k", "rk", "t", "rt")
+        .select($"k", $"t", $"l_tag", $"payload").collect()
+        .map(x => (Option(x.get(0)).map(_.asInstanceOf[Long]),
+          Option(x.get(1)).map(_.asInstanceOf[Long]),
+          x.getString(2), Option(x.get(3)).map(_.asInstanceOf[String])))
+      assert(native.length === l.length, s"round $round: row count")
+      assert(native.toSet === bruteAsOf(l, r), s"round $round: values")
+      // the compositional path agrees on its documented contract —
+      // non-null right keys/times (its window carry would otherwise
+      // treat a null-time right row as "matched since forever", and a
+      // null-key right row as a partner for null-key left rows; the
+      // native exec states SQL semantics: null never matches)
+      val rClean = r.filter(x => x._1 != null && x._2 != null)
+      val comp = AsOfJoin.leftAsOf(
+          leftDf(l), rightDf(rClean).withColumnRenamed("rt", "rt2"),
+          "k", "rk", col("t"), col("rt2"))
+        .select($"k", $"t", $"l_tag", $"payload").collect()
+        .map(x => (Option(x.get(0)).map(_.asInstanceOf[Long]),
+          Option(x.get(1)).map(_.asInstanceOf[Long]),
+          x.getString(2), Option(x.get(3)).map(_.asInstanceOf[String])))
+      assert(comp.sorted.sameElements(native.sorted), s"round $round: vs compositional")
+    }
+  }
+
+  test("plan: AsOfJoinExec, no Window/Union, one exchange per side, downstream agg free") {
+    val l = leftDf((1 to 100).map(i =>
+      (java.lang.Long.valueOf(i % 7), java.lang.Long.valueOf(i), s"l$i")))
+    val r = rightDf((1 to 50).map(i =>
+      (java.lang.Long.valueOf(i % 5), java.lang.Long.valueOf(i * 2), s"r$i")))
+    // AQE wraps exchanges in opaque query stages; pin the static plan
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (plan, agg) = try {
+      val agg0 = NativeAsOfJoin.leftAsOf(l, r, "k", "rk", "t", "rt")
+        .groupBy("k").agg(count($"payload").as("n"))
+      (agg0.queryExecution.executedPlan, agg0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val nodes = collectAll(plan)
+    assert(nodes.exists(_.isInstanceOf[AsOfJoinExec]), "native exec planned")
+    val s = plan.toString
+    assert(!s.contains("WindowExec") && !s.contains("Window ["), "no window machinery")
+    assert(!s.contains("Union"), "no union padding")
+    // two shuffles feed the as-of (one per side); the same-key aggregate
+    // reuses the exec's reported output partitioning — NO third exchange
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeLike]) === 2,
+      s"exchange count in:\n$s")
+    // and the aggregate really sits above the join without one:
+    // count(payload) = left rows with SOME right partner (same key,
+    // rt <= t); right only covers keys 0..4, left spans 0..6
+    val expected = (0 to 6).map { k =>
+      k.toLong -> (1 to 100).count { i =>
+        i % 7 == k && (1 to 50).exists(j => j % 5 == k && j * 2 <= i)
+      }.toLong
+    }.toMap
+    assert(agg.collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toMap === expected)
+  }
+
+  test("q281 gate equals the compositional q35 carried through the same aggregate") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val ord = graft.sources.Tables.orders(spark, sf)
+      .groupBy("o_custkey", "o_orderdate")
+      .agg(max("o_orderkey").as("o_orderkey"))
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"),
+        col("o_orderkey"))
+    val viaComp = AsOfJoin.leftAsOf(ev, ord, "user_id", "o_custkey",
+        col("us"), col("o_us"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count(col("o_orderkey")).as("n_matched"),
+        count(when(col("us") - col("o_us") <= lit(30L * 86400L * 1000000L),
+          lit(1))).as("n_recent"))
+      .orderBy("user_id").collect().toSeq
+    val viaNative = graft.SparkEntry.queries("q281_asof_native")(spark, sf)
+      .collect().toSeq
+    assert(viaNative === viaComp)
+    assert(viaNative.nonEmpty)
+  }
+
+  test("install is idempotent; mismatched types and shared attributes are refused") {
+    NativeAsOfJoin.install(spark)
+    NativeAsOfJoin.install(spark)
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    assert(exp.extraStrategies.count(_ eq AsOfJoinStrategy) === 1)
+    val l = leftDf(Seq((1L, 1L, "a")))
+    intercept[IllegalArgumentException] {
+      NativeAsOfJoin.leftAsOf(l, rightDf(Seq((1L, 1L, "r"))), "k", "nope", "t", "rt")
+    }
+    intercept[IllegalArgumentException] {
+      // key type long vs string
+      NativeAsOfJoin.leftAsOf(l,
+        rightDf(Seq((1L, 1L, "r"))).withColumn("rk", $"payload"),
+        "k", "rk", "t", "rt")
+    }
+    intercept[IllegalArgumentException] {
+      // same frame on both sides -> shared expression ids
+      NativeAsOfJoin.leftAsOf(l, l, "k", "k", "t", "t")
+    }
+  }
+}
