@@ -732,6 +732,36 @@ object Temporal extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** q282: FORWARD as-of with a 7-day tolerance through the NATIVE
+    * operator — q249's semantics (next order of the same customer
+    * within the band, else NULL) via `AsOfJoinExec(forward = true,
+    * tolerance = 7d)` instead of the union-window shape. Forward is
+    * the operator's cheapest mode: the merge holds NO candidate copy at
+    * all — the right lookahead row itself is the unique earliest
+    * qualifying match and stays unconsumed for the next left row. The
+    * tolerance is an O(1) bound check at emit, not a join-shape change
+    * (contrast q36's banded equi-join, which pays a 3× fan-out to
+    * bound BOTH directions for pair ENUMERATION — here each left row
+    * takes one partner, so no fan-out is ever needed). */
+  private def q282(s: SparkSession, dir: String): DataFrame = {
+    val tolUs = 7L * 86400L * 1000000L
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val ord = Tables.orders(s, dir)
+      .groupBy("o_custkey", "o_orderdate")
+      .agg(min("o_orderkey").as("o_orderkey"))
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_us"),
+        col("o_orderkey"))
+    graft.plans.NativeAsOfJoin
+      .leftAsOf(ev, ord, "user_id", "o_custkey", "us", "o_us",
+        forward = true, tolerance = Some(tolUs))
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("o_orderkey"), lit(-1L)).as("next_orderkey"),
+        coalesce(col("o_us") - col("us"), lit(-1L)).as("wait_us"))
+      .orderBy("event_id")
+  }
+
   /** q249: FORWARD as-of join with a tolerance band — each event picks
     * the NEXT order of the same customer (earliest o_orderdate ≥ ts),
     * but only if it lands within 7 days; otherwise NULL. Completes the
@@ -874,6 +904,19 @@ object Temporal extends QueryPack {
         |  count(o_orderkey) AS n_matched,
         |  count(CASE WHEN us - o_us <= 2592000000000 THEN 1 END) AS n_recent
         |FROM j WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q282_asof_native_forward", q282, Some(
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+        |o AS (SELECT o_custkey, epoch_us(o_orderdate) AS o_us,
+        |    min(o_orderkey) AS o_orderkey FROM orders GROUP BY 1, 2),
+        |j AS (SELECT ev.event_id, ev.user_id, ev.us, o.o_us, o.o_orderkey,
+        |    row_number() OVER (PARTITION BY ev.event_id
+        |      ORDER BY o.o_us) AS rn
+        |  FROM ev LEFT JOIN o ON o.o_custkey = ev.user_id
+        |    AND o.o_us >= ev.us AND o.o_us <= ev.us + 604800000000)
+        |SELECT event_id, user_id,
+        |  coalesce(o_orderkey, -1) AS next_orderkey,
+        |  coalesce(o_us - us, -1) AS wait_us
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin)),
     Q("q249_asof_tolerance", q249, Some(
       """WITH o AS (SELECT o_custkey AS user_id,
         |    epoch_us(o_orderdate) AS o_us, o_orderkey FROM orders),

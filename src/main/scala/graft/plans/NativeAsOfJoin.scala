@@ -62,7 +62,9 @@ case class AsOfJoinNode(
     leftKey: Attribute,
     rightKey: Attribute,
     leftTime: Attribute,
-    rightTime: Attribute) extends BinaryNode {
+    rightTime: Attribute,
+    forward: Boolean = false,
+    tolerance: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -81,22 +83,31 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: AsOfJoinNode =>
       AsOfJoinExec(n.leftKey, n.rightKey, n.leftTime, n.rightTime,
-        planLater(n.left), planLater(n.right)) :: Nil
+        n.forward, n.tolerance, planLater(n.left), planLater(n.right)) :: Nil
     case _ => Nil
   }
 }
 
 /** Physical as-of join: requires both children hash-clustered on their
-  * key and sorted by (key, time); executes a per-partition forward merge
-  * that holds at most one candidate right row. Non-codegen (iterator
+  * key and sorted by (key, time); executes a per-partition streaming merge
+  * that holds at most one candidate right row (backward) or none at all
+  * (forward — the lookahead row IS the candidate). Non-codegen (iterator
   * based, like full-outer SMJ); the children's sorts and exchanges are
   * ordinary codegen'd operators inserted by EnsureRequirements.
+  *
+  * `forward=false`: latest right with `rt <= lt`; `forward=true`:
+  * earliest right with `rt >= lt`. `tolerance` (in the time column's
+  * own units, physically-long times only) additionally bounds
+  * `|rt - lt|`; both direction/bound checks are O(1) at emit, the merge
+  * stays one pass.
   */
 case class AsOfJoinExec(
     leftKey: Attribute,
     rightKey: Attribute,
     leftTime: Attribute,
     rightTime: Attribute,
+    forward: Boolean,
+    tolerance: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -153,11 +164,41 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
       val proj = UnsafeProjection.create(allOut, lOut ++ rOut)
 
-      if (fastPath) {
-        // primitive merge: getLong + Long compares, zero boxing per row
+      // tolerance as a plain long: MaxValue = unbounded (qualifying
+      // diffs are always >= 0 so the bound check stays branch-cheap)
+      val tol = tolerance.getOrElse(Long.MaxValue)
+
+      if (fastPath && forward) {
+        // forward merge needs NO held state: rows before lt can never
+        // match a later left row (left times ascend), and the first
+        // same-key row at rt >= lt — the lookahead itself — is the
+        // unique earliest candidate, left unconsumed for the next left
+        var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
+        def advance(): Unit = rHead = if (rIter.hasNext) rIter.next() else null
+        lIter.map { l =>
+          val out =
+            if (l.isNullAt(lkOrd) || l.isNullAt(ltOrd)) joined(l, nullRight)
+            else {
+              val lk = l.getLong(lkOrd)
+              val lt = l.getLong(ltOrd)
+              while (rHead != null &&
+                  (rHead.isNullAt(rkOrd) || rHead.getLong(rkOrd) < lk)) advance()
+              while (rHead != null && rHead.getLong(rkOrd) == lk &&
+                  (rHead.isNullAt(rtOrd) || rHead.getLong(rtOrd) < lt)) advance()
+              if (rHead != null && rHead.getLong(rkOrd) == lk &&
+                  rHead.getLong(rtOrd) - lt <= tol)
+                joined(l, rHead)
+              else joined(l, nullRight)
+            }
+          numOutputRows += 1
+          proj(out)
+        }
+      } else if (fastPath) {
+        // backward primitive merge: getLong + Long compares, zero boxing
         var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
         var held: InternalRow = null      // copied — shuffle readers reuse buffers
         var heldKey: Long = 0L
+        var heldTime: Long = 0L
         var hasHeld = false
         def advance(): Unit = rHead = if (rIter.hasNext) rIter.next() else null
         lIter.map { l =>
@@ -172,23 +213,65 @@ case class AsOfJoinExec(
               while (scanning && rHead != null && rHead.getLong(rkOrd) == lk) {
                 if (rHead.isNullAt(rtOrd)) advance() // nulls sort first, never match
                 else if (rHead.getLong(rtOrd) <= lt) {
-                  held = rHead.copy(); heldKey = lk; hasHeld = true
+                  held = rHead.copy(); heldKey = lk
+                  heldTime = held.getLong(rtOrd); hasHeld = true
                   advance()
                 } else scanning = false
               }
-              if (hasHeld && heldKey == lk) joined(l, held)
+              if (hasHeld && heldKey == lk && lt - heldTime <= tol) joined(l, held)
+              else joined(l, nullRight)
+            }
+          numOutputRows += 1
+          proj(out)
+        }
+      } else if (forward) {
+        // generic forward merge; tolerance (when set) is guaranteed by
+        // the API to come with a physically-long time, so the bound
+        // check unboxes the already-fetched values
+        val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
+        val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
+        val unbounded = tolerance.isEmpty
+        var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
+        def advance(): Unit = rHead = if (rIter.hasNext) rIter.next() else null
+        lIter.map { l =>
+          val lk = l.get(lkOrd, keyType)
+          val lt = l.get(ltOrd, timeType)
+          val out =
+            if (lk == null || lt == null) joined(l, nullRight)
+            else {
+              var scanning = true
+              while (scanning && rHead != null) {
+                val rk = rHead.get(rkOrd, keyType)
+                if (rk == null || keyOrd.compare(rk, lk) < 0) advance()
+                else if (keyOrd.compare(rk, lk) == 0) {
+                  val rt = rHead.get(rtOrd, timeType)
+                  if (rt == null || timeOrd.compare(rt, lt) < 0) advance()
+                  else scanning = false
+                } else scanning = false
+              }
+              if (rHead != null && {
+                  val rk = rHead.get(rkOrd, keyType)
+                  rk != null && keyOrd.compare(rk, lk) == 0 } &&
+                  (unbounded ||
+                    rHead.get(rtOrd, timeType).asInstanceOf[java.lang.Long] -
+                      lt.asInstanceOf[java.lang.Long] <= tol))
+                joined(l, rHead)
               else joined(l, nullRight)
             }
           numOutputRows += 1
           proj(out)
         }
       } else {
-        // generic merge: interpreted ordering over boxed values
+        // generic backward merge: interpreted ordering over boxed values;
+        // tolerance (when set) comes with a physically-long time (API
+        // contract), so the bound check unboxes
         val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
         val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
+        val unbounded = tolerance.isEmpty
         var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
         var held: InternalRow = null
         var heldKey: Any = null  // derived from the COPIED row, never the buffer
+        var heldTime: Any = null
         def advance(): Unit = rHead = if (rIter.hasNext) rIter.next() else null
         lIter.map { l =>
           val lk = l.get(lkOrd, keyType)
@@ -206,11 +289,16 @@ case class AsOfJoinExec(
                   else if (timeOrd.compare(rt, lt) <= 0) {
                     held = rHead.copy()
                     heldKey = held.get(rkOrd, keyType)
+                    heldTime = held.get(rtOrd, timeType)
                     advance()
                   } else scanning = false
                 } else scanning = false
               }
-              if (held != null && heldKey != null && keyOrd.compare(heldKey, lk) == 0)
+              if (held != null && heldKey != null &&
+                  keyOrd.compare(heldKey, lk) == 0 &&
+                  (unbounded ||
+                    lt.asInstanceOf[java.lang.Long] -
+                      heldTime.asInstanceOf[java.lang.Long] <= tol))
                 joined(l, held)
               else joined(l, nullRight)
             }
@@ -236,14 +324,24 @@ object NativeAsOfJoin {
     * columns nullable — drop the right key/time if unwanted). Key and
     * time columns are referenced BY NAME on their own side, so the two
     * frames' column names may overlap freely except that callers should
-    * rename collisions before selecting from the result. */
+    * rename collisions before selecting from the result.
+    *
+    * `forward = false` (default) matches the LATEST right row with
+    * `rightTime <= leftTime`; `forward = true` matches the EARLIEST with
+    * `rightTime >= leftTime` — pandas merge_asof's `direction`.
+    * `tolerance` (merge_asof's `tolerance`) additionally requires
+    * `|rightTime - leftTime| <= tolerance`, expressed in the time
+    * column's own units; it needs a physically-long time column
+    * (bigint / timestamp — epoch micros). */
   def leftAsOf(
       left: DataFrame,
       right: DataFrame,
       leftKey: String,
       rightKey: String,
       leftTime: String,
-      rightTime: String): DataFrame = {
+      rightTime: String,
+      forward: Boolean = false,
+      tolerance: Option[Long] = None): DataFrame = {
     val s = left.sparkSession
     install(s)
     val lPlan = GraftPlanBridge.analyzed(left)
@@ -263,6 +361,16 @@ object NativeAsOfJoin {
       s"key types differ: ${lk.dataType} vs ${rk.dataType}")
     require(lt.dataType == rt.dataType,
       s"time types differ: ${lt.dataType} vs ${rt.dataType}")
-    GraftPlanBridge.ofRows(s, AsOfJoinNode(lPlan, rPlan, lk, rk, lt, rt))
+    tolerance.foreach { t =>
+      require(t >= 0, s"tolerance must be non-negative, got $t")
+      require(lt.dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => true
+        case _ => false
+      }, s"tolerance needs a physically-long time column, got ${lt.dataType}")
+    }
+    GraftPlanBridge.ofRows(s,
+      AsOfJoinNode(lPlan, rPlan, lk, rk, lt, rt, forward, tolerance))
   }
 }

@@ -69,6 +69,81 @@ class AsOfJoinNativeSpec extends AnyFunSuite {
       (Some(4L), Some(100L), "g", None)))
   }
 
+  test("forward + tolerance: inclusive lower bound, earliest wins, band cut") {
+    val l = leftDf(Seq(
+      (1L, 100L, "a"),          // exact-time match is inclusive (rt >= lt)
+      (1L, 90L, "b"),           // earliest of two candidates wins
+      (1L, 130L, "c"),          // past every right row -> null
+      (2L, 100L, "d"),          // key absent on the right -> null
+      (3L, 100L, "e")))         // match exists but outside tolerance
+    val r = rightDf(Seq(
+      (1L, 100L, "r100"), (1L, 120L, "r120"), (3L, 200L, "r200")))
+    def run(tol: Option[Long]) =
+      NativeAsOfJoin.leftAsOf(l, r, "k", "rk", "t", "rt",
+          forward = true, tolerance = tol)
+        .select($"l_tag", $"payload").collect()
+        .map(x => x.getString(0) -> Option(x.get(1)).map(_.toString)).toMap
+    assert(run(None) === Map(
+      "a" -> Some("r100"), "b" -> Some("r100"), "c" -> None,
+      "d" -> None, "e" -> Some("r200")))
+    assert(run(Some(50L)) === Map(
+      "a" -> Some("r100"), "b" -> Some("r100"), "c" -> None,
+      "d" -> None, "e" -> None)) // 200 - 100 > 50: band cuts it
+    // backward tolerance: same data mirrored
+    val back = NativeAsOfJoin.leftAsOf(l, r, "k", "rk", "t", "rt",
+        forward = false, tolerance = Some(5L))
+      .select($"l_tag", $"payload").collect()
+      .map(x => x.getString(0) -> Option(x.get(1)).map(_.toString)).toMap
+    assert(back === Map(
+      "a" -> Some("r100"),      // 100 - 100 = 0 <= 5
+      "b" -> None,              // no right at or before 90
+      "c" -> None,              // latest at 130 is r120, 130-120=10 > 5
+      "d" -> None, "e" -> None))
+    // tolerance on a non-long time column is refused
+    intercept[IllegalArgumentException] {
+      NativeAsOfJoin.leftAsOf(
+        l.withColumn("t", $"t".cast("string")),
+        r.withColumn("rt", $"rt".cast("string")),
+        "k", "rk", "t", "rt", forward = true, tolerance = Some(1L))
+    }
+  }
+
+  test("randomized forward/tolerance vs brute force") {
+    val rnd = new scala.util.Random(282)
+    for (round <- 1 to 3) {
+      val l = Seq.fill(250)((
+        if (rnd.nextInt(10) == 0) null else java.lang.Long.valueOf(rnd.nextInt(15)),
+        if (rnd.nextInt(15) == 0) null else java.lang.Long.valueOf(rnd.nextInt(60)),
+        s"l${rnd.nextInt(100000)}"))
+      val r = Seq.fill(180)((
+        if (rnd.nextInt(10) == 0) null else java.lang.Long.valueOf(rnd.nextInt(18)),
+        if (rnd.nextInt(15) == 0) null else java.lang.Long.valueOf(rnd.nextInt(60)),
+        s"r${rnd.nextInt(100000)}"))
+        .groupBy(x => (x._1, x._2)).map(_._2.head).toSeq
+      val tol = if (round == 1) None else Some(rnd.nextInt(20).toLong)
+      def brute(fwd: Boolean): Set[(String, Option[String])] =
+        l.map { case (k, t, tag) =>
+          val m =
+            if (k == null || t == null) None
+            else {
+              val cands = r.filter(x => x._1 == k && x._2 != null &&
+                (if (fwd) x._2 >= t else x._2 <= t) &&
+                tol.forall(b => math.abs(x._2 - t) <= b))
+              if (fwd) cands.sortBy(_._2.longValue()).headOption
+              else cands.sortBy(_._2.longValue()).lastOption
+            }
+          tag -> m.map(_._3)
+        }.toSet
+      for (fwd <- Seq(true, false)) {
+        val got = NativeAsOfJoin.leftAsOf(leftDf(l), rightDf(r),
+            "k", "rk", "t", "rt", forward = fwd, tolerance = tol)
+          .select($"l_tag", $"payload").collect()
+          .map(x => x.getString(0) -> Option(x.get(1)).map(_.toString)).toSet
+        assert(got === brute(fwd), s"round $round fwd=$fwd tol=$tol")
+      }
+    }
+  }
+
   test("randomized: native == compositional == brute force (nulls, dups, misses)") {
     val rnd = new scala.util.Random(281)
     for (round <- 1 to 3) {
