@@ -29,9 +29,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_sql2"),
       new ExpressionInfo(classOf[SquaredL2].getName, "graft_sql2"),
       (exprs: Seq[Expression]) => SquaredL2(exprs(0), exprs(1))))
-    // the native as-of join's planner strategy (preference (c) of the
-    // custom-operator ladder); NativeAsOfJoin.install is the runtime
-    // route for sessions built without extensions
+    // the native as-of join's planner strategy + its optimizer hygiene
+    // rules (predicate pushdown / column pruning through the custom
+    // node — preference (c) of the custom-operator ladder);
+    // NativeAsOfJoin.install is the runtime route for sessions built
+    // without extensions
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.AsOfJoinRules)
   }
 }

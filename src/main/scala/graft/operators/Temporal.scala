@@ -732,6 +732,34 @@ object Temporal extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** q283: optimizer rules THROUGH the custom node — the filter is
+    * written AFTER the as-of join and both inputs are fed RAW (6
+    * columns each): without [[graft.plans.AsOfJoinRules]] the custom
+    * node is an opaque wall (the user_id filter would run after both
+    * exchanges; both scans would read every column). With the rules
+    * the deterministic left-only conjunct moves below the node (1 in
+    * 10 users survive — the left exchange shrinks 10×) and the
+    * children are pruned to referenced + join columns, which built-in
+    * ColumnPruning then carries into the scans' ReadSchema (events
+    * 6→2, orders 6→2 columns). Output is deliberately insensitive to
+    * the orders (custkey, date) tie-break: only the matched DATE is
+    * used, never the orderkey. AsOfJoinNativeSpec pins the rewritten
+    * plan shape; the oracle pins values. */
+  private def q283(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val ord = Tables.orders(s, dir)
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+    graft.plans.NativeAsOfJoin
+      .leftAsOf(ev, ord, "user_id", "o_custkey", "ts", "o_orderdate")
+      .filter(col("user_id") % 10 === 3)
+      .groupBy(date_trunc("week", col("ts")).cast("date").as("week"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("o_orderdate")).as("n_matched"),
+        count(when(unix_micros(col("ts")) - unix_micros(col("o_orderdate")) <=
+          lit(30L * 86400L * 1000000L), lit(1))).as("n_recent"))
+      .orderBy("week")
+  }
+
   /** q282: FORWARD as-of with a 7-day tolerance through the NATIVE
     * operator — q249's semantics (next order of the same customer
     * within the band, else NULL) via `AsOfJoinExec(forward = true,
@@ -903,6 +931,21 @@ object Temporal extends QueryPack {
         |SELECT user_id, count(*) AS n_events,
         |  count(o_orderkey) AS n_matched,
         |  count(CASE WHEN us - o_us <= 2592000000000 THEN 1 END) AS n_recent
+        |FROM j WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q283_asof_rule_pushdown", q283, Some(
+      """WITH ev AS (SELECT event_id, user_id, ts FROM events
+        |    WHERE user_id % 10 = 3),
+        |o AS (SELECT o_custkey, o_orderdate FROM orders),
+        |j AS (SELECT ev.event_id, ev.ts, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY ev.event_id
+        |      ORDER BY o.o_orderdate DESC) AS rn
+        |  FROM ev LEFT JOIN o ON o.o_custkey = ev.user_id
+        |    AND o.o_orderdate <= ev.ts)
+        |SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+        |  count(*) AS n_events,
+        |  count(o_orderdate) AS n_matched,
+        |  count(CASE WHEN epoch_us(ts) - epoch_us(o_orderdate)
+        |    <= 2592000000000 THEN 1 END) AS n_recent
         |FROM j WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q282_asof_native_forward", q282, Some(
       """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),

@@ -3,9 +3,10 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftPlanBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{And, Ascending, Attribute, AttributeSet, GenericInternalRow, JoinedRow, PredicateHelper, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BinaryNode, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
@@ -310,13 +311,76 @@ case class AsOfJoinExec(
   }
 }
 
+/** Optimizer hygiene for the custom node. A LogicalPlan Catalyst does
+  * not know is an OPAQUE WALL: PushDownPredicates and ColumnPruning
+  * both stop at it, so a filter written after the join runs after the
+  * exchanges, and the scans read every column both inputs carry — at
+  * 100 TB those are exactly the two plan properties that matter most.
+  * A custom operator therefore ships WITH its optimizer rules (the
+  * other half of ladder rung (c)); this one restores both:
+  *
+  *   - **Predicate pushdown**: deterministic conjuncts referencing only
+  *     LEFT-side attributes move below the node (sound because the
+  *     as-of emits exactly one row per left row, with left columns
+  *     unchanged — filtering left inputs ≡ filtering outputs on left
+  *     columns). Right-referencing conjuncts stay above: the right
+  *     payload is null-extended and match-dependent, so pre-filtering
+  *     the right child would CHANGE which row matches.
+  *   - **Column pruning**: when a Project/Aggregate sits on the node,
+  *     children are narrowed to referenced attributes + the join's
+  *     key/time columns; Catalyst's own ColumnPruning then carries the
+  *     inserted Project down to the scan's ReadSchema.
+  *
+  * Both rewrites run in one apply (push first, then prune) so a single
+  * pass suffices even under a run-Once batch.
+  */
+object AsOfJoinRules extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = prune(push(plan))
+
+  private def push(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfJoinNode) =>
+      val (pushable, keep) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(j.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(pushable.reduce(And), j.left))
+        if (keep.isEmpty) pushed else Filter(keep.reduce(And), pushed)
+      }
+  }
+
+  private def prune(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(_, j: AsOfJoinNode) =>
+      narrowed(j, p.references).map(n => p.copy(child = n)).getOrElse(p)
+    case a @ Aggregate(_, _, j: AsOfJoinNode, _) =>
+      narrowed(j, a.references).map(n => a.copy(child = n)).getOrElse(a)
+  }
+
+  /** Children narrowed to `parentRefs` + join columns; None if already
+    * minimal (fixed point). */
+  private def narrowed(j: AsOfJoinNode, parentRefs: AttributeSet): Option[AsOfJoinNode] = {
+    val needed = parentRefs ++
+      AttributeSet(Seq(j.leftKey, j.rightKey, j.leftTime, j.rightTime))
+    def slim(c: LogicalPlan): LogicalPlan = {
+      val kept = c.output.filter(needed.contains)
+      if (kept.length == c.output.length) c else Project(kept, c)
+    }
+    val (nl, nr) = (slim(j.left), slim(j.right))
+    if ((nl eq j.left) && (nr eq j.right)) None
+    else Some(j.copy(left = nl, right = nr))
+  }
+}
+
 /** User-facing API for the native as-of join. */
 object NativeAsOfJoin {
 
-  /** Idempotently install [[AsOfJoinStrategy]] on a live session (the
-    * builder-time path is `.withExtensions(new GraftExtensions)`). */
-  def install(s: SparkSession): Unit =
+  /** Idempotently install [[AsOfJoinStrategy]] and [[AsOfJoinRules]] on
+    * a live session (the builder-time path is
+    * `.withExtensions(new GraftExtensions)`). */
+  def install(s: SparkSession): Unit = {
     GraftPlanBridge.addStrategy(s, AsOfJoinStrategy)
+    GraftPlanBridge.addOptimization(s, AsOfJoinRules)
+  }
 
   /** Left as-of join via the native operator. Same contract as the
     * compositional [[graft.operators.AsOfJoin.leftAsOf]]: right unique

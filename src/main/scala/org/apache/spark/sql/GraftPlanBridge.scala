@@ -36,4 +36,14 @@ object GraftPlanBridge {
     if (!exp.extraStrategies.contains(st))
       exp.extraStrategies = exp.extraStrategies :+ st
   }
+
+  /** Idempotently add an optimizer rule to a live session (runs in the
+    * optimizer's "User Provided Optimizers" fixed-point batch). */
+  def addOptimization(
+      s: SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val exp = s.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraOptimizations.contains(rule))
+      exp.extraOptimizations = exp.extraOptimizations :+ rule
+  }
 }

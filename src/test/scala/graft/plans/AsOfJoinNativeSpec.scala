@@ -216,6 +216,51 @@ class AsOfJoinNativeSpec extends AnyFunSuite {
     assert(agg.collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toMap === expected)
   }
 
+  test("optimizer rule: left-only conjuncts push below the node, right ones stay") {
+    val l = leftDf((1 to 60).map(i =>
+      (java.lang.Long.valueOf(i % 6), java.lang.Long.valueOf(i), s"l$i")))
+    val r = rightDf((1 to 30).map(i =>
+      (java.lang.Long.valueOf(i % 6), java.lang.Long.valueOf(i * 2), s"r$i")))
+    val q = NativeAsOfJoin.leftAsOf(l, r, "k", "rk", "t", "rt")
+      .filter($"k" % 2 === 0 && $"payload".isNotNull) // mixed conjuncts, written ABOVE
+    val opt = q.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val node = opt.collectFirst { case j: AsOfJoinNode => j }.get
+    // the left-only conjunct moved into the left child...
+    assert(node.left.collectFirst { case f: LFilter => f }.isDefined,
+      s"left conjunct not pushed:\n$opt")
+    // ...and the right-referencing conjunct stayed above the node
+    val above = opt.collectFirst { case f: LFilter => f }.get
+    assert(above.condition.references.map(_.name).toSet.contains("payload"))
+    assert(!above.condition.toString.contains("% 2"), s"push incomplete:\n$opt")
+    // values unchanged vs filtering before the join by hand
+    val expect = NativeAsOfJoin.leftAsOf(
+        l.filter($"k" % 2 === 0), r, "k", "rk", "t", "rt")
+      .filter($"payload".isNotNull).select($"l_tag", $"payload")
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    val got = q.select($"l_tag", $"payload")
+      .collect().map(x => (x.getString(0), x.getString(1))).toSet
+    assert(got === expect)
+  }
+
+  test("optimizer rule: children prune to referenced + join columns (q283 shape)") {
+    val q = graft.SparkEntry.queries("q283_asof_rule_pushdown")(spark, sf)
+    val opt = q.queryExecution.optimizedPlan
+    val node = opt.collectFirst { case j: AsOfJoinNode => j }.get
+    assert(node.right.output.map(_.name).toSet === Set("o_custkey", "o_orderdate"),
+      s"orders side not pruned:\n$opt")
+    assert(node.left.output.map(_.name).toSet === Set("user_id", "ts"),
+      s"events side not pruned:\n$opt")
+    // pruning reached the parquet ReadSchema (no props/o_totalprice read)
+    val exec = q.queryExecution.executedPlan.toString
+    assert(!exec.contains("props") && !exec.contains("o_totalprice"),
+      s"scan still wide:\n$exec")
+    // and the user_id filter runs below the left exchange
+    assert(node.left.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f }.isDefined)
+    assert(q.collect().nonEmpty)
+  }
+
   test("q281 gate equals the compositional q35 carried through the same aggregate") {
     val ev = graft.sources.Tables.events(spark, sf)
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
