@@ -1654,6 +1654,60 @@ object StreamingQueries extends QueryPack {
     out
   }
 
+  /** q285: streaming POINT-IN-TIME enrichment — each in-flight event is
+    * joined to the dimension VERSION that was current AT EVENT TIME,
+    * not the latest snapshot (q168's shape). The static side is an
+    * SCD2-style interval table built from orders (per customer, a
+    * spend tier valid from each order date until the next), and the
+    * stream joins on key + a half-open validity range:
+    * `user_id = o_custkey AND us ∈ [vf, vt)`. Intervals are disjoint
+    * per key, so the LEFT join yields at most one match per event;
+    * events before a user's first version (or keyless users) enrich as
+    * 'NONE'. The equi conjunct makes this a broadcast HASH join with
+    * the range residual evaluated post-probe — stateless per batch
+    * like q168/q258 (no watermark, no state store), which is the whole
+    * point: feature-store training/serving reads are as-of lookups,
+    * and getting them from a stream costs no more than a snapshot
+    * enrich. Batch PIT twin: q232. */
+  private def q285(s: SparkSession, dir: String): DataFrame = withNanosAsLong(s) {
+    import graft.functions.Exact.dec
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("vf")
+    val dim = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max("o_totalprice").as("px"))
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("vf"),
+        floor(col("px") / 50000).cast("long").as("tier"))
+      .withColumn("vt", coalesce(lead(col("vf"), 1).over(w), lit(Long.MaxValue)))
+    val stream = eventsStream(s, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("us"))
+    val agg = stream
+      .join(broadcast(dim),
+        col("user_id") === col("o_custkey") &&
+          col("us") >= col("vf") && col("us") < col("vt"), "left")
+      .select(coalesce(col("tier").cast("string"), lit("NONE")).as("tier"),
+        col("event_type"), col("value"))
+      .groupBy("tier", "event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec(col("value"))).cast("double"), 2).as("total_value"))
+    val name = "graft_q285_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+    val result = s.table(name).orderBy("tier", "event_type")
+    val rows = result.collect()
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
+    s.catalog.dropTempView(name)
+    out
+  }
+
   /** q258: stream-STATIC LEFT ANTI join — the blocklist/compliance
     * filter shape (drop in-flight events whose user appears in a static
     * suppression table) that completes the stream-static family next
@@ -2096,6 +2150,23 @@ object StreamingQueries extends QueryPack {
         |    AS total_value
         |FROM events LEFT JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    Q("q285_stream_pit_enrich", q285, Some(
+      """WITH d0 AS (SELECT o_custkey, epoch_us(o_orderdate) AS vf,
+        |    max(o_totalprice) AS px FROM orders GROUP BY 1, 2),
+        |d AS (SELECT o_custkey, vf,
+        |    coalesce(lead(vf) OVER (PARTITION BY o_custkey ORDER BY vf),
+        |      9223372036854775807) AS vt,
+        |    CAST(floor(px / 50000) AS BIGINT) AS tier FROM d0),
+        |e AS (SELECT user_id, event_type, value, epoch_us(ts) AS us
+        |  FROM events),
+        |j AS (SELECT coalesce(CAST(d.tier AS VARCHAR), 'NONE') AS tier,
+        |    e.event_type, e.value
+        |  FROM e LEFT JOIN d ON d.o_custkey = e.user_id
+        |    AND e.us >= d.vf AND e.us < d.vt)
+        |SELECT tier, event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS total_value
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     Q("q70_stream_month_count", q70, Some(
       """SELECT event_type, strftime(ts, '%Y-%m') AS month, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),

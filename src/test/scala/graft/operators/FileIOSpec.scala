@@ -90,6 +90,21 @@ class FileIOSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted === good77)
   }
 
+  test("q284 point lookup reads a strict subset of bucket files, agg shuffle-free") {
+    val df = SparkEntry.queries("q284_bucket_pruning")(spark, sf)
+    df.collect() // materializes the bucketed layout
+    val plan = df.queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of 16".r
+      .findFirstMatchIn(plan)
+      .getOrElse(fail(s"no bucket pruning in:\n$plan"))
+    val k = sel.group(1).toInt
+    assert(k > 0 && k < 16, s"expected a pruned bucket set, got $k of 16")
+    // the bucketed scan's hash layout also feeds the per-key aggregate:
+    // the ONLY exchange is the final sort's range partitioning
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"aggregate re-shuffled a bucketed scan:\n$plan")
+  }
+
   test("q99 quantity predicate is pushed into the ORC scan") {
     val df = SparkEntry.queries("q99_orc_roundtrip")(spark, sf)
     df.collect() // materializes the ORC layout

@@ -13,6 +13,52 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
+  test("q285 PIT enrich joins hash-broadcast and stateless per micro-batch") {
+    // the interval dim must reach the stream as a broadcast HASH join
+    // (equi conjunct on the key, range residual post-probe) with no
+    // state store anywhere — an as-of lookup costs a stream no more
+    // than q168's snapshot enrich
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("vf")
+    val dim = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max("o_totalprice").as("px"))
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("vf"),
+        floor(col("px") / 50000).cast("long").as("tier"))
+      .withColumn("vt",
+        coalesce(lead(col("vf"), 1).over(w), lit(Long.MaxValue)))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.events(spark, sf).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .join(broadcast(dim),
+        col("user_id") === col("o_custkey") &&
+          col("us") >= col("vf") && col("us") < col("vt"), "left")
+      .groupBy("tier").agg(count(lit(1)).as("n"))
+    val name = "graft_pitpin_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    val (planStr, progress) =
+      try {
+        q.processAllAvailable()
+        val p = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+          .streamingQuery.lastExecution.executedPlan.toString
+        (p, q.lastProgress)
+      } finally q.stop()
+    spark.catalog.dropTempView(name)
+    assert(planStr.contains("BroadcastHashJoin"),
+      s"expected a broadcast HASH join (equi key + range residual):\n$planStr")
+    assert(!planStr.contains("NestedLoop"),
+      s"range conjuncts must ride the hash join as residual:\n$planStr")
+    // exactly ONE stateful operator: the complete-mode aggregate.
+    // The PIT join itself contributes none (no stream-stream join
+    // state, no watermark) — that's the stateless-lookup contract
+    assert(progress.stateOperators.length === 1,
+      s"join must be stateless; state ops: ${progress.stateOperators.mkString(",")}")
+  }
+
   test("append-mode windowed agg emits exactly the watermark-closed windows") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = StreamingQueries.eventsStream(spark, sf) // schema-adaptive
