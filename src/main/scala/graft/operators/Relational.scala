@@ -606,6 +606,39 @@ object Relational extends QueryPack {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** q286: IDENTIFIER() binding — the IDENTIFIER half of injection-safe
+    * SQL templating (q264 binds VALUES; this binds NAMES). A report
+    * template whose target table AND grouping column arrive as named
+    * parameters resolves them through `IDENTIFIER(:p)`, which parses
+    * the bound string as exactly one identifier — never as SQL — so a
+    * hostile "name" cannot smuggle clauses the way string-spliced
+    * table/column names can (the classic templating injection). The
+    * gate runs the one template against two (table, column) bindings
+    * and unions the reports, tagged by binding; a non-identifier
+    * binding fails analysis (pinned in a spec, not here — the gate
+    * stays oracle-comparable). At 100 TB this is how a metric layer
+    * fans one audited template across a catalog of tables without
+    * per-table SQL generation. */
+  private def q286(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("graft_cust286")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_ord286")
+    val template =
+      """SELECT CAST(IDENTIFIER(:grp) AS STRING) AS grp, count(*) AS n
+        |FROM IDENTIFIER(:tbl) GROUP BY 1""".stripMargin
+    val cust = s.sql(template,
+      Map("tbl" -> "graft_cust286", "grp" -> "c_mktsegment"))
+      .withColumn("report", lit("customer_by_segment"))
+    val ord = s.sql(template,
+      Map("tbl" -> "graft_ord286", "grp" -> "o_orderpriority"))
+      .withColumn("report", lit("orders_by_priority"))
+    val out = cust.unionByName(ord)
+      .select("report", "grp", "n").orderBy("report", "grp")
+    val rows = out.collect()
+    s.catalog.dropTempView("graft_cust286")
+    s.catalog.dropTempView("graft_ord286")
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** q279: SQL PIPE SYNTAX (Spark 4 `|>` operators) — the third modern
     * SQL surface next to q263's scripting and q264's parameters: a
     * linear pipeline of relational steps in source order (FROM first,
@@ -694,6 +727,16 @@ object Relational extends QueryPack {
         |  round(price_c / (100.0 * n), 2) AS avg_price
         |FROM a WHERE n >= 10
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+    Q("q286_identifier_binding", q286, Some(
+      """SELECT report, grp, n FROM (
+        |  SELECT 'customer_by_segment' AS report,
+        |    CAST(c_mktsegment AS VARCHAR) AS grp, count(*) AS n
+        |  FROM customer GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'orders_by_priority',
+        |    CAST(o_orderpriority AS VARCHAR), count(*)
+        |  FROM orders GROUP BY 2
+        |) ORDER BY report, grp""".stripMargin)),
     Q("q264_parameterized_sql", q264, Some(
       """WITH c AS (SELECT quantile_disc(o_totalprice, 0.5) AS cut
         |  FROM orders)

@@ -1671,8 +1671,15 @@ object StreamingQueries extends QueryPack {
     * enrich. Batch PIT twin: q232. */
   private def q285(s: SparkSession, dir: String): DataFrame = withNanosAsLong(s) {
     import graft.functions.Exact.dec
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("o_custkey").orderBy("vf")
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy("o_custkey").orderBy("vf")
+    // SCD2 compaction: adjacent versions with the SAME tier merge into
+    // one interval (classic run-collapse). Oracle-neutral — every event
+    // maps to the same tier — but the broadcast ships only tier CHANGES,
+    // not every order date; at 10× the uncompacted dim grew with the
+    // (custkey, date) grain and measurably dominated the per-batch
+    // broadcast rebuild. Dims beyond broadcast size altogether need the
+    // q260 treatment instead: a bucketed interval table + per-batch SMJ.
     val dim = Tables.orders(s, dir)
       .groupBy(col("o_custkey"), col("o_orderdate"))
       .agg(max("o_totalprice").as("px"))
@@ -1680,6 +1687,19 @@ object StreamingQueries extends QueryPack {
         unix_micros(col("o_orderdate").cast("timestamp")).as("vf"),
         floor(col("px") / 50000).cast("long").as("tier"))
       .withColumn("vt", coalesce(lead(col("vf"), 1).over(w), lit(Long.MaxValue)))
+      .withColumn("chg",
+        when(lag(col("tier"), 1).over(w).isNull ||
+          lag(col("tier"), 1).over(w) =!= col("tier"), lit(1)).otherwise(lit(0)))
+      .withColumn("run",
+        sum(col("chg")).over(w.rowsBetween(W.unboundedPreceding, 0)))
+      .groupBy("o_custkey", "run")
+      .agg(min("vf").as("vf"), max("vt").as("vt"), first("tier").as("tier"))
+      .select("o_custkey", "vf", "vt", "tier")
+      // materialize once: the STATIC side of a stream-static join
+      // re-executes every micro-batch — without this pin the window +
+      // compaction aggregate would re-run per batch; with it each batch
+      // broadcasts from the already-computed blocks
+      .materialized
     val stream = eventsStream(s, dir)
       .select(col("user_id"), col("event_type"), col("value"),
         unix_micros(col("ts")).as("us"))

@@ -14,6 +14,27 @@ class ExtensionSpecs extends AnyFunSuite {
   def run(name: String) =
     graft.SparkEntry.queries(name)(spark, sf)
 
+  test("q286 IDENTIFIER binding refuses non-identifier (injection) values") {
+    graft.sources.Tables.customer(spark, sf)
+      .createOrReplaceTempView("graft_cust286s")
+    val template = "SELECT count(*) AS n FROM IDENTIFIER(:tbl)"
+    assert(spark.sql(template, Map("tbl" -> "graft_cust286s"))
+      .head().getLong(0) > 0)
+    // a bound "table name" carrying SQL never parses as an identifier —
+    // the template cannot be escaped through the parameter
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(template,
+        Map("tbl" -> "graft_cust286s WHERE 1=0 --")).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(template,
+        Map("tbl" -> "nonexistent_tbl; DROP VIEW graft_cust286s")).collect()
+    }
+    // the view survived the attempts
+    assert(spark.catalog.tableExists("graft_cust286s"))
+    spark.catalog.dropTempView("graft_cust286s")
+  }
+
   test("q25 gate verifies itself: exact count matches q24, within_bound true") {
     // q25's gated frame carries (exact_parts, within_bound) — cross-check
     // the exact side against q24's independent computation and assert the
