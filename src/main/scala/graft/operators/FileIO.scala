@@ -1178,6 +1178,44 @@ object FileIO extends QueryPack {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
     }
 
+  /** q287: SCAN-REPORTED ORDERING (`SupportsReportOrdering`) — the last
+    * rung of the DSv2 scan-report ladder (stats q247 → key grouping
+    * q270 → ORDERING). Every split of the keyed layout holds one
+    * `shard=<v>/` directory, so the partition column is constant
+    * within each scan partition — trivially sorted — and the source
+    * says so. The gate joins the fact to its own per-shard totals ON
+    * THE SHARD ALONE (a shard-grain enrichment): both sides keep the
+    * source's KeyGroupedPartitioning (zero exchanges, q270's win) and
+    * the merge join's fact side needs NO SortExec — the scan feeds the
+    * merge directly, because the reported ordering already satisfies
+    * the join's requirement. Only the aggregate side sorts (|shards|
+    * rows). At 100 TB that's the difference between re-sorting the
+    * fact every query and sorting 16 rows; PlanSpec pins the
+    * asymmetry. */
+  private def q287(s: SparkSession, dir: String): DataFrame =
+    graft.SessionConfs.withConfs(s, spjConfs: _*) {
+      val result = orderedScanFrame(s, dir)
+      val rows = result.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    }
+
+  private[graft] def orderedScanFrame(s: SparkSession, dir: String): DataFrame = {
+    val (clicks, _) = spjLayout(s, dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id BIGINT, n_clicks BIGINT, click_cents BIGINT, shard BIGINT")
+    def fact = s.read.format(classOf[graft.sources.TsvSourceProvider].getName)
+      .schema(schema)
+      .option("path", clicks)
+      .option("partition_col", "shard")
+      .load()
+    val totals = fact.groupBy("shard")
+      .agg(sum("click_cents").as("shard_cents"))
+    fact.hint("merge").join(totals, "shard")
+      .select(col("user_id"), col("n_clicks"), col("click_cents"),
+        col("shard"), col("shard_cents"))
+      .orderBy("user_id")
+  }
+
   /** q265 setup: stats'd catalog tables for the CBO gate, built once per
     * source dir. `ANALYZE TABLE ... FOR ALL COLUMNS` collects the
     * row/size stats plus per-column NDV/min/max that cost-based join
@@ -1241,6 +1279,17 @@ object FileIO extends QueryPack {
   }
 
   override def queries: Seq[Q] = Seq(
+    Q("q287_scan_reported_ordering", q287, Some(
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS n_clicks,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS click_cents,
+        |    user_id % 16 AS shard
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |t AS (SELECT shard, CAST(sum(click_cents) AS BIGINT) AS shard_cents
+        |  FROM c GROUP BY 1)
+        |SELECT c.user_id, c.n_clicks, c.click_cents, c.shard, t.shard_cents
+        |FROM c JOIN t USING (shard) ORDER BY c.user_id""".stripMargin)),
     Q("q270_storage_partitioned_join", q270, Some(
       """WITH c AS (
         |  SELECT user_id, count(*) AS n_clicks,

@@ -350,7 +350,31 @@ final class TsvScan(fullSchema: StructType, required: StructType,
     partitionCol: Option[String] = None,
     aggSpec: Option[TsvAggSpec] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsReportPartitioning with SupportsRuntimeFiltering {
+    with SupportsReportPartitioning with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
+
+  /** SORTED-LAYOUT contract ([[SupportsReportOrdering]], the last rung
+    * of the scan-report ladder: stats → key partitioning → ORDERING).
+    * Every split of a keyed layout holds exactly one `<col>=<value>`
+    * shard, so within any scan partition the partition column is
+    * CONSTANT — trivially sorted ascending. Reporting that lets
+    * EnsureRequirements drop the SortExec a merge join or sorted
+    * aggregate would otherwise insert on each side: combined with the
+    * key-grouped partitioning (q270) a co-keyed fact-fact join plans
+    * with NO exchange AND NO sort — the scan feeds the merge directly,
+    * which at 100 TB removes the last per-query O(n log n) pass the
+    * layout already paid for at write time. Like the key grouping,
+    * only the raw keyed scan reports it (a pushed aggregation emits
+    * group rows, not key-constant rows). */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    partitionCol match {
+      case Some(c) if aggSpec.isEmpty =>
+        Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      case _ => Array.empty
+    }
 
   /** RUNTIME FILTERING ([[SupportsRuntimeFiltering]]) — the DSv2 analog
     * of dynamic partition pruning (q268): when a keyed layout's

@@ -321,6 +321,35 @@ class PlanSpec extends AnyFunSuite {
       "with v2 bucketing off the join must fall back to shuffles (contrast)")
   }
 
+  test("q287 scan-reported ordering elides the fact-side sort in the shard join") {
+    import graft.operators.FileIO
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: nodes(a.executedPlan)
+      case q: QueryStageExec => p +: nodes(q.plan)
+      case _ => p +: p.children.flatMap(nodes)
+    }
+    SessionConfs.withConfs(spark, FileIO.spjConfs: _*) {
+      val df = FileIO.orderedScanFrame(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      val smj = nodes(plan).collectFirst { case j: SortMergeJoinExec => j }
+        .getOrElse(fail(s"expected a sort-merge join:\n$plan"))
+      // fact side: the scan's reported ordering feeds the merge directly
+      assert(!nodes(smj.left).exists(_.isInstanceOf[SortExec]),
+        s"fact side must NOT re-sort (SupportsReportOrdering):\n$plan")
+      // aggregate side: ordering died in the hash aggregate — it sorts,
+      // but only |shards| rows
+      assert(nodes(smj.right).exists(_.isInstanceOf[SortExec]),
+        s"expected the small aggregate side to sort:\n$plan")
+      // and the q270 win still holds: zero hash exchanges
+      assert(!plan.toString.contains("Exchange hashpartitioning"),
+        s"SPJ must elide all join exchanges:\n$plan")
+    }
+  }
+
   test("q268 fact scan carries a dynamicpruning PartitionFilter") {
     import graft.operators.FileIO
     // the dim filter is on an attribute (quarter), not the partition
