@@ -1216,6 +1216,33 @@ object FileIO extends QueryPack {
       .orderBy("user_id")
   }
 
+  /** q288: DSv2 TOP-N PUSHDOWN (`SupportsPushDownTopN`) — `ORDER BY …
+    * LIMIT n` reaches the source, and each split keeps a bounded HEAP
+    * of its n best rows under the sort keys instead of emitting every
+    * parsed line: TakeOrderedAndProject's per-partition heads, moved
+    * BELOW the parse. Partial by contract (k splits emit ≤ k·n rows;
+    * Spark's global TakeOrdered re-sorts the heads), so semantics
+    * never depend on the source — unsupported keys (expressions)
+    * decline and plan a full scan under Spark's own sort
+    * (TsvSourceSpec pins the refusal, ties, null placement, and the
+    * bounded scan-output metric). At 100 TB a leaderboard query over
+    * a TSV lake reads every byte either way, but SHUFFLES only
+    * splits × n rows and holds n-row state per task — the difference
+    * between a top-10 and materializing the table. */
+  private def q288(s: SparkSession, dir: String): DataFrame = {
+    val (clicks, _) = spjLayout(s, dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id BIGINT, n_clicks BIGINT, click_cents BIGINT, shard BIGINT")
+    s.read.format(classOf[graft.sources.TsvSourceProvider].getName)
+      .schema(schema)
+      .option("path", clicks)
+      .option("partition_col", "shard")
+      .load()
+      .orderBy(col("click_cents").desc, col("user_id"))
+      .limit(10)
+      .select("user_id", "n_clicks", "click_cents")
+  }
+
   /** q265 setup: stats'd catalog tables for the CBO gate, built once per
     * source dir. `ANALYZE TABLE ... FOR ALL COLUMNS` collects the
     * row/size stats plus per-column NDV/min/max that cost-based join
@@ -1279,6 +1306,14 @@ object FileIO extends QueryPack {
   }
 
   override def queries: Seq[Q] = Seq(
+    Q("q288_dsv2_topn_pushdown", q288, Some(
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS n_clicks,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS click_cents
+        |  FROM events WHERE event_type = 'click' GROUP BY 1)
+        |SELECT user_id, n_clicks, click_cents FROM c
+        |ORDER BY click_cents DESC, user_id LIMIT 10""".stripMargin)),
     Q("q287_scan_reported_ordering", q287, Some(
       """WITH c AS (
         |  SELECT user_id, count(*) AS n_clicks,

@@ -189,15 +189,60 @@ final case class TsvAggFn(op: String, col: Option[String], resType: DataType)
   * matched by Spark's V2 pushdown rule. */
 final case class TsvAggSpec(groupCols: Seq[String], fns: Seq[TsvAggFn])
 
+/** One pushed sort key: `asc`/`nullsFirst` are the RESOLVED order (the
+  * connector SortOrder's direction and null placement, already combined
+  * by Spark). */
+final case class TsvSortKey(name: String, asc: Boolean, nullsFirst: Boolean)
+
+/** A pushed top-N: keep the first `n` rows of each split under `keys`. */
+final case class TsvTopNSpec(keys: Seq[TsvSortKey], n: Int)
+
 final class TsvScanBuilder(fullSchema: StructType, path: String,
     splitBytes: Long, partitionCol: Option[String] = None) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownLimit with SupportsPushDownAggregates {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
   private var aggSpec: Option[TsvAggSpec] = None
+  private var topN: Option[TsvTopNSpec] = None
+
+  /** TOP-N pushdown ([[SupportsPushDownTopN]]): for `ORDER BY k LIMIT n`
+    * each split keeps a BOUNDED HEAP of its n best rows under the sort
+    * keys (after the pushed filters) instead of emitting every parsed
+    * row — the source-level analog of TakeOrderedAndProject's
+    * per-partition heaps, moved below the parse so a split's output is
+    * ≤ n rows no matter how many lines it holds. Inherently PARTIAL
+    * (k splits emit up to k·n rows; [[isPartiallyPushed]] is already
+    * true), so Spark keeps its global TakeOrdered and semantics never
+    * depend on the source. Accepted: every key a plain existing
+    * column of orderable type; anything else (expressions, structs)
+    * returns false and the scan stays a full scan under Spark's own
+    * sort. Mutually exclusive with a pushed aggregation (different
+    * plan slots; refuse defensively). */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
+    if (aggSpec.nonEmpty || n < 0) return false
+    val keys = orders.toSeq.map { so =>
+      so.expression() match {
+        case nr: NamedReference if nr.fieldNames.length == 1 &&
+            fullSchema.fieldNames.contains(nr.fieldNames()(0)) &&
+            Seq(LongType, IntegerType, DoubleType, StringType)
+              .contains(fullSchema(nr.fieldNames()(0)).dataType) =>
+          Some(TsvSortKey(nr.fieldNames()(0),
+            so.direction() == SortDirection.ASCENDING,
+            so.nullOrdering() == NullOrdering.NULLS_FIRST))
+        case _ => None
+      }
+    }
+    if (keys.isEmpty || keys.exists(_.isEmpty)) return false
+    topN = Some(TsvTopNSpec(keys.map(_.get), n))
+    true
+  }
 
   /** AGGREGATE PUSHDOWN ([[SupportsPushDownAggregates]]), PARTIAL mode:
     * each split pre-aggregates its own lines and emits one row per
@@ -341,14 +386,15 @@ final class TsvScanBuilder(fullSchema: StructType, path: String,
         limit, partitionCol, Some(spec))
     case None =>
       new TsvScan(fullSchema, required, pushed, path, splitBytes, limit,
-        partitionCol)
+        partitionCol, None, topN)
   }
 }
 
 final class TsvScan(fullSchema: StructType, required: StructType,
     pushed: Array[Filter], path: String, splitBytes: Long, limit: Int,
     partitionCol: Option[String] = None,
-    aggSpec: Option[TsvAggSpec] = None)
+    aggSpec: Option[TsvAggSpec] = None,
+    topN: Option[TsvTopNSpec] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -416,6 +462,9 @@ final class TsvScan(fullSchema: StructType, required: StructType,
     s"GraftTsvScan path=$path, ReadSchema: ${required.simpleString}, " +
       s"PushedFilters: [${pushed.mkString(", ")}]" +
       (if (limit >= 0) s", PushedLimit: $limit" else "") +
+      topN.fold("")(t => s", PushedTopN: ORDER BY [${t.keys.map(k =>
+        s"${k.name} ${if (k.asc) "ASC" else "DESC"} NULLS ${
+          if (k.nullsFirst) "FIRST" else "LAST"}").mkString(", ")}] LIMIT ${t.n}") +
       partitionCol.fold("")(c => s", KeyGroupedBy: $c") +
       aggSpec.fold("")(sp =>
         s", PushedAggregates: [${sp.fns.map(f =>
@@ -547,7 +596,7 @@ final class TsvScan(fullSchema: StructType, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new TsvReaderFactory(fullSchema, required, pushed, limit, partitionCol,
-      aggSpec)
+      aggSpec, topN)
 }
 
 final case class TsvInputPartition(file: String, start: Long, end: Long)
@@ -563,7 +612,8 @@ final case class TsvKeyedInputPartition(file: String, start: Long, end: Long,
 
 final class TsvReaderFactory(fullSchema: StructType, required: StructType,
     pushed: Array[Filter], limit: Int, partitionCol: Option[String] = None,
-    aggSpec: Option[TsvAggSpec] = None)
+    aggSpec: Option[TsvAggSpec] = None,
+    topN: Option[TsvTopNSpec] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     // with a pushed aggregation, the raw reader parses only the columns
@@ -577,8 +627,11 @@ final class TsvReaderFactory(fullSchema: StructType, required: StructType,
       new TsvPartitionReader(fullSchema, rawSchema, pushed, limit,
         file, start, end, pv)
     def wrap(r: TsvPartitionReader): PartitionReader[InternalRow] =
-      aggSpec.fold(r: PartitionReader[InternalRow])(sp =>
-        new TsvAggregatingReader(r, rawSchema, sp))
+      aggSpec.map(sp => new TsvAggregatingReader(r, rawSchema, sp)
+          : PartitionReader[InternalRow])
+        .orElse(topN.map(t => new TsvTopNReader(r, required, t)
+          : PartitionReader[InternalRow]))
+        .getOrElse(r)
     partition match {
       case p: TsvKeyedInputPartition =>
         wrap(raw(p.file, p.start, p.end, partitionCol.map(_ -> p.value)))
@@ -587,6 +640,73 @@ final class TsvReaderFactory(fullSchema: StructType, required: StructType,
         wrap(raw(p.file, p.start, p.end, None))
     }
   }
+}
+
+/** Per-split TOP-N for a pushed [[TsvTopNSpec]]: drains the raw reader
+  * through a BOUNDED max-heap (worst-of-the-best at the head) of at
+  * most n rows, then emits the survivors (order irrelevant — the
+  * partial-push contract keeps Spark's global TakeOrdered, which
+  * re-sorts k·n rows). Memory is O(n) rows regardless of split size;
+  * null placement and direction follow the RESOLVED connector order
+  * verbatim. Rows are copied on retention only (the raw reader reuses
+  * its buffer). */
+final class TsvTopNReader(base: TsvPartitionReader,
+    schema: StructType, spec: TsvTopNSpec)
+    extends PartitionReader[InternalRow] {
+
+  private val keyOrd: Array[Int] =
+    spec.keys.map(k => schema.fieldIndex(k.name)).toArray
+  private val keyType: Array[DataType] =
+    spec.keys.map(k => schema(k.name).dataType).toArray
+
+  /** Resolved sort comparator: negative = a sorts before b. */
+  private def cmpRows(a: InternalRow, b: InternalRow): Int = {
+    var i = 0
+    while (i < keyOrd.length) {
+      val k = spec.keys(i); val o = keyOrd(i)
+      val an = a.isNullAt(o); val bn = b.isNullAt(o)
+      if (an || bn) {
+        if (an != bn) return if (an == k.nullsFirst) -1 else 1
+      } else {
+        val c = keyType(i) match {
+          case LongType => java.lang.Long.compare(a.getLong(o), b.getLong(o))
+          case IntegerType => java.lang.Integer.compare(a.getInt(o), b.getInt(o))
+          case DoubleType => java.lang.Double.compare(a.getDouble(o), b.getDouble(o))
+          case _ => a.getUTF8String(o).compareTo(b.getUTF8String(o))
+        }
+        if (c != 0) return if (k.asc) c else -c
+      }
+      i += 1
+    }
+    0
+  }
+
+  private lazy val survivors: java.util.Iterator[InternalRow] = {
+    val heap = new java.util.PriorityQueue[InternalRow](
+      math.max(spec.n, 1),
+      // reversed: head = the WORST retained row, evicted first
+      (a: InternalRow, b: InternalRow) => cmpRows(b, a))
+    try {
+      while (base.next()) {
+        val r = base.get()
+        if (heap.size < spec.n) heap.add(r.copy())
+        else if (spec.n > 0 && cmpRows(r, heap.peek()) < 0) {
+          heap.poll(); heap.add(r.copy())
+        }
+      }
+    } finally base.close()
+    heap.iterator()
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean = {
+    if (!survivors.hasNext) return false
+    current = survivors.next(); true
+  }
+  override def get(): InternalRow = current
+  // base already closed after the drain; re-close is idempotent and
+  // covers the never-drained path (task killed before first next())
+  override def close(): Unit = base.close()
 }
 
 /** Per-split PRE-AGGREGATION for a pushed [[TsvAggSpec]]: drains the

@@ -165,6 +165,53 @@ class TsvSourceSpec extends AnyFunSuite {
     assert(full.length == 40)
   }
 
+  test("topN pushdown: per-split heaps bound scan output; results exact incl. ties/nulls/desc") {
+    // 4th column (note) sometimes NULL to exercise null placement
+    val dir = writeTsv((1 to 120).map(i =>
+      s"$i\tn${i % 7}\t${(i % 40)}.5\t${if (i % 11 == 0) "" else s"x$i"}"))
+    def scan(extra: (String, String)*) = {
+      val base = spark.read.format(classOf[TsvSourceProvider].getName)
+        .schema(schema).option("path", dir)
+      extra.foldLeft(base)((b, kv) => b.option(kv._1, kv._2)).load()
+    }
+    // many tiny splits so the per-split cap is observable
+    val df = scan("split_bytes" -> "128")
+      .orderBy(col("score").desc, col("id")).limit(5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTopN: ORDER BY [score DESC NULLS LAST, id ASC NULLS FIRST] LIMIT 5"),
+      s"topN must reach the source:\n$plan")
+    // exactness vs an unpushable baseline (expression key declines push)
+    val got = df.collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val baseline = scan()
+      .orderBy((col("score") * 1.0).desc, col("id")).limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(!scan().orderBy((col("score") * 1.0).desc, col("id")).limit(5)
+      .queryExecution.executedPlan.toString.contains("PushedTopN"),
+      "expression sort keys must decline the push")
+    assert(got.sameElements(baseline))
+    // ascending with nulls: note asc puts NULLS FIRST by default —
+    // the four null-note rows with smallest ids (11k multiples) win
+    val asc = scan().orderBy(col("note"), col("id")).limit(4)
+      .collect().map(r => (r.getLong(0), Option(r.getString(3))))
+    assert(asc.map(_._1).sameElements(Array(11L, 22L, 33L, 44L)) &&
+      asc.forall(_._2.isEmpty), asc.mkString(","))
+    // the scan's output is bounded by splits × n, not the table size
+    import org.apache.spark.sql.execution.SparkPlan
+    df.collect()
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        p +: nodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: nodes(q.plan)
+      case _ => p +: p.children.flatMap(nodes)
+    }
+    val scanNode = nodes(df.queryExecution.executedPlan).collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    val out = scanNode.metrics("numOutputRows").value
+    assert(out < 120, s"scan must emit per-split heads, not the table ($out)")
+  }
+
   test("column pruning: projecting one column still parses filter columns only as needed") {
     val dir = writeTsv(Seq("1\ta\t1.5\tn1", "2\tb\tnot_a_number\tn2"))
     // score is malformed on row 2, but a projection that never touches
