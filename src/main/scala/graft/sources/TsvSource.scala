@@ -128,6 +128,7 @@ final class TsvTable(tableSchema: StructType, path: String,
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   /** HIDDEN METADATA COLUMNS ([[SupportsMetadataColumns]]) — the DSv2
@@ -597,6 +598,92 @@ final class TsvScan(fullSchema: StructType, required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new TsvReaderFactory(fullSchema, required, pushed, limit, partitionCol,
       aggSpec, topN)
+
+  /** STREAMING front door ([[TableCapability.MICRO_BATCH_READ]]): the
+    * TSV store becomes an unbounded source. Offsets are the SET OF DATA
+    * FILES seen (sorted paths, serialized as a JSON array) under the
+    * same immutability contract as Spark's own FileStreamSource: files
+    * are append-only and never mutated once visible (exactly what the
+    * TSV sink's commit-time rename guarantees — a half-written task
+    * file lives under `_temporary/` where the listing never looks). A
+    * micro-batch is the file-set DELTA between two offsets, byte-split
+    * like the batch scan; pushed columns/filters flow through the same
+    * ScanBuilder. At gate scale the full file list per offset is fine;
+    * a 100 TB deployment compacts the seen-set into a log the way
+    * FileStreamSource's metadata log does — the offset CONTRACT (the
+    * delta defines the batch, replays plan identical batches) is what
+    * this implements. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new TsvMicroBatchStream(fullSchema, required, pushed, path,
+      splitBytes, partitionCol)
+}
+
+/** Offset = the sorted list of data-file paths visible at a point in
+  * time. Equality is by JSON (Spark's offset contract). */
+final case class TsvFilesOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    import org.json4s.JsonDSL._
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(files.toList))
+  }
+}
+
+final class TsvMicroBatchStream(fullSchema: StructType,
+    required: StructType, pushed: Array[Filter], path: String,
+    splitBytes: Long, partitionCol: Option[String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def currentFiles: Seq[String] = {
+    val root = new java.io.File(TsvWritePaths.strip(path))
+    def dataFiles(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(x => x.isFile && !x.getName.startsWith("_") &&
+          !x.getName.startsWith(".")).toSeq
+    val files =
+      if (!root.isDirectory) Seq(root).filter(_.isFile)
+      else dataFiles(root) ++ Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.contains("="))
+        .flatMap(dataFiles)
+    files.map(_.getPath).sorted
+  }
+
+  override def initialOffset(): Offset = TsvFilesOffset(Nil)
+  override def latestOffset(): Offset = TsvFilesOffset(currentFiles)
+  override def deserializeOffset(json: String): Offset = {
+    import org.json4s.DefaultFormats
+    implicit val fmt: DefaultFormats = DefaultFormats
+    TsvFilesOffset(org.json4s.jackson.JsonMethods.parse(json)
+      .extract[List[String]])
+  }
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[TsvFilesOffset].files.toSet
+    val batch = end.asInstanceOf[TsvFilesOffset].files.filterNot(seen)
+    batch.flatMap { p =>
+      val f = new java.io.File(p)
+      val keyed = partitionCol.flatMap { c =>
+        val parent = f.getParentFile.getName
+        if (parent.startsWith(c + "="))
+          scala.util.Try(parent.stripPrefix(c + "=").toLong).toOption
+        else None
+      }
+      (0L until math.max(f.length(), 1L) by splitBytes).map { s0 =>
+        val e0 = math.min(s0 + splitBytes, f.length())
+        keyed match {
+          case Some(v) => TsvKeyedInputPartition(p, s0, e0, v): InputPartition
+          case None => TsvInputPartition(p, s0, e0): InputPartition
+        }
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TsvReaderFactory(fullSchema, required, pushed, -1, partitionCol)
 }
 
 final case class TsvInputPartition(file: String, start: Long, end: Long)

@@ -1654,6 +1654,56 @@ object StreamingQueries extends QueryPack {
     out
   }
 
+  /** q289: STREAMING THE TSV STORE — the reference's native format
+    * becomes an unbounded source ([[graft.sources.TsvMicroBatchStream]],
+    * TableCapability.MICRO_BATCH_READ): offsets are the sorted data-file
+    * set, a micro-batch is the file-set delta, and the TSV SINK's
+    * commit-time rename (q277) is exactly the immutability contract the
+    * source's listing relies on (half-written task files live under
+    * `_temporary/`, invisible to offsets). The gate writes the corpus
+    * in TWO WAVES through the DSv2 sink with the stream already
+    * running, so the second wave arrives as a genuinely later
+    * micro-batch (StreamingSpec pins batchId ≥ 1 and the per-batch
+    * input split); complete-mode counts must equal the batch oracle
+    * over the full table. This closes the reference's own gap: its TSV
+    * front door is batch-only (SURVEY §1), ours streams. */
+  private def q289(s: SparkSession, dir: String): DataFrame = withNanosAsLong(s) {
+    val root = graft.operators.FileIO.scratch(dir, "stream_tsv_src")
+    rmrfAll(s, root)
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        pmod(col("user_id"), lit(4)).as("g"))
+    def dump(pred: org.apache.spark.sql.Column): Unit = base.filter(pred)
+      .write.format(classOf[graft.sources.TsvSourceProvider].getName)
+      .mode("append").option("path", root).save()
+    dump(col("event_id") % 2 === 0)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, event_type STRING, g BIGINT")
+    val agg = s.readStream
+      .format(classOf[graft.sources.TsvSourceProvider].getName)
+      .schema(schema).option("path", root).load()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("g").as("sum_g"))
+    val name = "graft_q289_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try {
+      query.processAllAvailable()
+      dump(col("event_id") % 2 === 1) // second wave: a later micro-batch
+      query.processAllAvailable()
+    } finally query.stop()
+    val result = s.table(name).orderBy("event_type")
+    val rows = result.collect()
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
+    s.catalog.dropTempView(name)
+    rmrfAll(s, root)
+    out
+  }
+
   /** q285: streaming POINT-IN-TIME enrichment — each in-flight event is
     * joined to the dimension VERSION that was current AT EVENT TIME,
     * not the latest snapshot (q168's shape). The static side is an
@@ -2170,6 +2220,10 @@ object StreamingQueries extends QueryPack {
         |    AS total_value
         |FROM events LEFT JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    Q("q289_stream_tsv_source", q289, Some(
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(user_id % 4) AS BIGINT) AS sum_g
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q285_stream_pit_enrich", q285, Some(
       """WITH d0 AS (SELECT o_custkey, epoch_us(o_orderdate) AS vf,
         |    max(o_totalprice) AS px FROM orders GROUP BY 1, 2),

@@ -13,6 +13,46 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val sf = "/root/testdata/sf0.001"
 
+  test("q289 TSV stream: file-set offsets deliver later files as later batches") {
+    val root = java.nio.file.Files.createTempDirectory("graft_tsv_stream").toString
+    def dump(ids: Range): Unit = {
+      import spark.implicits._
+      ids.map(i => (i.toLong, s"t${i % 3}", (i % 4).toLong))
+        .toDF("event_id", "event_type", "g")
+        .write.format(classOf[graft.sources.TsvSourceProvider].getName)
+        .mode("append").option("path", root).save()
+    }
+    dump(1 to 60)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, event_type STRING, g BIGINT")
+    val agg = spark.readStream
+      .format(classOf[graft.sources.TsvSourceProvider].getName)
+      .schema(schema).option("path", root).load()
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    val name = "graft_tsvstream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      val firstBatch = q.lastProgress.batchId
+      val firstRows = q.lastProgress.numInputRows
+      dump(61 to 100)
+      q.processAllAvailable()
+      // the second wave arrived as a strictly later batch with exactly
+      // its own rows — the offset DELTA defines the batch
+      assert(q.lastProgress.batchId > firstBatch,
+        s"expected a later batch, got ${q.lastProgress.batchId} vs $firstBatch")
+      assert(q.recentProgress.map(_.numInputRows).sum === 100)
+      assert(firstRows === 60)
+      val counts = spark.table(name).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts === Map("t0" -> 33L, "t1" -> 34L, "t2" -> 33L))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView(name)
+    }
+  }
+
   test("q285 PIT enrich joins hash-broadcast and stateless per micro-batch") {
     // the interval dim must reach the stream as a broadcast HASH join
     // (equi conjunct on the key, range residual post-probe) with no
