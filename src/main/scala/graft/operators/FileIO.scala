@@ -1243,6 +1243,51 @@ object FileIO extends QueryPack {
       .select("user_id", "n_clicks", "click_cents")
   }
 
+  /** q290: DSv2 TABLE CATALOG over the TSV store — the NAME-BASED front
+    * door ([[graft.sources.GraftTsvCatalog]], `spark.sql.catalog.<name>`
+    * plugin): CREATE NAMESPACE / CREATE TABLE / INSERT INTO / SELECT /
+    * DROP TABLE all resolve through the plugin to the same [[TsvTable]]
+    * the path API returns, so reads keep the scan ladder (pushdown,
+    * stats, ordering) and writes keep the sink's task-commit protocol —
+    * no paths in user SQL at all. The gate creates a table, loads it in
+    * two INSERT waves (append visibility across jobs), and aggregates
+    * by name; the catalog name is derived from the source dir so
+    * different fixtures in one session get separate plugin instances
+    * (catalog plugins cache their `root` at first load). At 100 TB the
+    * catalog IS the sharing contract: a thousand pipelines address one
+    * store by name and governance (retention DELETE, q280) runs against
+    * identifiers, not path strings. TsvCatalogSpec pins DDL semantics
+    * (exists/list/rename/drop, partitioned-create and ALTER refusals,
+    * cascade rules, sidecar survival under INSERT OVERWRITE). */
+  private def q290(s: SparkSession, dir: String): DataFrame = {
+    val cat = s"graft_store_${math.abs(dir.hashCode)}"
+    val root = scratch(dir, "tsv_catalog")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftTsvCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lake")
+    s.sql(s"DROP TABLE IF EXISTS $cat.lake.orders_t")
+    s.sql(s"""CREATE TABLE $cat.lake.orders_t (
+             |  o_orderkey BIGINT, o_custkey BIGINT,
+             |  o_totalprice DOUBLE, o_orderpriority STRING)""".stripMargin)
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .createOrReplaceTempView("graft_src290")
+    s.sql(s"INSERT INTO $cat.lake.orders_t " +
+      "SELECT * FROM graft_src290 WHERE o_orderkey % 2 = 0")
+    s.sql(s"INSERT INTO $cat.lake.orders_t " +
+      "SELECT * FROM graft_src290 WHERE o_orderkey % 2 = 1")
+    val result = s.sql(
+      s"""SELECT o_orderpriority AS priority, count(*) AS n,
+         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         |    AS revenue
+         |FROM $cat.lake.orders_t GROUP BY 1 ORDER BY 1""".stripMargin)
+    val rows = result.collect()
+    s.sql(s"DROP TABLE $cat.lake.orders_t")
+    s.catalog.dropTempView("graft_src290")
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+  }
+
   /** q265 setup: stats'd catalog tables for the CBO gate, built once per
     * source dir. `ANALYZE TABLE ... FOR ALL COLUMNS` collects the
     * row/size stats plus per-column NDV/min/max that cost-based join
@@ -1306,6 +1351,11 @@ object FileIO extends QueryPack {
   }
 
   override def queries: Seq[Q] = Seq(
+    Q("q290_tsv_table_catalog", q290, Some(
+      """SELECT o_orderpriority AS priority, count(*) AS n,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS revenue
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q288_dsv2_topn_pushdown", q288, Some(
       """WITH c AS (
         |  SELECT user_id, count(*) AS n_clicks,

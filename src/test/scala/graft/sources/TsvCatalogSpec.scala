@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.apache.spark.sql.AnalysisException
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DDL contract of the DSv2 TSV table catalog (q290): identifiers
+  * resolve to the same TsvTable the path API returns, sidecar schema is
+  * the single source of truth, and everything the catalog cannot do
+  * fails loudly instead of half-applying. */
+class TsvCatalogSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+
+  private def freshCatalog(): String = {
+    val name = "graft_ct_" + java.util.UUID.randomUUID().toString
+      .replace("-", "").take(10)
+    val root = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[GraftTsvCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    name
+  }
+
+  test("namespace + table lifecycle: create, exists, list, rename, drop") {
+    val c = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.ns1")
+    spark.sql(s"CREATE TABLE $c.ns1.t1 (id BIGINT, name STRING)")
+    spark.sql(s"CREATE TABLE $c.ns1.t2 (id BIGINT)")
+    assert(spark.sql(s"SHOW TABLES IN $c.ns1").collect()
+      .map(_.getString(1)).sorted.sameElements(Array("t1", "t2")))
+    // RENAME TO resolves its target within the same catalog
+    spark.sql(s"ALTER TABLE $c.ns1.t2 RENAME TO ns1.t3")
+    assert(spark.sql(s"SHOW TABLES IN $c.ns1").collect()
+      .map(_.getString(1)).sorted.sameElements(Array("t1", "t3")))
+    spark.sql(s"DROP TABLE $c.ns1.t3")
+    assert(spark.sql(s"SHOW TABLES IN $c.ns1").collect()
+      .map(_.getString(1)).sameElements(Array("t1")))
+    // a second create of an existing table fails
+    intercept[AnalysisException] {
+      spark.sql(s"CREATE TABLE $c.ns1.t1 (x BIGINT)")
+    }
+    // dropping a non-empty namespace needs CASCADE
+    intercept[Exception] { spark.sql(s"DROP NAMESPACE $c.ns1") }
+    spark.sql(s"DROP NAMESPACE $c.ns1 CASCADE")
+    assert(spark.sql(s"SHOW NAMESPACES IN $c").collect().isEmpty)
+  }
+
+  test("insert + select round-trip by name; schema sidecar survives overwrite") {
+    val c = freshCatalog()
+    import spark.implicits._
+    spark.sql(s"CREATE NAMESPACE $c.lake")
+    spark.sql(s"CREATE TABLE $c.lake.people (id BIGINT, name STRING, score DOUBLE)")
+    Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "score")
+      .createOrReplaceTempView("catspec_src")
+    spark.sql(s"INSERT INTO $c.lake.people SELECT * FROM catspec_src")
+    spark.sql(s"INSERT INTO $c.lake.people SELECT id + 10, name, score + 10 FROM catspec_src")
+    assert(spark.sql(s"SELECT count(*) FROM $c.lake.people").head().getLong(0) === 4)
+    // INSERT OVERWRITE truncates data but the sidecar (and so the
+    // table) survives — `_`-prefixed files are invisible to the sink's
+    // truncate listing by the same rule that hides them from scans
+    spark.sql(s"INSERT OVERWRITE $c.lake.people SELECT * FROM catspec_src")
+    val rows = spark.sql(s"SELECT id, name, score FROM $c.lake.people ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(rows.sameElements(Array((1L, "a", 1.5), (2L, "b", 2.5))))
+    spark.catalog.dropTempView("catspec_src")
+  }
+
+  test("refusals are loud: PARTITIONED BY, ALTER, multi-level namespaces") {
+    val c = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.ns")
+    val e1 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $c.ns.p (id BIGINT, shard BIGINT) PARTITIONED BY (shard)")
+    }
+    assert(e1.getMessage.contains("PARTITIONED BY"), e1.getMessage)
+    spark.sql(s"CREATE TABLE $c.ns.t (id BIGINT)")
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.ns.t ADD COLUMN extra BIGINT")
+    }
+    assert(e2.getMessage.contains("ALTER TABLE") ||
+      e2.getMessage.contains("not supported"), e2.getMessage)
+    intercept[Exception] { spark.sql(s"CREATE NAMESPACE $c.a.b") }
+  }
+}
