@@ -36,5 +36,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // without extensions
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.AsOfJoinRules)
+    e.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(
+        classOf[graft.functions.ShingleGenerator].getName, "graft_shingles"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.ShingleGenerator(exprs(0), exprs(1))))
   }
 }

@@ -59,8 +59,75 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native Catalyst GENERATOR for word n-gram shingles — the last
+  * expression CLASS in the custom-function ladder (scalar q229, typed
+  * Aggregator q38, codegen binary q213's dot — and now a table-valued
+  * generator): `graft_shingles(text, n)` emits one `(pos, shingle)` ROW
+  * per window position, straight from the tokenizer, with NO
+  * intermediate array. The composed alternative —
+  * `explode(transform(sequence(...), i -> ...))` or collecting a
+  * shingle array and exploding it — materializes an O(tokens)
+  * array-of-strings per document before the generator runs; on a
+  * 100 TB corpus that is the single largest transient allocation in
+  * the dedup pipeline's hot path. A Generator STREAMS: GenerateExec
+  * pulls one shingle at a time, so per-row state is the token array
+  * alone. Split semantics are byte-identical to the dedup pack and the
+  * DuckDB oracles: single-space split KEEPING empty tokens
+  * (`split(" ", -1)` = SQL `split`/`string_split`). Null text or
+  * n > tokens ⇒ zero rows (matching LATERAL's empty-generator
+  * behavior); `pos` is 0-based. */
+case class ShingleGenerator(text: Expression, size: Expression)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(text, size)
+
+  override def elementSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("shingle", StringType,
+        nullable = false)))
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (text.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_shingles: text must be STRING, got ${text.dataType.sql}")
+    else if (size.dataType != org.apache.spark.sql.types.IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_shingles: n must be INT, got ${size.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+      : IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val t = text.eval(input)
+    val k0 = size.eval(input)
+    if (t == null || k0 == null) Iterator.empty
+    else {
+      val k = k0.asInstanceOf[Int]
+      if (k < 1) throw new IllegalArgumentException(
+        s"graft_shingles: n must be >= 1, got $k")
+      val words = t.asInstanceOf[UTF8String].toString.split(" ", -1)
+      if (words.length < k) Iterator.empty
+      else (0 to words.length - k).iterator.map { i =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          i, UTF8String.fromString(words.slice(i, i + k).mkString(" ")))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(text = newChildren(0), size = newChildren(1))
+}
+
 object TextFunctions {
   private val fnName = "graft_nfc"
+  private[graft] val shinglesName = "graft_shingles"
 
   /** Register once per session (absent-only, the VectorFunctions
     * discipline — the builder closes over nothing, so a stale
@@ -70,6 +137,10 @@ object TextFunctions {
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(fnName)))
       reg.createOrReplaceTempFunction(
         fnName, exprs => NfcNormalize(exprs(0)), "built-in")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(shinglesName)))
+      reg.createOrReplaceTempFunction(
+        shinglesName, exprs => ShingleGenerator(exprs(0), exprs(1)), "built-in")
   }
 
   /** NFC-normalize a string column (by SQL-visible expression text). */
@@ -77,4 +148,7 @@ object TextFunctions {
     ensureRegistered(s)
     expr(s"$fnName($sqlText)")
   }
+
+  /** Make `graft_shingles` callable from SQL in this session. */
+  def ensureShingles(s: SparkSession): Unit = ensureRegistered(s)
 }

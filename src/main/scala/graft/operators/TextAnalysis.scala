@@ -739,7 +739,43 @@ object TextAnalysis extends QueryPack {
       .orderBy("k")
   }
 
+  /** q291: the NATIVE shingle GENERATOR ([[graft.functions
+    * .ShingleGenerator]] — the table-valued expression class, completing
+    * the custom-function ladder next to scalar/codegen/Aggregator) doing
+    * a corpus shingle inventory via SQL LATERAL: each document streams
+    * its `(pos, shingle)` rows straight out of the tokenizer with NO
+    * intermediate shingle array (the composed explode(transform(...))
+    * shape materializes O(tokens) strings per doc first — the dedup
+    * pipeline's biggest transient allocation at corpus scale). Split
+    * semantics are byte-identical to the dedup pack/oracles (single
+    * space, empties kept). Output: the 20 highest-df shingles with
+    * occurrence counts and earliest position — the boilerplate-
+    * detection prefilter (q182's family) as one generator + aggregate. */
+  private def q291(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextFunctions.ensureShingles(s)
+    Tables.documents(s, dir).select("doc_id", "text")
+      .createOrReplaceTempView("graft_docs291")
+    s.sql(
+      """SELECT t.shingle, count(*) AS n, count(DISTINCT doc_id) AS df,
+        |  CAST(min(t.pos) AS BIGINT) AS first_pos
+        |FROM graft_docs291
+        |LATERAL VIEW graft_shingles(text, 3) t AS pos, shingle
+        |GROUP BY 1 ORDER BY df DESC, n DESC, shingle LIMIT 20""".stripMargin)
+  }
+
   override def queries: Seq[Q] = Seq(
+    Q("q291_shingle_generator", q291, Some(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |    unnest([i - 1 FOR i IN generate_series(1, len(w) - 2)]) AS pos,
+        |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |            FOR i IN generate_series(1, len(w) - 2)]) AS shingle
+        |  FROM toks)
+        |SELECT shingle, count(*) AS n, count(DISTINCT doc_id) AS df,
+        |  min(pos) AS first_pos
+        |FROM sh GROUP BY 1
+        |ORDER BY df DESC, n DESC, shingle LIMIT 20""".stripMargin)),
     Q("q250_quality_inference", q250, Some(
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w
          |  FROM documents),

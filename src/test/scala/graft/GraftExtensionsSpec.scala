@@ -10,6 +10,38 @@ class GraftExtensionsSpec extends AnyFunSuite {
     new GraftExtensions().apply(new SparkSessionExtensions) // must not throw
   }
 
+  test("graft_shingles generator matches the composed explode shape, incl. edges") {
+    graft.functions.TextFunctions.ensureShingles(spark)
+    import spark.implicits._
+    Seq(
+      (1L, "a b c d"),            // 2 tri-shingles
+      (2L, "a  b c"),             // double space: EMPTY token kept
+      (3L, "x y"),                // shorter than n -> zero rows
+      (4L, null.asInstanceOf[String]), // null -> zero rows
+      (5L, "a b c")               // exactly n -> one row at pos 0
+    ).toDF("doc_id", "text").createOrReplaceTempView("shgen_docs")
+    val gen = spark.sql(
+      """SELECT doc_id, t.pos, t.shingle FROM shgen_docs
+        |LATERAL VIEW graft_shingles(text, 3) t AS pos, shingle
+        |ORDER BY doc_id, pos""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // composed shape: split + positional transform + explode
+    val composed = spark.sql(
+      """SELECT doc_id, t.i AS pos,
+        |  concat_ws(' ', slice(split(text, ' ', -1), t.i + 1, 3)) AS shingle
+        |FROM shgen_docs
+        |LATERAL VIEW explode(sequence(0, size(split(text, ' ', -1)) - 3)) t AS i
+        |WHERE text IS NOT NULL AND size(split(text, ' ', -1)) >= 3
+        |ORDER BY doc_id, pos""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(gen.sameElements(composed), s"\n${gen.mkString(",")}\nvs\n${composed.mkString(",")}")
+    assert(gen.count(_._1 == 2L) == 2 && gen.exists(x => x._1 == 2L && x._3 == "a  b"),
+      "empty tokens must be kept (SQL split semantics)")
+    assert(!gen.exists(x => x._1 == 3L || x._1 == 4L))
+    assert(gen.filter(_._1 == 5L).map(_._2).sameElements(Array(0)))
+    spark.catalog.dropTempView("shgen_docs")
+  }
+
   test("graft_dot is callable from SQL once registered") {
     graft.functions.VectorFunctions.dot(spark, "x", "x") // triggers registration
     val r = spark.sql(
