@@ -93,6 +93,27 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces {
         "graft tsv catalog: PARTITIONED BY is not supported at create " +
           "time (the sink writes flat layouts; keyed shard=<v>/ layouts " +
           "are the path API's read/delete surface)")
+    // the loud-refusal contract extends to clauses the catalog would
+    // otherwise silently ignore: a LOCATION/EXTERNAL table would write
+    // somewhere other than the managed root, and an explicit USING of a
+    // DIFFERENT format would store TSV under a parquet-shaped promise.
+    // (`USING <session default>` is indistinguishable from no USING —
+    // Spark fills the provider property either way — so the default
+    // passes and anything else fails.)
+    if (properties.containsKey(TableCatalog.PROP_LOCATION) ||
+        "true".equalsIgnoreCase(properties.get(TableCatalog.PROP_EXTERNAL)))
+      throw new UnsupportedOperationException(
+        "graft tsv catalog: LOCATION/EXTERNAL are not supported — " +
+          "tables are managed under the catalog root")
+    val provider = properties.get(TableCatalog.PROP_PROVIDER)
+    val defaultProvider =
+      org.apache.spark.sql.internal.SQLConf.get.defaultDataSourceName
+    if (provider != null && provider != defaultProvider &&
+        !Set("tsv", "graft_tsv", classOf[TsvSourceProvider].getName)
+          .contains(provider.toLowerCase(java.util.Locale.ROOT)))
+      throw new UnsupportedOperationException(
+        s"graft tsv catalog: USING $provider is not supported — this " +
+          "catalog stores TSV (omit USING, or say USING graft_tsv)")
     val dir = tableDir(ident)
     if (schemaFile(dir).isFile) throw new TableAlreadyExistsException(ident)
     if (!dir.getParentFile.isDirectory)

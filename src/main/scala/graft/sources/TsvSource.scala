@@ -502,19 +502,9 @@ final class TsvScan(fullSchema: StructType, required: StructType,
     }
 
   /** Keyed subdirectories of a hive-style layout, sorted by key value
-    * for deterministic planning. */
-  private lazy val partitionDirs: Seq[(Long, java.io.File)] = {
-    val c = partitionCol.get
-    val root = new java.io.File(TsvWritePaths.strip(path))
-    require(root.isDirectory,
-      s"graft tsv source: partition_col layout needs a directory: $path")
-    val dirs = root.listFiles()
-      .filter(d => d.isDirectory && d.getName.startsWith(c + "="))
-      .toSeq
-    require(dirs.nonEmpty,
-      s"graft tsv source: no $c=<value> subdirectories under $path")
-    dirs.map(d => d.getName.stripPrefix(c + "=").toLong -> d).sortBy(_._1)
-  }
+    * for deterministic planning (shared contract: [[TsvLayout]]). */
+  private lazy val partitionDirs: Seq[(Long, java.io.File)] =
+    TsvLayout.partitionDirs(path, partitionCol.get, strict = true)
 
   /** Size estimate for the planner ([[SupportsReportStatistics]]):
     * without it a DSv2 relation defaults to "unknown = huge", so a
@@ -571,29 +561,20 @@ final class TsvScan(fullSchema: StructType, required: StructType,
           }.map(p => p: InputPartition).toArray
       case None =>
         val f = new java.io.File(TsvWritePaths.strip(path))
-        val files = if (f.isDirectory) listDataFiles(f) else Seq(f)
+        val files = if (f.isDirectory) TsvLayout.listDataFiles(f) else Seq(f)
         files.flatMap(file => byteSplits(file).map {
           case (start, end) => TsvInputPartition(file.getPath, start, end)
         }).map(p => p: InputPartition).toArray
     }
 
-  private def byteSplits(file: java.io.File): Seq[(Long, Long)] = {
-    val len = file.length()
-    if (len == 0) Nil
-    else (0L until len by splitBytes)
-      .map(start => (start, math.min(start + splitBytes, len)))
-  }
+  private def byteSplits(file: java.io.File): Seq[(Long, Long)] =
+    TsvLayout.byteSplits(file, splitBytes)
 
   private def dataFilesIn(d: java.io.File): Seq[java.io.File] =
-    d.listFiles().filter(x => x.isFile && !x.getName.startsWith("_")
-      && !x.getName.startsWith(".")).sortBy(_.getPath).toSeq
+    TsvLayout.dataFilesIn(d)
 
-  /** Data files directly under `f`, plus those one level down inside
-    * hive-style `name=value` subdirectories. */
   private def listDataFiles(f: java.io.File): Seq[java.io.File] =
-    dataFilesIn(f) ++ f.listFiles().filter(d =>
-      d.isDirectory && d.getName.contains("=")).sortBy(_.getPath)
-      .flatMap(dataFilesIn)
+    TsvLayout.listDataFiles(f)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new TsvReaderFactory(fullSchema, required, pushed, limit, partitionCol,
@@ -636,22 +617,32 @@ final class TsvMicroBatchStream(fullSchema: StructType,
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  private def currentFiles: Seq[String] = {
-    val root = new java.io.File(TsvWritePaths.strip(path))
-    def dataFiles(d: java.io.File): Seq[java.io.File] =
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(x => x.isFile && !x.getName.startsWith("_") &&
-          !x.getName.startsWith(".")).toSeq
-    val files =
-      if (!root.isDirectory) Seq(root).filter(_.isFile)
-      else dataFiles(root) ++ Option(root.listFiles()).getOrElse(Array.empty)
-        .filter(d => d.isDirectory && d.getName.contains("="))
-        .flatMap(dataFiles)
-    files.map(_.getPath).sorted
-  }
+  /** The SAME file view the batch scan reads ([[TsvLayout]]): a keyed
+    * store lists ONLY `<col>=<v>/` directories (a stray root file or a
+    * foreign `other=…/` dir is invisible to both paths alike); an
+    * unkeyed store lists root files plus any hive-style subdir. Keyed
+    * file→key mapping rides along so [[planInputPartitions]] never
+    * re-derives keys by parsing parent names. The one deliberate delta
+    * from batch: an EMPTY keyed store is a legitimate pre-first-commit
+    * stream state, not a loud error (strict = false). */
+  private def currentKeyedFiles: Seq[(String, Option[Long])] =
+    partitionCol match {
+      case Some(c) =>
+        TsvLayout.partitionDirs(path, c, strict = false).flatMap {
+          case (v, d) => TsvLayout.dataFilesIn(d)
+            .map(f => f.getPath -> Some(v))
+        }
+      case None =>
+        val root = new java.io.File(TsvWritePaths.strip(path))
+        val files =
+          if (root.isDirectory) TsvLayout.listDataFiles(root)
+          else Seq(root).filter(_.isFile)
+        files.map(f => f.getPath -> None)
+    }
 
   override def initialOffset(): Offset = TsvFilesOffset(Nil)
-  override def latestOffset(): Offset = TsvFilesOffset(currentFiles)
+  override def latestOffset(): Offset =
+    TsvFilesOffset(currentKeyedFiles.map(_._1).sorted)
   override def deserializeOffset(json: String): Offset = {
     import org.json4s.DefaultFormats
     implicit val fmt: DefaultFormats = DefaultFormats
@@ -663,22 +654,15 @@ final class TsvMicroBatchStream(fullSchema: StructType,
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[TsvFilesOffset].files.toSet
-    val batch = end.asInstanceOf[TsvFilesOffset].files.filterNot(seen)
-    batch.flatMap { p =>
-      val f = new java.io.File(p)
-      val keyed = partitionCol.flatMap { c =>
-        val parent = f.getParentFile.getName
-        if (parent.startsWith(c + "="))
-          scala.util.Try(parent.stripPrefix(c + "=").toLong).toOption
-        else None
-      }
-      (0L until math.max(f.length(), 1L) by splitBytes).map { s0 =>
-        val e0 = math.min(s0 + splitBytes, f.length())
-        keyed match {
-          case Some(v) => TsvKeyedInputPartition(p, s0, e0, v): InputPartition
-          case None => TsvInputPartition(p, s0, e0): InputPartition
+    val batch = end.asInstanceOf[TsvFilesOffset].files.toSet -- seen
+    currentKeyedFiles.filter(kv => batch.contains(kv._1)).flatMap {
+      case (p, key) =>
+        TsvLayout.byteSplits(new java.io.File(p), splitBytes).map {
+          case (s0, e0) => key match {
+            case Some(v) => TsvKeyedInputPartition(p, s0, e0, v): InputPartition
+            case None => TsvInputPartition(p, s0, e0): InputPartition
+          }
         }
-      }
     }.toArray
   }
 
@@ -735,8 +719,9 @@ final class TsvReaderFactory(fullSchema: StructType, required: StructType,
   * partial-push contract keeps Spark's global TakeOrdered, which
   * re-sorts k·n rows). Memory is O(n) rows regardless of split size;
   * null placement and direction follow the RESOLVED connector order
-  * verbatim. Rows are copied on retention only (the raw reader reuses
-  * its buffer). */
+  * verbatim. Retained rows are NOT copied: [[TsvPartitionReader]]
+  * builds a fresh InternalRow per line (pinned at its `get`) — if the
+  * raw reader ever moves to buffer reuse, this heap must copy. */
 final class TsvTopNReader(base: TsvPartitionReader,
     schema: StructType, spec: TsvTopNSpec)
     extends PartitionReader[InternalRow] {
@@ -776,9 +761,9 @@ final class TsvTopNReader(base: TsvPartitionReader,
     try {
       while (base.next()) {
         val r = base.get()
-        if (heap.size < spec.n) heap.add(r.copy())
+        if (heap.size < spec.n) heap.add(r)
         else if (spec.n > 0 && cmpRows(r, heap.peek()) < 0) {
-          heap.poll(); heap.add(r.copy())
+          heap.poll(); heap.add(r)
         }
       }
     } finally base.close()
@@ -1056,6 +1041,8 @@ final class TsvPartitionReader(fullSchema: StructType, required: StructType,
           i += 1
           }
         }
+        // a FRESH row per line — downstream wrappers (TsvTopNReader's
+        // heap) retain rows without copying on this contract
         row = InternalRow.fromSeq(values.toIndexedSeq)
         emitted += 1
         return true
@@ -1150,6 +1137,51 @@ final class TsvBatchWrite(schema: StructType, path: String,
 /** Path helpers shared by the scan and the sink — ONE copy of the
   * file:-scheme normalization so read and write always resolve the
   * same `path` option to the same directory. */
+/** The layout contract shared by the BATCH scan and the MICRO-BATCH
+  * stream — one definition of "what is a data file", "which dirs are
+  * key partitions", and "how does a file byte-split", so the two read
+  * paths can never drift (they previously each had a copy). */
+private[sources] object TsvLayout {
+  /** Data files directly in `d`: `_`/`.`-prefixed names are sidecars
+    * and temp markers, invisible to every reader. */
+  def dataFilesIn(d: java.io.File): Seq[java.io.File] =
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(x => x.isFile && !x.getName.startsWith("_")
+        && !x.getName.startsWith(".")).sortBy(_.getPath).toSeq
+
+  /** Data files directly under `f`, plus those one level down inside
+    * hive-style `name=value` subdirectories (the UNKEYED read view). */
+  def listDataFiles(f: java.io.File): Seq[java.io.File] =
+    dataFilesIn(f) ++ Option(f.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.contains("=")).sortBy(_.getPath)
+      .flatMap(dataFilesIn)
+
+  /** Keyed subdirectories of a hive-style layout, sorted by key value.
+    * `strict` (the batch contract) fails loudly on a missing layout or
+    * zero key dirs; the stream passes false — an empty store before
+    * the first sink commit is a legitimate stream state, not an error. */
+  def partitionDirs(path: String, c: String, strict: Boolean)
+      : Seq[(Long, java.io.File)] = {
+    val root = new java.io.File(TsvWritePaths.strip(path))
+    if (strict) require(root.isDirectory,
+      s"graft tsv source: partition_col layout needs a directory: $path")
+    val dirs = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith(c + "="))
+      .toSeq
+    if (strict) require(dirs.nonEmpty,
+      s"graft tsv source: no $c=<value> subdirectories under $path")
+    dirs.map(d => d.getName.stripPrefix(c + "=").toLong -> d).sortBy(_._1)
+  }
+
+  /** Newline-aligned byte ranges (empty files yield no splits). */
+  def byteSplits(file: java.io.File, splitBytes: Long): Seq[(Long, Long)] = {
+    val len = file.length()
+    if (len == 0) Nil
+    else (0L until len by splitBytes)
+      .map(start => (start, math.min(start + splitBytes, len)))
+  }
+}
+
 private[sources] object TsvWritePaths {
   def strip(p: String): String =
     if (p.startsWith("file:")) p.stripPrefix("file:") else p

@@ -78,5 +78,18 @@ class TsvCatalogSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("ALTER TABLE") ||
       e2.getMessage.contains("not supported"), e2.getMessage)
     intercept[Exception] { spark.sql(s"CREATE NAMESPACE $c.a.b") }
+    // USING a different format and LOCATION are refused (silently
+    // storing TSV under a parquet-shaped promise is the hazard)
+    val e3 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $c.ns.u (id BIGINT) USING orc")
+    }
+    assert(e3.getMessage.contains("USING orc"), e3.getMessage)
+    val e4 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $c.ns.v (id BIGINT) LOCATION '/tmp/elsewhere'")
+    }
+    assert(e4.getMessage.contains("LOCATION"), e4.getMessage)
+    // explicit graft_tsv provider and the session default both pass
+    spark.sql(s"CREATE TABLE $c.ns.w (id BIGINT) USING graft_tsv")
+    assert(spark.sql(s"SELECT count(*) FROM $c.ns.w").head().getLong(0) === 0)
   }
 }
