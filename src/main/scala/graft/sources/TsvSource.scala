@@ -245,6 +245,7 @@ final class TsvScanBuilder(fullSchema: StructType, path: String,
     true
   }
 
+
   /** AGGREGATE PUSHDOWN ([[SupportsPushDownAggregates]]), PARTIAL mode:
     * each split pre-aggregates its own lines and emits one row per
     * group; Spark's final Aggregate merges the k·|groups| partial rows

@@ -195,6 +195,18 @@ class TsvSourceSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), Option(r.getString(3))))
     assert(asc.map(_._1).sameElements(Array(11L, 22L, 33L, 44L)) &&
       asc.forall(_._2.isEmpty), asc.mkString(","))
+    // PAGINATION rides the same push: Spark folds LIMIT n OFFSET m into
+    // pushTopN(n + m) itself (SupportsPushDownOffset is never consulted
+    // for a partially-pushed sorted limit — probed empirically), the
+    // per-split heads widen to n + m, and the retained global
+    // sort+offset finishes exactly
+    val page = scan("split_bytes" -> "128")
+      .orderBy(col("score").desc, col("id")).offset(5).limit(10)
+    assert(page.queryExecution.executedPlan.toString.contains("LIMIT 15"),
+      "offset must widen the pushed top-N")
+    val all = scan().orderBy(col("score").desc, col("id")).collect()
+      .map(_.getLong(0))
+    assert(page.collect().map(_.getLong(0)).sameElements(all.slice(5, 15)))
     // the scan's output is bounded by splits × n, not the table size
     import org.apache.spark.sql.execution.SparkPlan
     df.collect()
