@@ -261,6 +261,41 @@ class AsOfJoinNativeSpec extends AnyFunSuite {
     assert(q.collect().nonEmpty)
   }
 
+  test("AQE partition coalescing keeps both children aligned (zipPartitions contract)") {
+    // the exec's merge zips the two children's partitions positionally;
+    // AQE's CoalesceShufflePartitions must therefore coalesce BOTH
+    // shuffles with the same partition specs. Force real coalescing to
+    // MULTIPLE final partitions (tiny advisory size, skewed key volume)
+    // and require exact results — a misaligned zip would drop/mismatch
+    // whole key groups, not perturb a row
+    val prevAdvisory = spark.conf.get(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes", "67108864")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2KB")
+    try {
+      val rnd = new scala.util.Random(7)
+      // skew: key 0 carries half the left volume
+      val l = (1 to 6000).map { i =>
+        val k = if (i % 2 == 0) 0L else (rnd.nextInt(40) + 1).toLong
+        (java.lang.Long.valueOf(k), java.lang.Long.valueOf(rnd.nextInt(500)),
+          s"l$i")
+      }
+      val r = (1 to 800).map { i =>
+        (java.lang.Long.valueOf(i % 45), java.lang.Long.valueOf(rnd.nextInt(500)), s"r$i")
+      }.groupBy(x => (x._1, x._2)).map(_._2.head).toSeq
+      val got = NativeAsOfJoin.leftAsOf(leftDf(l), rightDf(r), "k", "rk", "t", "rt")
+        .groupBy("k")
+        .agg(count($"payload").as("n_matched"), count(lit(1)).as("n"))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      val brute = l.groupBy(_._1).map { case (k, rows) =>
+        val matched = rows.count { case (_, t, _) =>
+          t != null && r.exists(x => x._1 == k && x._2 != null && x._2 <= t) }
+        (k.longValue(), matched.toLong, rows.size.toLong)
+      }.toSet
+      assert(got === brute)
+    } finally spark.conf.set(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes", prevAdvisory)
+  }
+
   test("q281 gate equals the compositional q35 carried through the same aggregate") {
     val ev = graft.sources.Tables.events(spark, sf)
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
