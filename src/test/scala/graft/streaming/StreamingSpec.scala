@@ -53,6 +53,40 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("q289 TSV stream restarts exactly-once from its checkpointed file-set offset") {
+    // stop the query between waves and restart against the SAME
+    // checkpoint: the resumed stream must deserialize the committed
+    // offset (the JSON file-set round-trip only a real restart
+    // exercises) and read ONLY the delta — no replays, no gaps
+    val root = java.nio.file.Files.createTempDirectory("graft_tsv_restart").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_tsv_restart_ck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_tsv_restart_out").toString
+    def dump(ids: Range): Unit = {
+      import spark.implicits._
+      ids.map(i => (i.toLong, s"t${i % 3}")).toDF("event_id", "event_type")
+        .write.format(classOf[graft.sources.TsvSourceProvider].getName)
+        .mode("append").option("path", root).save()
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, event_type STRING")
+    def start() = spark.readStream
+      .format(classOf[graft.sources.TsvSourceProvider].getName)
+      .schema(schema).option("path", root).load()
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ck)
+      .format("parquet").option("path", out)
+      .start()
+    dump(1 to 50)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    dump(51 to 120) // arrives while NO query is running
+    val q2 = start() // fresh query object, same checkpoint
+    try q2.processAllAvailable() finally q2.stop()
+    val ids = spark.read.parquet(out).collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids.length === 120, s"exactly-once violated: ${ids.length} rows")
+    assert(ids == (1L to 120L))
+  }
+
   test("q285 PIT enrich joins hash-broadcast and stateless per micro-batch") {
     // the interval dim must reach the stream as a broadcast HASH join
     // (equi conjunct on the key, range residual post-probe) with no
