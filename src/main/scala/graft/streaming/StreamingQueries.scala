@@ -1704,6 +1704,58 @@ object StreamingQueries extends QueryPack {
     out
   }
 
+  /** q292: NAME-BASED STREAMING — the whole pipeline with no path
+    * strings anywhere: the table is CREATEd through the DSv2 catalog
+    * (q290), loaded by `spark.readStream.table("cat.ns.t")` (the
+    * catalog's TsvTable reports MICRO_BATCH_READ, q289's stream), and
+    * fed by SQL `INSERT INTO` while the stream runs — DDL, DML, and
+    * the unbounded read all resolve through one identifier. This is
+    * the production composition the pieces were built for: ingestion
+    * jobs INSERT by name, the curation stream tails the same name, and
+    * nobody passes storage layout around. Second wave arrives as a
+    * later micro-batch (same offset contract as q289); complete-mode
+    * counts must equal the batch oracle over the full source. */
+  private def q292(s: SparkSession, dir: String): DataFrame = withNanosAsLong(s) {
+    val cat = s"graft_store_${math.abs(dir.hashCode)}"
+    val root = graft.operators.FileIO.scratch(dir, "tsv_catalog")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftTsvCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lake")
+    s.sql(s"DROP TABLE IF EXISTS $cat.lake.events_t")
+    s.sql(s"CREATE TABLE $cat.lake.events_t " +
+      "(event_id BIGINT, event_type STRING, g BIGINT)")
+    Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        pmod(col("user_id"), lit(8)).as("g"))
+      .createOrReplaceTempView("graft_src292")
+    s.sql(s"INSERT INTO $cat.lake.events_t " +
+      "SELECT * FROM graft_src292 WHERE event_id % 2 = 0")
+    val agg = s.readStream.table(s"$cat.lake.events_t")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("g").as("sum_g"))
+    val name = "graft_q292_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try {
+      query.processAllAvailable()
+      s.sql(s"INSERT INTO $cat.lake.events_t " +
+        "SELECT * FROM graft_src292 WHERE event_id % 2 = 1")
+      query.processAllAvailable()
+    } finally query.stop()
+    val result = s.table(name).orderBy("event_type")
+    val rows = result.collect()
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
+    s.catalog.dropTempView(name)
+    s.catalog.dropTempView("graft_src292")
+    s.sql(s"DROP TABLE $cat.lake.events_t")
+    out
+  }
+
   /** q285: streaming POINT-IN-TIME enrichment — each in-flight event is
     * joined to the dimension VERSION that was current AT EVENT TIME,
     * not the latest snapshot (q168's shape). The static side is an
@@ -2220,6 +2272,10 @@ object StreamingQueries extends QueryPack {
         |    AS total_value
         |FROM events LEFT JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    Q("q292_stream_by_name", q292, Some(
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(user_id % 8) AS BIGINT) AS sum_g
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q289_stream_tsv_source", q289, Some(
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(user_id % 4) AS BIGINT) AS sum_g
