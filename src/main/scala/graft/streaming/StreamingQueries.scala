@@ -1704,6 +1704,82 @@ object StreamingQueries extends QueryPack {
     out
   }
 
+  /** q293: stream PIT against a BUCKETED interval table — q285's
+    * documented scale path built: when the versioned dimension outgrows
+    * a broadcast, the compacted SCD2 intervals persist ONCE as a
+    * bucketed catalog table (bucketBy + sortBy on the key, one file per
+    * bucket) and the per-micro-batch join becomes a SORT-MERGE whose
+    * dim side reads co-located, pre-sorted buckets with NO exchange and
+    * NO re-broadcast — only the O(batch) stream side moves (the q260
+    * discipline applied to the PIT shape; the range residual rides the
+    * merge join's condition). StreamingSpec pins the bucketed dim scan
+    * and the exchange-free dim branch on the real micro-batch plan.
+    * Tier grain deliberately differs from q285 (25k vs 50k) so the two
+    * gates state distinct results. */
+  private def q293(s: SparkSession, dir: String): DataFrame = withNanosAsLong(s) {
+    import graft.functions.Exact.dec
+    ensurePitDim(s, dir)
+    val dim = s.table(pitDimTbl).hint("merge")
+    val stream = eventsStream(s, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("us"))
+    val agg = stream
+      .join(dim,
+        col("user_id") === col("o_custkey") &&
+          col("us") >= col("vf") && col("us") < col("vt"), "left")
+      .select(coalesce(col("tier").cast("string"), lit("NONE")).as("tier"),
+        col("event_type"), col("value"))
+      .groupBy("tier", "event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(dec(col("value"))).cast("double"), 2).as("total_value"))
+    val name = "graft_q293_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try query.processAllAvailable()
+    finally query.stop()
+    val result = s.table(name).orderBy("tier", "event_type")
+    val rows = result.collect()
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
+    s.catalog.dropTempView(name)
+    out
+  }
+
+  private[streaming] val pitDimTbl = "graft_q293_pit_dim"
+
+  /** Build the compacted SCD2 interval dim ONCE per (process, dir) as a
+    * bucketed table (see [[q293]]). */
+  private[streaming] def ensurePitDim(s: SparkSession, dir: String): Unit = {
+    if (tableSource.get(pitDimTbl) != dir || !s.catalog.tableExists(pitDimTbl)) {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("o_custkey").orderBy("vf")
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max("o_totalprice").as("px"))
+        .select(col("o_custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("vf"),
+          floor(col("px") / 25000).cast("long").as("tier"))
+        .withColumn("vt",
+          coalesce(lead(col("vf"), 1).over(w), lit(Long.MaxValue)))
+        .withColumn("chg",
+          when(lag(col("tier"), 1).over(w).isNull ||
+            lag(col("tier"), 1).over(w) =!= col("tier"), lit(1))
+            .otherwise(lit(0)))
+        .withColumn("run",
+          sum(col("chg")).over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("o_custkey", "run")
+        .agg(min("vf").as("vf"), max("vt").as("vt"), first("tier").as("tier"))
+        .select("o_custkey", "vf", "vt", "tier")
+        .repartition(16, col("o_custkey"))
+        .write.mode("overwrite").bucketBy(16, "o_custkey")
+        .sortBy("o_custkey", "vf").saveAsTable(pitDimTbl)
+      tableSource.put(pitDimTbl, dir)
+    }
+  }
+
   /** q292: NAME-BASED STREAMING — the whole pipeline with no path
     * strings anywhere: the table is CREATEd through the DSv2 catalog
     * (q290), loaded by `spark.readStream.table("cat.ns.t")` (the
@@ -2272,6 +2348,23 @@ object StreamingQueries extends QueryPack {
         |    AS total_value
         |FROM events LEFT JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    Q("q293_stream_pit_bucketed", q293, Some(
+      """WITH d0 AS (SELECT o_custkey, epoch_us(o_orderdate) AS vf,
+        |    max(o_totalprice) AS px FROM orders GROUP BY 1, 2),
+        |d AS (SELECT o_custkey, vf,
+        |    coalesce(lead(vf) OVER (PARTITION BY o_custkey ORDER BY vf),
+        |      9223372036854775807) AS vt,
+        |    CAST(floor(px / 25000) AS BIGINT) AS tier FROM d0),
+        |e AS (SELECT user_id, event_type, value, epoch_us(ts) AS us
+        |  FROM events),
+        |j AS (SELECT coalesce(CAST(d.tier AS VARCHAR), 'NONE') AS tier,
+        |    e.event_type, e.value
+        |  FROM e LEFT JOIN d ON d.o_custkey = e.user_id
+        |    AND e.us >= d.vf AND e.us < d.vt)
+        |SELECT tier, event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+        |    AS total_value
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     Q("q292_stream_by_name", q292, Some(
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(user_id % 8) AS BIGINT) AS sum_g

@@ -87,6 +87,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids == (1L to 120L))
   }
 
+  test("q293 bucketed PIT dim joins with no exchange on the dim side per micro-batch") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    StreamingQueries.ensurePitDim(spark, sf)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.events(spark, sf).schema
+    val joined = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .join(spark.table(StreamingQueries.pitDimTbl).hint("merge"),
+        col("user_id") === col("o_custkey") &&
+          col("us") >= col("vf") && col("us") < col("vt"), "left")
+      .groupBy("tier").agg(count(lit(1)).as("n"))
+    val name = "graft_pitbkt_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = joined.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    val plan =
+      try {
+        q.processAllAvailable()
+        q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+          .streamingQuery.lastExecution.executedPlan
+      } finally q.stop()
+    spark.catalog.dropTempView(name)
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap(nodes)
+    val dimScan = nodes(plan).collectFirst {
+      case f: FileSourceScanExec if f.tableIdentifier.exists(
+        _.table == StreamingQueries.pitDimTbl) => f
+    }.getOrElse(fail(s"expected the bucketed dim scan:\n$plan"))
+    assert(dimScan.bucketedScan, s"dim scan must stay bucketed:\n$plan")
+    // no Exchange may sit on the join's DIM branch: the interval
+    // table's bytes never move per batch (the aggregate above the join
+    // legitimately exchanges O(joined-batch) rows)
+    val smj = nodes(plan).collectFirst {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }.getOrElse(fail(
+      s"expected the merge join (broadcast would re-ship per batch):\n$plan"))
+    val dimSide = Seq(smj.left, smj.right).find(side =>
+      nodes(side).exists {
+        case f: FileSourceScanExec =>
+          f.tableIdentifier.exists(_.table == StreamingQueries.pitDimTbl)
+        case _ => false
+      }).getOrElse(fail(s"dim scan not under the join:\n$plan"))
+    assert(!nodes(dimSide).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]),
+      s"dim side re-exchanged per micro-batch:\n$plan")
+  }
+
   test("q285 PIT enrich joins hash-broadcast and stateless per micro-batch") {
     // the interval dim must reach the stream as a broadcast HASH join
     // (equi conjunct on the key, range residual post-probe) with no
