@@ -1288,6 +1288,53 @@ object FileIO extends QueryPack {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
 
+  /** q294: catalog SCHEMA EVOLUTION — `ALTER TABLE … ADD COLUMN` on the
+    * DSv2 TSV catalog is a METADATA-ONLY write (one sidecar file), and
+    * pre-evolution shards surface explicit NULL for the new column in
+    * the very next scan: the reader answers NULL for any field index
+    * past a row's end, so shorter old lines and full new lines read as
+    * one table in one scan — the q132 mergeSchema contract with zero
+    * per-read cost, because the catalog (not a footer-union pass over
+    * every file) carries the schema. That asymmetry is the 100 TB
+    * point: evolving a petabyte table is one metadata write, never a
+    * rewrite, and never a per-query schema reconciliation. The gate
+    * loads an orders table in a pre-evolution wave (no price column),
+    * ALTERs, loads the post-evolution wave with exact cents, and
+    * aggregates across both populations; the oracle rebuilds the union
+    * with explicit NULLs. TsvCatalogSpec pins the DDL lifecycle and the
+    * positional-field refusals (only trailing nullable ADDs are legal). */
+  private def q294(s: SparkSession, dir: String): DataFrame = {
+    val cat = s"graft_store_${math.abs(dir.hashCode)}"
+    val root = scratch(dir, "tsv_catalog")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftTsvCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lake")
+    s.sql(s"DROP TABLE IF EXISTS $cat.lake.orders_ev")
+    s.sql(s"""CREATE TABLE $cat.lake.orders_ev (
+             |  o_orderkey BIGINT, o_orderpriority STRING)""".stripMargin)
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .createOrReplaceTempView("graft_src294")
+    s.sql(s"INSERT INTO $cat.lake.orders_ev " +
+      "SELECT o_orderkey, o_orderpriority FROM graft_src294 " +
+      "WHERE o_orderkey % 2 = 0")
+    s.sql(s"ALTER TABLE $cat.lake.orders_ev ADD COLUMN price_c BIGINT")
+    s.sql(s"INSERT INTO $cat.lake.orders_ev " +
+      "SELECT o_orderkey, o_orderpriority, " +
+      "cast(round(o_totalprice * 100) AS BIGINT) FROM graft_src294 " +
+      "WHERE o_orderkey % 2 = 1")
+    val result = s.sql(
+      s"""SELECT o_orderpriority AS priority, count(*) AS n_rows,
+         |  count(price_c) AS n_with_price,
+         |  CAST(sum(price_c) AS BIGINT) AS price_c_new
+         |FROM $cat.lake.orders_ev GROUP BY 1 ORDER BY 1""".stripMargin)
+    val rows = result.collect()
+    s.sql(s"DROP TABLE $cat.lake.orders_ev")
+    s.catalog.dropTempView("graft_src294")
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+  }
+
   /** q265 setup: stats'd catalog tables for the CBO gate, built once per
     * source dir. `ANALYZE TABLE ... FOR ALL COLUMNS` collects the
     * row/size stats plus per-column NDV/min/max that cost-based join
@@ -1351,6 +1398,19 @@ object FileIO extends QueryPack {
   }
 
   override def queries: Seq[Q] = Seq(
+    Q("q294_catalog_add_column", q294, Some(
+      """WITH old AS (
+        |  SELECT o_orderkey, o_orderpriority, CAST(NULL AS BIGINT) AS price_c
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |new AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |  FROM orders WHERE o_orderkey % 2 = 1),
+        |u AS (SELECT * FROM old UNION ALL SELECT * FROM new)
+        |SELECT o_orderpriority AS priority, count(*) AS n_rows,
+        |  count(price_c) AS n_with_price,
+        |  CAST(sum(price_c) AS BIGINT) AS price_c_new
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q290_tsv_table_catalog", q290, Some(
       """SELECT o_orderpriority AS priority, count(*) AS n,
         |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)

@@ -651,8 +651,10 @@ object Relational extends QueryPack {
     * ORDER BY — and the oracle states the identical query in classic
     * nested SQL, so the gate proves pipe syntax is pure surface: the
     * plan (and at 100 TB the shuffle structure) is exactly the classic
-    * query's. Exact-cents sums (q11 discipline); the derived average
-    * divides the same integers in both engines. */
+    * query's. Exact-cents sums (q11 discipline); the derived average is
+    * integer-cents division (`div`) — round-on-double diverges across
+    * engines on boundary cells (the r13 red row), so the gate stays in
+    * exact integer arithmetic end to end. */
   private def q279(s: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(s, dir).createOrReplaceTempView("graft_li279")
     val out = s.sql(
@@ -662,8 +664,8 @@ object Relational extends QueryPack {
         |     sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS price_c
         |     GROUP BY l_returnflag, l_linestatus
         ||> WHERE n >= 10
-        ||> EXTEND round(price_c / (100.0 * n), 2) AS avg_price
-        ||> SELECT l_returnflag, l_linestatus, n, price_c, avg_price
+        ||> EXTEND price_c div n AS avg_cents
+        ||> SELECT l_returnflag, l_linestatus, n, price_c, avg_cents
         ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
     val rows = out.collect()
     s.catalog.dropTempView("graft_li279")
@@ -724,7 +726,7 @@ object Relational extends QueryPack {
         |  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |  GROUP BY 1, 2)
         |SELECT l_returnflag, l_linestatus, n, price_c,
-        |  round(price_c / (100.0 * n), 2) AS avg_price
+        |  price_c // n AS avg_cents
         |FROM a WHERE n >= 10
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
     Q("q286_identifier_binding", q286, Some(

@@ -156,6 +156,15 @@ case class AsOfJoinExec(
     val rtOrd = rOut.indexWhere(_.exprId == rightTime.exprId)
     require(lkOrd >= 0 && ltOrd >= 0 && rkOrd >= 0 && rtOrd >= 0,
       "as-of key/time must be output attributes of their child")
+    // re-validate the leftAsOf contract: AsOfJoinNode is a public case
+    // class, so a caller constructing it directly could pair a
+    // tolerance with a non-physically-long time type — fail with the
+    // API's message here rather than a ClassCastException mid-merge
+    tolerance.foreach { t =>
+      require(t >= 0, s"tolerance must be non-negative, got $t")
+      require(physLong(leftTime.dataType) && physLong(rightTime.dataType),
+        s"tolerance needs a physically-long time column, got ${leftTime.dataType}")
+    }
     val fastPath = physLong(leftKey.dataType) && physLong(leftTime.dataType)
     val keyType = leftKey.dataType
     val timeType = leftTime.dataType
@@ -165,8 +174,13 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
       val proj = UnsafeProjection.create(allOut, lOut ++ rOut)
 
-      // tolerance as a plain long: MaxValue = unbounded (qualifying
-      // diffs are always >= 0 so the bound check stays branch-cheap)
+      // tolerance as a plain long; `bounded` gates the check entirely
+      // when unset. Qualifying diffs are mathematically >= 0 (the merge
+      // only tests candidates on the right side of the inequality), so
+      // a NEGATIVE computed diff can only mean Long overflow — i.e. the
+      // true diff exceeds Long.MaxValue >= tol — and must REJECT, not
+      // falsely match (extreme-time hardening; epoch-micros never hits it)
+      val bounded = tolerance.isDefined
       val tol = tolerance.getOrElse(Long.MaxValue)
 
       if (fastPath && forward) {
@@ -186,8 +200,9 @@ case class AsOfJoinExec(
                   (rHead.isNullAt(rkOrd) || rHead.getLong(rkOrd) < lk)) advance()
               while (rHead != null && rHead.getLong(rkOrd) == lk &&
                   (rHead.isNullAt(rtOrd) || rHead.getLong(rtOrd) < lt)) advance()
-              if (rHead != null && rHead.getLong(rkOrd) == lk &&
-                  rHead.getLong(rtOrd) - lt <= tol)
+              if (rHead != null && rHead.getLong(rkOrd) == lk && {
+                    val d = rHead.getLong(rtOrd) - lt
+                    !bounded || (d >= 0 && d <= tol) })
                 joined(l, rHead)
               else joined(l, nullRight)
             }
@@ -219,7 +234,9 @@ case class AsOfJoinExec(
                   advance()
                 } else scanning = false
               }
-              if (hasHeld && heldKey == lk && lt - heldTime <= tol) joined(l, held)
+              if (hasHeld && heldKey == lk && {
+                    val d = lt - heldTime
+                    !bounded || (d >= 0 && d <= tol) }) joined(l, held)
               else joined(l, nullRight)
             }
           numOutputRows += 1
@@ -253,9 +270,11 @@ case class AsOfJoinExec(
               if (rHead != null && {
                   val rk = rHead.get(rkOrd, keyType)
                   rk != null && keyOrd.compare(rk, lk) == 0 } &&
-                  (unbounded ||
-                    rHead.get(rtOrd, timeType).asInstanceOf[java.lang.Long] -
-                      lt.asInstanceOf[java.lang.Long] <= tol))
+                  (unbounded || {
+                    val d =
+                      rHead.get(rtOrd, timeType).asInstanceOf[java.lang.Long] -
+                        lt.asInstanceOf[java.lang.Long]
+                    d >= 0 && d <= tol }))
                 joined(l, rHead)
               else joined(l, nullRight)
             }
@@ -297,9 +316,10 @@ case class AsOfJoinExec(
               }
               if (held != null && heldKey != null &&
                   keyOrd.compare(heldKey, lk) == 0 &&
-                  (unbounded ||
-                    lt.asInstanceOf[java.lang.Long] -
-                      heldTime.asInstanceOf[java.lang.Long] <= tol))
+                  (unbounded || {
+                    val d = lt.asInstanceOf[java.lang.Long] -
+                      heldTime.asInstanceOf[java.lang.Long]
+                    d >= 0 && d <= tol }))
                 joined(l, held)
               else joined(l, nullRight)
             }

@@ -4,7 +4,7 @@ import java.util
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** A DSv2 [[TableCatalog]] over a directory of TSV tables — the
@@ -30,11 +30,23 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * IS the contract, and governance (q280's partition DELETE, retention)
   * addresses tables by name.
   *
+  * Schema evolution: `ALTER TABLE … ADD COLUMN` appends a nullable
+  * trailing column to the `_graft_schema` sidecar WITHOUT touching any
+  * data file — the TSV reader already surfaces NULL for fields past a
+  * row's end (`fieldAt`, TsvSource.scala), so pre-evolution shards and
+  * post-evolution shards read as one table in one scan (the same
+  * explicit-NULL union contract q132 pins for parquet mergeSchema,
+  * here at zero per-read cost because the catalog, not a footer-union
+  * pass, carries the schema). That asymmetry is the point at 100 TB:
+  * evolving the table is a one-file metadata write, never a rewrite.
+  *
   * Deliberately unsupported, loudly: PARTITIONED BY at create time
   * (the writer targets flat layouts; keyed `shard=<v>/` layouts remain
-  * the path API's read/delete surface), ALTER TABLE (the sidecar is
-  * the single source of schema truth — evolve by recreate), and
-  * multi-level namespaces (one level, one directory).
+  * the path API's read/delete surface), every other ALTER TABLE change
+  * (drops/renames/type-changes would silently re-map existing TSV
+  * fields), and multi-level namespaces (one level, one directory —
+  * lookups on deeper names answer "no such namespace/table" per the
+  * DSv2 contract; only CREATE refuses loudly).
   */
 final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -58,16 +70,27 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces {
         namespace.mkString("."))
     new java.io.File(root, namespace(0))
   }
+  /** Lookup-path variant: a multi-level namespace is simply a namespace
+    * this catalog does not have — None, not IllegalArgumentException —
+    * so SHOW TABLES IN cat.a.b / IF EXISTS paths get the
+    * NoSuchNamespace/false answers the DSv2 contract expects. The loud
+    * require stays on the create paths only. */
+  private def nsDirOpt(namespace: Array[String]): Option[java.io.File] =
+    if (namespace.length == 1) Some(new java.io.File(root, namespace(0)))
+    else None
   private def tableDir(ident: Identifier): java.io.File =
     new java.io.File(nsDir(ident.namespace()), ident.name())
+  private def tableDirOpt(ident: Identifier): Option[java.io.File] =
+    nsDirOpt(ident.namespace()).map(new java.io.File(_, ident.name()))
   private def schemaFile(dir: java.io.File): java.io.File =
     new java.io.File(dir, "_graft_schema")
 
   // ---- tables ----
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val d = nsDir(namespace)
-    if (!d.isDirectory) throw new NoSuchNamespaceException(namespace)
+    val d = nsDirOpt(namespace)
+      .filter(_.isDirectory)
+      .getOrElse(throw new NoSuchNamespaceException(namespace))
     Option(d.listFiles()).getOrElse(Array.empty)
       .filter(t => t.isDirectory && schemaFile(t).isFile)
       .map(t => Identifier.of(namespace, t.getName))
@@ -75,14 +98,14 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    schemaFile(tableDir(ident)).isFile
+    tableDirOpt(ident).exists(d => schemaFile(d).isFile)
 
   override def loadTable(ident: Identifier): Table = {
-    val dir = tableDir(ident)
-    val sf = schemaFile(dir)
-    if (!sf.isFile) throw new NoSuchTableException(ident)
+    val dir = tableDirOpt(ident)
+      .filter(d => schemaFile(d).isFile)
+      .getOrElse(throw new NoSuchTableException(ident))
     val ddl = new String(
-      java.nio.file.Files.readAllBytes(sf.toPath), "UTF-8")
+      java.nio.file.Files.readAllBytes(schemaFile(dir).toPath), "UTF-8")
     new TsvTable(StructType.fromDDL(ddl), dir.getPath)
   }
 
@@ -108,9 +131,14 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces {
     val provider = properties.get(TableCatalog.PROP_PROVIDER)
     val defaultProvider =
       org.apache.spark.sql.internal.SQLConf.get.defaultDataSourceName
+    // compare lowercased-vs-lowercased: the class-name alias has upper
+    // case in it, so it must be lowered on the SET side too or
+    // `USING graft.sources.TsvSourceProvider` (the exact string the
+    // path API uses) would be wrongly refused
+    val accepted = Set("tsv", "graft_tsv",
+      classOf[TsvSourceProvider].getName.toLowerCase(java.util.Locale.ROOT))
     if (provider != null && provider != defaultProvider &&
-        !Set("tsv", "graft_tsv", classOf[TsvSourceProvider].getName)
-          .contains(provider.toLowerCase(java.util.Locale.ROOT)))
+        !accepted.contains(provider.toLowerCase(java.util.Locale.ROOT)))
       throw new UnsupportedOperationException(
         s"graft tsv catalog: USING $provider is not supported — this " +
           "catalog stores TSV (omit USING, or say USING graft_tsv)")
@@ -124,19 +152,59 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces {
     new TsvTable(schema, dir.getPath)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft tsv catalog: ALTER TABLE is not supported — the schema " +
-        "sidecar is the single source of truth; evolve by recreate")
-
-  override def dropTable(ident: Identifier): Boolean = {
-    val dir = tableDir(ident)
-    if (!schemaFile(dir).isFile) false
-    else { TsvWritePaths.deleteRecursively(dir); true }
+  /** ADD COLUMN only: append a nullable trailing column to the schema
+    * sidecar. No data file moves — pre-evolution rows are SHORTER TSV
+    * lines, and the reader's `fieldAt` already answers NULL for a field
+    * index past a row's end, so old shards surface explicit NULLs in
+    * the very next scan. Everything else (drop / rename / type change /
+    * positioned add) is refused loudly: TSV fields are positional, so
+    * any in-place re-mapping would silently re-type existing bytes. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDirOpt(ident)
+      .filter(d => schemaFile(d).isFile)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val ddl = new String(
+      java.nio.file.Files.readAllBytes(schemaFile(dir).toPath), "UTF-8")
+    var schema = StructType.fromDDL(ddl)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "graft tsv catalog: ADD COLUMN supports top-level columns " +
+            s"only, got ${add.fieldNames().mkString(".")}")
+        require(add.position() == null,
+          "graft tsv catalog: ADD COLUMN FIRST/AFTER is not supported " +
+            "— TSV fields are positional; new columns append at the end")
+        require(add.isNullable,
+          "graft tsv catalog: added columns must be nullable — rows " +
+            "written before the evolution have no value for them")
+        val name = add.fieldNames()(0)
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"graft tsv catalog: column $name already exists")
+        schema = schema.add(StructField(name, add.dataType(),
+          nullable = true))
+      case other =>
+        throw new UnsupportedOperationException(
+          "graft tsv catalog: only ALTER TABLE ADD COLUMN is supported " +
+            s"(got ${other.getClass.getSimpleName}) — TSV fields are " +
+            "positional; drops/renames/type changes would re-map " +
+            "existing bytes. Evolve by recreate.")
+    }
+    java.nio.file.Files.write(schemaFile(dir).toPath,
+      schema.toDDL.getBytes("UTF-8"))
+    new TsvTable(schema, dir.getPath)
   }
 
+  override def dropTable(ident: Identifier): Boolean =
+    tableDirOpt(ident) match {
+      case Some(dir) if schemaFile(dir).isFile =>
+        TsvWritePaths.deleteRecursively(dir); true
+      case _ => false
+    }
+
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
-    val (from, to) = (tableDir(oldIdent), tableDir(newIdent))
+    val from = tableDirOpt(oldIdent)
+      .getOrElse(throw new NoSuchTableException(oldIdent))
+    val to = tableDir(newIdent)
     if (!schemaFile(from).isFile) throw new NoSuchTableException(oldIdent)
     if (schemaFile(to).isFile) throw new TableAlreadyExistsException(newIdent)
     if (!to.getParentFile.isDirectory)
@@ -154,12 +222,13 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces {
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     if (namespace.isEmpty) listNamespaces()
-    else if (nsDir(namespace).isDirectory) Array.empty // one level only
+    else if (nsDirOpt(namespace).exists(_.isDirectory))
+      Array.empty // one level only
     else throw new NoSuchNamespaceException(namespace)
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.length == 1 && nsDir(namespace).isDirectory
+    nsDirOpt(namespace).exists(_.isDirectory)
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
@@ -180,7 +249,7 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces {
       "graft tsv catalog: namespaces carry no alterable metadata")
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
-    val d = nsDir(namespace)
+    val d = nsDirOpt(namespace).getOrElse(return false)
     if (!d.isDirectory) false
     else {
       val tables = listTables(namespace)

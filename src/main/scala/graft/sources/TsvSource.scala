@@ -4,6 +4,7 @@ import java.util
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
@@ -129,7 +130,8 @@ final class TsvTable(tableSchema: StructType, path: String,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   /** HIDDEN METADATA COLUMNS ([[SupportsMetadataColumns]]) — the DSv2
     * analog of the parquet `_metadata` struct (q163/q208): `_file`
@@ -150,7 +152,7 @@ final class TsvTable(tableSchema: StructType, path: String,
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new TsvWriteBuilder(info.schema(), path)
+    new TsvWriteBuilder(info.schema(), path, info.queryId())
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val splitBytes = options.getLong("split_bytes", 32L * 1024 * 1024)
     // fail loudly at plan time: 0 would throw an opaque NumericRange
@@ -656,6 +658,18 @@ final class TsvMicroBatchStream(fullSchema: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[TsvFilesOffset].files.toSet
     val batch = end.asInstanceOf[TsvFilesOffset].files.toSet -- seen
+    // a replayed batch whose files vanished out-of-band (compaction,
+    // manual rm) must fail LOUDLY, not silently shrink — an
+    // exactly-once pipeline that replays fewer rows than it committed
+    // is a data-loss bug masked as success (FileStreamSource makes the
+    // same choice)
+    val present = currentKeyedFiles.map(_._1).toSet
+    val missing = batch -- present
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        "graft tsv stream: offset range names files no longer in the " +
+          s"store — replay cannot be exactly-once. Missing: " +
+          missing.toSeq.sorted.mkString(", "))
     currentKeyedFiles.filter(kv => batch.contains(kv._1)).flatMap {
       case (p, key) =>
         TsvLayout.byteSplits(new java.io.File(p), splitBytes).map {
@@ -1084,18 +1098,20 @@ final class TsvPartitionReader(fullSchema: StructType, required: StructType,
   * tab or newline would silently corrupt row framing, so the writer
   * FAILS the task instead (fail-fast beats torn rows). BIGINT/DOUBLE/
   * STRING columns only, like the read side. */
-final class TsvWriteBuilder(schema: StructType, path: String)
-    extends WriteBuilder with SupportsTruncate {
+final class TsvWriteBuilder(schema: StructType, path: String,
+    queryId: String) extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new TsvBatchWrite(schema, path, truncateFirst)
+    override def toStreaming: StreamingWrite =
+      new TsvStreamingWrite(schema, path, queryId, truncateFirst)
   }
 }
 
-final case class TsvTaskCommit(tempFile: String, rows: Long)
-    extends WriterCommitMessage
+final case class TsvTaskCommit(tempFile: String, rows: Long,
+    partitionId: Int) extends WriterCommitMessage
 
 final class TsvBatchWrite(schema: StructType, path: String,
     truncateFirst: Boolean) extends BatchWrite {
@@ -1113,7 +1129,7 @@ final class TsvBatchWrite(schema: StructType, path: String,
           !f.getName.startsWith("."))
         .foreach(_.delete())
     root.mkdirs()
-    messages.foreach { case TsvTaskCommit(tmp, _) =>
+    messages.foreach { case TsvTaskCommit(tmp, _, _) =>
       val src = new java.io.File(tmp)
       val dst = new java.io.File(root, src.getName)
       if (!src.renameTo(dst))
@@ -1133,6 +1149,76 @@ final class TsvBatchWrite(schema: StructType, path: String,
     tempRoot.delete()
     ()
   }
+}
+
+/** STREAMING_WRITE: `writeStream.toTable`/`.format("graft_tsv")` lands
+  * micro-batches in the TSV store with EXACTLY-ONCE visibility — the
+  * batch sink's task-commit protocol (temp files → driver-side rename
+  * of committed attempts only) plus two epoch-level guards that make a
+  * REPLAYED batch (Spark's at-least-once epoch redelivery after a
+  * restart that committed the sink but not the offset log) a no-op:
+  *
+  *   - an EPOCH LEDGER (`_streaming_commits/<queryId>/<epochId>`
+  *     marker files, `_`-prefixed so scans never see them): a replayed
+  *     epoch finds its marker, drops its temp files, renames nothing;
+  *   - DETERMINISTIC final names `part-<partition>-<qid8>-e<epoch>`
+  *     (no taskId): even in the crash window AFTER the renames but
+  *     BEFORE the marker, a replay renames onto the SAME target paths
+  *     — replacing, not duplicating (same offsets → same rows).
+  *
+  * Append mode adds each epoch's files; complete mode (truncate) clears
+  * data files then lands the epoch, same replay guards. At 100 TB this
+  * is the ingestion edge: a restart may re-run work, but the TABLE
+  * never shows a row twice — readers (batch or q289's tailing stream)
+  * only ever see whole committed epochs. */
+final class TsvStreamingWrite(schema: StructType, path: String,
+    queryId: String, truncateEachEpoch: Boolean) extends StreamingWrite {
+  private val qid = queryId.replace("-", "").take(8)
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory =
+    new TsvStreamingWriterFactory(schema, path, qid)
+
+  private def root = new java.io.File(TsvWritePaths.strip(path))
+  private def ledgerDir = new java.io.File(root, s"_streaming_commits/$qid")
+  private def tempDir(epochId: Long) =
+    new java.io.File(root, s"_temporary/$qid-e$epochId")
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val marker = new java.io.File(ledgerDir, epochId.toString)
+    if (marker.isFile) { dropTemp(epochId); return } // replayed epoch
+    root.mkdirs()
+    if (truncateEachEpoch)
+      TsvLayout.listDataFiles(root).foreach(_.delete())
+    messages.foreach { case TsvTaskCommit(tmp, _, partitionId) =>
+      val src = new java.io.File(tmp)
+      val dst = new java.io.File(root, f"part-$partitionId%05d-$qid-e$epochId.txt")
+      dst.delete() // crash-window replay: replace, never duplicate
+      if (!src.renameTo(dst))
+        throw new java.io.IOException(s"graft tsv sink: rename failed: $tmp")
+    }
+    ledgerDir.mkdirs()
+    java.nio.file.Files.write(marker.toPath,
+      Array.emptyByteArray) // marker LAST: its absence means "re-land"
+    dropTemp(epochId)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    dropTemp(epochId)
+
+  private def dropTemp(epochId: Long): Unit = {
+    val tempRoot = new java.io.File(root, "_temporary")
+    TsvWritePaths.deleteRecursively(tempDir(epochId))
+    tempRoot.delete()
+    ()
+  }
+}
+
+final class TsvStreamingWriterFactory(schema: StructType, path: String,
+    qid: String) extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new TsvDataWriter(schema, path, s"$qid-e$epochId", partitionId, taskId)
 }
 
 /** Path helpers shared by the scan and the sink — ONE copy of the
@@ -1247,7 +1333,7 @@ final class TsvDataWriter(schema: StructType, path: String, jobUuid: String,
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    TsvTaskCommit(tempFile.getPath, rows)
+    TsvTaskCommit(tempFile.getPath, rows, partitionId)
   }
 
   override def abort(): Unit = {

@@ -1832,6 +1832,82 @@ object StreamingQueries extends QueryPack {
     out
   }
 
+  /** q295: STREAMING WRITE INTO THE CATALOG BY NAME — the write half of
+    * the name-based pipeline q292's read half started, closing the one
+    * asymmetry in the DSv2 source/sink/catalog story: the TSV table now
+    * reports STREAMING_WRITE, so `writeStream.toTable("cat.ns.t")`
+    * lands micro-batches through [[graft.sources.TsvStreamingWrite]]
+    * with exactly-once visibility (per-epoch task-commit + the epoch
+    * ledger + deterministic final names — see its scaladoc; the replay
+    * no-op is pinned at the epoch level in TsvStreamingSinkSpec). The
+    * gate is q175's restart shape pointed at the catalog: instance 1
+    * streams half the day shards into the table and STOPS, instance 2
+    * resumes from the same checkpoint over the grown source — offsets
+    * in the WAL must not replay, committed epochs must not re-land —
+    * and the batch read-back BY NAME is aggregated with the
+    * dupes-vs-losses triple (count / distinct / exact id sum), which
+    * must equal the batch oracle over the full events table. At 100 TB
+    * this is the ingestion contract: streams write, pipelines read, and
+    * everyone addresses one identifier — no paths, no manifests, no
+    * partial batches ever visible. */
+  private def q295(s: SparkSession, dir: String): DataFrame = {
+    val shards = dumpDayShards(s, dir, "events_stream_days_upsert")
+    val schema = dayShardSchema("events_stream_days_upsert")
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val src = graft.operators.FileIO.scratch(dir, s"q295_src_$uid")
+    val cp = graft.operators.FileIO.scratch(dir, s"q295_cp_$uid")
+    val cat = s"graft_store_${math.abs(dir.hashCode)}"
+    val catRoot = graft.operators.FileIO.scratch(dir, "tsv_catalog")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftTsvCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", catRoot)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lake")
+    s.sql(s"DROP TABLE IF EXISTS $cat.lake.events_sink")
+    s.sql(s"CREATE TABLE $cat.lake.events_sink " +
+      "(event_id BIGINT, user_id BIGINT, event_type STRING)")
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(shards).getFileSystem(conf)
+    val dayDirs = fs.listStatus(new org.apache.hadoop.fs.Path(shards))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("day="))
+      .map(_.getPath).sortBy(_.getName)
+    def stage(paths: Seq[org.apache.hadoop.fs.Path]): Unit = paths.foreach { p =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, p,
+        fs, new org.apache.hadoop.fs.Path(src, p.getName), false, conf)
+    }
+    def runInstance(): Unit = {
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val query =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "2")
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "8")
+            .parquet(src)
+            .select(col("event_id"), col("user_id"), col("event_type"))
+            .writeStream
+            .option("checkpointLocation", cp)
+            .toTable(s"$cat.lake.events_sink")
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try { query.processAllAvailable(); recordBatchId("q295", query) }
+      finally query.stop()
+    }
+    try {
+      val (firstHalf, secondHalf) = dayDirs.toSeq.splitAt(dayDirs.length / 2)
+      stage(firstHalf)
+      runInstance() // instance 1: lands the first half's epochs, stops
+      stage(secondHalf)
+      runInstance() // instance 2: SAME checkpoint — resume, no re-land
+      val result = s.table(s"$cat.lake.events_sink")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("n_distinct"),
+          sum(col("event_id")).as("id_sum"))
+        .orderBy("event_type")
+      val rows = result.collect()
+      s.sql(s"DROP TABLE $cat.lake.events_sink")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally rmrfAll(s, src, cp)
+  }
+
   /** q285: streaming POINT-IN-TIME enrichment — each in-flight event is
     * joined to the dimension VERSION that was current AT EVENT TIME,
     * not the latest snapshot (q168's shape). The static side is an
@@ -2365,6 +2441,11 @@ object StreamingQueries extends QueryPack {
         |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
         |    AS total_value
         |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    Q("q295_stream_write_table", q295, Some(
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT event_id) AS n_distinct,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q292_stream_by_name", q292, Some(
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(user_id % 8) AS BIGINT) AS sum_g

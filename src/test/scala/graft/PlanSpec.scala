@@ -479,12 +479,12 @@ class PlanSpec extends AnyFunSuite {
         |     sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS price_c
         |     GROUP BY l_returnflag, l_linestatus
         ||> WHERE n >= 10
-        ||> EXTEND round(price_c / (100.0 * n), 2) AS avg_price
-        ||> SELECT l_returnflag, l_linestatus, n, price_c, avg_price
+        ||> EXTEND price_c div n AS avg_cents
+        ||> SELECT l_returnflag, l_linestatus, n, price_c, avg_cents
         ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
     val classic = spark.sql(
       """SELECT l_returnflag, l_linestatus, n, price_c,
-        |  round(price_c / (100.0 * n), 2) AS avg_price
+        |  price_c div n AS avg_cents
         |FROM (SELECT l_returnflag, l_linestatus, count(*) AS n,
         |        sum(cast(round(l_extendedprice * 100) AS BIGINT)) AS price_c
         |      FROM graft_li279t

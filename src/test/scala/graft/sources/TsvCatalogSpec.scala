@@ -64,7 +64,33 @@ class TsvCatalogSpec extends AnyFunSuite {
     spark.catalog.dropTempView("catspec_src")
   }
 
-  test("refusals are loud: PARTITIONED BY, ALTER, multi-level namespaces") {
+  test("ALTER TABLE ADD COLUMN evolves the sidecar; old rows surface NULL") {
+    val c = freshCatalog()
+    import spark.implicits._
+    spark.sql(s"CREATE NAMESPACE $c.lake")
+    spark.sql(s"CREATE TABLE $c.lake.ev (id BIGINT, name STRING)")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .createOrReplaceTempView("catspec_ev_src")
+    spark.sql(s"INSERT INTO $c.lake.ev SELECT * FROM catspec_ev_src")
+    // evolution is a metadata-only write: the pre-evolution data file
+    // must not move (shorter TSV lines read as trailing NULLs)
+    spark.sql(s"ALTER TABLE $c.lake.ev ADD COLUMN score BIGINT")
+    spark.sql(s"INSERT INTO $c.lake.ev VALUES (3, 'c', 30), (4, 'd', 40)")
+    val rows = spark.sql(
+      s"SELECT id, name, score FROM $c.lake.ev ORDER BY id")
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(rows.sameElements(Array(
+      (1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(30L)), (4L, "d", Some(40L)))))
+    // pre-evolution rows are filterable on the new column (NULL-safe)
+    assert(spark.sql(s"SELECT count(*) FROM $c.lake.ev WHERE score IS NULL")
+      .head().getLong(0) === 2)
+    spark.catalog.dropTempView("catspec_ev_src")
+  }
+
+  test("refusals are loud: PARTITIONED BY, non-ADD ALTER, multi-level namespaces") {
     val c = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $c.ns")
     val e1 = intercept[Exception] {
@@ -72,12 +98,23 @@ class TsvCatalogSpec extends AnyFunSuite {
     }
     assert(e1.getMessage.contains("PARTITIONED BY"), e1.getMessage)
     spark.sql(s"CREATE TABLE $c.ns.t (id BIGINT)")
+    // ADD COLUMN is the ONE supported evolution; everything that would
+    // re-map positional TSV fields refuses loudly
     val e2 = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $c.ns.t ADD COLUMN extra BIGINT")
+      spark.sql(s"ALTER TABLE $c.ns.t DROP COLUMN id")
     }
-    assert(e2.getMessage.contains("ALTER TABLE") ||
-      e2.getMessage.contains("not supported"), e2.getMessage)
+    assert(e2.getMessage.contains("ADD COLUMN"), e2.getMessage)
+    val e2b = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.ns.t ADD COLUMN head BIGINT FIRST")
+    }
+    assert(e2b.getMessage.contains("positional"), e2b.getMessage)
     intercept[Exception] { spark.sql(s"CREATE NAMESPACE $c.a.b") }
+    // multi-level LOOKUPS answer per the DSv2 contract instead of
+    // IllegalArgumentException: SHOW TABLES → no such namespace;
+    // DROP ... IF EXISTS → quiet no-op
+    intercept[AnalysisException] { spark.sql(s"SHOW TABLES IN $c.a.b") }
+    spark.sql(s"DROP TABLE IF EXISTS $c.a.b.t")
+    spark.sql(s"DROP NAMESPACE IF EXISTS $c.a.b")
     // USING a different format and LOCATION are refused (silently
     // storing TSV under a parquet-shaped promise is the hazard)
     val e3 = intercept[Exception] {
@@ -88,8 +125,13 @@ class TsvCatalogSpec extends AnyFunSuite {
       spark.sql(s"CREATE TABLE $c.ns.v (id BIGINT) LOCATION '/tmp/elsewhere'")
     }
     assert(e4.getMessage.contains("LOCATION"), e4.getMessage)
-    // explicit graft_tsv provider and the session default both pass
+    // explicit graft_tsv provider and the session default both pass —
+    // and so does the PROVIDER CLASS NAME the path API uses (the alias
+    // check lowers both sides; mixed-case class names must not refuse)
     spark.sql(s"CREATE TABLE $c.ns.w (id BIGINT) USING graft_tsv")
     assert(spark.sql(s"SELECT count(*) FROM $c.ns.w").head().getLong(0) === 0)
+    spark.sql(
+      s"CREATE TABLE $c.ns.x (id BIGINT) USING ${classOf[TsvSourceProvider].getName}")
+    assert(spark.sql(s"SELECT count(*) FROM $c.ns.x").head().getLong(0) === 0)
   }
 }
