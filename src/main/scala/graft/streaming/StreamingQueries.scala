@@ -2300,8 +2300,17 @@ object StreamingQueries extends QueryPack {
         // session conf, not a writer option: insertInto's V1 command
         // reads partitionOverwriteMode from SQLConf only — a writer
         // option is silently ignored and STATIC overwrite would wipe
-        // every earlier batch's partition
-        withConfs(bands.sparkSession,
+        // every earlier batch's partition.
+        // `graft.q261.append` (EXPERIMENT-ONLY, SCALING.md's q261
+        // manifest-commit A/B): plain append instead of the idempotent
+        // per-partition overwrite — NOT replay-safe, exists solely to
+        // price the idempotence machinery; never set in Verify/driver
+        if (sys.props.get("graft.q261.append").contains("true"))
+          bands.withColumn("bid", lit(batchId))
+            .repartition(4, col("band_idx"), col("band_val"))
+            .write.mode("append")
+            .insertInto(idxTbl)
+        else withConfs(bands.sparkSession,
             "spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
           bands.withColumn("bid", lit(batchId))
             .repartition(4, col("band_idx"), col("band_val"))
