@@ -1361,6 +1361,58 @@ object FileIO extends QueryPack {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
 
+  /** q297: ATOMIC CTAS/RTAS through the DSv2 catalog
+    * ([[graft.sources.GraftTsvCatalog]] is a StagingTableCatalog) — the
+    * derived-table publication primitive: `CREATE OR REPLACE TABLE …
+    * AS SELECT` writes the SELECT into an invisible `_staging_…`
+    * directory through the ordinary task-commit sink, and the table
+    * name flips to the new contents in ONE rename inside
+    * commitStagedChanges — a mid-write failure aborts to a deleted
+    * staging dir with the name untouched (old contents still served on
+    * REPLACE; no empty half-table on CREATE, which is what plain
+    * create-then-insert leaves behind). At 100 TB this is the nightly
+    * rebuild contract: consumers read yesterday's summary table until
+    * the instant the rebuilt one is complete, and a failed rebuild
+    * changes nothing. The gate publishes an orders summary twice — the
+    * second publish REPLACES the first through the staged path with a
+    * tighter filter — and reads back the final contents by name; the
+    * oracle states the second SELECT directly. TsvCatalogSpec pins
+    * atomicity (failed CTAS leaves nothing, failed RTAS preserves the
+    * old table, staging dirs never leak). */
+  private def q297(s: SparkSession, dir: String): DataFrame = {
+    val cat = s"graft_store_${math.abs(dir.hashCode)}"
+    val root = scratch(dir, "tsv_catalog")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftTsvCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", root)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lake")
+    s.sql(s"DROP TABLE IF EXISTS $cat.lake.ord_sum")
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("graft_src297")
+    s.sql(
+      s"""CREATE TABLE $cat.lake.ord_sum AS
+         |SELECT o_orderpriority AS priority, o_orderstatus AS status,
+         |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS total_cents
+         |FROM graft_src297 GROUP BY 1, 2""".stripMargin)
+    // the nightly re-publish: REPLACE through the staged path — the
+    // name serves the old summary until this commit's rename
+    s.sql(
+      s"""CREATE OR REPLACE TABLE $cat.lake.ord_sum AS
+         |SELECT o_orderpriority AS priority, o_orderstatus AS status,
+         |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS total_cents
+         |FROM graft_src297 WHERE o_orderkey % 4 != 0
+         |GROUP BY 1, 2""".stripMargin)
+    val result = s.table(s"$cat.lake.ord_sum")
+      .orderBy("priority", "status")
+    val rows = result.collect()
+    s.sql(s"DROP TABLE $cat.lake.ord_sum")
+    s.catalog.dropTempView("graft_src297")
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+  }
+
   /** q265 setup: stats'd catalog tables for the CBO gate, built once per
     * source dir. `ANALYZE TABLE ... FOR ALL COLUMNS` collects the
     * row/size stats plus per-column NDV/min/max that cost-based join
@@ -1424,6 +1476,13 @@ object FileIO extends QueryPack {
   }
 
   override def queries: Seq[Q] = Seq(
+    Q("q297_catalog_ctas", q297, Some(
+      """SELECT o_orderpriority AS priority, o_orderstatus AS status,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders WHERE o_orderkey % 4 != 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     Q("q294_catalog_add_column", q294, Some(
       """WITH old AS (
         |  SELECT o_orderkey, o_orderpriority, CAST(NULL AS BIGINT) AS price_c

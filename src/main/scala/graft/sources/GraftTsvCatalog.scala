@@ -2,7 +2,7 @@ package graft.sources
 
 import java.util
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, StagedTable, StagingTableCatalog, SupportsNamespaces, Table, TableCatalog, TableChange, TableInfo}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -48,7 +48,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * lookups on deeper names answer "no such namespace/table" per the
   * DSv2 contract; only CREATE refuses loudly).
   */
-final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
+    with StagingTableCatalog {
 
   private var catalogName: String = _
   private var root: java.io.File = _
@@ -109,8 +110,11 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces {
     new TsvTable(StructType.fromDDL(ddl), dir.getPath)
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+  /** Shared create-time validation (createTable + the staged CTAS
+    * paths): the loud-refusal contract must hold no matter which DDL
+    * front door reaches the catalog. */
+  private def validateCreate(partitions: Array[Transform],
+      properties: util.Map[String, String]): Unit = {
     if (partitions.nonEmpty)
       throw new UnsupportedOperationException(
         "graft tsv catalog: PARTITIONED BY is not supported at create " +
@@ -142,6 +146,11 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces {
       throw new UnsupportedOperationException(
         s"graft tsv catalog: USING $provider is not supported — this " +
           "catalog stores TSV (omit USING, or say USING graft_tsv)")
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    validateCreate(partitions, properties)
     val dir = tableDir(ident)
     if (schemaFile(dir).isFile) throw new TableAlreadyExistsException(ident)
     if (!dir.getParentFile.isDirectory)
@@ -150,6 +159,46 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces {
     java.nio.file.Files.write(schemaFile(dir).toPath,
       schema.toDDL.getBytes("UTF-8"))
     new TsvTable(schema, dir.getPath)
+  }
+
+  // ---- atomic CTAS / RTAS ([[StagingTableCatalog]]) ----
+  //
+  // Without staging, CREATE TABLE AS SELECT is create-then-insert: a
+  // mid-write failure leaves a live EMPTY (or half-loaded, under
+  // non-atomic sinks) table behind for every reader to see. Staged, the
+  // SELECT writes into a `_staging_…` directory (underscore-prefixed:
+  // invisible to scans and listings by the store's one hiding rule) and
+  // the table only EXISTS — sidecar written, directory renamed into
+  // place — inside commitStagedChanges after the write completed;
+  // failure aborts to a deleted staging dir and the catalog never shows
+  // the name. REPLACE TABLE AS SELECT gets the same contract: readers
+  // see the OLD table until the commit swaps directories. At 100 TB
+  // this is the difference between "the nightly rebuild failed and the
+  // table is gone" and "the nightly rebuild failed and yesterday's
+  // table is still being served".
+
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, replace = false, mustExist = false)
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, replace = true, mustExist = true)
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
+    stage(ident, info, replace = true, mustExist = false)
+
+  private def stage(ident: Identifier, info: TableInfo,
+      replace: Boolean, mustExist: Boolean): StagedTable = {
+    validateCreate(info.partitions(), info.properties())
+    val dir = tableDir(ident)
+    if (!replace && schemaFile(dir).isFile)
+      throw new TableAlreadyExistsException(ident)
+    if (mustExist && !schemaFile(dir).isFile)
+      throw new NoSuchTableException(ident)
+    if (!dir.getParentFile.isDirectory)
+      throw new NoSuchNamespaceException(ident.namespace())
+    val staging = new java.io.File(dir.getParentFile,
+      s"_staging_${ident.name()}_" + java.util.UUID.randomUUID()
+        .toString.replace("-", "").take(8))
+    staging.mkdirs()
+    new TsvStagedTable(info.schema(), staging, dir, replace)
   }
 
   /** ADD COLUMN only: append a nullable trailing column to the schema
@@ -260,4 +309,67 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces {
       true
     }
   }
+}
+
+/** The staged table behind atomic CTAS/RTAS: a normal [[TsvTable]] over
+  * the invisible `_staging_…` directory (so the SELECT's write lands
+  * there through the ordinary task-commit sink), whose commit makes the
+  * table exist in one visibility flip:
+  *
+  *   1. the schema sidecar is written INTO the staging dir first — a
+  *      staging dir is never visible, so this publishes nothing;
+  *   2. on REPLACE, the old table directory moves aside to an invisible
+  *      `_replaced_…` name (old data survives any crash here);
+  *   3. the staging dir renames onto the final name — THE atomic step:
+  *      before it the name doesn't resolve (or resolves to the old
+  *      table), after it the complete new table does;
+  *   4. the set-aside old directory is deleted.
+  *
+  * abortStagedChanges deletes the staging dir; the target name is
+  * untouched in every failure mode. */
+final class TsvStagedTable(tableSchema: StructType,
+    stagingDir: java.io.File, finalDir: java.io.File, replace: Boolean)
+    extends StagedTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  private val inner = new TsvTable(tableSchema, stagingDir.getPath)
+
+  override def name(): String = s"graft_tsv(${finalDir.getPath}) [staged]"
+  override def schema(): StructType = tableSchema
+  override def capabilities()
+      : util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    inner.capabilities()
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    inner.newWriteBuilder(info)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    inner.newScanBuilder(options)
+
+  override def commitStagedChanges(): Unit = {
+    java.nio.file.Files.write(
+      new java.io.File(stagingDir, "_graft_schema").toPath,
+      tableSchema.toDDL.getBytes("UTF-8"))
+    val old = new java.io.File(finalDir.getParentFile,
+      s"_replaced_${finalDir.getName}_" + java.util.UUID.randomUUID()
+        .toString.replace("-", "").take(8))
+    val hadOld = finalDir.isDirectory
+    if (hadOld) {
+      require(replace, s"graft tsv catalog: staged CREATE found an " +
+        s"existing table at ${finalDir.getPath} — racing CREATE?")
+      if (!finalDir.renameTo(old))
+        throw new java.io.IOException(
+          s"graft tsv catalog: staged replace could not set aside $finalDir")
+    }
+    if (!stagingDir.renameTo(finalDir)) {
+      if (hadOld) { old.renameTo(finalDir); () } // restore the old table
+      throw new java.io.IOException(
+        s"graft tsv catalog: staged commit rename failed: $stagingDir -> $finalDir")
+    }
+    if (hadOld) TsvWritePaths.deleteRecursively(old)
+  }
+
+  override def abortStagedChanges(): Unit =
+    TsvWritePaths.deleteRecursively(stagingDir)
 }

@@ -1908,6 +1908,75 @@ object StreamingQueries extends QueryPack {
     } finally rmrfAll(s, src, cp)
   }
 
+  /** q296: TABLE-TO-TABLE streaming pipeline, no paths anywhere — the
+    * composition q292 (readStream.table) and q295 (writeStream.toTable)
+    * were each half of: an ingestion job INSERTs into a catalog table
+    * by name, a continuously-running curation stream tails that table
+    * (micro-batch offsets over its committed files), filters/derives
+    * per-row, and lands the result in a SECOND catalog table by name
+    * with exactly-once epochs — the downstream consumer just reads the
+    * output identifier in batch SQL. This is the production topology a
+    * 100 TB curation funnel actually runs (raw → screened, both shared
+    * by name, no storage layout in any job's code); the gate drives two
+    * ingestion waves through the live stream (batch numbering continues
+    * across waves — same offset contract as q289) and the batch
+    * read-back of the OUTPUT table must equal the oracle's one-shot SQL
+    * over the full input. The transform is stateless (filter + derived
+    * column), the only legal shape for append mode without a watermark
+    * — and the right shape: per-row screens don't need state, and the
+    * aggregate belongs to the consumer, not the pipe. */
+  private def q296(s: SparkSession, dir: String): DataFrame = {
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val cp = graft.operators.FileIO.scratch(dir, s"q296_cp_$uid")
+    val cat = s"graft_store_${math.abs(dir.hashCode)}"
+    val catRoot = graft.operators.FileIO.scratch(dir, "tsv_catalog")
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftTsvCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", catRoot)
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lake")
+    s.sql(s"DROP TABLE IF EXISTS $cat.lake.raw296")
+    s.sql(s"DROP TABLE IF EXISTS $cat.lake.screened296")
+    s.sql(s"CREATE TABLE $cat.lake.raw296 " +
+      "(event_id BIGINT, event_type STRING, user_id BIGINT, cents BIGINT)")
+    s.sql(s"CREATE TABLE $cat.lake.screened296 " +
+      "(event_id BIGINT, user_id BIGINT, g BIGINT, cents BIGINT)")
+    Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("graft_src296")
+    def ingest(pred: String): Unit = {
+      s.sql(s"INSERT INTO $cat.lake.raw296 " +
+        s"SELECT * FROM graft_src296 WHERE $pred")
+      ()
+    }
+    ingest("event_id % 2 = 0")
+    val screened = s.readStream.table(s"$cat.lake.raw296")
+      .filter(col("event_type") === "click" && col("cents") >= 100)
+      .select(col("event_id"), col("user_id"),
+        pmod(col("user_id"), lit(8)).as("g"), col("cents"))
+    val query = screened.writeStream
+      .option("checkpointLocation", cp)
+      .toTable(s"$cat.lake.screened296")
+    try {
+      query.processAllAvailable()
+      ingest("event_id % 2 = 1") // second wave through the LIVE stream
+      query.processAllAvailable()
+      recordBatchId("q296", query)
+    } finally query.stop()
+    val result = s.table(s"$cat.lake.screened296")
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("event_id")).as("n_distinct"),
+        sum(col("cents")).as("total_cents"))
+      .orderBy("g")
+    val rows = result.collect()
+    s.sql(s"DROP TABLE $cat.lake.raw296")
+    s.sql(s"DROP TABLE $cat.lake.screened296")
+    s.catalog.dropTempView("graft_src296")
+    rmrfAll(s, cp)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+  }
+
   /** q285: streaming POINT-IN-TIME enrichment — each in-flight event is
     * joined to the dimension VERSION that was current AT EVENT TIME,
     * not the latest snapshot (q168's shape). The static side is an
@@ -2450,6 +2519,15 @@ object StreamingQueries extends QueryPack {
         |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
         |    AS total_value
         |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    Q("q296_stream_table_pipeline", q296, Some(
+      """SELECT user_id % 8 AS g, count(*) AS n,
+        |  count(DISTINCT event_id) AS n_distinct,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM events
+        |WHERE event_type = 'click'
+        |  AND CAST(round(value * 100) AS BIGINT) >= 100
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q295_stream_write_table", q295, Some(
       """SELECT event_type, count(*) AS n,
         |  count(DISTINCT event_id) AS n_distinct,

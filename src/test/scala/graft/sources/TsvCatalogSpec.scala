@@ -90,6 +90,49 @@ class TsvCatalogSpec extends AnyFunSuite {
     spark.catalog.dropTempView("catspec_ev_src")
   }
 
+  test("staged CTAS/RTAS: atomic create, atomic replace, failure leaves nothing") {
+    val (c, root) = freshCatalogWithRoot()
+    spark.sql(s"CREATE NAMESPACE $c.ns")
+    spark.range(10).selectExpr("id", "CAST(id * 2 AS DOUBLE) AS v")
+      .createOrReplaceTempView("catspec_ctas_src")
+    spark.sql(s"CREATE TABLE $c.ns.t AS SELECT * FROM catspec_ctas_src")
+    assert(spark.sql(s"SELECT count(*), sum(v) FROM $c.ns.t").head()
+      .toSeq === Seq(10L, 90.0))
+    // RTAS swaps atomically; the new contents fully replace the old
+    spark.sql(s"REPLACE TABLE $c.ns.t AS " +
+      "SELECT id, CAST(id * 3 AS DOUBLE) AS v FROM catspec_ctas_src WHERE id < 5")
+    assert(spark.sql(s"SELECT count(*), sum(v) FROM $c.ns.t").head()
+      .toSeq === Seq(5L, 30.0))
+    // a failing CTAS must abort: no table, no staging/leftover dirs
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $c.ns.bad AS " +
+        "SELECT id, CAST(raise_error('boom') AS STRING) AS s FROM catspec_ctas_src")
+    }
+    assert(!spark.catalog.tableExists(s"$c.ns.bad"))
+    val leftover = new java.io.File(s"$root/ns").listFiles().map(_.getName)
+    assert(leftover.sorted.sameElements(Array("t")),
+      s"staging leftovers: ${leftover.mkString(",")}")
+    // a failing RTAS must leave the OLD table intact and served
+    intercept[Exception] {
+      spark.sql(s"REPLACE TABLE $c.ns.t AS " +
+        "SELECT id, CAST(raise_error('late') AS STRING) AS s FROM catspec_ctas_src")
+    }
+    assert(spark.sql(s"SELECT count(*), sum(v) FROM $c.ns.t").head()
+      .toSeq === Seq(5L, 30.0), "old table must survive a failed replace")
+    // REPLACE of a missing table is refused; CREATE OR REPLACE is not
+    intercept[Exception] {
+      spark.sql(s"REPLACE TABLE $c.ns.nope AS SELECT * FROM catspec_ctas_src")
+    }
+    spark.sql(s"CREATE OR REPLACE TABLE $c.ns.t2 AS SELECT * FROM catspec_ctas_src")
+    assert(spark.sql(s"SELECT count(*) FROM $c.ns.t2").head().getLong(0) === 10)
+    spark.catalog.dropTempView("catspec_ctas_src")
+  }
+
+  private def freshCatalogWithRoot(): (String, String) = {
+    val name = freshCatalog()
+    (name, spark.conf.get(s"spark.sql.catalog.$name.root"))
+  }
+
   test("refusals are loud: PARTITIONED BY, non-ADD ALTER, multi-level namespaces") {
     val c = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $c.ns")
