@@ -1099,7 +1099,16 @@ final class TsvPartitionReader(fullSchema: StructType, required: StructType,
   * FAILS the task instead (fail-fast beats torn rows). BIGINT/DOUBLE/
   * STRING columns only, like the read side. */
 final class TsvWriteBuilder(schema: StructType, path: String,
-    queryId: String) extends WriteBuilder with SupportsTruncate {
+    queryId: String) extends WriteBuilder with SupportsTruncate
+    // UPDATE output mode lands as per-epoch APPENDS of the changed rows
+    // (the Kafka/console sink contract): the table is then a CHANGELOG —
+    // a key updated in three epochs appears three times, and consumers
+    // reconstruct current state with a latest-per-key pass (the q118
+    // upsert-compaction shape). The alternative — refusing update mode —
+    // would force every aggregating pipeline through foreachBatch;
+    // changelog-append is the honest file-sink semantics and is pinned
+    // (reconstruction ≡ batch aggregate) in TsvStreamingSinkSpec.
+    with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = new Write {

@@ -98,6 +98,38 @@ class TsvStreamingSinkSpec extends AnyFunSuite {
     assert((r.getLong(0), r.getLong(1)) === ((40L, 40L)), "replay duplicated rows")
   }
 
+  test("update mode appends a changelog; latest-per-key reconstructs the aggregate") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.ns")
+    spark.sql(s"CREATE TABLE $cat.ns.chg (grp STRING, n BIGINT)")
+    val src = tmpDir("q295u_src"); val cp = tmpDir("q295u_cp")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("grp", "string")
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .groupBy("grp").agg(count(lit(1)).as("n"))
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", cp)
+        .toTable(s"$cat.ns.chg")
+      try q.processAllAvailable() finally q.stop()
+    }
+    writeWave(src, 0, 30)  // one file per wave (coalesce(1))
+    writeWave(src, 30, 60)
+    drain() // 2 epochs; groups counted in both emit an UPDATED row each
+    val all = spark.table(s"$cat.ns.chg").collect()
+    // changelog semantics: more rows than groups (updated keys re-emitted)
+    assert(all.length > 3, s"expected per-epoch deltas, got ${all.length} rows")
+    // latest-per-key (max n is latest for a grow-only count) ≡ batch agg
+    val latest = spark.table(s"$cat.ns.chg")
+      .groupBy("grp").agg(max("n").as("n"))
+      .orderBy("grp").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(latest.sameElements(Array("g0" -> 20L, "g1" -> 20L, "g2" -> 20L)),
+      latest.mkString(","))
+  }
+
   test("crash window: marker missing after renames — replay replaces, never duplicates") {
     val (cat, root) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.ns")
