@@ -57,6 +57,21 @@ object FileIO extends QueryPack {
     * the on-disk layouts and uses this to prove the rewrite happens. */
   private[operators] def forgetLayoutsForTest(): Unit = layoutSource.clear()
 
+  /** Register (idempotently) the per-sfDir DSv2 TSV catalog and its
+    * `lake` namespace; returns the catalog name. One definition for the
+    * six catalog gates (q290/q294/q295/q296/q297 + streaming) — the
+    * name derives from the source dir so different fixtures in one
+    * session get separate plugin instances (plugins cache their `root`
+    * at first load). */
+  private[graft] def ensureCatalog(s: SparkSession, dir: String): String = {
+    val cat = s"graft_store_${math.abs(dir.hashCode)}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftTsvCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.root", scratch(dir, "tsv_catalog"))
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lake")
+    cat
+  }
+
   /** q74: header-skipping text-file MapReduce (O4+O12). Dump customer as
     * a single headered TSV, then count + min(name) per market segment via
     * `runOnTextFile(ignoreFirstLine = true)`. The header line does not
@@ -1286,12 +1301,7 @@ object FileIO extends QueryPack {
     * (exists/list/rename/drop, partitioned-create and ALTER refusals,
     * cascade rules, sidecar survival under INSERT OVERWRITE). */
   private def q290(s: SparkSession, dir: String): DataFrame = {
-    val cat = s"graft_store_${math.abs(dir.hashCode)}"
-    val root = scratch(dir, "tsv_catalog")
-    s.conf.set(s"spark.sql.catalog.$cat",
-      classOf[graft.sources.GraftTsvCatalog].getName)
-    s.conf.set(s"spark.sql.catalog.$cat.root", root)
-    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lake")
+    val cat = ensureCatalog(s, dir)
     s.sql(s"DROP TABLE IF EXISTS $cat.lake.orders_t")
     s.sql(s"""CREATE TABLE $cat.lake.orders_t (
              |  o_orderkey BIGINT, o_custkey BIGINT,
@@ -1330,12 +1340,7 @@ object FileIO extends QueryPack {
     * with explicit NULLs. TsvCatalogSpec pins the DDL lifecycle and the
     * positional-field refusals (only trailing nullable ADDs are legal). */
   private def q294(s: SparkSession, dir: String): DataFrame = {
-    val cat = s"graft_store_${math.abs(dir.hashCode)}"
-    val root = scratch(dir, "tsv_catalog")
-    s.conf.set(s"spark.sql.catalog.$cat",
-      classOf[graft.sources.GraftTsvCatalog].getName)
-    s.conf.set(s"spark.sql.catalog.$cat.root", root)
-    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lake")
+    val cat = ensureCatalog(s, dir)
     s.sql(s"DROP TABLE IF EXISTS $cat.lake.orders_ev")
     s.sql(s"""CREATE TABLE $cat.lake.orders_ev (
              |  o_orderkey BIGINT, o_orderpriority STRING)""".stripMargin)
@@ -1380,12 +1385,7 @@ object FileIO extends QueryPack {
     * atomicity (failed CTAS leaves nothing, failed RTAS preserves the
     * old table, staging dirs never leak). */
   private def q297(s: SparkSession, dir: String): DataFrame = {
-    val cat = s"graft_store_${math.abs(dir.hashCode)}"
-    val root = scratch(dir, "tsv_catalog")
-    s.conf.set(s"spark.sql.catalog.$cat",
-      classOf[graft.sources.GraftTsvCatalog].getName)
-    s.conf.set(s"spark.sql.catalog.$cat.root", root)
-    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lake")
+    val cat = ensureCatalog(s, dir)
     s.sql(s"DROP TABLE IF EXISTS $cat.lake.ord_sum")
     Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_orderpriority"),

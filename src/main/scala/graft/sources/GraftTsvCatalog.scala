@@ -85,6 +85,18 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     nsDirOpt(ident.namespace()).map(new java.io.File(_, ident.name()))
   private def schemaFile(dir: java.io.File): java.io.File =
     new java.io.File(dir, "_graft_schema")
+  /** `_`-prefixed directory names are CATALOG-INTERNAL (staging dirs,
+    * set-aside replaced tables) — never listable, never addressable,
+    * never creatable as table names. One rule, same as the store's
+    * file-hiding rule. */
+  private def internalName(n: String): Boolean = n.startsWith("_")
+  /** Sidecar writes are TEMP + ATOMIC_MOVE: a plain truncate-then-write
+    * that crashes mid-flush leaves a partial DDL string and bricks the
+    * table (loadTable throws from fromDDL forever) — the single source
+    * of schema truth must flip whole or not at all. */
+  private[sources] def writeSidecarAtomic(dir: java.io.File,
+      schema: StructType): Unit =
+    GraftTsvCatalog.writeSidecarAtomic(dir, schema)
 
   // ---- tables ----
 
@@ -93,17 +105,19 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
       .filter(_.isDirectory)
       .getOrElse(throw new NoSuchNamespaceException(namespace))
     Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(t => t.isDirectory && schemaFile(t).isFile)
+      .filter(t => t.isDirectory && !internalName(t.getName) &&
+        schemaFile(t).isFile)
       .map(t => Identifier.of(namespace, t.getName))
       .sortBy(_.name())
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    tableDirOpt(ident).exists(d => schemaFile(d).isFile)
+    !internalName(ident.name()) &&
+      tableDirOpt(ident).exists(d => schemaFile(d).isFile)
 
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDirOpt(ident)
-      .filter(d => schemaFile(d).isFile)
+      .filter(d => !internalName(ident.name()) && schemaFile(d).isFile)
       .getOrElse(throw new NoSuchTableException(ident))
     val ddl = new String(
       java.nio.file.Files.readAllBytes(schemaFile(dir).toPath), "UTF-8")
@@ -151,13 +165,15 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     validateCreate(partitions, properties)
+    require(!internalName(ident.name()),
+      s"graft tsv catalog: table names may not start with '_' " +
+        s"(reserved for catalog-internal directories): ${ident.name()}")
     val dir = tableDir(ident)
     if (schemaFile(dir).isFile) throw new TableAlreadyExistsException(ident)
     if (!dir.getParentFile.isDirectory)
       throw new NoSuchNamespaceException(ident.namespace())
     dir.mkdirs()
-    java.nio.file.Files.write(schemaFile(dir).toPath,
-      schema.toDDL.getBytes("UTF-8"))
+    writeSidecarAtomic(dir, schema)
     new TsvTable(schema, dir.getPath)
   }
 
@@ -187,6 +203,9 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
   private def stage(ident: Identifier, info: TableInfo,
       replace: Boolean, mustExist: Boolean): StagedTable = {
     validateCreate(info.partitions(), info.properties())
+    require(!internalName(ident.name()),
+      s"graft tsv catalog: table names may not start with '_' " +
+        s"(reserved for catalog-internal directories): ${ident.name()}")
     val dir = tableDir(ident)
     if (!replace && schemaFile(dir).isFile)
       throw new TableAlreadyExistsException(ident)
@@ -194,6 +213,19 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
       throw new NoSuchTableException(ident)
     if (!dir.getParentFile.isDirectory)
       throw new NoSuchNamespaceException(ident.namespace())
+    // GC point for crash leftovers: a new staged publish of this table
+    // reclaims `_staging_<t>_…` / `_replaced_<t>_…` orphans a killed
+    // process left behind (invisible, but they hold disk; the next
+    // publish is the natural sweep moment). The age guard keeps a
+    // CONCURRENT publish's live staging dir safe — a genuinely racing
+    // second CTAS still loses at commit (the set-aside require), it
+    // just isn't deleted mid-write here.
+    val gcCutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    Option(dir.getParentFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.lastModified() < gcCutoff &&
+        (f.getName.startsWith(s"_staging_${ident.name()}_") ||
+          f.getName.startsWith(s"_replaced_${ident.name()}_")))
+      .foreach(TsvWritePaths.deleteRecursively)
     val staging = new java.io.File(dir.getParentFile,
       s"_staging_${ident.name()}_" + java.util.UUID.randomUUID()
         .toString.replace("-", "").take(8))
@@ -238,8 +270,7 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
             "positional; drops/renames/type changes would re-map " +
             "existing bytes. Evolve by recreate.")
     }
-    java.nio.file.Files.write(schemaFile(dir).toPath,
-      schema.toDDL.getBytes("UTF-8"))
+    writeSidecarAtomic(dir, schema)
     new TsvTable(schema, dir.getPath)
   }
 
@@ -311,6 +342,21 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
   }
 }
 
+object GraftTsvCatalog {
+  /** Temp-file + ATOMIC_MOVE sidecar write — the schema flips whole or
+    * not at all (shared by create, ALTER, and the staged commit). */
+  private[sources] def writeSidecarAtomic(dir: java.io.File,
+      schema: StructType): Unit = {
+    val tmp = new java.io.File(dir, s"_graft_schema.tmp")
+    java.nio.file.Files.write(tmp.toPath, schema.toDDL.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(dir, "_graft_schema").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+}
+
 /** The staged table behind atomic CTAS/RTAS: a normal [[TsvTable]] over
   * the invisible `_staging_…` directory (so the SELECT's write lands
   * there through the ordinary task-commit sink), whose commit makes the
@@ -348,9 +394,7 @@ final class TsvStagedTable(tableSchema: StructType,
     inner.newScanBuilder(options)
 
   override def commitStagedChanges(): Unit = {
-    java.nio.file.Files.write(
-      new java.io.File(stagingDir, "_graft_schema").toPath,
-      tableSchema.toDDL.getBytes("UTF-8"))
+    GraftTsvCatalog.writeSidecarAtomic(stagingDir, tableSchema)
     val old = new java.io.File(finalDir.getParentFile,
       s"_replaced_${finalDir.getName}_" + java.util.UUID.randomUUID()
         .toString.replace("-", "").take(8))

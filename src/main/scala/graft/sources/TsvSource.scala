@@ -1199,16 +1199,33 @@ final class TsvStreamingWrite(schema: StructType, path: String,
     root.mkdirs()
     if (truncateEachEpoch)
       TsvLayout.listDataFiles(root).foreach(_.delete())
+    // crash-window replay sweep: remove EVERY file this epoch landed in
+    // the crashed attempt, not just the names the replay re-uses — a
+    // replay planned with FEWER partitions (changed shuffle conf, AQE
+    // coalescing) would otherwise leave the old higher-numbered part
+    // files behind as duplicates
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("part-") &&
+        f.getName.endsWith(s"-$qid-e$epochId.txt"))
+      .foreach(_.delete())
     messages.foreach { case TsvTaskCommit(tmp, _, partitionId) =>
       val src = new java.io.File(tmp)
       val dst = new java.io.File(root, f"part-$partitionId%05d-$qid-e$epochId.txt")
-      dst.delete() // crash-window replay: replace, never duplicate
       if (!src.renameTo(dst))
         throw new java.io.IOException(s"graft tsv sink: rename failed: $tmp")
     }
     ledgerDir.mkdirs()
     java.nio.file.Files.write(marker.toPath,
       Array.emptyByteArray) // marker LAST: its absence means "re-land"
+    // prune the ledger: only the LATEST epoch can ever be replayed
+    // (Spark re-delivers at most the one batch whose offset commit is
+    // missing), so markers older than the previous epoch are dead
+    // weight — without pruning a 1s-trigger pipeline accretes ~86k
+    // empty files a day in the table directory
+    Option(ledgerDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.forall(_.isDigit) &&
+        f.getName.toLong < epochId - 1)
+      .foreach(_.delete())
     dropTemp(epochId)
   }
 

@@ -1427,47 +1427,17 @@ object StreamingQueries extends QueryPack {
     * The pipeline itself is a stateless projection, so this isolates the
     * source/sink transactional machinery from state-store semantics. */
   private def q175(s: SparkSession, dir: String): DataFrame = {
-    val shards = dumpDayShards(s, dir, "events_stream_days_upsert")
-    val schema = dayShardSchema("events_stream_days_upsert")
     val uid = java.util.UUID.randomUUID().toString.replace("-", "")
     val src = graft.operators.FileIO.scratch(dir, s"q175_src_$uid")
     val sink = graft.operators.FileIO.scratch(dir, s"q175_sink_$uid")
     val cp = graft.operators.FileIO.scratch(dir, s"q175_cp_$uid")
-    val conf = s.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(shards).getFileSystem(conf)
-    val dayDirs = fs.listStatus(new org.apache.hadoop.fs.Path(shards))
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("day="))
-      .map(_.getPath).sortBy(_.getName)
-    def stage(paths: Seq[org.apache.hadoop.fs.Path]): Unit = paths.foreach { p =>
-      org.apache.hadoop.fs.FileUtil.copy(fs, p,
-        fs, new org.apache.hadoop.fs.Path(src, p.getName), false, conf)
-    }
-    def runInstance(): Unit = {
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      val query =
-        try {
-          s.conf.set("spark.sql.shuffle.partitions", "2")
-          s.readStream.schema(schema)
-            // 2 batches per half-corpus instance; batch numbering
-            // continues across the restart, so the final batchId ≥ 3
-            .option("maxFilesPerTrigger", "8")
-            .parquet(src)
-            .select(col("event_id"), col("user_id"), col("event_type"))
-            .writeStream
-            .format("parquet")
-            .option("path", sink)
-            .option("checkpointLocation", cp)
-            .start()
-        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      try { query.processAllAvailable(); recordBatchId("q175", query) }
-      finally query.stop()
-    }
     try {
-      val (firstHalf, secondHalf) = dayDirs.toSeq.splitAt(dayDirs.length / 2)
-      stage(firstHalf)
-      runInstance() // instance 1: commits the first half, then stops
-      stage(secondHalf)
-      runInstance() // instance 2: SAME checkpoint — must resume, not replay
+      driveRestartHalves(s, dir, "q175", src, stream => stream
+        .writeStream
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", cp)
+        .start())
       val result = s.read.parquet(sink)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
@@ -1792,12 +1762,7 @@ object StreamingQueries extends QueryPack {
     * later micro-batch (same offset contract as q289); complete-mode
     * counts must equal the batch oracle over the full source. */
   private def q292(s: SparkSession, dir: String): DataFrame = withNanosAsLong(s) {
-    val cat = s"graft_store_${math.abs(dir.hashCode)}"
-    val root = graft.operators.FileIO.scratch(dir, "tsv_catalog")
-    s.conf.set(s"spark.sql.catalog.$cat",
-      classOf[graft.sources.GraftTsvCatalog].getName)
-    s.conf.set(s"spark.sql.catalog.$cat.root", root)
-    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lake")
+    val cat = graft.operators.FileIO.ensureCatalog(s, dir)
     s.sql(s"DROP TABLE IF EXISTS $cat.lake.events_t")
     s.sql(s"CREATE TABLE $cat.lake.events_t " +
       "(event_id BIGINT, event_type STRING, g BIGINT)")
@@ -1850,21 +1815,20 @@ object StreamingQueries extends QueryPack {
     * this is the ingestion contract: streams write, pipelines read, and
     * everyone addresses one identifier — no paths, no manifests, no
     * partial batches ever visible. */
-  private def q295(s: SparkSession, dir: String): DataFrame = {
+  /** The restart/exactly-once harness shared by q175 (path sink) and
+    * q295 (catalog sink): stage HALF the day shards into `src`, run a
+    * query instance to drain and STOP, stage the rest, resume a second
+    * instance from the SAME checkpoint — offsets in the WAL must not
+    * replay, the sink must not re-land. `startSink` receives the
+    * projected (event_id, user_id, event_type) stream and must start
+    * the query with its own sink attached; instance scoping (shuffle
+    * partitions, maxFilesPerTrigger batching) lives HERE so the two
+    * restart gates can never drift. */
+  private def driveRestartHalves(s: SparkSession, dir: String, gate: String,
+      src: String, startSink: DataFrame =>
+        org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val shards = dumpDayShards(s, dir, "events_stream_days_upsert")
     val schema = dayShardSchema("events_stream_days_upsert")
-    val uid = java.util.UUID.randomUUID().toString.replace("-", "")
-    val src = graft.operators.FileIO.scratch(dir, s"q295_src_$uid")
-    val cp = graft.operators.FileIO.scratch(dir, s"q295_cp_$uid")
-    val cat = s"graft_store_${math.abs(dir.hashCode)}"
-    val catRoot = graft.operators.FileIO.scratch(dir, "tsv_catalog")
-    s.conf.set(s"spark.sql.catalog.$cat",
-      classOf[graft.sources.GraftTsvCatalog].getName)
-    s.conf.set(s"spark.sql.catalog.$cat.root", catRoot)
-    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lake")
-    s.sql(s"DROP TABLE IF EXISTS $cat.lake.events_sink")
-    s.sql(s"CREATE TABLE $cat.lake.events_sink " +
-      "(event_id BIGINT, user_id BIGINT, event_type STRING)")
     val conf = s.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(shards).getFileSystem(conf)
     val dayDirs = fs.listStatus(new org.apache.hadoop.fs.Path(shards))
@@ -1879,23 +1843,36 @@ object StreamingQueries extends QueryPack {
       val query =
         try {
           s.conf.set("spark.sql.shuffle.partitions", "2")
-          s.readStream.schema(schema)
+          startSink(s.readStream.schema(schema)
+            // 2 batches per half-corpus instance; batch numbering
+            // continues across the restart, so the final batchId ≥ 3
             .option("maxFilesPerTrigger", "8")
             .parquet(src)
-            .select(col("event_id"), col("user_id"), col("event_type"))
-            .writeStream
-            .option("checkpointLocation", cp)
-            .toTable(s"$cat.lake.events_sink")
+            .select(col("event_id"), col("user_id"), col("event_type")))
         } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      try { query.processAllAvailable(); recordBatchId("q295", query) }
+      try { query.processAllAvailable(); recordBatchId(gate, query) }
       finally query.stop()
     }
+    val (firstHalf, secondHalf) = dayDirs.toSeq.splitAt(dayDirs.length / 2)
+    stage(firstHalf)
+    runInstance() // instance 1: commits the first half, then stops
+    stage(secondHalf)
+    runInstance() // instance 2: SAME checkpoint — must resume, not replay
+  }
+
+  private def q295(s: SparkSession, dir: String): DataFrame = {
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val src = graft.operators.FileIO.scratch(dir, s"q295_src_$uid")
+    val cp = graft.operators.FileIO.scratch(dir, s"q295_cp_$uid")
+    val cat = graft.operators.FileIO.ensureCatalog(s, dir)
+    s.sql(s"DROP TABLE IF EXISTS $cat.lake.events_sink")
+    s.sql(s"CREATE TABLE $cat.lake.events_sink " +
+      "(event_id BIGINT, user_id BIGINT, event_type STRING)")
     try {
-      val (firstHalf, secondHalf) = dayDirs.toSeq.splitAt(dayDirs.length / 2)
-      stage(firstHalf)
-      runInstance() // instance 1: lands the first half's epochs, stops
-      stage(secondHalf)
-      runInstance() // instance 2: SAME checkpoint — resume, no re-land
+      driveRestartHalves(s, dir, "q295", src, stream => stream
+        .writeStream
+        .option("checkpointLocation", cp)
+        .toTable(s"$cat.lake.events_sink"))
       val result = s.table(s"$cat.lake.events_sink")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
@@ -1903,9 +1880,11 @@ object StreamingQueries extends QueryPack {
           sum(col("event_id")).as("id_sum"))
         .orderBy("event_type")
       val rows = result.collect()
-      s.sql(s"DROP TABLE $cat.lake.events_sink")
       s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
-    } finally rmrfAll(s, src, cp)
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $cat.lake.events_sink")
+      rmrfAll(s, src, cp)
+    }
   }
 
   /** q296: TABLE-TO-TABLE streaming pipeline, no paths anywhere — the
@@ -1928,12 +1907,7 @@ object StreamingQueries extends QueryPack {
   private def q296(s: SparkSession, dir: String): DataFrame = {
     val uid = java.util.UUID.randomUUID().toString.replace("-", "")
     val cp = graft.operators.FileIO.scratch(dir, s"q296_cp_$uid")
-    val cat = s"graft_store_${math.abs(dir.hashCode)}"
-    val catRoot = graft.operators.FileIO.scratch(dir, "tsv_catalog")
-    s.conf.set(s"spark.sql.catalog.$cat",
-      classOf[graft.sources.GraftTsvCatalog].getName)
-    s.conf.set(s"spark.sql.catalog.$cat.root", catRoot)
-    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lake")
+    val cat = graft.operators.FileIO.ensureCatalog(s, dir)
     s.sql(s"DROP TABLE IF EXISTS $cat.lake.raw296")
     s.sql(s"DROP TABLE IF EXISTS $cat.lake.screened296")
     s.sql(s"CREATE TABLE $cat.lake.raw296 " +
@@ -1954,27 +1928,32 @@ object StreamingQueries extends QueryPack {
       .filter(col("event_type") === "click" && col("cents") >= 100)
       .select(col("event_id"), col("user_id"),
         pmod(col("user_id"), lit(8)).as("g"), col("cents"))
-    val query = screened.writeStream
-      .option("checkpointLocation", cp)
-      .toTable(s"$cat.lake.screened296")
+    // cleanup in finally (q175/q295 discipline): a failing drain must
+    // not leak the uuid checkpoint dir or the session-wide tables/view
     try {
-      query.processAllAvailable()
-      ingest("event_id % 2 = 1") // second wave through the LIVE stream
-      query.processAllAvailable()
-      recordBatchId("q296", query)
-    } finally query.stop()
-    val result = s.table(s"$cat.lake.screened296")
-      .groupBy("g")
-      .agg(count(lit(1)).as("n"),
-        countDistinct(col("event_id")).as("n_distinct"),
-        sum(col("cents")).as("total_cents"))
-      .orderBy("g")
-    val rows = result.collect()
-    s.sql(s"DROP TABLE $cat.lake.raw296")
-    s.sql(s"DROP TABLE $cat.lake.screened296")
-    s.catalog.dropTempView("graft_src296")
-    rmrfAll(s, cp)
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+      val query = screened.writeStream
+        .option("checkpointLocation", cp)
+        .toTable(s"$cat.lake.screened296")
+      try {
+        query.processAllAvailable()
+        ingest("event_id % 2 = 1") // second wave through the LIVE stream
+        query.processAllAvailable()
+        recordBatchId("q296", query)
+      } finally query.stop()
+      val result = s.table(s"$cat.lake.screened296")
+        .groupBy("g")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("n_distinct"),
+          sum(col("cents")).as("total_cents"))
+        .orderBy("g")
+      val rows = result.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $cat.lake.raw296")
+      s.sql(s"DROP TABLE IF EXISTS $cat.lake.screened296")
+      s.catalog.dropTempView("graft_src296")
+      rmrfAll(s, cp)
+    }
   }
 
   /** q285: streaming POINT-IN-TIME enrichment — each in-flight event is
