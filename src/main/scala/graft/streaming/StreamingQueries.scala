@@ -1904,6 +1904,69 @@ object StreamingQueries extends QueryPack {
     * column), the only legal shape for append mode without a watermark
     * — and the right shape: per-row screens don't need state, and the
     * aggregate belongs to the consumer, not the pipe. */
+  /** q298: UPDATE-MODE CHANGELOG through the catalog sink — the third
+    * output mode on the name-based pipeline (append q295/q296, complete
+    * via memory gates): a streaming AGGREGATION writes by name with
+    * `outputMode("update")`, which the sink accepts as
+    * SupportsStreamingUpdateAsAppend and lands as per-epoch APPENDS of
+    * the CHANGED groups — the table becomes a CHANGELOG (a group
+    * updated in four epochs appears four times), and the consumer
+    * reconstructs current state with one latest-per-key pass
+    * (`max_by` on the strictly-growing count — q118's upsert-compaction
+    * shape, here against the DSv2 sink instead of foreachBatch). This
+    * is the 100 TB metrics-feed contract: the stream never rewrites,
+    * consumers compact on read (or periodically via q118), and the
+    * reconstruction must equal the one-shot batch aggregate — which is
+    * exactly what the oracle states. Epochs are forced by
+    * maxFilesPerTrigger over the day shards, so most groups update in
+    * most epochs and the changelog is genuinely multi-version (the
+    * sink spec pins that shape; this gate pins the values). */
+  private def q298(s: SparkSession, dir: String): DataFrame = {
+    val shards = dumpDayShards(s, dir, "events_stream_days_upsert")
+    val schema = dayShardSchema("events_stream_days_upsert")
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val cp = graft.operators.FileIO.scratch(dir, s"q298_cp_$uid")
+    val cat = graft.operators.FileIO.ensureCatalog(s, dir)
+    s.sql(s"DROP TABLE IF EXISTS $cat.lake.metrics298")
+    s.sql(s"CREATE TABLE $cat.lake.metrics298 " +
+      "(event_type STRING, n BIGINT, cents BIGINT)")
+    try {
+      val agg = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "8") // ~4 epochs → multi-version log
+        .parquet(shards)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+      val query = agg.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", cp)
+        .toTable(s"$cat.lake.metrics298")
+      try query.processAllAvailable() finally query.stop()
+      // compact-on-read: the count only grows, so max(n) is the latest
+      // version and max_by(cents, n) its payload — one pass, no window
+      val compacted = s.table(s"$cat.lake.metrics298")
+        .groupBy("event_type")
+        .agg(max("n").as("n"),
+          expr("max_by(cents, n)").as("cents"),
+          count(lit(1)).as("n_versions"))
+      // changelog-ness is a gate-side INVARIANT, not an oracle column
+      // (an oracle can't predict epoch counts): every group must have
+      // been re-emitted at least once, or update mode silently behaved
+      // like complete/once and the gate is not testing what it claims
+      val single = compacted.filter(col("n_versions") < 2).count()
+      require(single == 0,
+        s"q298: $single group(s) have a single changelog version — " +
+          "expected multi-epoch updates")
+      val result = compacted
+        .select("event_type", "n", "cents").orderBy("event_type")
+      val rows = result.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $cat.lake.metrics298")
+      rmrfAll(s, cp)
+    }
+  }
+
   private def q296(s: SparkSession, dir: String): DataFrame = {
     val uid = java.util.UUID.randomUUID().toString.replace("-", "")
     val cp = graft.operators.FileIO.scratch(dir, s"q296_cp_$uid")
@@ -2498,6 +2561,10 @@ object StreamingQueries extends QueryPack {
         |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
         |    AS total_value
         |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    Q("q298_stream_update_changelog", q298, Some(
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q296_stream_table_pipeline", q296, Some(
       """SELECT user_id % 8 AS g, count(*) AS n,
         |  count(DISTINCT event_id) AS n_distinct,
