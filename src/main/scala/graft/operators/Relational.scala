@@ -672,6 +672,37 @@ object Relational extends QueryPack {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** q299: ANSI-MODE gate — the round-14 full-board ANSI sweep
+    * (SCALING.md: 295/295 green under `spark.sql.ansi.enabled=true`)
+    * made REGRESSION-PROOF as one standing gate instead of a one-off
+    * note: the query runs with ANSI forced on (q265's conf-scope
+    * pattern — collected INSIDE the scope, since optimization happens
+    * at execution) and exercises exactly the semantics ANSI changes:
+    * strict casts (a valid string→number cast must still succeed),
+    * overflow (plain `+` on BIGINT would THROW under ANSI where legacy
+    * silently wraps — `try_add` is the sanctioned escape, returning
+    * NULL), and the repo's exact-DECIMAL money discipline (unaffected
+    * by mode, which is the point of the discipline). At 100 TB ANSI-on
+    * is the deployment reality (Spark 4 distros default it); a library
+    * whose gates only ever ran legacy-mode semantics would be one
+    * `.cast` away from a production surprise. */
+  private def q299(s: SparkSession, dir: String): DataFrame =
+    graft.SessionConfs.withConfs(s, "spark.sql.ansi.enabled" -> "true") {
+      Tables.lineitem(s, dir).createOrReplaceTempView("graft_li299")
+      val result = s.sql(
+        """SELECT l_returnflag, count(*) AS n,
+          |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+          |    AS BIGINT) AS price_c,
+          |  CAST(sum(CAST(CAST(l_quantity AS STRING) AS DECIMAL(18,2)))
+          |    AS BIGINT) AS qty_via_str,
+          |  try_add(9223372036854775807, count(*)) AS overflow_is_null
+          |FROM graft_li299
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
+      val rows = result.collect()
+      s.catalog.dropTempView("graft_li299")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    }
+
   /** q238: COLLATION-aware grouping (Spark 4 surface) — case-insensitive
     * semantics pushed into the string TYPE via `collate(…,
     * 'UTF8_LCASE')` instead of wrapping every reference in lower().
@@ -717,6 +748,14 @@ object Relational extends QueryPack {
         |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
         |    AS bal
         |FROM noisy GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q299_ansi_mode", q299, Some(
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |    AS BIGINT) AS price_c,
+        |  CAST(sum(CAST(CAST(l_quantity AS STRING) AS DECIMAL(18,2)))
+        |    AS BIGINT) AS qty_via_str,
+        |  CAST(NULL AS BIGINT) AS overflow_is_null
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q279_sql_pipe_syntax", q279, Some(
       """WITH a AS (
         |  SELECT l_returnflag, l_linestatus, count(*) AS n,
