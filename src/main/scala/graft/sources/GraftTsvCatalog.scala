@@ -203,6 +203,13 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
   private def stage(ident: Identifier, info: TableInfo,
       replace: Boolean, mustExist: Boolean): StagedTable = {
     validateCreate(info.partitions(), info.properties())
+    // loud-refusal contract: a CHECK/PK constraint the store cannot
+    // enforce must not be silently dropped at create time
+    if (info.constraints() != null && info.constraints().nonEmpty)
+      throw new UnsupportedOperationException(
+        "graft tsv catalog: table constraints are not supported — " +
+          "the TSV store does not enforce them, and storing an " +
+          "unenforced promise would be worse than refusing")
     require(!internalName(ident.name()),
       s"graft tsv catalog: table names may not start with '_' " +
         s"(reserved for catalog-internal directories): ${ident.name()}")
