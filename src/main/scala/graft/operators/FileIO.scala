@@ -808,6 +808,51 @@ object FileIO extends QueryPack {
       .load()
   }
 
+  /** q300: GZIPPED TSV shards through the DSv2 source — the reference's
+    * actual cold-storage front door (`smart_open` reads `.tsv.gz`
+    * transparently, requirements.txt:2 / mapreduce.py:91) at the source
+    * contract: `.gz` shards mix freely with plain shards in one store,
+    * each gzip file planning exactly ONE split over its decompressed
+    * stream (gzip is not splittable — the honest contract: parallelism
+    * is per-FILE for archived data, and pushed filters save parse/emit
+    * work, never decompression bytes; re-shard to plain or splittable
+    * codecs when a single archive dominates a scan). The gate builds a
+    * half-plain / half-gzip events store (split on event_id parity),
+    * scans it with a pushed filter + pruned projection, and aggregates;
+    * the oracle states the same over parquet. TsvSourceSpec pins the
+    * one-split-per-gz-file plan and plain≡mixed value identity. */
+  private def q300(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "events_tsv_mixed_gz")
+    if (layoutSource.get(out) != dir) {
+      val base = Tables.events(s, dir)
+        .select(col("event_id"),
+          concat_ws("\t",
+            col("event_id"), unix_micros(col("ts")),
+            col("user_id"), coalesce(col("event_type"), lit("")),
+            coalesce(col("value").cast("decimal(18,2)").cast("string"), lit("")),
+            coalesce(col("props"), lit(""))).as("value"))
+      base.filter(col("event_id") % 2 === 0).select("value")
+        .repartition(4).write.mode("overwrite").text(out)
+      base.filter(col("event_id") % 2 === 1).select("value")
+        .repartition(4).write.mode("append")
+        .option("compression", "gzip").text(out)
+      layoutSource.put(out, dir)
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, us BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+    s.read.format(classOf[graft.sources.TsvSourceProvider].getName)
+      .schema(schema)
+      .option("path", out)
+      .load()
+      .filter(col("user_id") >= 10)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("event_id").as("id_sum"),
+        count(col("value")).as("n_valued"))
+      .orderBy(col("event_type").asc_nulls_first)
+  }
+
   private def q247(s: SparkSession, dir: String): DataFrame = {
     eventsTsvDf(s, dir)
       .filter(col("event_type") === "click" && col("user_id") >= 50)
@@ -1476,6 +1521,12 @@ object FileIO extends QueryPack {
   }
 
   override def queries: Seq[Q] = Seq(
+    Q("q300_tsv_gzip_scan", q300, Some(
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  count(value) AS n_valued
+        |FROM events WHERE user_id >= 10
+        |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin)),
     Q("q297_catalog_ctas", q297, Some(
       """SELECT o_orderpriority AS priority, o_orderstatus AS status,
         |  count(*) AS n,

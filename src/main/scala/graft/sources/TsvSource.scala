@@ -953,8 +953,16 @@ final class TsvPartitionReader(fullSchema: StructType, required: StructType,
   // read() loop pays a synchronized call per data byte — this scans a
   // 64 KiB buffer for '\n' and materializes each line in one copy,
   // spilling to a growable buffer only when a line crosses a chunk
-  // boundary. `pos` is the absolute offset of the next unread byte.
-  private val in = new java.io.FileInputStream(file)
+  // boundary. `pos` is the absolute offset of the next unread byte —
+  // DECOMPRESSED offset for a `.gz` shard (gzip is not splittable, so
+  // its one split is (0, MaxValue) and the split-ownership seek never
+  // runs; `_pos` provenance stays a stable locator, just in the
+  // decompressed coordinate space).
+  private val in: java.io.InputStream =
+    if (file.endsWith(".gz"))
+      new java.util.zip.GZIPInputStream(
+        new java.io.FileInputStream(file), 1 << 16)
+    else new java.io.FileInputStream(file)
   private val buf = new Array[Byte](1 << 16)
   private var bufLen = 0
   private var bufPos = 0
@@ -1286,10 +1294,19 @@ private[sources] object TsvLayout {
     dirs.map(d => d.getName.stripPrefix(c + "=").toLong -> d).sortBy(_._1)
   }
 
-  /** Newline-aligned byte ranges (empty files yield no splits). */
+  /** Newline-aligned byte ranges (empty files yield no splits). A
+    * `.gz` shard is NOT splittable: it gets exactly one split covering
+    * the whole decompressed stream (end = MaxValue → the reader runs
+    * to EOF) — the honest cold-archive contract: parallelism is
+    * per-FILE for gzipped data, and pushed filters save parse/emit
+    * work but never decompression bytes. (The reference reads
+    * `.tsv.gz` transparently via smart_open; this is that front door
+    * at the DSv2 contract, mixed freely with plain shards in one
+    * store.) */
   def byteSplits(file: java.io.File, splitBytes: Long): Seq[(Long, Long)] = {
     val len = file.length()
     if (len == 0) Nil
+    else if (file.getName.endsWith(".gz")) Seq((0L, Long.MaxValue))
     else (0L until len by splitBytes)
       .map(start => (start, math.min(start + splitBytes, len)))
   }

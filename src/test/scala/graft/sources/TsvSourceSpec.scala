@@ -108,6 +108,30 @@ class TsvSourceSpec extends AnyFunSuite {
     assert(parts.length > 5, s"expected many splits, got ${parts.length}")
   }
 
+  test("gzip shards: one split per .gz file, values identical to plain, stores mix freely") {
+    val lines = (1 to 60).map(i => s"$i\t${"x" * (i % 7)}\t$i.5\tnote$i")
+    val dir = writeTsv(lines.take(30)) // plain shard
+    // second shard gzipped alongside it
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/part-00001.txt.gz"))
+    try gz.write((lines.drop(30).mkString("\n") + "\n").getBytes("UTF-8"))
+    finally gz.close()
+    val got = readTsv(dir).orderBy("id").collect().toSeq
+    val plainAll = readTsv(writeTsv(lines)).orderBy("id").collect().toSeq
+    assert(got == plainAll, "mixed plain+gz store must equal one plain store")
+    // gzip is not splittable: tiny split_bytes must fan out the PLAIN
+    // shard but keep exactly ONE split for the .gz shard
+    val parts = new TsvScan(schema, schema, Array.empty,
+      dir, 16L, -1).planInputPartitions()
+    val gzParts = parts.collect {
+      case p: TsvInputPartition if p.file.endsWith(".gz") => p }
+    assert(gzParts.length == 1, s"expected 1 gz split, got ${gzParts.length}")
+    assert(parts.length > 5, "plain shard must still byte-split")
+    // pushed filters evaluate on decompressed lines
+    val f = readTsv(dir).filter(col("id") > 55)
+    assert(f.count() == 5)
+  }
+
   test("CRLF terminators parse identically to LF (trailing CR stripped, even off a numeric last column)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tsv_crlf").toString
     java.nio.file.Files.write(
