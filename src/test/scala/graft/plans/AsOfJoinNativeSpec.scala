@@ -144,6 +144,42 @@ class AsOfJoinNativeSpec extends AnyFunSuite {
     }
   }
 
+  test("whole-stage codegen ENGAGES on long shapes, and equals the interpreted path") {
+    // r14 hardening: the codegen produce path (AsOfMerger + generated
+    // consume) and the interpreted doExecute must agree bit-for-bit —
+    // and the codegen path must actually RUN (a Janino failure falls
+    // back silently under spark.sql.codegen.fallback, which would turn
+    // every codegen pin into a no-op without this check)
+    val rnd = new scala.util.Random(300)
+    val l = Seq.fill(400)((
+      if (rnd.nextInt(12) == 0) null else java.lang.Long.valueOf(rnd.nextInt(12)),
+      if (rnd.nextInt(12) == 0) null else java.lang.Long.valueOf(rnd.nextInt(80)),
+      s"l${rnd.nextInt(100000)}"))
+    val r = Seq.fill(250)((
+      if (rnd.nextInt(12) == 0) null else java.lang.Long.valueOf(rnd.nextInt(14)),
+      if (rnd.nextInt(12) == 0) null else java.lang.Long.valueOf(rnd.nextInt(80)),
+      s"r${rnd.nextInt(100000)}"))
+      .groupBy(x => (x._1, x._2)).map(_._2.head).toSeq
+    for (fwd <- Seq(true, false); tol <- Seq(None, Some(9L))) {
+      def run(): Seq[String] = NativeAsOfJoin.leftAsOf(leftDf(l), rightDf(r),
+          "k", "rk", "t", "rt", forward = fwd, tolerance = tol)
+        .select($"l_tag", $"payload").collect()
+        .map(x => x.getString(0) + "|" + Option(x.get(1)).getOrElse("∅"))
+        .sorted.toSeq
+      val on = run()
+      val off = graft.SessionConfs.withConfs(spark,
+        "spark.sql.codegen.wholeStage" -> "false") { run() }
+      assert(on === off, s"codegen/interpreted divergence fwd=$fwd tol=$tol")
+    }
+    // engagement pin: the executed plan's AsOfJoinExec sits INSIDE a
+    // WholeStageCodegen subtree (the display string stars it)
+    val j = NativeAsOfJoin.leftAsOf(leftDf(l), rightDf(r), "k", "rk", "t", "rt")
+    j.collect() // finalize the AQE plan
+    val plan = j.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) AsOfJoin""".r.findFirstIn(plan).isDefined,
+      s"AsOfJoin not codegen'd:\n$plan")
+  }
+
   test("randomized: native == compositional == brute force (nulls, dups, misses)") {
     val rnd = new scala.util.Random(281)
     for (round <- 1 to 3) {
