@@ -779,31 +779,36 @@ object FileIO extends QueryPack {
     * the plan to `GraftTsvScan` with the filters in PushedFilters and a
     * pruned ReadSchema. The oracle computes the same aggregate from the
     * parquet table. */
+  /** ONE definition of the events-dump TSV dialect, shared by the
+    * plain store (q247/q275) and the mixed-gzip store (q300) so the
+    * two can never drift. Text writer, not the csv one:
+    * TSV-with-no-quoting is the reference's dialect, and the csv
+    * writer would quote-wrap any field containing '"' (props is
+    * JSON). concat_ws would silently DROP a null field and shift
+    * every later column, so each field is null-coalesced explicitly. */
+  private def eventsTsvLine: org.apache.spark.sql.Column =
+    concat_ws("\t",
+      col("event_id"), unix_micros(col("ts")),
+      col("user_id"), coalesce(col("event_type"), lit("")),
+      coalesce(col("value").cast("decimal(18,2)").cast("string"), lit("")),
+      coalesce(col("props"), lit("")))
+  private val eventsTsvDdl =
+    "event_id BIGINT, us BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+
   /** The 6-column events TSV dump q247/q275 read through the DSv2
     * source, built once per source dir, loaded with its schema. */
   private[graft] def eventsTsvDf(s: SparkSession, dir: String): DataFrame = {
     val out = scratch(dir, "events_tsv_dsv2")
     if (layoutSource.get(out) != dir) {
-      // text writer, not the csv one: TSV-with-no-quoting is the
-      // reference's dialect, and the csv writer would quote-wrap any
-      // field containing '"' (props is JSON). concat_ws would silently
-      // DROP a null field and shift every later column, so each field
-      // is null-coalesced explicitly.
       Tables.events(s, dir)
-        .select(concat_ws("\t",
-          col("event_id"), unix_micros(col("ts")),
-          col("user_id"), coalesce(col("event_type"), lit("")),
-          coalesce(col("value").cast("decimal(18,2)").cast("string"), lit("")),
-          coalesce(col("props"), lit(""))).as("value"))
+        .select(eventsTsvLine.as("value"))
         .repartition(8)
         .write.mode("overwrite").text(out)
       layoutSource.put(out, dir)
     }
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id BIGINT, us BIGINT, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING")
     s.read.format(classOf[graft.sources.TsvSourceProvider].getName)
-      .schema(schema)
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(eventsTsvDdl))
       .option("path", out)
       .load()
   }
@@ -824,13 +829,9 @@ object FileIO extends QueryPack {
   private def q300(s: SparkSession, dir: String): DataFrame = {
     val out = scratch(dir, "events_tsv_mixed_gz")
     if (layoutSource.get(out) != dir) {
+      // same dialect as eventsTsvDf by construction (shared exprs)
       val base = Tables.events(s, dir)
-        .select(col("event_id"),
-          concat_ws("\t",
-            col("event_id"), unix_micros(col("ts")),
-            col("user_id"), coalesce(col("event_type"), lit("")),
-            coalesce(col("value").cast("decimal(18,2)").cast("string"), lit("")),
-            coalesce(col("props"), lit(""))).as("value"))
+        .select(col("event_id"), eventsTsvLine.as("value"))
       base.filter(col("event_id") % 2 === 0).select("value")
         .repartition(4).write.mode("overwrite").text(out)
       base.filter(col("event_id") % 2 === 1).select("value")
@@ -838,11 +839,8 @@ object FileIO extends QueryPack {
         .option("compression", "gzip").text(out)
       layoutSource.put(out, dir)
     }
-    val schema = org.apache.spark.sql.types.StructType.fromDDL(
-      "event_id BIGINT, us BIGINT, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING")
     s.read.format(classOf[graft.sources.TsvSourceProvider].getName)
-      .schema(schema)
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(eventsTsvDdl))
       .option("path", out)
       .load()
       .filter(col("user_id") >= 10)

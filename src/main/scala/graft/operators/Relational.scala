@@ -689,18 +689,21 @@ object Relational extends QueryPack {
   private def q299(s: SparkSession, dir: String): DataFrame =
     graft.SessionConfs.withConfs(s, "spark.sql.ansi.enabled" -> "true") {
       Tables.lineitem(s, dir).createOrReplaceTempView("graft_li299")
-      val result = s.sql(
-        """SELECT l_returnflag, count(*) AS n,
-          |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
-          |    AS BIGINT) AS price_c,
-          |  CAST(sum(CAST(CAST(l_quantity AS STRING) AS DECIMAL(18,2)))
-          |    AS BIGINT) AS qty_via_str,
-          |  try_add(9223372036854775807, count(*)) AS overflow_is_null
-          |FROM graft_li299
-          |GROUP BY 1 ORDER BY 1""".stripMargin)
-      val rows = result.collect()
-      s.catalog.dropTempView("graft_li299")
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+      // finally-paired: an ANSI execution throw (the failure mode this
+      // gate exists to catch) must not leak the view into the session
+      try {
+        val result = s.sql(
+          """SELECT l_returnflag, count(*) AS n,
+            |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+            |    AS BIGINT) AS price_c,
+            |  CAST(sum(CAST(CAST(l_quantity AS STRING) AS DECIMAL(18,2)))
+            |    AS BIGINT) AS qty_via_str,
+            |  try_add(9223372036854775807, count(*)) AS overflow_is_null
+            |FROM graft_li299
+            |GROUP BY 1 ORDER BY 1""".stripMargin)
+        val rows = result.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+      } finally s.catalog.dropTempView("graft_li299")
     }
 
   /** q238: COLLATION-aware grouping (Spark 4 surface) — case-insensitive

@@ -203,8 +203,12 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
   private def stage(ident: Identifier, info: TableInfo,
       replace: Boolean, mustExist: Boolean): StagedTable = {
     validateCreate(info.partitions(), info.properties())
-    // loud-refusal contract: a CHECK/PK constraint the store cannot
-    // enforce must not be silently dropped at create time
+    // Defense-in-depth, NOT the SQL front door's check: Spark's own
+    // analyzer already rejects constraint-bearing DDL for catalogs
+    // that don't declare SUPPORT_TABLE_CONSTRAINT (ResolveTableConstraints),
+    // so from SQL this never fires. A DIRECT stageCreate(ident, TableInfo)
+    // caller bypasses the analyzer, and for that path a constraint the
+    // store cannot enforce must refuse rather than silently drop.
     if (info.constraints() != null && info.constraints().nonEmpty)
       throw new UnsupportedOperationException(
         "graft tsv catalog: table constraints are not supported — " +

@@ -523,9 +523,17 @@ final class TsvScan(fullSchema: StructType, required: StructType,
     * sizeInBytes alone drives the broadcast decision. */
   override def estimateStatistics(): Statistics = {
     val f = new java.io.File(TsvWritePaths.strip(path))
+    // gz shards report DECOMPRESSED-ish bytes (compressed length ×
+    // a conservative expansion): the estimate exists to protect the
+    // broadcast decision, and under-estimating a gz side by the
+    // compression ratio is exactly how a "small" table OOMs a broadcast
+    def sized(file: java.io.File): Long =
+      if (TsvLayout.isGzip(file.getName))
+        file.length() * TsvLayout.GzExpansion
+      else file.length()
     val totalBytes =
-      (if (f.isDirectory) listDataFiles(f).map(_.length()).sum
-      else f.length())
+      (if (f.isDirectory) listDataFiles(f).map(sized).sum
+      else sized(f))
     val fraction =
       math.max(1, required.size).toDouble / math.max(1, fullSchema.size)
     val estimate = math.max(1L, math.ceil(totalBytes * fraction).toLong)
@@ -959,7 +967,7 @@ final class TsvPartitionReader(fullSchema: StructType, required: StructType,
   // runs; `_pos` provenance stays a stable locator, just in the
   // decompressed coordinate space).
   private val in: java.io.InputStream =
-    if (file.endsWith(".gz"))
+    if (TsvLayout.isGzip(file))
       new java.util.zip.GZIPInputStream(
         new java.io.FileInputStream(file), 1 << 16)
     else new java.io.FileInputStream(file)
@@ -1263,6 +1271,21 @@ final class TsvStreamingWriterFactory(schema: StructType, path: String,
   * key partitions", and "how does a file byte-split", so the two read
   * paths can never drift (they previously each had a copy). */
 private[sources] object TsvLayout {
+  /** ONE definition of "is this shard gzipped" — splittability
+    * (byteSplits), codec choice (TsvPartitionReader), and the size
+    * estimate (estimateStatistics) must agree or a gz file could get
+    * byte-range splits whose compressed offsets the decompressed-space
+    * reader would silently misinterpret. */
+  def isGzip(path: String): Boolean =
+    path.toLowerCase(java.util.Locale.ROOT).endsWith(".gz")
+
+  /** Conservative decompressed-size multiplier for gz TSV shards in
+    * the stats estimate: TSV text compresses ~5–15×; UNDER-estimating
+    * is the dangerous direction (a "small" side gets broadcast and
+    * materializes 10× larger than planned), so the estimate errs
+    * high. */
+  val GzExpansion = 8L
+
   /** Data files directly in `d`: `_`/`.`-prefixed names are sidecars
     * and temp markers, invisible to every reader. */
   def dataFilesIn(d: java.io.File): Seq[java.io.File] =
@@ -1306,7 +1329,7 @@ private[sources] object TsvLayout {
   def byteSplits(file: java.io.File, splitBytes: Long): Seq[(Long, Long)] = {
     val len = file.length()
     if (len == 0) Nil
-    else if (file.getName.endsWith(".gz")) Seq((0L, Long.MaxValue))
+    else if (isGzip(file.getName)) Seq((0L, Long.MaxValue))
     else (0L until len by splitBytes)
       .map(start => (start, math.min(start + splitBytes, len)))
   }

@@ -1887,23 +1887,6 @@ object StreamingQueries extends QueryPack {
     }
   }
 
-  /** q296: TABLE-TO-TABLE streaming pipeline, no paths anywhere — the
-    * composition q292 (readStream.table) and q295 (writeStream.toTable)
-    * were each half of: an ingestion job INSERTs into a catalog table
-    * by name, a continuously-running curation stream tails that table
-    * (micro-batch offsets over its committed files), filters/derives
-    * per-row, and lands the result in a SECOND catalog table by name
-    * with exactly-once epochs — the downstream consumer just reads the
-    * output identifier in batch SQL. This is the production topology a
-    * 100 TB curation funnel actually runs (raw → screened, both shared
-    * by name, no storage layout in any job's code); the gate drives two
-    * ingestion waves through the live stream (batch numbering continues
-    * across waves — same offset contract as q289) and the batch
-    * read-back of the OUTPUT table must equal the oracle's one-shot SQL
-    * over the full input. The transform is stateless (filter + derived
-    * column), the only legal shape for append mode without a watermark
-    * — and the right shape: per-row screens don't need state, and the
-    * aggregate belongs to the consumer, not the pipe. */
   /** q298: UPDATE-MODE CHANGELOG through the catalog sink — the third
     * output mode on the name-based pipeline (append q295/q296, complete
     * via memory gates): a streaming AGGREGATION writes by name with
@@ -1967,6 +1950,23 @@ object StreamingQueries extends QueryPack {
     }
   }
 
+  /** q296: TABLE-TO-TABLE streaming pipeline, no paths anywhere — the
+    * composition q292 (readStream.table) and q295 (writeStream.toTable)
+    * were each half of: an ingestion job INSERTs into a catalog table
+    * by name, a continuously-running curation stream tails that table
+    * (micro-batch offsets over its committed files), filters/derives
+    * per-row, and lands the result in a SECOND catalog table by name
+    * with exactly-once epochs — the downstream consumer just reads the
+    * output identifier in batch SQL. This is the production topology a
+    * 100 TB curation funnel actually runs (raw → screened, both shared
+    * by name, no storage layout in any job's code); the gate drives two
+    * ingestion waves through the live stream (batch numbering continues
+    * across waves — same offset contract as q289) and the batch
+    * read-back of the OUTPUT table must equal the oracle's one-shot SQL
+    * over the full input. The transform is stateless (filter + derived
+    * column), the only legal shape for append mode without a watermark
+    * — and the right shape: per-row screens don't need state, and the
+    * aggregate belongs to the consumer, not the pipe. */
   private def q296(s: SparkSession, dir: String): DataFrame = {
     val uid = java.util.UUID.randomUUID().toString.replace("-", "")
     val cp = graft.operators.FileIO.scratch(dir, s"q296_cp_$uid")
