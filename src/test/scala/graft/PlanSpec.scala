@@ -197,6 +197,22 @@ class PlanSpec extends AnyFunSuite {
       s"q247 read schema must prune to the two projected columns:\n$d")
   }
 
+  test("q300 mixed plain+gz store keeps the FULL pushdown ladder (filter + aggregate)") {
+    // compression must not change the pushdown contract: the gz shards
+    // decompress inside the reader, but the scan ladder composes
+    // unchanged — the filter is fully pushed AND the aggregation
+    // pre-folds per split, so each gz shard emits |groups| rows from
+    // its one decompression pass instead of N parsed rows
+    val d = SparkEntry.queries("q300_tsv_gzip_scan")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(d.contains("GraftTsvScan"), s"expected the graft TSV scan:\n$d")
+    assert(d.contains("GreaterThanOrEqual(user_id,10)"),
+      s"q300's predicate must reach the source as a PushedFilter:\n$d")
+    assert(d.contains("PushedAggregates: [COUNT_STAR(*), SUM(event_id), COUNT(value)]") &&
+      d.contains("PushedGroupBy: [event_type]"),
+      s"q300's aggregate must pre-fold inside the (gz) reader:\n$d")
+  }
+
   test("q265 join order flips with ANALYZE stats (CBO join reorder)") {
     import org.apache.spark.sql.catalyst.catalog.HiveTableRelation
     import org.apache.spark.sql.execution.datasources.LogicalRelation
