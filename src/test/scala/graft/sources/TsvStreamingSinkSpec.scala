@@ -130,6 +130,39 @@ class TsvStreamingSinkSpec extends AnyFunSuite {
       latest.mkString(","))
   }
 
+  test("a .gz shard arriving mid-stream reads as one micro-batch split") {
+    // the micro-batch source's offsets are the data-file SET and its
+    // splits come from the same TsvLayout.byteSplits as batch — so a
+    // gzipped shard landing in a live store must stream exactly like a
+    // plain one (one split, decompressed in the reader)
+    val store = tmpDir("gz_stream_store")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(store, "part-00000.txt"),
+      (0 until 20).map(i => s"$i\tg${i % 2}").mkString("\n").getBytes("UTF-8"))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("grp", "string")
+    val name = "gzstream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream
+      .format(classOf[TsvSourceProvider].getName)
+      .schema(schema).option("path", store).load()
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("id").as("s"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .start()
+    try {
+      q.processAllAvailable()
+      val gz = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(s"$store/part-00001.txt.gz"))
+      try gz.write((20 until 40).map(i => s"$i\tg${i % 2}")
+        .mkString("\n").getBytes("UTF-8"))
+      finally gz.close()
+      q.processAllAvailable() // the gz shard is the second batch's delta
+      val got = spark.table(name).orderBy("grp").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(got.sameElements(Array(("g0", 20L, 380L), ("g1", 20L, 400L))),
+        got.mkString(","))
+    } finally { q.stop(); spark.catalog.dropTempView(name) }
+  }
+
   test("crash window: marker missing after renames — replay replaces, never duplicates") {
     val (cat, root) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.ns")
