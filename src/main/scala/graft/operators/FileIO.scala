@@ -64,10 +64,24 @@ object FileIO extends QueryPack {
     * session get separate plugin instances (plugins cache their `root`
     * at first load). */
   private[graft] def ensureCatalog(s: SparkSession, dir: String): String = {
-    val cat = s"graft_store_${math.abs(dir.hashCode)}"
+    // collision-resistant suffix (first 8 hex chars of SHA-256 of the
+    // dir), not dir.hashCode: two fixtures whose 32-bit hashes collide
+    // would silently share one plugin instance — and the plugin caches
+    // its root at first load, so the second fixture would read the
+    // first fixture's store
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val cat = s"graft_store_$digest"
+    val expectedRoot = scratch(dir, "tsv_catalog")
+    val rootKey = s"spark.sql.catalog.$cat.root"
+    // sanity: if the name is already registered it must point at THIS
+    // fixture's root (defends the cached-root assumption even if the
+    // digest ever collides or someone reuses the name)
+    s.conf.getOption(rootKey).foreach(r => require(r == expectedRoot,
+      s"catalog $cat already registered with root $r, expected $expectedRoot"))
     s.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.sources.GraftTsvCatalog].getName)
-    s.conf.set(s"spark.sql.catalog.$cat.root", scratch(dir, "tsv_catalog"))
+    s.conf.set(rootKey, expectedRoot)
     s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lake")
     cat
   }
@@ -979,6 +993,54 @@ object FileIO extends QueryPack {
       .orderBy("o_orderstatus")
   }
 
+  /** q301: WRITE-SIDE GZIP on the DSv2 TSV sink — the producing half
+    * of the cold-archive tier the scan reads (q300): with
+    * `option("compression", "gzip")` shards land as `.txt.gz` through
+    * the SAME task-commit protocol (temp files under `_temporary/`,
+    * driver renames committed attempts only), and because a gz shard
+    * plans exactly ONE read split, the writer's task count IS the
+    * future read parallelism — q131's documented contract, now at the
+    * sink: producers size shard count the way they'd size partitions.
+    * The gate writes the archive tier gzipped (overwrite), appends a
+    * plain hot tier into the SAME store (mixed layouts are one table,
+    * q300's read contract), asserts both codecs are physically present,
+    * and re-aggregates through the read side with a pushed filter; the
+    * oracle states the same over parquet — so gzip framing, null
+    * fields, and numeric formatting are all value-checked through a
+    * real compress/decompress round trip. TsvSourceSpec pins the
+    * mechanics (gz suffix on sink output, one-split-per-gz-file on
+    * sink-produced shards, overwrite truncates both codecs). */
+  private def q301(s: SparkSession, dir: String): DataFrame = {
+    val out = scratch(dir, "tsv_sink_gzip")
+    val ddl = "o_orderkey BIGINT, o_orderstatus STRING, cents BIGINT"
+    val fmt = classOf[graft.sources.TsvSourceProvider].getName
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    base.filter(col("o_orderkey") % 2 === 0).repartition(4)
+      .write.format(fmt).option("path", out).option("write_schema", ddl)
+      .option("compression", "gzip").mode("overwrite").save()
+    base.filter(col("o_orderkey") % 2 === 1).repartition(4)
+      .write.format(fmt).option("path", out).option("write_schema", ddl)
+      .mode("append").save()
+    // gate-side invariant: the store must PHYSICALLY hold both tiers —
+    // a silently-ignored compression option would still pass the values
+    val names = Option(new java.io.File(out).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_")).map(_.getName)
+    require(names.count(_.endsWith(".txt.gz")) == 4 &&
+      names.count(_.endsWith(".txt")) == 4,
+      s"q301: expected 4 gz + 4 plain shards, got ${names.sorted.mkString(", ")}")
+    s.read.format(fmt)
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      .option("path", out).load()
+      .filter(col("o_orderstatus") =!= "P")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"),
+        min("o_orderkey").as("min_key"))
+      .orderBy("o_orderstatus")
+  }
+
   /** q278: DSv2 HIDDEN METADATA COLUMNS (`SupportsMetadataColumns`) —
     * q163's `_metadata` lineage story at the source contract: the TSV
     * scan exposes `_file` (split file path) and `_pos` (line-start byte
@@ -1029,23 +1091,28 @@ object FileIO extends QueryPack {
     * mutates it), deletes four cohort shards through SQL, and
     * re-aggregates the survivors; the oracle states the same exclusion
     * over the parquet events. */
-  /** Local recursive copy/delete for cloning cached layouts into
-    * mutable gate targets (bench-pruning: a filesystem copy of an
-    * already-built layout beats re-running its Spark job every pass). */
-  private def rmTree(f: java.io.File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-    f.delete(); ()
+  /** Recursive copy/delete for cloning cached layouts into mutable gate
+    * targets (bench-pruning: a filesystem copy of an already-built
+    * layout beats re-running its Spark job every pass). Goes through
+    * the Hadoop FileSystem API — same as q75/driveRestartHalves over
+    * the same scratch roots — so a scratch root resolving to a
+    * non-local FS copies correctly instead of java.io silently
+    * no-opping and leaving the gate a stale layout. */
+  private def rmTree(s: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
   }
-  private def copyTree(src: java.io.File, dst: java.io.File): Unit =
-    if (src.isDirectory) {
-      dst.mkdirs()
-      Option(src.listFiles()).getOrElse(Array.empty)
-        .foreach(f => copyTree(f, new java.io.File(dst, f.getName)))
-    } else {
-      java.nio.file.Files.copy(src.toPath, dst.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      ()
-    }
+  private def copyTree(s: SparkSession, src: String, dst: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val sp = new org.apache.hadoop.fs.Path(src)
+    val dp = new org.apache.hadoop.fs.Path(dst)
+    // dst was rmTree'd just before, so FileUtil copies src AS dst (an
+    // existing dst dir would instead nest src under it)
+    org.apache.hadoop.fs.FileUtil.copy(sp.getFileSystem(conf), sp,
+      dp.getFileSystem(conf), dp, false, true, conf)
+    ()
+  }
 
   private def q280(s: SparkSession, dir: String): DataFrame = {
     val out = scratch(dir, "tsv_delete_target")
@@ -1055,8 +1122,8 @@ object FileIO extends QueryPack {
     // per-user count + exact cents, shard = user_id % 16) with a
     // filesystem copy instead of a per-pass scan+shuffle+write job
     val (clicks, _) = spjLayout(s, dir)
-    rmTree(new java.io.File(out))
-    copyTree(new java.io.File(clicks), new java.io.File(out))
+    rmTree(s, out)
+    copyTree(s, clicks, out)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "user_id BIGINT, n BIGINT, cents BIGINT, shard BIGINT")
     def load() = s.read
@@ -1519,6 +1586,13 @@ object FileIO extends QueryPack {
   }
 
   override def queries: Seq[Q] = Seq(
+    Q("q301_tsv_gzip_sink", q301, Some(
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents,
+        |  min(o_orderkey) AS min_key
+        |FROM orders WHERE o_orderstatus != 'P'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q300_tsv_gzip_scan", q300, Some(
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(event_id) AS BIGINT) AS id_sum,

@@ -187,8 +187,12 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
   // the table only EXISTS — sidecar written, directory renamed into
   // place — inside commitStagedChanges after the write completed;
   // failure aborts to a deleted staging dir and the catalog never shows
-  // the name. REPLACE TABLE AS SELECT gets the same contract: readers
-  // see the OLD table until the commit swaps directories. At 100 TB
+  // the name. REPLACE TABLE AS SELECT gets the same contract up to one
+  // honest caveat: the swap is TWO renames (old aside, staging in) —
+  // a local FS has no atomic directory exchange — so a loadTable racing
+  // the commit can hit a brief NoSuchTable window between them; what it
+  // can NEVER see is a half-loaded table, and a crash anywhere in the
+  // window leaves the old data recoverable under `_replaced_…`. At 100 TB
   // this is the difference between "the nightly rebuild failed and the
   // table is gone" and "the nightly rebuild failed and yesterday's
   // table is still being served".
@@ -230,10 +234,19 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     // publish is the natural sweep moment). The age guard keeps a
     // CONCURRENT publish's live staging dir safe — a genuinely racing
     // second CTAS still loses at commit (the set-aside require), it
-    // just isn't deleted mid-write here.
+    // just isn't deleted mid-write here. Liveness is judged by the
+    // NEWEST mtime anywhere in the tree, not the dir's own (a dir's
+    // mtime only moves on direct-child changes, so a long single-file
+    // write would look stale): the sink's BufferedOutputStream flushes
+    // every 64 KiB, so any live write keeps its temp file's mtime
+    // current. Residual assumption — a writer that produces <64 KiB in
+    // a full hour — is documented here rather than guarded.
     val gcCutoff = System.currentTimeMillis() - 60L * 60 * 1000
+    def newestMtime(f: java.io.File): Long =
+      (f.lastModified() +: Option(f.listFiles()).getOrElse(Array.empty)
+        .map(newestMtime).toSeq).max
     Option(dir.getParentFile.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.lastModified() < gcCutoff &&
+      .filter(f => f.isDirectory && newestMtime(f) < gcCutoff &&
         (f.getName.startsWith(s"_staging_${ident.name()}_") ||
           f.getName.startsWith(s"_replaced_${ident.name()}_")))
       .foreach(TsvWritePaths.deleteRecursively)
@@ -376,10 +389,12 @@ object GraftTsvCatalog {
   *   1. the schema sidecar is written INTO the staging dir first — a
   *      staging dir is never visible, so this publishes nothing;
   *   2. on REPLACE, the old table directory moves aside to an invisible
-  *      `_replaced_…` name (old data survives any crash here);
-  *   3. the staging dir renames onto the final name — THE atomic step:
-  *      before it the name doesn't resolve (or resolves to the old
-  *      table), after it the complete new table does;
+  *      `_replaced_…` name (old data survives any crash here — but from
+  *      this point until step 3 the name resolves to NOTHING: local FS
+  *      has no atomic directory exchange, so a racing loadTable in the
+  *      two-rename window gets NoSuchTableException, never a torn table);
+  *   3. the staging dir renames onto the final name — after it the
+  *      complete new table resolves;
   *   4. the set-aside old directory is deleted.
   *
   * abortStagedChanges deletes the staging dir; the target name is

@@ -151,8 +151,20 @@ final class TsvTable(tableSchema: StructType, path: String,
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
-    new TsvWriteBuilder(info.schema(), path, info.queryId())
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    // `compression=gzip`: the WRITE side of the cold-archive tier the
+    // scan already reads (q300) — shards land as `.txt.gz` through the
+    // same task-commit protocol. The number of write tasks IS the
+    // future read parallelism (a gz shard is one split, q131's
+    // documented contract), so producers size their shard count like
+    // they'd size partitions.
+    val codec = Option(info.options().get("compression"))
+      .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("none")
+    require(codec == "none" || codec == "gzip",
+      s"graft tsv sink: compression must be none|gzip, got $codec")
+    new TsvWriteBuilder(info.schema(), path, info.queryId(),
+      gzip = codec == "gzip")
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val splitBytes = options.getLong("split_bytes", 32L * 1024 * 1024)
     // fail loudly at plan time: 0 would throw an opaque NumericRange
@@ -1115,7 +1127,8 @@ final class TsvPartitionReader(fullSchema: StructType, required: StructType,
   * FAILS the task instead (fail-fast beats torn rows). BIGINT/DOUBLE/
   * STRING columns only, like the read side. */
 final class TsvWriteBuilder(schema: StructType, path: String,
-    queryId: String) extends WriteBuilder with SupportsTruncate
+    queryId: String, gzip: Boolean = false)
+    extends WriteBuilder with SupportsTruncate
     // UPDATE output mode lands as per-epoch APPENDS of the changed rows
     // (the Kafka/console sink contract): the table is then a CHANGELOG —
     // a key updated in three epochs appears three times, and consumers
@@ -1129,9 +1142,9 @@ final class TsvWriteBuilder(schema: StructType, path: String,
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new TsvBatchWrite(schema, path, truncateFirst)
+      new TsvBatchWrite(schema, path, truncateFirst, gzip)
     override def toStreaming: StreamingWrite =
-      new TsvStreamingWrite(schema, path, queryId, truncateFirst)
+      new TsvStreamingWrite(schema, path, queryId, truncateFirst, gzip)
   }
 }
 
@@ -1139,12 +1152,12 @@ final case class TsvTaskCommit(tempFile: String, rows: Long,
     partitionId: Int) extends WriterCommitMessage
 
 final class TsvBatchWrite(schema: StructType, path: String,
-    truncateFirst: Boolean) extends BatchWrite {
+    truncateFirst: Boolean, gzip: Boolean = false) extends BatchWrite {
   private val jobUuid = java.util.UUID.randomUUID().toString
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
-    new TsvWriterFactory(schema, path, jobUuid)
+    new TsvWriterFactory(schema, path, jobUuid, gzip)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new java.io.File(TsvWritePaths.strip(path))
@@ -1197,12 +1210,14 @@ final class TsvBatchWrite(schema: StructType, path: String,
   * never shows a row twice — readers (batch or q289's tailing stream)
   * only ever see whole committed epochs. */
 final class TsvStreamingWrite(schema: StructType, path: String,
-    queryId: String, truncateEachEpoch: Boolean) extends StreamingWrite {
+    queryId: String, truncateEachEpoch: Boolean, gzip: Boolean = false)
+    extends StreamingWrite {
   private val qid = queryId.replace("-", "").take(8)
+  private val suffix = if (gzip) ".txt.gz" else ".txt"
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : StreamingDataWriterFactory =
-    new TsvStreamingWriterFactory(schema, path, qid)
+    new TsvStreamingWriterFactory(schema, path, qid, gzip)
 
   private def root = new java.io.File(TsvWritePaths.strip(path))
   private def ledgerDir = new java.io.File(root, s"_streaming_commits/$qid")
@@ -1219,14 +1234,17 @@ final class TsvStreamingWrite(schema: StructType, path: String,
     // the crashed attempt, not just the names the replay re-uses — a
     // replay planned with FEWER partitions (changed shuffle conf, AQE
     // coalescing) would otherwise leave the old higher-numbered part
-    // files behind as duplicates
+    // files behind as duplicates. Both suffixes are swept: a restart
+    // that toggles the compression option must not leave the crashed
+    // attempt's other-codec files behind as duplicates.
     Option(root.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.startsWith("part-") &&
-        f.getName.endsWith(s"-$qid-e$epochId.txt"))
+        (f.getName.endsWith(s"-$qid-e$epochId.txt") ||
+          f.getName.endsWith(s"-$qid-e$epochId.txt.gz")))
       .foreach(_.delete())
     messages.foreach { case TsvTaskCommit(tmp, _, partitionId) =>
       val src = new java.io.File(tmp)
-      val dst = new java.io.File(root, f"part-$partitionId%05d-$qid-e$epochId.txt")
+      val dst = new java.io.File(root, f"part-$partitionId%05d-$qid-e$epochId$suffix")
       if (!src.renameTo(dst))
         throw new java.io.IOException(s"graft tsv sink: rename failed: $tmp")
     }
@@ -1257,10 +1275,11 @@ final class TsvStreamingWrite(schema: StructType, path: String,
 }
 
 final class TsvStreamingWriterFactory(schema: StructType, path: String,
-    qid: String) extends StreamingDataWriterFactory {
+    qid: String, gzip: Boolean = false) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
-    new TsvDataWriter(schema, path, s"$qid-e$epochId", partitionId, taskId)
+    new TsvDataWriter(schema, path, s"$qid-e$epochId", partitionId, taskId,
+      gzip)
 }
 
 /** Path helpers shared by the scan and the sink — ONE copy of the
@@ -1346,14 +1365,15 @@ private[sources] object TsvWritePaths {
 }
 
 final class TsvWriterFactory(schema: StructType, path: String,
-    jobUuid: String) extends DataWriterFactory {
+    jobUuid: String, gzip: Boolean = false) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
-    new TsvDataWriter(schema, path, jobUuid, partitionId, taskId)
+    new TsvDataWriter(schema, path, jobUuid, partitionId, taskId, gzip)
 }
 
 final class TsvDataWriter(schema: StructType, path: String, jobUuid: String,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long, gzip: Boolean = false)
+    extends DataWriter[InternalRow] {
   private val tempDir =
     new java.io.File(TsvWritePaths.strip(path), s"_temporary/$jobUuid")
   tempDir.mkdirs()
@@ -1363,10 +1383,18 @@ final class TsvDataWriter(schema: StructType, path: String, jobUuid: String,
   // SparkContext, so an APPEND from a fresh session would otherwise
   // collide with an earlier job's part-00000-0 and renameTo would
   // silently replace it — losing the earlier write.
+  // The codec is in the SUFFIX: readers detect gzip by extension
+  // (TsvLayout.isGzip), so the temp name must already carry it — the
+  // commit renames preserve (batch) or re-derive (streaming) it.
   private val tempFile = new java.io.File(tempDir,
-    f"part-$partitionId%05d-$taskId-${jobUuid.take(8)}.txt")
-  private val out = new java.io.BufferedOutputStream(
-    new java.io.FileOutputStream(tempFile), 1 << 16)
+    f"part-$partitionId%05d-$taskId-${jobUuid.take(8)}" +
+      (if (gzip) ".txt.gz" else ".txt"))
+  private val out: java.io.OutputStream = {
+    val buffered = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(tempFile), 1 << 16)
+    if (gzip) new java.util.zip.GZIPOutputStream(buffered, 1 << 16)
+    else buffered
+  }
   private var rows = 0L
   private val types = schema.fields.map(_.dataType)
 

@@ -1933,13 +1933,19 @@ object StreamingQueries extends QueryPack {
           expr("max_by(cents, n)").as("cents"),
           count(lit(1)).as("n_versions"))
       // changelog-ness is a gate-side INVARIANT, not an oracle column
-      // (an oracle can't predict epoch counts): every group must have
-      // been re-emitted at least once, or update mode silently behaved
-      // like complete/once and the gate is not testing what it claims
-      val single = compacted.filter(col("n_versions") < 2).count()
-      require(single == 0,
-        s"q298: $single group(s) have a single changelog version — " +
-          "expected multi-epoch updates")
+      // (an oracle can't predict epoch counts). Distribution-tolerant
+      // form: the TABLE as a whole must be multi-version (more rows
+      // than groups — at least one group re-emitted), not every group —
+      // file packing under maxFilesPerTrigger doesn't guarantee every
+      // event_type spans two epochs, and a group that legitimately
+      // arrives within one micro-batch must not turn into a gate error
+      val shape = compacted.agg(
+        sum("n_versions").as("versions"), count(lit(1)).as("groups"))
+        .head()
+      require(shape.getLong(0) > shape.getLong(1),
+        s"q298: ${shape.getLong(0)} changelog rows across " +
+          s"${shape.getLong(1)} groups — no group was ever re-emitted, " +
+          "so update mode did not produce a multi-version changelog")
       val result = compacted
         .select("event_type", "n", "cents").orderBy("event_type")
       val rows = result.collect()

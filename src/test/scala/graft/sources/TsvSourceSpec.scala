@@ -479,6 +479,47 @@ class TsvSourceSpec extends AnyFunSuite {
     assert(names.forall(_.startsWith("part-")), names.toSeq.toString)
   }
 
+  test("sink compression=gzip: .txt.gz shards, one read split each, mixed with plain appends") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsv_sink").toString
+    val rows = (1 to 40).map(i =>
+      (i.toLong, s"n$i", java.lang.Double.valueOf(i + 0.5), s"note$i"))
+    // archive tier: gzip write through the same task-commit protocol
+    writeFrame(rows.take(20)).repartition(2)
+      .write.format(classOf[TsvSourceProvider].getName)
+      .option("path", dir).option("write_schema", writeDdl)
+      .option("compression", "gzip").mode("overwrite").save()
+    val gzNames = new java.io.File(dir).listFiles()
+      .filter(_.isFile).map(_.getName).filterNot(_.startsWith("_"))
+    assert(gzNames.length == 2 && gzNames.forall(_.endsWith(".txt.gz")),
+      s"gzip write must land .txt.gz shards: ${gzNames.toSeq}")
+    // hot tier: plain append into the SAME store
+    sinkTo(writeFrame(rows.drop(20)).repartition(2), dir, "append")
+    val got = readTsv(dir).orderBy("id").collect().toSeq
+    val plain = readTsv(writeTsv(rows.map(r =>
+      s"${r._1}\t${r._2}\t${r._3}\t${r._4}"))).orderBy("id").collect().toSeq
+    assert(got == plain, "sink-gz + plain mixed store must equal one plain store")
+    // sink-produced gz shards keep the read contract: ONE split each
+    // even under tiny split_bytes, while plain appends byte-split
+    val parts = new TsvScan(schema, schema, Array.empty,
+      dir, 16L, -1).planInputPartitions()
+    val byCodec = parts.collect { case p: TsvInputPartition => p }
+      .partition(_.file.endsWith(".gz"))
+    assert(byCodec._1.map(_.file).distinct.length == 2 &&
+      byCodec._1.length == 2,
+      s"each sink-written gz shard must plan exactly one split")
+    assert(byCodec._2.length > 2, "plain appends must still byte-split")
+    // overwrite truncates BOTH codecs (one store, one truncate rule)
+    sinkTo(writeFrame(Seq((99L, "z", 9.0, "w"))), dir, "overwrite")
+    assert(readTsv(dir).collect().map(_.getLong(0)).toSeq == Seq(99L))
+    val refuse = intercept[IllegalArgumentException] {
+      writeFrame(Seq((1L, "a", 1.0, "x"))).write
+        .format(classOf[TsvSourceProvider].getName)
+        .option("path", dir).option("write_schema", writeDdl)
+        .option("compression", "zstd").mode("append").save()
+    }
+    assert(refuse.getMessage.contains("none|gzip"))
+  }
+
   test("sink overwrite truncates previous data; append adds to it") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tsv_sink").toString
     sinkTo(writeFrame(Seq((1L, "a", 1.0, "x"), (2L, "b", 2.0, "y"))),
