@@ -1434,6 +1434,54 @@ object FileIO extends QueryPack {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
 
+  /** q302: catalog `PARTITIONED BY identity(col)` — the keyed
+    * `shard=<v>/` layout, previously the path API's read/delete surface
+    * only, now CREATABLE and GOVERNABLE by name: `CREATE TABLE …
+    * PARTITIONED BY (shard)` records the key in a `_graft_partition`
+    * sidecar, INSERT routes each row into its key directory through the
+    * task-commit protocol (key in the DIRECTORY name, not the file —
+    * the keyed read synthesizes it back), scans prune statically on key
+    * predicates (`PushedPartitionFilters`: a pruned dir is never
+    * listed, split, or sized), and `DELETE FROM t WHERE <key pred>`
+    * drops whole directories as a metadata operation. This closes the
+    * loop the r14 verdict named: partition pruning (q86), storage-
+    * partitioned joins (q270), runtime filtering (q276) and partition
+    * DELETE (q280) now all compose with catalog identifiers. The gate
+    * runs the full lifecycle — create partitioned, insert clicks keyed
+    * by user cohort, retention-delete two cohorts, re-aggregate the
+    * survivors above a pruning range predicate — and the oracle states
+    * the same exclusions over parquet. TsvCatalogSpec pins the layout
+    * mechanics, refusals (non-identity transforms, NULL keys, streaming
+    * epochs), and partitioned CTAS; PlanSpec pins the pruned plan. */
+  private def q302(s: SparkSession, dir: String): DataFrame = {
+    val cat = ensureCatalog(s, dir)
+    s.sql(s"DROP TABLE IF EXISTS $cat.lake.clicks302")
+    s.sql(s"CREATE TABLE $cat.lake.clicks302 " +
+      "(user_id BIGINT, cents BIGINT, shard BIGINT) PARTITIONED BY (shard)")
+    Tables.events(s, dir)
+      .filter(col("event_type") === "click" && col("user_id").isNotNull)
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        (col("user_id") % 8).as("shard"))
+      .createOrReplaceTempView("graft_src302")
+    // cluster by key before the keyed write: one file per key per task
+    // means an unclustered insert writes tasks×keys shards — the
+    // REPARTITION hint is the documented producer-side contract
+    s.sql(s"INSERT INTO $cat.lake.clicks302 " +
+      "SELECT /*+ REPARTITION(8, shard) */ * FROM graft_src302")
+    s.sql(s"DELETE FROM $cat.lake.clicks302 WHERE shard IN (2, 5)")
+    val result = s.sql(
+      s"""SELECT shard, count(*) AS n_rows,
+         |  count(DISTINCT user_id) AS n_users,
+         |  CAST(sum(cents) AS BIGINT) AS cents
+         |FROM $cat.lake.clicks302 WHERE shard >= 1
+         |GROUP BY shard ORDER BY shard""".stripMargin)
+    val rows = result.collect()
+    s.sql(s"DROP TABLE $cat.lake.clicks302")
+    s.catalog.dropTempView("graft_src302")
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+  }
+
   /** q294: catalog SCHEMA EVOLUTION — `ALTER TABLE … ADD COLUMN` on the
     * DSv2 TSV catalog is a METADATA-ONLY write (one sidecar file), and
     * pre-evolution shards surface explicit NULL for the new column in
@@ -1586,6 +1634,16 @@ object FileIO extends QueryPack {
   }
 
   override def queries: Seq[Q] = Seq(
+    Q("q302_catalog_partitioned", q302, Some(
+      """WITH c AS (
+        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+        |    user_id % 8 AS shard
+        |  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL)
+        |SELECT shard, count(*) AS n_rows,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM c WHERE shard NOT IN (2, 5) AND shard >= 1
+        |GROUP BY shard ORDER BY shard""".stripMargin)),
     Q("q301_tsv_gzip_sink", q301, Some(
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

@@ -4,7 +4,7 @@ import java.util
 import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, StagedTable, StagingTableCatalog, SupportsNamespaces, Table, TableCatalog, TableChange, TableInfo}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** A DSv2 [[TableCatalog]] over a directory of TSV tables — the
@@ -40,9 +40,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * pass, carries the schema). That asymmetry is the point at 100 TB:
   * evolving the table is a one-file metadata write, never a rewrite.
   *
-  * Deliberately unsupported, loudly: PARTITIONED BY at create time
-  * (the writer targets flat layouts; keyed `shard=<v>/` layouts remain
-  * the path API's read/delete surface), every other ALTER TABLE change
+  * Partitioning: `PARTITIONED BY (<one BIGINT column>)` (identity
+  * transform only) creates the keyed `<col>=<v>/` layout by name —
+  * recorded in a `_graft_partition` sidecar, INSERTs route rows into
+  * key directories, scans prune/key-group/runtime-filter on it, and
+  * `DELETE FROM t WHERE <key predicate>` drops whole directories —
+  * the path API's entire governance surface, addressable by
+  * identifier. Every other transform (bucket/time/multi-column/
+  * non-BIGINT) is refused loudly: each would promise a layout this
+  * store does not have.
+  *
+  * Deliberately unsupported, loudly: every other ALTER TABLE change
   * (drops/renames/type-changes would silently re-map existing TSV
   * fields), and multi-level namespaces (one level, one directory —
   * lookups on deeper names answer "no such namespace/table" per the
@@ -121,19 +129,48 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
       .getOrElse(throw new NoSuchTableException(ident))
     val ddl = new String(
       java.nio.file.Files.readAllBytes(schemaFile(dir).toPath), "UTF-8")
-    new TsvTable(StructType.fromDDL(ddl), dir.getPath)
+    new TsvTable(StructType.fromDDL(ddl), dir.getPath,
+      GraftTsvCatalog.readPartitionSidecar(dir))
+  }
+
+  /** `PARTITIONED BY` at create time: exactly ONE single-column
+    * IDENTITY transform over a BIGINT column — the keyed `<col>=<v>/`
+    * layout the path API reads/deletes, now creatable by name, which
+    * is what lets the whole governance surface (pruned scans,
+    * storage-partitioned joins, runtime filtering, partition DELETE)
+    * compose with catalog identifiers instead of paths. Anything else
+    * (bucket/time transforms, nested or multi-column keys, non-BIGINT)
+    * is refused loudly: each would promise a layout this store does
+    * not have. Returns the partition column, recorded in the
+    * `_graft_partition` sidecar. */
+  private def partitionColOf(partitions: Array[Transform],
+      schema: StructType): Option[String] = partitions.toSeq match {
+    case Seq() => None
+    case Seq(t) if t.name() == "identity" &&
+        t.references().length == 1 &&
+        t.references()(0).fieldNames().length == 1 =>
+      val col = t.references()(0).fieldNames()(0)
+      val field = schema.fields.find(_.name == col).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft tsv catalog: partition column $col is not in the schema"))
+      if (field.dataType != LongType)
+        throw new UnsupportedOperationException(
+          s"graft tsv catalog: partition column must be BIGINT, got " +
+            s"$col ${field.dataType.sql} — directory keys are parsed as " +
+            "BIGINT (the keyed-layout contract)")
+      Some(col)
+    case other => throw new UnsupportedOperationException(
+      "graft tsv catalog: only PARTITIONED BY (<one BIGINT column>) is " +
+        s"supported, got ${other.map(_.describe()).mkString(", ")} — " +
+        "bucket/time/multi-column transforms would promise a layout " +
+        "this store does not have")
   }
 
   /** Shared create-time validation (createTable + the staged CTAS
     * paths): the loud-refusal contract must hold no matter which DDL
     * front door reaches the catalog. */
-  private def validateCreate(partitions: Array[Transform],
+  private def validateCreate(
       properties: util.Map[String, String]): Unit = {
-    if (partitions.nonEmpty)
-      throw new UnsupportedOperationException(
-        "graft tsv catalog: PARTITIONED BY is not supported at create " +
-          "time (the sink writes flat layouts; keyed shard=<v>/ layouts " +
-          "are the path API's read/delete surface)")
     // the loud-refusal contract extends to clauses the catalog would
     // otherwise silently ignore: a LOCATION/EXTERNAL table would write
     // somewhere other than the managed root, and an explicit USING of a
@@ -164,7 +201,8 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    validateCreate(partitions, properties)
+    val pcol = partitionColOf(partitions, schema)
+    validateCreate(properties)
     require(!internalName(ident.name()),
       s"graft tsv catalog: table names may not start with '_' " +
         s"(reserved for catalog-internal directories): ${ident.name()}")
@@ -173,8 +211,12 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     if (!dir.getParentFile.isDirectory)
       throw new NoSuchNamespaceException(ident.namespace())
     dir.mkdirs()
+    // partition sidecar BEFORE the schema sidecar: the schema file is
+    // what makes the table exist (loadTable's filter), so a crash
+    // between the two leaves a non-table, never an accidentally-flat one
+    pcol.foreach(GraftTsvCatalog.writePartitionSidecar(dir, _))
     writeSidecarAtomic(dir, schema)
-    new TsvTable(schema, dir.getPath)
+    new TsvTable(schema, dir.getPath, pcol)
   }
 
   // ---- atomic CTAS / RTAS ([[StagingTableCatalog]]) ----
@@ -206,7 +248,8 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
 
   private def stage(ident: Identifier, info: TableInfo,
       replace: Boolean, mustExist: Boolean): StagedTable = {
-    validateCreate(info.partitions(), info.properties())
+    val pcol = partitionColOf(info.partitions(), info.schema())
+    validateCreate(info.properties())
     // Defense-in-depth, NOT the SQL front door's check: Spark's own
     // analyzer already rejects constraint-bearing DDL for catalogs
     // that don't declare SUPPORT_TABLE_CONSTRAINT (ResolveTableConstraints),
@@ -254,7 +297,7 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
       s"_staging_${ident.name()}_" + java.util.UUID.randomUUID()
         .toString.replace("-", "").take(8))
     staging.mkdirs()
-    new TsvStagedTable(info.schema(), staging, dir, replace)
+    new TsvStagedTable(info.schema(), staging, dir, replace, pcol)
   }
 
   /** ADD COLUMN only: append a nullable trailing column to the schema
@@ -295,7 +338,8 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
             "existing bytes. Evolve by recreate.")
     }
     writeSidecarAtomic(dir, schema)
-    new TsvTable(schema, dir.getPath)
+    new TsvTable(schema, dir.getPath,
+      GraftTsvCatalog.readPartitionSidecar(dir))
   }
 
   override def dropTable(ident: Identifier): Boolean =
@@ -379,6 +423,28 @@ object GraftTsvCatalog {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     ()
   }
+
+  /** The `_graft_partition` sidecar: the identity-partition column of
+    * a PARTITIONED BY table (absent = flat table). Same atomic-flip
+    * discipline as the schema sidecar. */
+  private[sources] def writePartitionSidecar(dir: java.io.File,
+      col: String): Unit = {
+    val tmp = new java.io.File(dir, s"_graft_partition.tmp")
+    java.nio.file.Files.write(tmp.toPath, col.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(dir, "_graft_partition").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  private[sources] def readPartitionSidecar(dir: java.io.File)
+      : Option[String] = {
+    val f = new java.io.File(dir, "_graft_partition")
+    if (!f.isFile) None
+    else Some(new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim)
+  }
 }
 
 /** The staged table behind atomic CTAS/RTAS: a normal [[TsvTable]] over
@@ -400,11 +466,16 @@ object GraftTsvCatalog {
   * abortStagedChanges deletes the staging dir; the target name is
   * untouched in every failure mode. */
 final class TsvStagedTable(tableSchema: StructType,
-    stagingDir: java.io.File, finalDir: java.io.File, replace: Boolean)
+    stagingDir: java.io.File, finalDir: java.io.File, replace: Boolean,
+    partitionCol: Option[String] = None)
     extends StagedTable
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead {
-  private val inner = new TsvTable(tableSchema, stagingDir.getPath)
+  // the staged inner table carries the partition column, so a
+  // partitioned CTAS's SELECT lands KEYED data in the staging dir —
+  // the layout is complete before the visibility flip
+  private val inner = new TsvTable(tableSchema, stagingDir.getPath,
+    partitionCol)
 
   override def name(): String = s"graft_tsv(${finalDir.getPath}) [staged]"
   override def schema(): StructType = tableSchema
@@ -420,6 +491,8 @@ final class TsvStagedTable(tableSchema: StructType,
     inner.newScanBuilder(options)
 
   override def commitStagedChanges(): Unit = {
+    partitionCol.foreach(
+      GraftTsvCatalog.writePartitionSidecar(stagingDir, _))
     GraftTsvCatalog.writeSidecarAtomic(stagingDir, tableSchema)
     val old = new java.io.File(finalDir.getParentFile,
       s"_replaced_${finalDir.getName}_" + java.util.UUID.randomUUID()

@@ -127,6 +127,13 @@ final class TsvTable(tableSchema: StructType, path: String,
   }
   override def name(): String = s"graft_tsv($path)"
   override def schema(): StructType = tableSchema
+  /** A table-level partition column (catalog `PARTITIONED BY identity`)
+    * is REPORTED partitioning: DESCRIBE shows it, and the scan/write
+    * paths below pick it up without any per-query option. */
+  override def partitioning(): Array[Transform] =
+    tablePartitionCol.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
@@ -162,8 +169,15 @@ final class TsvTable(tableSchema: StructType, path: String,
       .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("none")
     require(codec == "none" || codec == "gzip",
       s"graft tsv sink: compression must be none|gzip, got $codec")
-    new TsvWriteBuilder(info.schema(), path, info.queryId(),
-      gzip = codec == "gzip")
+    tablePartitionCol match {
+      // a PARTITIONED table routes each row into its `<col>=<v>/` dir
+      // (the key rides in the DIRECTORY name, not the file — the keyed
+      // read contract), through the same task-commit protocol
+      case Some(c) => new TsvKeyedWriteBuilder(info.schema(), path, c,
+        gzip = codec == "gzip")
+      case None => new TsvWriteBuilder(info.schema(), path, info.queryId(),
+        gzip = codec == "gzip")
+    }
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val splitBytes = options.getLong("split_bytes", 32L * 1024 * 1024)
@@ -173,8 +187,14 @@ final class TsvTable(tableSchema: StructType, path: String,
       s"graft tsv source: split_bytes must be positive, got $splitBytes")
     // `partition_col`: the source reads a hive-style layout
     // (<col>=<value>/ subdirectories) and REPORTS the key-grouped
-    // partitioning to the planner — see TsvScan.outputPartitioning
-    val partitionCol = Option(options.get("partition_col"))
+    // partitioning to the planner — see TsvScan.outputPartitioning.
+    // A catalog table's own partition column is the default; the
+    // explicit option keeps the path API's contract. The difference is
+    // STRICTNESS: a path told to be keyed must have key dirs (a typo'd
+    // path failing loudly beats scanning nothing), but a freshly
+    // created partitioned catalog table is legitimately empty.
+    val optionCol = Option(options.get("partition_col"))
+    val partitionCol = optionCol.orElse(tablePartitionCol)
     partitionCol.foreach { c =>
       val field = tableSchema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
@@ -182,7 +202,8 @@ final class TsvTable(tableSchema: StructType, path: String,
       require(field.dataType == LongType,
         s"graft tsv source: partition_col must be BIGINT, got ${field.dataType}")
     }
-    new TsvScanBuilder(tableSchema, path, splitBytes, partitionCol)
+    new TsvScanBuilder(tableSchema, path, splitBytes, partitionCol,
+      strictLayout = optionCol.nonEmpty)
   }
 }
 
@@ -213,13 +234,15 @@ final case class TsvSortKey(name: String, asc: Boolean, nullsFirst: Boolean)
 final case class TsvTopNSpec(keys: Seq[TsvSortKey], n: Int)
 
 final class TsvScanBuilder(fullSchema: StructType, path: String,
-    splitBytes: Long, partitionCol: Option[String] = None) extends ScanBuilder
+    splitBytes: Long, partitionCol: Option[String] = None,
+    strictLayout: Boolean = true) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownTopN
     with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var keyFilters: Array[Filter] = Array.empty
   private var limit: Int = -1
   private var aggSpec: Option[TsvAggSpec] = None
   private var topN: Option[TsvTopNSpec] = None
@@ -371,8 +394,15 @@ final class TsvScanBuilder(fullSchema: StructType, path: String,
     * source declines and Spark filters those itself. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // the partition column is NOT in the file data (hive-style layout),
-    // so its predicates can't be evaluated on parsed fields — declined,
-    // Spark filters the synthesized column itself
+    // so its predicates can't run on parsed fields — but the key is
+    // CONSTANT per directory, so any single-key comparison evaluates
+    // EXACTLY on the directory name at plan time: those are accepted
+    // as STATIC PARTITION PRUNING (keyFilters, kept out of the
+    // reader-bound `pushed` set — readers can't index the synthesized
+    // column). At 100 TB this is the difference between "WHERE
+    // shard = 7 lists one directory" and "reads the table to drop
+    // 15/16ths of it". Shapes dir-name evaluation can't answer exactly
+    // stay Spark's job on the synthesized column.
     def inFile(a: String): Boolean = !partitionCol.contains(a)
     def numeric(a: String): Boolean = inFile(a) &&
       fullSchema.fields.find(_.name == a).exists(_.dataType match {
@@ -381,7 +411,31 @@ final class TsvScanBuilder(fullSchema: StructType, path: String,
       })
     def known(a: String): Boolean =
       inFile(a) && fullSchema.fieldNames.contains(a)
-    val (ok, residual) = filters.partition {
+    def onKey(a: String): Boolean = partitionCol.contains(a)
+    // INTEGRAL literals only: the key parses as BIGINT, and truncating
+    // a fractional literal through longValue would change the predicate
+    // (k > 1.5 is not k > 1)
+    def integral(v: Any): Boolean = v match {
+      case _: java.lang.Long | _: java.lang.Integer |
+           _: java.lang.Short | _: java.lang.Byte => true
+      case _ => false
+    }
+    // null-check shapes on the key are deliberately DECLINED, not
+    // pruned: IsNotNull prunes nothing (dir keys are never null) but
+    // accepting it erases the join-inferred not-null Filter above the
+    // scan and with it the plan shape the storage-partitioned join
+    // pins (q287) — zero pruning value is not worth a plan regression
+    val (keyOk, rest) = filters.partition {
+      case EqualTo(a, v) => onKey(a) && integral(v)
+      case In(a, vs) => onKey(a) && vs.forall(integral)
+      case GreaterThan(a, v) => onKey(a) && integral(v)
+      case GreaterThanOrEqual(a, v) => onKey(a) && integral(v)
+      case LessThan(a, v) => onKey(a) && integral(v)
+      case LessThanOrEqual(a, v) => onKey(a) && integral(v)
+      case _ => false
+    }
+    keyFilters = keyOk
+    val (ok, residual) = rest.partition {
       case EqualTo(a, _) => known(a)
       case GreaterThan(a, _) => numeric(a)
       case GreaterThanOrEqual(a, _) => numeric(a)
@@ -394,15 +448,17 @@ final class TsvScanBuilder(fullSchema: StructType, path: String,
     pushed = ok
     residual
   }
-  override def pushedFilters(): Array[Filter] = pushed
+  override def pushedFilters(): Array[Filter] = pushed ++ keyFilters
 
   override def build(): Scan = aggSpec match {
     case Some(spec) =>
       new TsvScan(fullSchema, aggSchema(spec), pushed, path, splitBytes,
-        limit, partitionCol, Some(spec))
+        limit, partitionCol, Some(spec), strictLayout = strictLayout,
+        keyFilters = keyFilters)
     case None =>
       new TsvScan(fullSchema, required, pushed, path, splitBytes, limit,
-        partitionCol, None, topN)
+        partitionCol, None, topN, strictLayout = strictLayout,
+        keyFilters = keyFilters)
   }
 }
 
@@ -410,7 +466,9 @@ final class TsvScan(fullSchema: StructType, required: StructType,
     pushed: Array[Filter], path: String, splitBytes: Long, limit: Int,
     partitionCol: Option[String] = None,
     aggSpec: Option[TsvAggSpec] = None,
-    topN: Option[TsvTopNSpec] = None)
+    topN: Option[TsvTopNSpec] = None,
+    strictLayout: Boolean = true,
+    keyFilters: Array[Filter] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -482,6 +540,9 @@ final class TsvScan(fullSchema: StructType, required: StructType,
         s"${k.name} ${if (k.asc) "ASC" else "DESC"} NULLS ${
           if (k.nullsFirst) "FIRST" else "LAST"}").mkString(", ")}] LIMIT ${t.n}") +
       partitionCol.fold("")(c => s", KeyGroupedBy: $c") +
+      (if (keyFilters.nonEmpty)
+        s", PushedPartitionFilters: [${keyFilters.mkString(", ")}]"
+      else "") +
       aggSpec.fold("")(sp =>
         s", PushedAggregates: [${sp.fns.map(f =>
             s"${f.op.toUpperCase}(${f.col.getOrElse("*")})").mkString(", ")}]" +
@@ -517,9 +578,20 @@ final class TsvScan(fullSchema: StructType, required: StructType,
     }
 
   /** Keyed subdirectories of a hive-style layout, sorted by key value
-    * for deterministic planning (shared contract: [[TsvLayout]]). */
-  private lazy val partitionDirs: Seq[(Long, java.io.File)] =
-    TsvLayout.partitionDirs(path, partitionCol.get, strict = true)
+    * for deterministic planning (shared contract: [[TsvLayout]]).
+    * Strict (the path-API default) fails loudly on a missing/empty
+    * layout; a CATALOG table's own partitioning passes strict=false —
+    * a freshly created partitioned table is legitimately empty and
+    * scans as zero rows, not an error. */
+  private lazy val partitionDirs: Seq[(Long, java.io.File)] = {
+    // static partition pruning happens HERE, at listing time: a pruned
+    // `<col>=<v>/` dir is never split, never counted in the reported
+    // key grouping, never sized into the stats estimate — the planner
+    // sees only the directories the accepted key predicates keep
+    val keep = TsvLayout.keyPredicate(keyFilters)
+    TsvLayout.partitionDirs(path, partitionCol.get, strict = strictLayout)
+      .filter { case (v, _) => keep(v) }
+  }
 
   /** Size estimate for the planner ([[SupportsReportStatistics]]):
     * without it a DSv2 relation defaults to "unknown = huge", so a
@@ -543,9 +615,17 @@ final class TsvScan(fullSchema: StructType, required: StructType,
       if (TsvLayout.isGzip(file.getName))
         file.length() * TsvLayout.GzExpansion
       else file.length()
-    val totalBytes =
-      (if (f.isDirectory) listDataFiles(f).map(sized).sum
-      else sized(f))
+    // a keyed scan sizes only the SURVIVING key dirs — the estimate
+    // must reflect static pruning or a pruned-to-one-shard side still
+    // looks too big to broadcast
+    val totalBytes = partitionCol match {
+      case Some(_) =>
+        partitionDirs.flatMap { case (_, d) => TsvLayout.dataFilesIn(d) }
+          .map(sized).sum
+      case None =>
+        if (f.isDirectory) listDataFiles(f).map(sized).sum
+        else sized(f)
+    }
     val fraction =
       math.max(1, required.size).toDouble / math.max(1, fullSchema.size)
     val estimate = math.max(1L, math.ceil(totalBytes * fraction).toLong)
@@ -620,7 +700,7 @@ final class TsvScan(fullSchema: StructType, required: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new TsvMicroBatchStream(fullSchema, required, pushed, path,
-      splitBytes, partitionCol)
+      splitBytes, partitionCol, keyFilters)
 }
 
 /** Offset = the sorted list of data-file paths visible at a point in
@@ -636,7 +716,8 @@ final case class TsvFilesOffset(files: Seq[String])
 
 final class TsvMicroBatchStream(fullSchema: StructType,
     required: StructType, pushed: Array[Filter], path: String,
-    splitBytes: Long, partitionCol: Option[String])
+    splitBytes: Long, partitionCol: Option[String],
+    keyFilters: Array[Filter] = Array.empty)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -648,13 +729,20 @@ final class TsvMicroBatchStream(fullSchema: StructType,
     * re-derives keys by parsing parent names. The one deliberate delta
     * from batch: an EMPTY keyed store is a legitimate pre-first-commit
     * stream state, not a loud error (strict = false). */
+  private val keepKey = TsvLayout.keyPredicate(keyFilters)
+
   private def currentKeyedFiles: Seq[(String, Option[Long])] =
     partitionCol match {
       case Some(c) =>
-        TsvLayout.partitionDirs(path, c, strict = false).flatMap {
-          case (v, d) => TsvLayout.dataFilesIn(d)
-            .map(f => f.getPath -> Some(v))
-        }
+        // static partition pruning applies to the STREAM too: a pruned
+        // key dir's files never enter an offset, so the stream neither
+        // reads nor remembers them (same predicate as the batch scan)
+        TsvLayout.partitionDirs(path, c, strict = false)
+          .filter { case (v, _) => keepKey(v) }
+          .flatMap {
+            case (v, d) => TsvLayout.dataFilesIn(d)
+              .map(f => f.getPath -> Some(v))
+          }
       case None =>
         val root = new java.io.File(TsvWritePaths.strip(path))
         val files =
@@ -1336,6 +1424,22 @@ private[sources] object TsvLayout {
     dirs.map(d => d.getName.stripPrefix(c + "=").toLong -> d).sortBy(_._1)
   }
 
+  /** Compile the scan builder's accepted partition-key filters into one
+    * dir-key predicate — exact by construction (the key is constant per
+    * directory), shared by the batch scan and the micro-batch stream so
+    * static pruning can never drift between the two read paths. */
+  def keyPredicate(filters: Array[Filter]): Long => Boolean = k =>
+    filters.forall {
+      case EqualTo(_, v: java.lang.Number) => k == v.longValue
+      case In(_, vs) =>
+        vs.exists(v => v.asInstanceOf[java.lang.Number].longValue == k)
+      case GreaterThan(_, v: java.lang.Number) => k > v.longValue
+      case GreaterThanOrEqual(_, v: java.lang.Number) => k >= v.longValue
+      case LessThan(_, v: java.lang.Number) => k < v.longValue
+      case LessThanOrEqual(_, v: java.lang.Number) => k <= v.longValue
+      case _ => true // unreachable: the builder only accepts the above
+    }
+
   /** Newline-aligned byte ranges (empty files yield no splits). A
     * `.gz` shard is NOT splittable: it gets exactly one split covering
     * the whole decompressed stream (end = MaxValue → the reader runs
@@ -1396,32 +1500,12 @@ final class TsvDataWriter(schema: StructType, path: String, jobUuid: String,
     else buffered
   }
   private var rows = 0L
-  private val types = schema.fields.map(_.dataType)
+  private val fields = schema.fields.map(_.dataType).zipWithIndex
+    .map { case (t, i) => (i, t) }
 
   override def write(r: InternalRow): Unit = {
-    val sb = new java.lang.StringBuilder(64)
-    var i = 0
-    while (i < types.length) {
-      if (i > 0) sb.append('\t')
-      if (!r.isNullAt(i)) types(i) match {
-        case LongType => sb.append(r.getLong(i))
-        case IntegerType => sb.append(r.getInt(i))
-        case DoubleType => sb.append(r.getDouble(i))
-        case StringType =>
-          val s = r.getUTF8String(i).toString
-          if (s.indexOf('\t') >= 0 || s.indexOf('\n') >= 0 ||
-            s.indexOf('\r') >= 0)
-            throw new IllegalArgumentException(
-              "graft tsv sink: string field contains a TSV framing byte " +
-                s"(tab/newline) — refusing to write a torn row: $s")
-          sb.append(s)
-        case t => throw new IllegalArgumentException(
-          s"graft tsv sink: unsupported column type $t")
-      }
-      i += 1
-    }
-    sb.append('\n')
-    out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.write(TsvLineFormat.line(r, fields)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     rows += 1
   }
 
@@ -1437,4 +1521,183 @@ final class TsvDataWriter(schema: StructType, path: String, jobUuid: String,
   }
 
   override def close(): Unit = out.close()
+}
+
+/** ONE definition of "a row as a TSV line", shared by the flat and the
+  * keyed writer (the keyed writer serializes schema-minus-key — the
+  * read side's file-field contract — so the two writers must agree on
+  * everything else byte-for-byte). NULL → empty field; framing bytes
+  * in strings refuse the row (fail-fast beats a torn line). */
+private[sources] object TsvLineFormat {
+  def line(r: InternalRow, fields: Array[(Int, DataType)]): String = {
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < fields.length) {
+      if (i > 0) sb.append('\t')
+      val (ord, t) = fields(i)
+      if (!r.isNullAt(ord)) t match {
+        case LongType => sb.append(r.getLong(ord))
+        case IntegerType => sb.append(r.getInt(ord))
+        case DoubleType => sb.append(r.getDouble(ord))
+        case StringType =>
+          val s = r.getUTF8String(ord).toString
+          if (s.indexOf('\t') >= 0 || s.indexOf('\n') >= 0 ||
+            s.indexOf('\r') >= 0)
+            throw new IllegalArgumentException(
+              "graft tsv sink: string field contains a TSV framing byte " +
+                s"(tab/newline) — refusing to write a torn row: $s")
+          sb.append(s)
+        case other => throw new IllegalArgumentException(
+          s"graft tsv sink: unsupported column type $other")
+      }
+      i += 1
+    }
+    sb.append('\n')
+    sb.toString
+  }
+}
+
+/** The write half of a PARTITIONED table (catalog `PARTITIONED BY
+  * identity(col)` / the keyed `<col>=<v>/` layout the path API reads):
+  * each task routes rows by key into per-key temp files, the driver
+  * renames committed attempts into their key directories — the same
+  * two-phase protocol as the flat sink, with the key moved from the
+  * line into the DIRECTORY name (the keyed read synthesizes it back).
+  * Task output is one file per key PER TASK, so at scale the producer
+  * should cluster by key first (`df.repartition($"key")` — or let a
+  * keyed upstream layout carry through); the writer stays correct
+  * either way, it just writes more, smaller shards when fed unsorted
+  * interleaved keys. Streaming epochs are refused loudly: the epoch
+  * ledger/replay sweep is built around flat root-level names, and a
+  * silent flat fallback would write the key INTO the lines and corrupt
+  * the layout contract. */
+final class TsvKeyedWriteBuilder(schema: StructType, path: String,
+    keyCol: String, gzip: Boolean = false)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new TsvKeyedBatchWrite(schema, path, keyCol, truncateFirst, gzip)
+    override def toStreaming: StreamingWrite =
+      throw new UnsupportedOperationException(
+        "graft tsv sink: streaming writes to a PARTITIONED table are " +
+          "not supported — stream into an unpartitioned table and " +
+          "compact/re-key it with a periodic batch job (q118/q304 shape)")
+  }
+}
+
+/** Per-task commit for the keyed writer: (key, tempFile) pairs — one
+  * temp file per key value this task saw. */
+final case class TsvKeyedTaskCommit(files: Seq[(Long, String)], rows: Long,
+    partitionId: Int) extends WriterCommitMessage
+
+final class TsvKeyedBatchWrite(schema: StructType, path: String,
+    keyCol: String, truncateFirst: Boolean, gzip: Boolean)
+    extends BatchWrite {
+  private val jobUuid = java.util.UUID.randomUUID().toString
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory =
+    new TsvKeyedWriterFactory(schema, path, keyCol, jobUuid, gzip)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new java.io.File(TsvWritePaths.strip(path))
+    // truncate = drop whole key directories (an empty key dir would
+    // still be listed as a live partition by the keyed read)
+    if (truncateFirst)
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory && d.getName.startsWith(keyCol + "="))
+        .foreach(TsvWritePaths.deleteRecursively)
+    root.mkdirs()
+    messages.foreach { case TsvKeyedTaskCommit(files, _, _) =>
+      files.foreach { case (key, tmp) =>
+        val src = new java.io.File(tmp)
+        val dir = new java.io.File(root, s"$keyCol=$key")
+        dir.mkdirs()
+        val dst = new java.io.File(dir, src.getName)
+        if (!src.renameTo(dst))
+          throw new java.io.IOException(
+            s"graft tsv sink: rename failed: $tmp -> $dst")
+      }
+    }
+    dropTemp(root)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    dropTemp(new java.io.File(TsvWritePaths.strip(path)))
+
+  private def dropTemp(root: java.io.File): Unit = {
+    val tempRoot = new java.io.File(root, "_temporary")
+    TsvWritePaths.deleteRecursively(new java.io.File(tempRoot, jobUuid))
+    tempRoot.delete()
+    ()
+  }
+}
+
+final class TsvKeyedWriterFactory(schema: StructType, path: String,
+    keyCol: String, jobUuid: String, gzip: Boolean)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new TsvKeyedDataWriter(schema, path, keyCol, jobUuid, partitionId,
+      taskId, gzip)
+}
+
+final class TsvKeyedDataWriter(schema: StructType, path: String,
+    keyCol: String, jobUuid: String, partitionId: Int, taskId: Long,
+    gzip: Boolean) extends DataWriter[InternalRow] {
+  private val keyIdx = schema.fieldIndex(keyCol)
+  // file fields = schema MINUS the key, in schema order — exactly how
+  // the keyed read indexes raw fields (TsvPartitionReader.fullIdx)
+  private val fileFields = schema.fields.map(_.dataType).zipWithIndex
+    .collect { case (t, i) if i != keyIdx => (i, t) }
+  private val tempDir =
+    new java.io.File(TsvWritePaths.strip(path), s"_temporary/$jobUuid")
+  tempDir.mkdirs()
+  private val suffix = if (gzip) ".txt.gz" else ".txt"
+
+  private val streams =
+    scala.collection.mutable.LongMap.empty[(java.io.File, java.io.OutputStream)]
+  private var rows = 0L
+
+  private def open(key: Long): (java.io.File, java.io.OutputStream) = {
+    // same naming contract as the flat writer (taskId for speculative
+    // attempts, uuid against cross-job collisions) plus the key
+    val f = new java.io.File(tempDir,
+      f"part-$partitionId%05d-$taskId-${jobUuid.take(8)}-k$key$suffix")
+    val buffered = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(f), 1 << 16)
+    val out: java.io.OutputStream =
+      if (gzip) new java.util.zip.GZIPOutputStream(buffered, 1 << 16)
+      else buffered
+    (f, out)
+  }
+
+  override def write(r: InternalRow): Unit = {
+    if (r.isNullAt(keyIdx))
+      throw new IllegalArgumentException(
+        s"graft tsv sink: partition column $keyCol is NULL — the keyed " +
+          "layout has no null-key directory; filter or default the key " +
+          "before writing")
+    val out = streams.getOrElseUpdate(r.getLong(keyIdx),
+      open(r.getLong(keyIdx)))._2
+    out.write(TsvLineFormat.line(r, fileFields)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    streams.foreach(_._2._2.close())
+    TsvKeyedTaskCommit(
+      streams.toSeq.map { case (k, (f, _)) => (k, f.getPath) },
+      rows, partitionId)
+  }
+
+  override def abort(): Unit = {
+    streams.foreach { case (_, (f, out)) => out.close(); f.delete() }
+    ()
+  }
+
+  override def close(): Unit = streams.foreach(_._2._2.close())
 }

@@ -133,13 +133,26 @@ class TsvCatalogSpec extends AnyFunSuite {
     (name, spark.conf.get(s"spark.sql.catalog.$name.root"))
   }
 
-  test("refusals are loud: PARTITIONED BY, non-ADD ALTER, multi-level namespaces") {
+  test("refusals are loud: non-identity partitioning, non-ADD ALTER, multi-level namespaces") {
     val c = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $c.ns")
+    // ONE BIGINT identity column is the supported partitioning; every
+    // other transform promises a layout the store does not have
     val e1 = intercept[Exception] {
-      spark.sql(s"CREATE TABLE $c.ns.p (id BIGINT, shard BIGINT) PARTITIONED BY (shard)")
+      spark.sql(s"CREATE TABLE $c.ns.p (id BIGINT, shard BIGINT) " +
+        "PARTITIONED BY (bucket(4, shard))")
     }
-    assert(e1.getMessage.contains("PARTITIONED BY"), e1.getMessage)
+    assert(e1.getMessage.contains("only PARTITIONED BY"), e1.getMessage)
+    val e1b = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $c.ns.p (id BIGINT, tag STRING) " +
+        "PARTITIONED BY (tag)")
+    }
+    assert(e1b.getMessage.contains("BIGINT"), e1b.getMessage)
+    val e1c = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $c.ns.p (id BIGINT, a BIGINT, b BIGINT) " +
+        "PARTITIONED BY (a, b)")
+    }
+    assert(e1c.getMessage.contains("only PARTITIONED BY"), e1c.getMessage)
     spark.sql(s"CREATE TABLE $c.ns.t (id BIGINT)")
     // ADD COLUMN is the ONE supported evolution; everything that would
     // re-map positional TSV fields refuses loudly
@@ -176,5 +189,93 @@ class TsvCatalogSpec extends AnyFunSuite {
     spark.sql(
       s"CREATE TABLE $c.ns.x (id BIGINT) USING ${classOf[TsvSourceProvider].getName}")
     assert(spark.sql(s"SELECT count(*) FROM $c.ns.x").head().getLong(0) === 0)
+  }
+
+  test("PARTITIONED BY identity: keyed layout by name — inserts route, scans prune, DELETE drops dirs") {
+    import org.apache.spark.sql.functions.col
+    val (c, root) = freshCatalogWithRoot()
+    spark.sql(s"CREATE NAMESPACE $c.ns")
+    spark.sql(s"CREATE TABLE $c.ns.p (id BIGINT, name STRING, shard BIGINT) " +
+      "PARTITIONED BY (shard)")
+    // a freshly created partitioned table is legitimately empty
+    assert(spark.table(s"$c.ns.p").count() === 0)
+    spark.sql(s"INSERT INTO $c.ns.p SELECT id, concat('u', id), id % 4 " +
+      "FROM range(40)")
+    // physical contract: key dirs + the partition sidecar; the key
+    // rides in the DIRECTORY name, never in the file data
+    val dir = new java.io.File(root, "ns/p")
+    assert(dir.listFiles().count(_.getName.startsWith("shard=")) === 4)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "_graft_partition").toPath), "UTF-8") === "shard")
+    val aFile = new java.io.File(dir, "shard=1").listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val src = scala.io.Source.fromFile(aFile)
+    val firstLine = try src.getLines().next() finally src.close()
+    assert(firstLine.split("\t", -1).length === 2, firstLine)
+    // static partition pruning by name (the q86 story, catalog-resolved)
+    val q = spark.table(s"$c.ns.p").filter(col("shard") === 2)
+    assert(q.queryExecution.executedPlan.toString
+      .contains("PushedPartitionFilters: [EqualTo(shard,2)"))
+    assert(q.count() === 10)
+    // partition DELETE by name drops whole directories; data-column
+    // DELETE refuses (no row-level rewrite on this store)
+    spark.sql(s"DELETE FROM $c.ns.p WHERE shard IN (0, 1)")
+    assert(!new java.io.File(dir, "shard=0").exists())
+    assert(spark.table(s"$c.ns.p").count() === 20)
+    intercept[Exception] { spark.sql(s"DELETE FROM $c.ns.p WHERE id = 3") }
+    // a NULL key has no directory — refused, not silently dropped
+    val eNull = intercept[Exception] {
+      spark.sql(s"INSERT INTO $c.ns.p SELECT 1L, 'x', CAST(NULL AS BIGINT)")
+    }
+    assert(eNull.getMessage.contains("NULL") ||
+      eNull.getCause != null, eNull.getMessage)
+    // INSERT OVERWRITE truncates by dropping key dirs
+    spark.sql(s"INSERT OVERWRITE $c.ns.p SELECT 1L, 'x', 9L")
+    assert(spark.table(s"$c.ns.p").collect().map(_.getLong(2)).toSeq === Seq(9L))
+    // partitioned CTAS stages the KEYED layout and publishes atomically
+    spark.sql(s"CREATE TABLE $c.ns.p2 PARTITIONED BY (shard) " +
+      s"AS SELECT * FROM $c.ns.p")
+    assert(new java.io.File(root, "ns/p2/_graft_partition").isFile)
+    assert(new java.io.File(root, "ns/p2/shard=9").isDirectory)
+    assert(spark.table(s"$c.ns.p2").count() === 1)
+    // ALTER ADD COLUMN keeps the partitioning live (sidecars compose)
+    spark.sql(s"ALTER TABLE $c.ns.p ADD COLUMN note STRING")
+    spark.sql(s"INSERT INTO $c.ns.p SELECT 2L, 'y', 9L, 'n'")
+    assert(spark.table(s"$c.ns.p").filter(col("shard") === 9).count() === 2)
+    spark.sql(s"DELETE FROM $c.ns.p WHERE shard = 9")
+    assert(spark.table(s"$c.ns.p").count() === 0)
+  }
+
+  test("runtime filtering prunes a catalog-partitioned fact resolved by name (q276 story)") {
+    import org.apache.spark.sql.functions._
+    val c = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.ns")
+    spark.sql(s"CREATE TABLE $c.ns.f (user_id BIGINT, v BIGINT, shard BIGINT) " +
+      "PARTITIONED BY (shard)")
+    spark.sql(s"INSERT INTO $c.ns.f SELECT /*+ REPARTITION(4, shard) */ " +
+      "id AS user_id, id * 2 AS v, id % 8 AS shard FROM range(80)")
+    // the dim's filter is on its own attribute — only the runtime
+    // subquery (fed through the broadcast) can prune the fact dirs
+    val dim = spark.range(64)
+      .select(col("id").as("u"), (col("id") % 8).as("shard"))
+      .filter(col("u") % 16 === 3).distinct()
+    val fact = spark.table(s"$c.ns.f")
+    val q = fact.join(broadcast(dim),
+        fact("shard") === dim("shard") && fact("user_id") === dim("u"))
+      .select(fact("user_id"), col("v"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("RuntimeFilters: [dynamicpruning"),
+      s"expected a runtime filter on the catalog-resolved fact scan:\n$plan")
+    assert(q.count() === 4)
+  }
+
+  test("streaming writes to a partitioned table refuse loudly") {
+    val b = new TsvKeyedWriteBuilder(
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, shard BIGINT"),
+      java.nio.file.Files.createTempDirectory("graft_kw").toString, "shard")
+    val e = intercept[UnsupportedOperationException] {
+      b.build().toStreaming
+    }
+    assert(e.getMessage.contains("PARTITIONED"), e.getMessage)
   }
 }

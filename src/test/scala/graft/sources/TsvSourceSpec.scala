@@ -317,18 +317,35 @@ class TsvSourceSpec extends AnyFunSuite {
     assert(shards.length == 30 && shards.toSet == Set(0L, 1L, 2L))
   }
 
-  test("keyed layout: partition-col predicates stay Spark's job (declined, still correct)") {
+  test("keyed layout: partition-col predicates prune directories statically (exact, fewer splits)") {
     val dir = writeKeyedTsv()
     val q = readKeyed(dir).filter(col("shard") === 1 && col("id") >= 10)
       .select("id", "shard")
     val plan = q.queryExecution.executedPlan.toString
-    assert(!plan.contains("EqualTo(shard"),
-      s"shard predicates must NOT appear in PushedFilters:\n$plan")
+    // the key predicate prunes at LISTING time (PushedPartitionFilters),
+    // it never becomes a reader-bound data filter — readers can't index
+    // the synthesized column
+    assert(plan.contains("PushedPartitionFilters: [EqualTo(shard,1)"),
+      s"shard predicates must surface as partition pruning:\n$plan")
+    assert(!plan.replaceAll(
+      "PushedPartitionFilters: \\[[^\\]]*\\]", "").contains("EqualTo(shard"),
+      s"shard predicates must NOT appear in the data PushedFilters:\n$plan")
     assert(plan.contains("GreaterThanOrEqual(id,10)"),
       s"file-column predicates must still push:\n$plan")
     val got = q.collect().map(_.getLong(0)).sorted.toSeq
     assert(got == (10 to 30).filter(_ % 3 == 1).map(_.toLong),
       s"unexpected rows: $got")
+    // pruning is physical: only shard=1's file plans splits
+    val pruned = new TsvScan(keyedSchema, keyedSchema, Array.empty, dir,
+      1L << 20, -1, Some("shard"),
+      keyFilters = Array(org.apache.spark.sql.sources.EqualTo("shard", 1L)))
+      .planInputPartitions()
+    assert(pruned.length == 1 &&
+      pruned.head.asInstanceOf[TsvKeyedInputPartition].value == 1L,
+      s"expected one shard=1 split, got ${pruned.toSeq}")
+    // range and set shapes evaluate exactly on the dir key
+    assert(readKeyed(dir).filter(col("shard") >= 1).count() == 20)
+    assert(readKeyed(dir).filter(col("shard").isin(0, 2)).count() == 20)
   }
 
   test("keyed layout: byte-range splits group back into key partitions, results exact") {
