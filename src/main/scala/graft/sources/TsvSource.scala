@@ -202,8 +202,24 @@ final class TsvTable(tableSchema: StructType, path: String,
       require(field.dataType == LongType,
         s"graft tsv source: partition_col must be BIGINT, got ${field.dataType}")
     }
+    // streaming admission control (micro-batch read path only):
+    // maxFilesPerTrigger / maxBytesPerTrigger bound each micro-batch,
+    // FileStreamSource's option names on the DSv2 contract
+    val maxFiles = Option(options.get("maxFilesPerTrigger")).map { v =>
+      val n = v.toInt
+      require(n > 0, s"graft tsv source: maxFilesPerTrigger must be " +
+        s"positive, got $n")
+      n
+    }
+    val maxBytes = Option(options.get("maxBytesPerTrigger")).map { v =>
+      val n = v.toLong
+      require(n > 0, s"graft tsv source: maxBytesPerTrigger must be " +
+        s"positive, got $n")
+      n
+    }
     new TsvScanBuilder(tableSchema, path, splitBytes, partitionCol,
-      strictLayout = optionCol.nonEmpty)
+      strictLayout = optionCol.nonEmpty,
+      streamLimits = TsvStreamLimits(maxFiles, maxBytes))
   }
 }
 
@@ -233,9 +249,19 @@ final case class TsvSortKey(name: String, asc: Boolean, nullsFirst: Boolean)
 /** A pushed top-N: keep the first `n` rows of each split under `keys`. */
 final case class TsvTopNSpec(keys: Seq[TsvSortKey], n: Int)
 
+/** Per-trigger admission bounds for the micro-batch stream (both unset
+  * = drain everything new per trigger). */
+final case class TsvStreamLimits(maxFiles: Option[Int],
+    maxBytes: Option[Long])
+object TsvStreamLimits {
+  val none: TsvStreamLimits = TsvStreamLimits(None, None)
+}
+
 final class TsvScanBuilder(fullSchema: StructType, path: String,
     splitBytes: Long, partitionCol: Option[String] = None,
-    strictLayout: Boolean = true) extends ScanBuilder
+    strictLayout: Boolean = true,
+    streamLimits: TsvStreamLimits = TsvStreamLimits.none)
+    extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownTopN
     with SupportsPushDownAggregates {
@@ -454,11 +480,11 @@ final class TsvScanBuilder(fullSchema: StructType, path: String,
     case Some(spec) =>
       new TsvScan(fullSchema, aggSchema(spec), pushed, path, splitBytes,
         limit, partitionCol, Some(spec), strictLayout = strictLayout,
-        keyFilters = keyFilters)
+        keyFilters = keyFilters, streamLimits = streamLimits)
     case None =>
       new TsvScan(fullSchema, required, pushed, path, splitBytes, limit,
         partitionCol, None, topN, strictLayout = strictLayout,
-        keyFilters = keyFilters)
+        keyFilters = keyFilters, streamLimits = streamLimits)
   }
 }
 
@@ -468,7 +494,8 @@ final class TsvScan(fullSchema: StructType, required: StructType,
     aggSpec: Option[TsvAggSpec] = None,
     topN: Option[TsvTopNSpec] = None,
     strictLayout: Boolean = true,
-    keyFilters: Array[Filter] = Array.empty)
+    keyFilters: Array[Filter] = Array.empty,
+    streamLimits: TsvStreamLimits = TsvStreamLimits.none)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -684,59 +711,82 @@ final class TsvScan(fullSchema: StructType, required: StructType,
       aggSpec, topN)
 
   /** STREAMING front door ([[TableCapability.MICRO_BATCH_READ]]): the
-    * TSV store becomes an unbounded source. Offsets are the SET OF DATA
-    * FILES seen (sorted paths, serialized as a JSON array) under the
-    * same immutability contract as Spark's own FileStreamSource: files
-    * are append-only and never mutated once visible (exactly what the
-    * TSV sink's commit-time rename guarantees — a half-written task
-    * file lives under `_temporary/` where the listing never looks). A
-    * micro-batch is the file-set DELTA between two offsets, byte-split
-    * like the batch scan; pushed columns/filters flow through the same
-    * ScanBuilder. At gate scale the full file list per offset is fine;
-    * a 100 TB deployment compacts the seen-set into a log the way
-    * FileStreamSource's metadata log does — the offset CONTRACT (the
-    * delta defines the batch, replays plan identical batches) is what
-    * this implements. */
+    * TSV store becomes an unbounded source under the same immutability
+    * contract as Spark's own FileStreamSource: files are append-only
+    * and never mutated once visible (exactly what the TSV sink's
+    * commit-time rename guarantees — a half-written task file lives
+    * under `_temporary/` where the listing never looks). The OFFSET is
+    * a version number into a checkpointed seen-files log (O(1) to
+    * serialize — the 100 TB requirement); a micro-batch is the logged
+    * file DELTA between two versions, byte-split like the batch scan;
+    * pushed columns/filters flow through the same ScanBuilder, and
+    * admission control ([[SupportsAdmissionControl]]) bounds each
+    * version by maxFilesPerTrigger/maxBytesPerTrigger. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new TsvMicroBatchStream(fullSchema, required, pushed, path,
-      splitBytes, partitionCol, keyFilters)
+      splitBytes, partitionCol, keyFilters, streamLimits,
+      checkpointLocation)
 }
 
-/** Offset = the sorted list of data-file paths visible at a point in
-  * time. Equality is by JSON (Spark's offset contract). */
-final case class TsvFilesOffset(files: Seq[String])
+/** Offset = a VERSION NUMBER into the stream's checkpointed seen-files
+  * log. Serialization is O(1) regardless of store size — the log, not
+  * the offset, carries the file names (FileStreamSource's design at
+  * the DSv2 contract). Equality is by JSON (Spark's offset rule). */
+final case class TsvVersionOffset(v: Long)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = {
-    import org.json4s.JsonDSL._
-    org.json4s.jackson.JsonMethods.compact(
-      org.json4s.jackson.JsonMethods.render(files.toList))
-  }
+  override def json(): String = s"""{"v":$v}"""
 }
 
+/** The TSV store as an unbounded micro-batch source.
+  *
+  * SEEN-FILES LOG (`<checkpoint>/graft_tsv_seen/`): each trigger that
+  * admits new files appends delta file `<v>` (the JSON list of paths
+  * admitted into version v — atomic temp+move, like every sidecar in
+  * this store); every [[CompactInterval]] versions a `<v>.compact`
+  * snapshot of the full seen-set lands beside it and deltas older than
+  * the previous window are pruned. Restart recovery replays the log
+  * (latest compact + following deltas), so `latestOffset` is O(new
+  * files) and the OFFSET is one integer — at 100 TB the alternative
+  * (file-list offsets) re-serializes the whole store's listing into
+  * Spark's offset log every trigger, which is exactly the scaling wall
+  * FileStreamSource's metadata log exists to avoid.
+  *
+  * ADMISSION CONTROL ([[SupportsAdmissionControl]]): versions are
+  * BOUNDED by `maxFilesPerTrigger`/`maxBytesPerTrigger` — a stream
+  * (re)started over a grown store drains in bounded batches instead of
+  * one table-sized micro-batch (the reference's chunk-size planning,
+  * mapreduce.py:148-150, applied to the unbounded path). Under
+  * [[SupportsTriggerAvailableNow]] the end of the drain is PINNED at
+  * start: files landing mid-drain wait for the next run, and the query
+  * self-terminates at the prepared frontier (q176's contract made
+  * native — no wrapper needed).
+  *
+  * The file view is the SAME as the batch scan's ([[TsvLayout]]): a
+  * keyed store lists only `<col>=<v>/` dirs (static key pruning
+  * applies to the stream too — a pruned dir's files never enter an
+  * offset), an unkeyed store lists root files plus hive-style subdirs;
+  * an EMPTY keyed store is a legitimate pre-first-commit stream state
+  * (strict = false). Keyed splits re-derive their key from the logged
+  * path's parent directory — the same `<col>=<v>` parse the listing
+  * itself uses, so the two can never disagree. */
 final class TsvMicroBatchStream(fullSchema: StructType,
     required: StructType, pushed: Array[Filter], path: String,
     splitBytes: Long, partitionCol: Option[String],
-    keyFilters: Array[Filter] = Array.empty)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    keyFilters: Array[Filter] = Array.empty,
+    streamLimits: TsvStreamLimits = TsvStreamLimits.none,
+    checkpointLocation: String = "")
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+  import TsvMicroBatchStream.CompactInterval
 
-  /** The SAME file view the batch scan reads ([[TsvLayout]]): a keyed
-    * store lists ONLY `<col>=<v>/` directories (a stray root file or a
-    * foreign `other=…/` dir is invisible to both paths alike); an
-    * unkeyed store lists root files plus any hive-style subdir. Keyed
-    * file→key mapping rides along so [[planInputPartitions]] never
-    * re-derives keys by parsing parent names. The one deliberate delta
-    * from batch: an EMPTY keyed store is a legitimate pre-first-commit
-    * stream state, not a loud error (strict = false). */
   private val keepKey = TsvLayout.keyPredicate(keyFilters)
 
   private def currentKeyedFiles: Seq[(String, Option[Long])] =
     partitionCol match {
       case Some(c) =>
-        // static partition pruning applies to the STREAM too: a pruned
-        // key dir's files never enter an offset, so the stream neither
-        // reads nor remembers them (same predicate as the batch scan)
         TsvLayout.partitionDirs(path, c, strict = false)
           .filter { case (v, _) => keepKey(v) }
           .flatMap {
@@ -751,46 +801,181 @@ final class TsvMicroBatchStream(fullSchema: StructType,
         files.map(f => f.getPath -> None)
     }
 
-  override def initialOffset(): Offset = TsvFilesOffset(Nil)
+  // ---- the seen-files log ----
+
+  private val logDir = new java.io.File(
+    TsvWritePaths.strip(checkpointLocation), "graft_tsv_seen")
+  private def deltaFile(v: Long) = new java.io.File(logDir, v.toString)
+  private def compactFile(v: Long) =
+    new java.io.File(logDir, s"$v.compact")
+
+  private def writeList(f: java.io.File, files: Seq[String]): Unit = {
+    logDir.mkdirs()
+    val tmp = new java.io.File(logDir, f.getName + ".tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(
+          org.json4s.JsonDSL.seq2jvalue(files.map(
+            org.json4s.JsonDSL.string2jvalue)))).getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+  private def readList(f: java.io.File): Seq[String] = {
+    import org.json4s.DefaultFormats
+    implicit val fmt: DefaultFormats = DefaultFormats
+    org.json4s.jackson.JsonMethods.parse(new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      .extract[List[String]]
+  }
+
+  // driver-side state, rebuilt from the log on (re)start: the set of
+  // files already assigned to some version, and the latest version
+  private val seen = scala.collection.mutable.HashSet.empty[String]
+  private var latestVersion: Long = 0L
+  locally {
+    val entries = Option(logDir.listFiles()).getOrElse(Array.empty)
+    val compacts = entries.map(_.getName)
+      .filter(_.endsWith(".compact"))
+      .map(_.stripSuffix(".compact").toLong)
+    val base = if (compacts.isEmpty) None else Some(compacts.max)
+    base.foreach { b => seen ++= readList(compactFile(b)); latestVersion = b }
+    entries.map(_.getName).filter(_.forall(_.isDigit)).map(_.toLong)
+      .filter(v => base.forall(_ < v)).sorted
+      .foreach { v =>
+        seen ++= readList(deltaFile(v))
+        latestVersion = math.max(latestVersion, v)
+      }
+  }
+
+  // Trigger.AvailableNow: the drain frontier, pinned at prepare time
+  private var preparedTarget: Option[Set[String]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    preparedTarget = Some(currentKeyedFiles.map(_._1).toSet)
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits: Seq[ReadLimit] =
+      streamLimits.maxFiles.map(n => ReadLimit.maxFiles(n)).toSeq ++
+        streamLimits.maxBytes.map(n => ReadLimit.maxBytes(n)).toSeq
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  /** Admit a PREFIX of the sorted candidates under the limit. MaxBytes
+    * admits files until the budget is spent but always at least one —
+    * a single over-budget file must still make progress (the
+    * FileStreamSource rule). */
+  private def admit(files: Seq[String], limit: ReadLimit): Seq[String] = {
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadMaxBytes, ReadMaxFiles}
+    limit match {
+      case _: ReadAllAvailable => files
+      case f: ReadMaxFiles => files.take(f.maxFiles())
+      case b: ReadMaxBytes =>
+        var budget = b.maxBytes()
+        val out = Seq.newBuilder[String]
+        var first = true
+        files.takeWhile { p =>
+          val len = new java.io.File(p).length()
+          val fits = first || len <= budget
+          if (fits) { budget -= len; out += p; first = false }
+          fits
+        }
+        out.result()
+      case c: CompositeReadLimit =>
+        c.getReadLimits.foldLeft(files)((acc, l) => admit(acc, l))
+      case _ => files // a limit shape this source doesn't bound by
+    }
+  }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val candidates0 = currentKeyedFiles.map(_._1).filterNot(seen).sorted
+    // under AvailableNow, files that landed AFTER prepare wait for the
+    // next run — the drain frontier is fixed or the query never ends
+    val candidates =
+      preparedTarget.fold(candidates0)(t => candidates0.filter(t))
+    val admitted = admit(candidates, limit)
+    if (admitted.nonEmpty) {
+      latestVersion += 1
+      writeList(deltaFile(latestVersion), admitted)
+      seen ++= admitted
+      if (latestVersion % CompactInterval == 0) {
+        writeList(compactFile(latestVersion), seen.toSeq.sorted)
+        // deltas at or below the PREVIOUS compact are unreachable by
+        // any replay (Spark replays at most the one uncommitted batch)
+        Option(logDir.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.forall(_.isDigit) &&
+            f.getName.toLong <= latestVersion - CompactInterval)
+          .foreach(_.delete())
+      }
+    }
+    TsvVersionOffset(latestVersion)
+  }
+
+  override def reportLatestOffset(): Offset = TsvVersionOffset(latestVersion)
+  override def initialOffset(): Offset = TsvVersionOffset(0L)
   override def latestOffset(): Offset =
-    TsvFilesOffset(currentKeyedFiles.map(_._1).sorted)
+    throw new IllegalStateException(
+      "latestOffset(start, limit) should be called for admission-" +
+        "controlled sources (the Spark contract)")
   override def deserializeOffset(json: String): Offset = {
     import org.json4s.DefaultFormats
     implicit val fmt: DefaultFormats = DefaultFormats
-    TsvFilesOffset(org.json4s.jackson.JsonMethods.parse(json)
-      .extract[List[String]])
+    TsvVersionOffset((org.json4s.jackson.JsonMethods.parse(json)
+      \ "v").extract[Long])
   }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[TsvFilesOffset].files.toSet
-    val batch = end.asInstanceOf[TsvFilesOffset].files.toSet -- seen
-    // a replayed batch whose files vanished out-of-band (compaction,
-    // manual rm) must fail LOUDLY, not silently shrink — an
-    // exactly-once pipeline that replays fewer rows than it committed
-    // is a data-loss bug masked as success (FileStreamSource makes the
-    // same choice)
-    val present = currentKeyedFiles.map(_._1).toSet
-    val missing = batch -- present
-    if (missing.nonEmpty)
-      throw new IllegalStateException(
-        "graft tsv stream: offset range names files no longer in the " +
-          s"store — replay cannot be exactly-once. Missing: " +
-          missing.toSeq.sorted.mkString(", "))
-    currentKeyedFiles.filter(kv => batch.contains(kv._1)).flatMap {
-      case (p, key) =>
-        TsvLayout.byteSplits(new java.io.File(p), splitBytes).map {
-          case (s0, e0) => key match {
-            case Some(v) => TsvKeyedInputPartition(p, s0, e0, v): InputPartition
-            case None => TsvInputPartition(p, s0, e0): InputPartition
-          }
+    val s = start.asInstanceOf[TsvVersionOffset].v
+    val e = end.asInstanceOf[TsvVersionOffset].v
+    (s + 1 to e).flatMap { v =>
+      val f = deltaFile(v)
+      // a replay reaching past the log's retention (or a truncated
+      // log) must fail LOUDLY, not silently plan an empty batch
+      if (!f.isFile)
+        throw new IllegalStateException(
+          s"graft tsv stream: seen-files log has no version $v under " +
+            s"$logDir — replay cannot be exactly-once")
+      readList(f)
+    }.flatMap { p =>
+      val file = new java.io.File(p)
+      // files vanishing out-of-band (compaction, manual rm) between
+      // logging and (re)planning is data loss masked as success —
+      // FileStreamSource makes the same loud choice
+      if (!file.isFile)
+        throw new IllegalStateException(
+          "graft tsv stream: offset range names a file no longer in " +
+            s"the store — replay cannot be exactly-once. Missing: $p")
+      val key = partitionCol.map { c =>
+        val parent = file.getParentFile.getName
+        require(parent.startsWith(c + "="),
+          s"graft tsv stream: logged file $p is not under a $c=<v>/ " +
+            "directory but the scan is keyed")
+        parent.stripPrefix(c + "=").toLong
+      }
+      TsvLayout.byteSplits(file, splitBytes).map {
+        case (s0, e0) => key match {
+          case Some(v) => TsvKeyedInputPartition(p, s0, e0, v): InputPartition
+          case None => TsvInputPartition(p, s0, e0): InputPartition
         }
+      }
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new TsvReaderFactory(fullSchema, required, pushed, -1, partitionCol)
+}
+
+object TsvMicroBatchStream {
+  /** Every this-many versions: full-snapshot compact + delta pruning.
+    * Retention of a full window of deltas is far past what a replay
+    * can reach (at most the one uncommitted batch). */
+  val CompactInterval: Int = 10
 }
 
 final case class TsvInputPartition(file: String, start: Long, end: Long)

@@ -1674,6 +1674,67 @@ object StreamingQueries extends QueryPack {
     out
   }
 
+  /** q303: ADMISSION CONTROL on the TSV micro-batch source
+    * ([[graft.sources.TsvMicroBatchStream]], `SupportsAdmissionControl`
+    * + `SupportsTriggerAvailableNow`) — the reference's chunk-size
+    * planning (mapreduce.py:148-150) applied to the UNBOUNDED path: a
+    * stream cold-started over a grown store drains in BOUNDED
+    * micro-batches (`maxFilesPerTrigger` files per version of the
+    * seen-files log) instead of one table-sized batch, and under
+    * `Trigger.AvailableNow` the drain frontier is pinned at start so
+    * the query self-terminates at exactly the prepared file set. At
+    * 100 TB this is what makes restart survivable: the first trigger
+    * after a weekend of backlog is the same size as every other
+    * trigger — memory, shuffle, and state growth stay flat. The gate
+    * cold-starts over a 24-shard store at 5 files/trigger, REQUIRES
+    * the drain to have taken ≥5 data batches (the bounded-drain
+    * invariant — one giant batch fails the gate), and the drained
+    * aggregate must equal the batch oracle. StreamingSpec pins the
+    * per-batch file cap, the O(1) offset payload, log compaction, and
+    * restart recovery at the unit level. */
+  private def q303(s: SparkSession, dir: String): DataFrame = withNanosAsLong(s) {
+    val root = graft.operators.FileIO.scratch(dir, "stream_tsv_admit")
+    rmrfAll(s, root)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        pmod(col("user_id"), lit(4)).as("g"))
+      .repartition(24) // 24 shards / 5 per trigger = 5 bounded batches
+      .write.format(classOf[graft.sources.TsvSourceProvider].getName)
+      .mode("append").option("path", root).save()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, event_type STRING, g BIGINT")
+    val agg = s.readStream
+      .format(classOf[graft.sources.TsvSourceProvider].getName)
+      .schema(schema).option("path", root)
+      .option("maxFilesPerTrigger", "5")
+      .load()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("g").as("sum_g"))
+    val name = "graft_q303_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      if (!query.awaitTermination(180000L))
+        sys.error("q303: AvailableNow query did not self-terminate")
+    } finally query.stop()
+    val dataBatches = query.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= 5,
+      s"q303: cold start must drain in bounded micro-batches " +
+        s"(expected >= 5 with data, got $dataBatches) — admission " +
+        "control did not bound the drain")
+    val result = s.table(name).orderBy("event_type")
+    val rows = result.collect()
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
+    s.catalog.dropTempView(name)
+    rmrfAll(s, root)
+    out
+  }
+
   /** q293: stream PIT against a BUCKETED interval table — q285's
     * documented scale path built: when the versioned dimension outgrows
     * a broadcast, the compacted SCD2 intervals persist ONCE as a
@@ -2590,6 +2651,10 @@ object StreamingQueries extends QueryPack {
         |  CAST(sum(user_id % 8) AS BIGINT) AS sum_g
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q289_stream_tsv_source", q289, Some(
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(user_id % 4) AS BIGINT) AS sum_g
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q303_stream_bounded_drain", q303, Some(
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(user_id % 4) AS BIGINT) AS sum_g
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),

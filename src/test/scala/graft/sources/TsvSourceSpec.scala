@@ -465,6 +465,132 @@ class TsvSourceSpec extends AnyFunSuite {
       "the DATA column must win over the metadata column")
   }
 
+  // ---- micro-batch stream: versioned offsets + admission control ----
+
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
+
+  private def mkStream(dir: String, cp: String,
+      limits: TsvStreamLimits = TsvStreamLimits.none) =
+    new TsvMicroBatchStream(schema, schema, Array.empty, dir, 1L << 20,
+      None, Array.empty, limits, cp)
+
+  private def addShard(dir: String, name: String, ids: Range): Unit = {
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, name),
+      (ids.map(i => s"$i\tn$i\t$i.5\tx$i").mkString("\n") + "\n")
+        .getBytes("UTF-8"))
+    ()
+  }
+
+  private def batchFiles(
+      s: graft.sources.TsvMicroBatchStream,
+      from: org.apache.spark.sql.connector.read.streaming.Offset,
+      to: org.apache.spark.sql.connector.read.streaming.Offset): Seq[String] =
+    s.planInputPartitions(from, to)
+      .map(_.asInstanceOf[TsvInputPartition].file).distinct.sorted.toSeq
+
+  test("stream offset payload is O(1): growing the store does not grow the offset JSON") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsv_mb").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_tsv_cp").toString
+    addShard(dir, "part-00000.txt", 1 to 10)
+    val s1 = mkStream(dir, cp)
+    val o0 = s1.initialOffset()
+    val o1 = s1.latestOffset(o0, ReadLimit.allAvailable())
+    val size1 = o1.json().length
+    // grow the store 50×: the offset payload must NOT grow with it
+    (1 to 50).foreach(i => addShard(dir, f"part-$i%05d.txt", 1 to 5))
+    val o2 = s1.latestOffset(o1, ReadLimit.allAvailable())
+    assert(o2.json().length <= size1 + 2, // digits, not file lists
+      s"offset payload must stay O(1): ${o2.json()}")
+    assert(batchFiles(s1, o1, o2).length == 50)
+    // the delta defines the batch, and a replay plans the IDENTICAL one
+    assert(batchFiles(s1, o0, o1) == batchFiles(s1, o0, o1))
+    assert(batchFiles(s1, o1, o2) == batchFiles(s1, o1, o2))
+    // restart: a fresh stream over the same checkpoint replays the same
+    // batch from the log and sees nothing new
+    val s2 = mkStream(dir, cp)
+    val o2b = s2.deserializeOffset(o2.json())
+    assert(batchFiles(s2, s2.deserializeOffset(o1.json()), o2b) ==
+      batchFiles(s1, o1, o2))
+    val o3 = s2.latestOffset(o2b, ReadLimit.allAvailable())
+    assert(o3.json() == o2b.json(), "no new files → offset must not advance")
+  }
+
+  test("admission control bounds each version; availableNow pins the drain frontier") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsv_mb").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_tsv_cp").toString
+    (0 until 10).foreach(i => addShard(dir, f"part-$i%05d.txt", 1 to 4))
+    val s1 = mkStream(dir, cp,
+      TsvStreamLimits(maxFiles = Some(4), maxBytes = None))
+    assert(s1.getDefaultReadLimit.toString.toLowerCase.contains("file"))
+    // a cold start over 10 files at 4/trigger drains in 3 bounded
+    // batches: 4 + 4 + 2 — never one table-sized batch
+    var off = s1.initialOffset()
+    val sizes = scala.collection.mutable.Buffer.empty[Int]
+    var advancing = true
+    while (advancing) {
+      val next = s1.latestOffset(off, s1.getDefaultReadLimit)
+      if (next.json() == off.json()) advancing = false
+      else { sizes += batchFiles(s1, off, next).length; off = next }
+    }
+    assert(sizes.toSeq == Seq(4, 4, 2), s"bounded drain, got $sizes")
+    // maxBytes admits at least one file even when a single shard
+    // exceeds the budget (progress beats starvation)
+    val cp2 = java.nio.file.Files.createTempDirectory("graft_tsv_cp").toString
+    val s2 = mkStream(dir, cp2)
+    val tiny = s2.latestOffset(s2.initialOffset(), ReadLimit.maxBytes(1L))
+    assert(batchFiles(s2, s2.initialOffset(), tiny).length == 1)
+    // AvailableNow: the frontier is pinned at prepare — files landing
+    // mid-drain are NOT admitted by this run
+    val cp3 = java.nio.file.Files.createTempDirectory("graft_tsv_cp").toString
+    val s3 = mkStream(dir, cp3,
+      TsvStreamLimits(maxFiles = Some(6), maxBytes = None))
+    s3.prepareForTriggerAvailableNow()
+    val a1 = s3.latestOffset(s3.initialOffset(), s3.getDefaultReadLimit)
+    addShard(dir, "part-late.txt", 1 to 3) // lands mid-drain
+    val a2 = s3.latestOffset(a1, s3.getDefaultReadLimit)
+    val a3 = s3.latestOffset(a2, s3.getDefaultReadLimit)
+    assert(a3.json() == a2.json(), "drain must stop at the prepared frontier")
+    assert((batchFiles(s3, s3.initialOffset(), a1) ++
+      batchFiles(s3, a1, a2)).length == 10,
+      "the drain must cover exactly the prepared files")
+    assert(!batchFiles(s3, a1, a2).exists(_.contains("part-late")),
+      "a file landing mid-drain must wait for the next run")
+  }
+
+  test("seen-files log compacts, prunes old deltas, and fails loudly past retention") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsv_mb").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_tsv_cp").toString
+    val s1 = mkStream(dir, cp,
+      TsvStreamLimits(maxFiles = Some(1), maxBytes = None))
+    // 25 versions of one file each → compacts at 10 and 20, deltas ≤ 10
+    // pruned after the second compact
+    (0 until 25).foreach(i => addShard(dir, f"part-$i%05d.txt", 1 to 2))
+    var off = s1.initialOffset()
+    (1 to 25).foreach { _ =>
+      off = s1.latestOffset(off, s1.getDefaultReadLimit)
+    }
+    val log = new java.io.File(cp, "graft_tsv_seen")
+    val names = log.listFiles().map(_.getName).toSet
+    assert(names.contains("10.compact") && names.contains("20.compact"),
+      s"expected periodic compacts, got $names")
+    assert(!names.contains("5") && names.contains("15") && names.contains("25"),
+      s"deltas at or below the previous compact must be pruned: $names")
+    // restart recovery from compact + deltas: the full seen-set is back
+    val s2 = mkStream(dir, cp)
+    val o25 = s2.deserializeOffset("""{"v":25}""")
+    assert(s2.latestOffset(o25, ReadLimit.allAvailable()).json() == o25.json(),
+      "recovered stream must know all 25 files are seen")
+    // a recent replay works; one past the pruned window fails loudly
+    assert(batchFiles(s2, s2.deserializeOffset("""{"v":24}"""), o25).length == 1)
+    val e = intercept[IllegalStateException] {
+      s2.planInputPartitions(
+        s2.deserializeOffset("""{"v":2}"""),
+        s2.deserializeOffset("""{"v":3}"""))
+    }
+    assert(e.getMessage.contains("exactly-once"), e.getMessage)
+  }
+
   // ---- write path (SupportsWrite: task-commit protocol) ----
 
   private def writeFrame(rows: Seq[(Long, String, java.lang.Double, String)]) =

@@ -131,10 +131,10 @@ class TsvStreamingSinkSpec extends AnyFunSuite {
   }
 
   test("a .gz shard arriving mid-stream reads as one micro-batch split") {
-    // the micro-batch source's offsets are the data-file SET and its
-    // splits come from the same TsvLayout.byteSplits as batch — so a
-    // gzipped shard landing in a live store must stream exactly like a
-    // plain one (one split, decompressed in the reader)
+    // the micro-batch source logs newly-seen data files per version and
+    // its splits come from the same TsvLayout.byteSplits as batch — so
+    // a gzipped shard landing in a live store must stream exactly like
+    // a plain one (one split, decompressed in the reader)
     val store = tmpDir("gz_stream_store")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(store, "part-00000.txt"),
