@@ -306,7 +306,22 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     * index past a row's end, so old shards surface explicit NULLs in
     * the very next scan. Everything else (drop / rename / type change /
     * positioned add) is refused loudly: TSV fields are positional, so
-    * any in-place re-mapping would silently re-type existing bytes. */
+    * any in-place re-mapping would silently re-type existing bytes.
+    *
+    * MID-STREAM contract (decision note, pinned in TsvCatalogSpec): a
+    * RUNNING `readStream.table` captured its schema when its scan was
+    * built, and an ALTER landing mid-stream does NOT retro-fit it —
+    * the running query keeps the OLD projection for every later
+    * micro-batch (post-evolution rows' extra trailing field is simply
+    * not parsed: positional reads ignore fields past the projection),
+    * while a RESTART rebuilds the scan from the sidecar and picks up
+    * the new column, with pre-evolution rows reading NULL. No batch is
+    * ever torn between the two schemas. This is the only sane choice:
+    * widening a live query's output mid-stream would change the shape
+    * of its sink/state between micro-batches, which downstream
+    * exactly-once consumers cannot absorb — schema changes ride the
+    * restart boundary, the same place Spark's own stateful operators
+    * require schema stability. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDirOpt(ident)
       .filter(d => schemaFile(d).isFile)

@@ -2017,6 +2017,74 @@ object StreamingQueries extends QueryPack {
     }
   }
 
+  /** q304: CHANGELOG COMPACTION as a catalog MAINTENANCE op — the
+    * composition of q298 (update-mode streaming lands a multi-version
+    * changelog table: key re-emitted per epoch, consumers compact on
+    * read) and q297 (atomic RTAS): a periodic `REPLACE TABLE … AS
+    * SELECT max_by(payload, version)` rewrites the changelog into its
+    * latest-per-key SNAPSHOT in one staged, atomic flip — readers of
+    * the snapshot name see the previous snapshot until the commit
+    * renames the staged directory in, and a failed compaction leaves
+    * yesterday's snapshot being served (the q297 guarantee, now
+    * exercised on a REAL streaming-produced input). At 100 TB this is
+    * the metrics-serving pattern: the stream only ever appends, the
+    * compaction cost moves from every consumer's read to one periodic
+    * atomic rewrite, and the snapshot is a plain table any batch
+    * reader addresses by name. Gate invariants: the changelog must be
+    * genuinely multi-version (rows > keys — otherwise nothing was
+    * compacted and the gate isn't testing the claim), and the
+    * compacted snapshot must equal the one-shot batch aggregate (the
+    * oracle) — which transitively pins snapshot ≡ changelog
+    * reconstruction, since the maintenance SELECT is exactly the
+    * consumer's compact-on-read expression. */
+  private def q304(s: SparkSession, dir: String): DataFrame = {
+    val shards = dumpDayShards(s, dir, "events_stream_days_upsert")
+    val schema = dayShardSchema("events_stream_days_upsert")
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+    val cp = graft.operators.FileIO.scratch(dir, s"q304_cp_$uid")
+    val cat = graft.operators.FileIO.ensureCatalog(s, dir)
+    s.sql(s"DROP TABLE IF EXISTS $cat.lake.chg304")
+    s.sql(s"DROP TABLE IF EXISTS $cat.lake.snap304")
+    s.sql(s"CREATE TABLE $cat.lake.chg304 (g BIGINT, n BIGINT, cents BIGINT)")
+    // yesterday's snapshot: exists (and is being served) BEFORE the
+    // maintenance op — REPLACE, not CREATE, is the op under test
+    s.sql(s"CREATE TABLE $cat.lake.snap304 (g BIGINT, n BIGINT, cents BIGINT)")
+    try {
+      val agg = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "8") // several epochs → multi-version
+        .parquet(shards)
+        .filter(col("user_id").isNotNull)
+        .groupBy((col("user_id") % 4).as("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+      val query = agg.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", cp)
+        .toTable(s"$cat.lake.chg304")
+      try query.processAllAvailable() finally query.stop()
+      val chgRows = s.table(s"$cat.lake.chg304").count()
+      // THE MAINTENANCE OP: one-shot latest-per-key (the count only
+      // grows, so max(n) is the latest version and max_by its payload),
+      // published through the staged atomic RTAS path
+      s.sql(
+        s"""REPLACE TABLE $cat.lake.snap304 AS
+           |SELECT g, max(n) AS n, max_by(cents, n) AS cents
+           |FROM $cat.lake.chg304 GROUP BY g""".stripMargin)
+      val snap = s.table(s"$cat.lake.snap304")
+      val nKeys = snap.count()
+      require(chgRows > nKeys,
+        s"q304: changelog must be multi-version ($chgRows rows over " +
+          s"$nKeys keys) — otherwise the compaction compacted nothing")
+      val result = snap.orderBy("g")
+      val rows = result.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $cat.lake.chg304")
+      s.sql(s"DROP TABLE IF EXISTS $cat.lake.snap304")
+      rmrfAll(s, cp)
+    }
+  }
+
   /** q296: TABLE-TO-TABLE streaming pipeline, no paths anywhere — the
     * composition q292 (readStream.table) and q295 (writeStream.toTable)
     * were each half of: an ingestion job INSERTs into a catalog table
@@ -2628,6 +2696,11 @@ object StreamingQueries extends QueryPack {
         |  round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
         |    AS total_value
         |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    Q("q304_changelog_compaction", q304, Some(
+      """SELECT user_id % 4 AS g, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q298_stream_update_changelog", q298, Some(
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents

@@ -269,6 +269,52 @@ class TsvCatalogSpec extends AnyFunSuite {
     assert(q.count() === 4)
   }
 
+  test("ALTER ADD COLUMN mid-stream: running query keeps its projection, restart picks up the column") {
+    val c = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.ns")
+    spark.sql(s"CREATE TABLE $c.ns.src (id BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $c.ns.src VALUES (1, 10), (2, 20)")
+    val cp = java.nio.file.Files.createTempDirectory("graft_cat_cp").toString
+    // (batchId → (schema field names, row count)) per processed batch
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Seq[String], Long)]()
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.table(s"$c.ns.src").writeStream
+        .option("checkpointLocation", cp)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          seen.add((id, df.schema.fieldNames.toSeq, df.count())); ()
+        }
+        .start()
+    val q1 = run()
+    try {
+      q1.processAllAvailable()
+      // the ALTER lands while q1 RUNS; wave 2 carries the new column
+      spark.sql(s"ALTER TABLE $c.ns.src ADD COLUMN w BIGINT")
+      spark.sql(s"INSERT INTO $c.ns.src VALUES (3, 30, 300)")
+      q1.processAllAvailable()
+    } finally q1.stop()
+    import scala.jdk.CollectionConverters._
+    val batches1 = seen.asScala.toSeq.sortBy(_._1)
+    // every batch of the RUNNING query — including the post-evolution
+    // wave — kept the captured 2-column projection: no torn batches
+    assert(batches1.nonEmpty &&
+      batches1.forall(_._2 == Seq("id", "v")), batches1.toString)
+    assert(batches1.map(_._3).sum === 3, batches1.toString)
+    seen.clear()
+    // a RESTART rebuilds the scan from the sidecar: the new column is
+    // live, and only unseen files replay (the checkpoint carries on)
+    spark.sql(s"INSERT INTO $c.ns.src VALUES (4, 40, 400)")
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+    val batches2 = seen.asScala.toSeq.sortBy(_._1)
+    assert(batches2.nonEmpty &&
+      batches2.forall(_._2 == Seq("id", "v", "w")), batches2.toString)
+    assert(batches2.map(_._3).sum === 1, batches2.toString)
+    // and the batch view reconciles both populations with explicit NULL
+    val all = spark.table(s"$c.ns.src").orderBy("id").collect()
+    assert(all.map(r => if (r.isNullAt(2)) -1L else r.getLong(2)).toSeq ===
+      Seq(-1L, -1L, 300L, 400L))
+  }
+
   test("streaming writes to a partitioned table refuse loudly") {
     val b = new TsvKeyedWriteBuilder(
       org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, shard BIGINT"),
