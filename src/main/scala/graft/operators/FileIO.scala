@@ -1452,7 +1452,8 @@ object FileIO extends QueryPack {
     * survivors above a pruning range predicate — and the oracle states
     * the same exclusions over parquet. TsvCatalogSpec pins the layout
     * mechanics, refusals (non-identity transforms, NULL keys, streaming
-    * epochs), and partitioned CTAS; PlanSpec pins the pruned plan. */
+    * epochs), partitioned CTAS, the PushedPartitionFilters pruned plan,
+    * and runtime filtering on the catalog-resolved fact. */
   private def q302(s: SparkSession, dir: String): DataFrame = {
     val cat = ensureCatalog(s, dir)
     s.sql(s"DROP TABLE IF EXISTS $cat.lake.clicks302")

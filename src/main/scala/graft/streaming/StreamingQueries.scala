@@ -1689,7 +1689,7 @@ object StreamingQueries extends QueryPack {
     * cold-starts over a 24-shard store at 5 files/trigger, REQUIRES
     * the drain to have taken ≥5 data batches (the bounded-drain
     * invariant — one giant batch fails the gate), and the drained
-    * aggregate must equal the batch oracle. StreamingSpec pins the
+    * aggregate must equal the batch oracle. TsvSourceSpec pins the
     * per-batch file cap, the O(1) offset payload, log compaction, and
     * restart recovery at the unit level. */
   private def q303(s: SparkSession, dir: String): DataFrame = withNanosAsLong(s) {
