@@ -1465,11 +1465,11 @@ object FileIO extends QueryPack {
         round(col("value") * 100).cast("long").as("cents"),
         (col("user_id") % 8).as("shard"))
       .createOrReplaceTempView("graft_src302")
-    // cluster by key before the keyed write: one file per key per task
-    // means an unclustered insert writes tasks×keys shards — the
-    // REPARTITION hint is the documented producer-side contract
-    s.sql(s"INSERT INTO $cat.lake.clicks302 " +
-      "SELECT /*+ REPARTITION(8, shard) */ * FROM graft_src302")
+    // no REPARTITION hint needed: the keyed write DECLARES clustered-
+    // by-key distribution (RequiresDistributionAndOrdering), so Spark
+    // plans the exchange itself and each key lands as ONE file — the
+    // small-files discipline lives in the table, not the query text
+    s.sql(s"INSERT INTO $cat.lake.clicks302 SELECT * FROM graft_src302")
     s.sql(s"DELETE FROM $cat.lake.clicks302 WHERE shard IN (2, 5)")
     val result = s.sql(
       s"""SELECT shard, count(*) AS n_rows,

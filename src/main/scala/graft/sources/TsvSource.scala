@@ -1761,7 +1761,26 @@ final class TsvKeyedWriteBuilder(schema: StructType, path: String,
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
-  override def build(): Write = new Write {
+  override def build(): Write = new Write
+      with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+    // the SINK declares its distribution ([[RequiresDistributionAndOrdering]]):
+    // cluster incoming rows by the partition key, so every key's rows
+    // land in ONE task and the layout gets exactly one file per key
+    // per job — without it, an unclustered INSERT writes tasks×keys
+    // small files and every producer has to remember a REPARTITION
+    // hint. Spark plans the exchange only when the child's
+    // partitioning doesn't already satisfy it (an already-clustered
+    // pipeline inserts exchange-free), which is the right 100 TB
+    // default: the small-files discipline lives in the table, not in
+    // every writer's query text.
+    override def requiredDistribution()
+        : org.apache.spark.sql.connector.distributions.Distribution =
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .column(keyCol)))
+    override def requiredOrdering()
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      Array.empty
     override def toBatch: BatchWrite =
       new TsvKeyedBatchWrite(schema, path, keyCol, truncateFirst, gzip)
     override def toStreaming: StreamingWrite =

@@ -205,6 +205,13 @@ class TsvCatalogSpec extends AnyFunSuite {
     // rides in the DIRECTORY name, never in the file data
     val dir = new java.io.File(root, "ns/p")
     assert(dir.listFiles().count(_.getName.startsWith("shard=")) === 4)
+    // the sink DECLARES clustered-by-key distribution, so an unhinted
+    // INSERT writes exactly ONE file per key — never tasks×keys shards
+    (0 to 3).foreach { k =>
+      val n = new java.io.File(dir, s"shard=$k").listFiles()
+        .count(_.getName.startsWith("part-"))
+      assert(n === 1, s"shard=$k must hold one file per job, got $n")
+    }
     assert(new String(java.nio.file.Files.readAllBytes(
       new java.io.File(dir, "_graft_partition").toPath), "UTF-8") === "shard")
     val aFile = new java.io.File(dir, "shard=1").listFiles()
@@ -252,7 +259,7 @@ class TsvCatalogSpec extends AnyFunSuite {
     spark.sql(s"CREATE NAMESPACE $c.ns")
     spark.sql(s"CREATE TABLE $c.ns.f (user_id BIGINT, v BIGINT, shard BIGINT) " +
       "PARTITIONED BY (shard)")
-    spark.sql(s"INSERT INTO $c.ns.f SELECT /*+ REPARTITION(4, shard) */ " +
+    spark.sql(s"INSERT INTO $c.ns.f SELECT " +
       "id AS user_id, id * 2 AS v, id % 8 AS shard FROM range(80)")
     // the dim's filter is on its own attribute — only the runtime
     // subquery (fed through the broadcast) can prune the fact dirs
