@@ -253,6 +253,36 @@ class TsvCatalogSpec extends AnyFunSuite {
     assert(spark.table(s"$c.ns.p").count() === 0)
   }
 
+  test("two catalog-partitioned tables join storage-partitioned, zero hash exchanges (q270 story)") {
+    import org.apache.spark.sql.functions.col
+    val c = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.ns")
+    // two co-keyed tables created and loaded BY NAME — the keyed write's
+    // declared distribution builds the one-file-per-key layout, and the
+    // scans report KeyGroupedPartitioning(identity(shard)) back
+    spark.sql(s"CREATE TABLE $c.ns.a (user_id BIGINT, v BIGINT, shard BIGINT) " +
+      "PARTITIONED BY (shard)")
+    spark.sql(s"CREATE TABLE $c.ns.b (user_id BIGINT, w BIGINT, shard BIGINT) " +
+      "PARTITIONED BY (shard)")
+    spark.sql(s"INSERT INTO $c.ns.a SELECT id AS user_id, id * 2 AS v, " +
+      "id % 4 AS shard FROM range(40)")
+    spark.sql(s"INSERT INTO $c.ns.b SELECT id AS user_id, id * 3 AS w, " +
+      "id % 4 AS shard FROM range(40)")
+    val plan = graft.SessionConfs.withConfs(spark,
+      graft.operators.FileIO.spjConfs: _*) {
+      val a = spark.table(s"$c.ns.a")
+      val b = spark.table(s"$c.ns.b")
+      val q = a.join(b, Seq("shard", "user_id"))
+        .agg(org.apache.spark.sql.functions.sum(col("v") + col("w")).as("s"))
+      assert(q.head().getLong(0) ===
+        (0 until 40).map(i => i * 5L).sum)
+      q.queryExecution.executedPlan.toString
+    }
+    assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"co-keyed catalog tables must join with zero hash exchanges:\n$plan")
+  }
+
   test("runtime filtering prunes a catalog-partitioned fact resolved by name (q276 story)") {
     import org.apache.spark.sql.functions._
     val c = freshCatalog()
