@@ -1626,8 +1626,10 @@ object StreamingQueries extends QueryPack {
 
   /** q289: STREAMING THE TSV STORE — the reference's native format
     * becomes an unbounded source ([[graft.sources.TsvMicroBatchStream]],
-    * TableCapability.MICRO_BATCH_READ): offsets are the sorted data-file
-    * set, a micro-batch is the file-set delta, and the TSV SINK's
+    * TableCapability.MICRO_BATCH_READ): the offset is a version into
+    * the checkpointed seen-files log (since r15 — one integer, O(new
+    * files) per trigger), a micro-batch is the logged file delta, and
+    * the TSV SINK's
     * commit-time rename (q277) is exactly the immutability contract the
     * source's listing relies on (half-written task files live under
     * `_temporary/`, invisible to offsets). The gate writes the corpus
