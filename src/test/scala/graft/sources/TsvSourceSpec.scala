@@ -558,6 +558,38 @@ class TsvSourceSpec extends AnyFunSuite {
       "a file landing mid-drain must wait for the next run")
   }
 
+  test("keyed stream: statically pruned dirs never enter offsets; admission and keys compose") {
+    val dir = writeKeyedTsv() // shard=0/1/2, one file each
+    val cp = java.nio.file.Files.createTempDirectory("graft_tsv_cp").toString
+    val s1 = new TsvMicroBatchStream(keyedSchema, keyedSchema,
+      Array.empty, dir, 1L << 20, Some("shard"),
+      Array(org.apache.spark.sql.sources.GreaterThanOrEqual("shard", 1L)),
+      TsvStreamLimits(maxFiles = Some(1), maxBytes = None), cp)
+    var off = s1.initialOffset()
+    val perBatch = scala.collection.mutable.Buffer
+      .empty[Seq[org.apache.spark.sql.connector.read.InputPartition]]
+    var advancing = true
+    while (advancing) {
+      val next = s1.latestOffset(off, s1.getDefaultReadLimit)
+      if (next.json() == off.json()) advancing = false
+      else { perBatch += s1.planInputPartitions(off, next).toSeq; off = next }
+    }
+    // shard=0 is pruned BEFORE any offset exists: two bounded batches
+    // (one file each), keys synthesized from the logged paths' parents
+    assert(perBatch.length == 2, s"expected 2 bounded batches, got $perBatch")
+    val keys = perBatch.flatten
+      .map(_.asInstanceOf[TsvKeyedInputPartition].value).sorted
+    assert(keys == Seq(1L, 2L), s"pruned stream must only admit " +
+      s"shard>=1 dirs, got $keys")
+    // the seen-files log never learned the pruned dir's file either
+    val logged = new java.io.File(cp, "graft_tsv_seen").listFiles()
+      .filter(_.getName.forall(_.isDigit))
+      .flatMap(f => new String(java.nio.file.Files.readAllBytes(f.toPath),
+        "UTF-8").split("\""))
+    assert(!logged.exists(_.contains("shard=0")),
+      "a pruned dir's files must never enter the log")
+  }
+
   test("seen-files log compacts, prunes old deltas, and fails loudly past retention") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tsv_mb").toString
     val cp = java.nio.file.Files.createTempDirectory("graft_tsv_cp").toString
