@@ -213,8 +213,17 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     dir.mkdirs()
     // partition sidecar BEFORE the schema sidecar: the schema file is
     // what makes the table exist (loadTable's filter), so a crash
-    // between the two leaves a non-table, never an accidentally-flat one
-    pcol.foreach(GraftTsvCatalog.writePartitionSidecar(dir, _))
+    // between the two leaves a non-table, never an accidentally-flat
+    // one. The INVERSE hazard needs the explicit delete: a crashed
+    // partitioned CREATE leaves a stale _graft_partition in the
+    // non-table dir, and a later FLAT create of the same name must not
+    // silently inherit it (accidentally-keyed writes, or a bricked
+    // table if the new schema lacks the old key column).
+    pcol match {
+      case Some(c) => GraftTsvCatalog.writePartitionSidecar(dir, c)
+      case None =>
+        new java.io.File(dir, "_graft_partition").delete(); ()
+    }
     writeSidecarAtomic(dir, schema)
     new TsvTable(schema, dir.getPath, pcol)
   }
@@ -288,10 +297,15 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     def newestMtime(f: java.io.File): Long =
       (f.lastModified() +: Option(f.listFiles()).getOrElse(Array.empty)
         .map(newestMtime).toSeq).max
+    // name check FIRST: the recursive mtime walk runs only on the few
+    // matching _staging_/_replaced_ orphan candidates, never on every
+    // live table's whole data tree (a per-DDL full-store stat walk
+    // would be its own scale bug)
     Option(dir.getParentFile.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && newestMtime(f) < gcCutoff &&
+      .filter(f => f.isDirectory &&
         (f.getName.startsWith(s"_staging_${ident.name()}_") ||
-          f.getName.startsWith(s"_replaced_${ident.name()}_")))
+          f.getName.startsWith(s"_replaced_${ident.name()}_")) &&
+        newestMtime(f) < gcCutoff)
       .foreach(TsvWritePaths.deleteRecursively)
     val staging = new java.io.File(dir.getParentFile,
       s"_staging_${ident.name()}_" + java.util.UUID.randomUUID()

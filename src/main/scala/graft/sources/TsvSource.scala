@@ -878,11 +878,20 @@ final class TsvMicroBatchStream(fullSchema: StructType,
         var budget = b.maxBytes()
         val out = Seq.newBuilder[String]
         var first = true
-        files.takeWhile { p =>
-          val len = new java.io.File(p).length()
-          val fits = first || len <= budget
-          if (fits) { budget -= len; out += p; first = false }
-          fits
+        var full = false
+        files.foreach { p =>
+          if (!full) {
+            // gz shards count at ESTIMATED DECOMPRESSED size (same
+            // GzExpansion as the stats path): the byte bound exists to
+            // keep per-trigger memory flat, and admitting compressed
+            // bytes would under-bound the batch by the compression ratio
+            val raw = new java.io.File(p).length()
+            val len = if (TsvLayout.isGzip(p)) raw * TsvLayout.GzExpansion
+              else raw
+            if (first || len <= budget) {
+              budget -= len; out += p; first = false
+            } else full = true
+          }
         }
         out.result()
       case c: CompositeReadLimit =>
@@ -905,10 +914,17 @@ final class TsvMicroBatchStream(fullSchema: StructType,
       if (latestVersion % CompactInterval == 0) {
         writeList(compactFile(latestVersion), seen.toSeq.sorted)
         // deltas at or below the PREVIOUS compact are unreachable by
-        // any replay (Spark replays at most the one uncommitted batch)
+        // any replay (Spark replays at most the one uncommitted batch),
+        // and only the NEWEST compact is ever read by recovery — prune
+        // both, or the log grows O(versions²) in snapshot bytes
         Option(logDir.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.getName.forall(_.isDigit) &&
-            f.getName.toLong <= latestVersion - CompactInterval)
+          .filter { f =>
+            val n = f.getName
+            (n.forall(_.isDigit) &&
+              n.toLong <= latestVersion - CompactInterval) ||
+            (n.endsWith(".compact") &&
+              n.stripSuffix(".compact").toLong < latestVersion)
+          }
           .foreach(_.delete())
       }
     }
@@ -924,8 +940,14 @@ final class TsvMicroBatchStream(fullSchema: StructType,
   override def deserializeOffset(json: String): Offset = {
     import org.json4s.DefaultFormats
     implicit val fmt: DefaultFormats = DefaultFormats
-    TsvVersionOffset((org.json4s.jackson.JsonMethods.parse(json)
-      \ "v").extract[Long])
+    org.json4s.jackson.JsonMethods.parse(json) \ "v" match {
+      case org.json4s.JInt(v) => TsvVersionOffset(v.toLong)
+      case _ => throw new IllegalStateException(
+        "graft tsv stream: unrecognized offset payload — this " +
+          "checkpoint predates the versioned seen-files log (offsets " +
+          "were file lists). Restart the query from a fresh checkpoint " +
+          s"location. Got: ${json.take(200)}")
+    }
   }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -1748,11 +1770,12 @@ private[sources] object TsvLineFormat {
   * renames committed attempts into their key directories — the same
   * two-phase protocol as the flat sink, with the key moved from the
   * line into the DIRECTORY name (the keyed read synthesizes it back).
-  * Task output is one file per key PER TASK, so at scale the producer
-  * should cluster by key first (`df.repartition($"key")` — or let a
-  * keyed upstream layout carry through); the writer stays correct
-  * either way, it just writes more, smaller shards when fed unsorted
-  * interleaved keys. Streaming epochs are refused loudly: the epoch
+  * The WRITE declares its own requirements
+  * ([[org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering]]):
+  * clustered by key (every key lands in one task → one file per key
+  * per job, no producer REPARTITION hint) and sorted by key within the
+  * task (the writer streams one key at a time → one open fd per task
+  * regardless of key cardinality). Streaming epochs are refused loudly: the epoch
   * ledger/replay sweep is built around flat root-level names, and a
   * silent flat fallback would write the key INTO the lines and corrupt
   * the layout contract. */
@@ -1778,9 +1801,17 @@ final class TsvKeyedWriteBuilder(schema: StructType, path: String,
       org.apache.spark.sql.connector.distributions.Distributions.clustered(
         Array(org.apache.spark.sql.connector.expressions.Expressions
           .column(keyCol)))
+    // sort each task's rows by key so the writer streams ONE key at a
+    // time: open-file handles stay at 1 per task regardless of key
+    // cardinality (an unsorted writer holding a stream + 64 KiB buffer
+    // + gzip deflater per DISTINCT KEY would exhaust fds on a
+    // high-cardinality partition column)
     override def requiredOrdering()
         : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-      Array.empty
+      Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions
+          .column(keyCol),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
     override def toBatch: BatchWrite =
       new TsvKeyedBatchWrite(schema, path, keyCol, truncateFirst, gzip)
     override def toStreaming: StreamingWrite =
@@ -1861,21 +1892,27 @@ final class TsvKeyedDataWriter(schema: StructType, path: String,
   tempDir.mkdirs()
   private val suffix = if (gzip) ".txt.gz" else ".txt"
 
-  private val streams =
-    scala.collection.mutable.LongMap.empty[(java.io.File, java.io.OutputStream)]
+  // ONE open stream at a time: rows arrive sorted by key (the write's
+  // requiredOrdering), so each key streams contiguously and the writer
+  // closes the previous key's file before opening the next. A revisit
+  // of an earlier key (a direct DSv2 caller bypassing the ordering)
+  // stays CORRECT via append-reopen — for gzip that writes a second
+  // member, which GZIPInputStream reads transparently — it just costs
+  // an extra open/close instead of a held fd.
+  private val files = scala.collection.mutable.LongMap.empty[java.io.File]
+  private var curKey = 0L
+  private var curOut: java.io.OutputStream = null
   private var rows = 0L
 
-  private def open(key: Long): (java.io.File, java.io.OutputStream) = {
+  private def openFor(key: Long): java.io.OutputStream = {
     // same naming contract as the flat writer (taskId for speculative
     // attempts, uuid against cross-job collisions) plus the key
-    val f = new java.io.File(tempDir,
-      f"part-$partitionId%05d-$taskId-${jobUuid.take(8)}-k$key$suffix")
+    val f = files.getOrElseUpdate(key, new java.io.File(tempDir,
+      f"part-$partitionId%05d-$taskId-${jobUuid.take(8)}-k$key$suffix"))
     val buffered = new java.io.BufferedOutputStream(
-      new java.io.FileOutputStream(f), 1 << 16)
-    val out: java.io.OutputStream =
-      if (gzip) new java.util.zip.GZIPOutputStream(buffered, 1 << 16)
-      else buffered
-    (f, out)
+      new java.io.FileOutputStream(f, true), 1 << 16)
+    if (gzip) new java.util.zip.GZIPOutputStream(buffered, 1 << 16)
+    else buffered
   }
 
   override def write(r: InternalRow): Unit = {
@@ -1884,24 +1921,30 @@ final class TsvKeyedDataWriter(schema: StructType, path: String,
         s"graft tsv sink: partition column $keyCol is NULL — the keyed " +
           "layout has no null-key directory; filter or default the key " +
           "before writing")
-    val out = streams.getOrElseUpdate(r.getLong(keyIdx),
-      open(r.getLong(keyIdx)))._2
-    out.write(TsvLineFormat.line(r, fileFields)
+    val k = r.getLong(keyIdx)
+    if (curOut == null || k != curKey) {
+      if (curOut != null) curOut.close()
+      curOut = openFor(k)
+      curKey = k
+    }
+    curOut.write(TsvLineFormat.line(r, fileFields)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
-    streams.foreach(_._2._2.close())
+    if (curOut != null) { curOut.close(); curOut = null }
     TsvKeyedTaskCommit(
-      streams.toSeq.map { case (k, (f, _)) => (k, f.getPath) },
+      files.toSeq.map { case (k, f) => (k, f.getPath) },
       rows, partitionId)
   }
 
   override def abort(): Unit = {
-    streams.foreach { case (_, (f, out)) => out.close(); f.delete() }
+    if (curOut != null) { curOut.close(); curOut = null }
+    files.values.foreach(_.delete())
     ()
   }
 
-  override def close(): Unit = streams.foreach(_._2._2.close())
+  override def close(): Unit =
+    if (curOut != null) { curOut.close(); curOut = null }
 }

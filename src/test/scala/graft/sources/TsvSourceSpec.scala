@@ -604,8 +604,8 @@ class TsvSourceSpec extends AnyFunSuite {
     }
     val log = new java.io.File(cp, "graft_tsv_seen")
     val names = log.listFiles().map(_.getName).toSet
-    assert(names.contains("10.compact") && names.contains("20.compact"),
-      s"expected periodic compacts, got $names")
+    assert(names.contains("20.compact") && !names.contains("10.compact"),
+      s"only the newest compact survives (older are dead weight): $names")
     assert(!names.contains("5") && names.contains("15") && names.contains("25"),
       s"deltas at or below the previous compact must be pruned: $names")
     // restart recovery from compact + deltas: the full seen-set is back
