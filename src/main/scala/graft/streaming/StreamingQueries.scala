@@ -935,11 +935,19 @@ object StreamingQueries extends QueryPack {
     // processAllAvailable alone does not promise it has fired yet).
     // Progress reports the watermark each batch was planned with; poll it.
     def awaitCommittedWatermark(ms: Long): Unit = {
-      val deadline = System.nanoTime + 30L * 1000 * 1000 * 1000
-      while (!query.recentProgress.exists(p =>
+      def committed = query.recentProgress.exists(p =>
         Option(p.eventTime.get("watermark"))
-          .exists(java.time.Instant.parse(_).toEpochMilli >= ms)) &&
-        System.nanoTime < deadline) Thread.sleep(25)
+          .exists(java.time.Instant.parse(_).toEpochMilli >= ms))
+      // FAIL LOUDLY on timeout rather than proceed: writing phase B
+      // against an uncommitted watermark silently turns the drop count
+      // load-dependent (observed once at 10× under a concurrent bench
+      // — a wrong answer that looked like data, not like a hang)
+      val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
+      while (!committed && System.nanoTime < deadline) Thread.sleep(25)
+      require(committed,
+        "q222: the post-phase-A watermark did not commit within 120 s " +
+          "(host overload?) — refusing to write the late phase against " +
+          "an unplanned watermark")
     }
     val maxUs = eventsMaxUs(s, dir)
     try {
