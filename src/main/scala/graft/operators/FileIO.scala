@@ -1483,6 +1483,56 @@ object FileIO extends QueryPack {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
 
+  /** q305: PARTITION DDL on the keyed catalog table
+    * ([[org.apache.spark.sql.connector.catalog.SupportsPartitionManagement]]
+    * + TruncatableTable) — the remaining governance verbs, each an O(1)
+    * filesystem metadata operation because partitions ARE directories:
+    * `SHOW PARTITIONS` lists the key dirs (with partial-spec filtering),
+    * `ALTER TABLE … ADD PARTITION` creates an empty-but-visible key dir
+    * (scans plan zero splits for it), `ALTER TABLE … DROP PARTITION` is
+    * q280's retention DELETE as DDL syntax, and `TRUNCATE TABLE` clears
+    * data while the table (and its sidecars) survive. Partition
+    * metadata/properties are refused loudly — this store has nowhere to
+    * keep them, and storing nothing silently would be worse. The gate
+    * runs the lifecycle (create → insert → ADD empty cohort → DROP a
+    * cohort) and reconciles the CATALOG's partition listing against the
+    * TABLE's contents — the listed empty partition must surface as a
+    * zero row, the dropped one must vanish from both views; the oracle
+    * restates the surviving cohorts plus the empty one from parquet.
+    * TsvCatalogSpec pins duplicate-ADD refusal, missing-DROP loudness,
+    * the partial-spec SHOW, flat-table refusals, and keyed/flat
+    * TRUNCATE. */
+  private def q305(s: SparkSession, dir: String): DataFrame = {
+    val cat = ensureCatalog(s, dir)
+    s.sql(s"DROP TABLE IF EXISTS $cat.lake.pt305")
+    s.sql(s"CREATE TABLE $cat.lake.pt305 " +
+      "(user_id BIGINT, cents BIGINT, shard BIGINT) PARTITIONED BY (shard)")
+    Tables.events(s, dir)
+      .filter(col("event_type") === "click" && col("user_id").isNotNull)
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        (col("user_id") % 8).as("shard"))
+      .createOrReplaceTempView("graft_src305")
+    s.sql(s"INSERT INTO $cat.lake.pt305 SELECT * FROM graft_src305")
+    s.sql(s"ALTER TABLE $cat.lake.pt305 ADD PARTITION (shard = 99)")
+    s.sql(s"ALTER TABLE $cat.lake.pt305 DROP PARTITION (shard = 3)")
+    val listed = s.sql(s"SHOW PARTITIONS $cat.lake.pt305")
+      .select(regexp_extract(col("partition"), "shard=(-?\\d+)", 1)
+        .cast("long").as("shard"))
+    val counts = s.table(s"$cat.lake.pt305")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("cnt"), sum("cents").as("sum_c"))
+    val result = listed.join(counts, Seq("shard"), "left")
+      .select(col("shard"),
+        coalesce(col("cnt"), lit(0L)).as("n"),
+        coalesce(col("sum_c"), lit(0L)).as("cents"))
+      .orderBy("shard")
+    val rows = result.collect()
+    s.sql(s"DROP TABLE $cat.lake.pt305")
+    s.catalog.dropTempView("graft_src305")
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+  }
+
   /** q294: catalog SCHEMA EVOLUTION — `ALTER TABLE … ADD COLUMN` on the
     * DSv2 TSV catalog is a METADATA-ONLY write (one sidecar file), and
     * pre-evolution shards surface explicit NULL for the new column in
@@ -1635,6 +1685,16 @@ object FileIO extends QueryPack {
   }
 
   override def queries: Seq[Q] = Seq(
+    Q("q305_partition_ddl", q305, Some(
+      """WITH c AS (
+        |  SELECT user_id % 8 AS shard,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL),
+        |g AS (SELECT shard, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents
+        |      FROM c GROUP BY shard),
+        |p AS (SELECT shard, n, cents FROM g WHERE shard != 3
+        |      UNION ALL SELECT 99, 0, 0)
+        |SELECT shard, n, cents FROM p ORDER BY shard""".stripMargin)),
     Q("q302_catalog_partitioned", q302, Some(
       """WITH c AS (
         |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,

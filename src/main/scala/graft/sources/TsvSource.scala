@@ -70,8 +70,97 @@ final class TsvTable(tableSchema: StructType, path: String,
     tablePartitionCol: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.TruncatableTable
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
   require(path != null, "graft tsv source requires option(\"path\", ...)")
+
+  private def rootDir = new java.io.File(TsvWritePaths.strip(path))
+
+  /** `TRUNCATE TABLE t` ([[TruncatableTable]]): clear the data, keep
+    * the table — key directories drop whole for a partitioned table
+    * (an empty key dir would still list as a partition), data files
+    * (root + hive subdirs) for a flat one. Sidecars survive by the
+    * `_`-prefix rule, same as the sink's overwrite-truncate. */
+  override def truncateTable(): Boolean = {
+    tablePartitionCol match {
+      case Some(c) =>
+        Option(rootDir.listFiles()).getOrElse(Array.empty)
+          .filter(d => d.isDirectory && d.getName.startsWith(c + "="))
+          .foreach(TsvWritePaths.deleteRecursively)
+      case None =>
+        if (rootDir.isDirectory)
+          TsvLayout.listDataFiles(rootDir).foreach(_.delete())
+    }
+    true
+  }
+
+  // ---- SHOW PARTITIONS / ADD PARTITION / DROP PARTITION ----
+  // ([[SupportsPartitionManagement]]) — the DDL face of the keyed
+  // layout: partitions ARE directories, so every operation here is
+  // O(1) filesystem metadata. ADD creates an empty-but-visible key dir
+  // (it lists, and scans plan zero splits for it); DROP is q280's
+  // retention primitive as ALTER TABLE syntax. Partition METADATA
+  // (per-partition properties) does not exist in this store — loudly
+  // refused, not silently dropped. Flat tables refuse partition DDL
+  // with a clear message (partitionSchema stays honest: empty).
+
+  private def requireKeyed(): String = tablePartitionCol.getOrElse(
+    throw new UnsupportedOperationException(
+      s"graft tsv: ${name()} is not partitioned — partition DDL needs " +
+        "a PARTITIONED BY identity(col) table"))
+  private def partDir(v: Long) =
+    new java.io.File(rootDir, s"${requireKeyed()}=$v")
+
+  override def partitionSchema(): StructType =
+    tablePartitionCol.fold(new StructType())(c =>
+      new StructType().add(c, LongType, nullable = false))
+
+  override def createPartition(ident: InternalRow,
+      properties: util.Map[String, String]): Unit = {
+    if (properties != null && !properties.isEmpty)
+      throw new UnsupportedOperationException(
+        "graft tsv: partitions carry no metadata — properties on ADD " +
+          "PARTITION would be silently lost, so they are refused")
+    val d = partDir(ident.getLong(0))
+    if (d.isDirectory)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .PartitionsAlreadyExistException(name(), ident, partitionSchema())
+    d.mkdirs()
+    ()
+  }
+
+  override def dropPartition(ident: InternalRow): Boolean = {
+    val d = partDir(ident.getLong(0))
+    val existed = d.isDirectory
+    if (existed) TsvWritePaths.deleteRecursively(d)
+    existed
+  }
+
+  override def partitionExists(ident: InternalRow): Boolean =
+    partDir(ident.getLong(0)).isDirectory
+
+  override def replacePartitionMetadata(ident: InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft tsv: partitions carry no metadata to replace")
+
+  override def loadPartitionMetadata(ident: InternalRow)
+      : util.Map[String, String] = java.util.Collections.emptyMap()
+
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: InternalRow): Array[InternalRow] = {
+    val c = requireKeyed()
+    require(names.forall(_ == c),
+      s"graft tsv: unknown partition column(s) ${names.mkString(", ")}")
+    val want: Option[Long] =
+      if (names.isEmpty) None else Some(ident.getLong(0))
+    TsvLayout.partitionDirs(path, c, strict = false)
+      .map(_._1)
+      .filter(v => want.forall(_ == v))
+      .map(v => InternalRow(v): InternalRow)
+      .toArray
+  }
 
   /** PARTITION-LEVEL DELETE ([[SupportsDelete]]) — the retention /
     * right-to-be-forgotten primitive at 100 TB: `DELETE FROM t WHERE

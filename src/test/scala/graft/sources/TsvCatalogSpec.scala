@@ -352,6 +352,48 @@ class TsvCatalogSpec extends AnyFunSuite {
       Seq(-1L, -1L, 300L, 400L))
   }
 
+  test("partition DDL: SHOW/ADD/DROP/TRUNCATE are metadata ops with loud refusals") {
+    val (c, root) = freshCatalogWithRoot()
+    spark.sql(s"CREATE NAMESPACE $c.ns")
+    spark.sql(s"CREATE TABLE $c.ns.p (id BIGINT, shard BIGINT) " +
+      "PARTITIONED BY (shard)")
+    spark.sql(s"INSERT INTO $c.ns.p SELECT id, id % 3 FROM range(30)")
+    def shown(spec: String = "") = spark
+      .sql(s"SHOW PARTITIONS $c.ns.p $spec")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(shown() == Seq("shard=0", "shard=1", "shard=2"))
+    assert(shown("PARTITION (shard=1)") == Seq("shard=1"))
+    // ADD creates an empty-but-VISIBLE partition: it lists, scans plan
+    // zero splits for it, and a duplicate ADD refuses
+    spark.sql(s"ALTER TABLE $c.ns.p ADD PARTITION (shard=99)")
+    assert(shown().contains("shard=99"))
+    assert(spark.table(s"$c.ns.p").count() === 30)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.ns.p ADD PARTITION (shard=0)")
+    }
+    // DROP is the retention DELETE as DDL; a missing partition is loud
+    spark.sql(s"ALTER TABLE $c.ns.p DROP PARTITION (shard=1)")
+    assert(spark.table(s"$c.ns.p").count() === 20)
+    assert(!new java.io.File(root, "ns/p/shard=1").exists())
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.ns.p DROP PARTITION (shard=7)")
+    }
+    // TRUNCATE clears data (key dirs whole), the table + sidecars stay
+    spark.sql(s"TRUNCATE TABLE $c.ns.p")
+    assert(spark.table(s"$c.ns.p").count() === 0)
+    assert(spark.sql(s"SHOW PARTITIONS $c.ns.p").count() === 0)
+    assert(new java.io.File(root, "ns/p/_graft_partition").isFile)
+    spark.sql(s"INSERT INTO $c.ns.p SELECT 1L, 5L") // still writable
+    assert(shown() == Seq("shard=5"))
+    // flat tables: TRUNCATE works, partition DDL refuses via Spark's
+    // own empty-partition-schema analysis
+    spark.sql(s"CREATE TABLE $c.ns.flat (id BIGINT)")
+    spark.sql(s"INSERT INTO $c.ns.flat SELECT id FROM range(5)")
+    spark.sql(s"TRUNCATE TABLE $c.ns.flat")
+    assert(spark.table(s"$c.ns.flat").count() === 0)
+    intercept[Exception] { spark.sql(s"SHOW PARTITIONS $c.ns.flat") }
+  }
+
   test("streaming writes to a partitioned table refuse loudly") {
     val b = new TsvKeyedWriteBuilder(
       org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, shard BIGINT"),
