@@ -1024,7 +1024,11 @@ object FileIO extends QueryPack {
       .write.format(fmt).option("path", out).option("write_schema", ddl)
       .mode("append").save()
     // gate-side invariant: the store must PHYSICALLY hold both tiers —
-    // a silently-ignored compression option would still pass the values
+    // a silently-ignored compression option would still pass the values.
+    // java.io listing is exact here BY CONTRACT: `out` is a graft TSV
+    // store path, and the store refuses non-local schemes loudly
+    // (TsvWritePaths.strip), so the write above could not have landed
+    // anywhere a local listing can't see.
     val names = Option(new java.io.File(out).listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isFile && !f.getName.startsWith("_")).map(_.getName)

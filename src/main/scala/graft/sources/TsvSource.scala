@@ -83,15 +83,25 @@ final class TsvTable(tableSchema: StructType, path: String,
     * (root + hive subdirs) for a flat one. Sidecars survive by the
     * `_`-prefix rule, same as the sink's overwrite-truncate. */
   override def truncateTable(): Boolean = {
-    tablePartitionCol match {
+    // delete failures must FAIL the statement (the store's fail-loud
+    // convention): an undeletable file silently surviving a TRUNCATE
+    // that reported success is resurrected data on the next scan
+    val survivors: Seq[java.io.File] = tablePartitionCol match {
       case Some(c) =>
-        Option(rootDir.listFiles()).getOrElse(Array.empty)
+        val dirs = Option(rootDir.listFiles()).getOrElse(Array.empty)
           .filter(d => d.isDirectory && d.getName.startsWith(c + "="))
-          .foreach(TsvWritePaths.deleteRecursively)
+          .toSeq
+        dirs.foreach(TsvWritePaths.deleteRecursively)
+        dirs.filter(_.exists())
       case None =>
         if (rootDir.isDirectory)
-          TsvLayout.listDataFiles(rootDir).foreach(_.delete())
+          TsvLayout.listDataFiles(rootDir).filterNot(_.delete())
+        else Nil
     }
+    if (survivors.nonEmpty)
+      throw new java.io.IOException(
+        s"graft tsv: TRUNCATE TABLE ${name()} could not delete " +
+          s"${survivors.size} path(s), e.g. ${survivors.head}")
     true
   }
 
@@ -123,11 +133,17 @@ final class TsvTable(tableSchema: StructType, path: String,
         "graft tsv: partitions carry no metadata — properties on ADD " +
           "PARTITION would be silently lost, so they are refused")
     val d = partDir(ident.getLong(0))
-    if (d.isDirectory)
-      throw new org.apache.spark.sql.catalyst.analysis
-        .PartitionsAlreadyExistException(name(), ident, partitionSchema())
-    d.mkdirs()
-    ()
+    // judge by the mkdirs() RESULT, not a check-then-act isDirectory
+    // probe: two concurrent ADDs must not both report success, and a
+    // mkdirs failure (permissions, fs error) must not leave the
+    // partition "created" but absent
+    if (!d.mkdirs()) {
+      if (d.isDirectory)
+        throw new org.apache.spark.sql.catalyst.analysis
+          .PartitionsAlreadyExistException(name(), ident, partitionSchema())
+      throw new java.io.IOException(
+        s"graft tsv: ADD PARTITION could not create $d")
+    }
   }
 
   override def dropPartition(ident: InternalRow): Boolean = {
@@ -990,6 +1006,13 @@ final class TsvMicroBatchStream(fullSchema: StructType,
   }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    // a crash between the delta-file write and Spark's offset-WAL write
+    // leaves an ORPHAN log version ahead of `start`: admitting more
+    // files now would make the recovered micro-batch span two versions
+    // (up to 2× the admission bound). Drain the orphan as its own
+    // bounded batch first; the next call resumes normal admission.
+    if (latestVersion > start.asInstanceOf[TsvVersionOffset].v)
+      return TsvVersionOffset(latestVersion)
     val candidates0 = currentKeyedFiles.map(_._1).filterNot(seen).sorted
     // under AvailableNow, files that landed AFTER prepare wait for the
     // next run — the drain frontier is fixed or the query never ends
@@ -1755,8 +1778,35 @@ private[sources] object TsvLayout {
 }
 
 private[sources] object TsvWritePaths {
+  /** Resolve a store/checkpoint path to a LOCAL filesystem path —
+    * loudly. The TSV store and its seen-files checkpoint log do
+    * java.io/java.nio I/O, so a remote-scheme path (`s3a://bucket/tbl`
+    * as a table path, or — the realistic deployment case — an
+    * `hdfs://`/`s3a://` checkpointLocation, from which the seen-files
+    * log dir is derived) would previously degrade to a BOGUS local
+    * relative directory: a stream that "works" against the wrong
+    * state, the silent-no-op failure class. Every path the store
+    * touches funnels through here, so the refusal covers tables,
+    * sinks, catalogs, and the stream log in one place. */
   def strip(p: String): String =
-    if (p.startsWith("file:")) p.stripPrefix("file:") else p
+    if (p.startsWith("file:")) p.stripPrefix("file:")
+    else {
+      val i = p.indexOf(':')
+      // a ':' that terminates a leading URI-scheme token (s3a://…,
+      // hdfs://…, gs:…) marks a non-local path; a bare local path has
+      // no such prefix (and a one-char token is a Windows drive, not
+      // a scheme, per the URI grammar's 2+-char convention)
+      if (i > 1 && p.take(i).forall(c =>
+          c.isLetterOrDigit || c == '+' || c == '-' || c == '.'))
+        throw new IllegalArgumentException(
+          s"graft tsv store: only local paths (plain or file:) are " +
+            s"supported, got scheme '${p.take(i)}' in $p — the store " +
+            "and its streaming seen-files log use local filesystem " +
+            "I/O; a remote path would silently resolve to a bogus " +
+            "local directory. Stage remote data locally (or mount it) " +
+            "before pointing the TSV store at it.")
+      p
+    }
   def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete()

@@ -590,6 +590,62 @@ class TsvSourceSpec extends AnyFunSuite {
       "a pruned dir's files must never enter the log")
   }
 
+  test("crash-recovery: an orphan log version drains as its own bounded batch (no 2x admission)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsv_mb").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_tsv_cp").toString
+    (0 until 6).foreach(i => addShard(dir, f"part-$i%05d.txt", 1 to 3))
+    val limits = TsvStreamLimits(maxFiles = Some(2), maxBytes = None)
+    val s1 = mkStream(dir, cp, limits)
+    val v0 = s1.initialOffset()
+    val v1 = s1.latestOffset(v0, s1.getDefaultReadLimit) // delta 1 written
+    assert(batchFiles(s1, v0, v1).length == 2)
+    // simulate a crash BETWEEN the delta write and Spark's offset-WAL
+    // write: a fresh stream replays the log (latestVersion = 1) but
+    // Spark's recovery hands start = v0. The source must return v1
+    // WITHOUT admitting more files — otherwise the recovered batch
+    // spans two versions and admits up to 2x the bound.
+    val s2 = mkStream(dir, cp, limits)
+    val r1 = s2.latestOffset(s2.deserializeOffset(v0.json()),
+      s2.getDefaultReadLimit)
+    assert(r1.json() == v1.json(),
+      s"orphan version must drain as its own batch, got ${r1.json()}")
+    assert(batchFiles(s2, s2.deserializeOffset(v0.json()), r1).length == 2,
+      "the recovered batch must be exactly the orphan delta")
+    assert(!new java.io.File(new java.io.File(cp, "graft_tsv_seen"), "2")
+      .isFile, "no new delta may be written while an orphan is pending")
+    // the NEXT call resumes normal bounded admission
+    val r2 = s2.latestOffset(r1, s2.getDefaultReadLimit)
+    assert(batchFiles(s2, r1, r2).length == 2)
+  }
+
+  test("non-local schemes are refused loudly at table, stream, and catalog construction") {
+    // table path: s3a:// would silently become a bogus local dir
+    val e1 = intercept[IllegalArgumentException] {
+      spark.read.format(classOf[TsvSourceProvider].getName)
+        .schema(schema).option("path", "s3a://bucket/tbl").load().collect()
+    }
+    assert(e1.getMessage.contains("s3a"), e1.getMessage)
+    // checkpointLocation: the realistic deployment case — the
+    // seen-files log dir derives from it, so an hdfs:// checkpoint
+    // must refuse at stream construction, not misplace the log
+    val dir = writeTsv(Seq("1\ta\t1.0\tx"))
+    val e2 = intercept[IllegalArgumentException] {
+      mkStream(dir, "hdfs://nn:8020/checkpoints/q")
+    }
+    assert(e2.getMessage.contains("hdfs"), e2.getMessage)
+    // catalog root
+    val cat = new GraftTsvCatalog
+    val e3 = intercept[IllegalArgumentException] {
+      cat.initialize("bad_root", new org.apache.spark.sql.util
+        .CaseInsensitiveStringMap(
+          java.util.Collections.singletonMap("root", "s3a://bucket/root")))
+    }
+    assert(e3.getMessage.contains("s3a"), e3.getMessage)
+    // file: URIs and plain local paths still resolve
+    assert(spark.read.format(classOf[TsvSourceProvider].getName)
+      .schema(schema).option("path", "file:" + dir).load().count() == 1)
+  }
+
   test("seen-files log compacts, prunes old deltas, and fails loudly past retention") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tsv_mb").toString
     val cp = java.nio.file.Files.createTempDirectory("graft_tsv_cp").toString
