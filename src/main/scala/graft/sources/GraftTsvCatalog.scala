@@ -67,7 +67,10 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     val r = options.get("root")
     require(r != null,
       s"graft tsv catalog '$name' needs spark.sql.catalog.$name.root")
-    root = new java.io.File(r)
+    // strip() refuses remote schemes LOUDLY (s3a://, hdfs://, …): the
+    // catalog's java.io directory layout would otherwise degrade a
+    // remote root to a bogus local relative path, silently
+    root = new java.io.File(TsvWritePaths.strip(r))
     root.mkdirs()
   }
 
@@ -93,6 +96,42 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     nsDirOpt(ident.namespace()).map(new java.io.File(_, ident.name()))
   private def schemaFile(dir: java.io.File): java.io.File =
     new java.io.File(dir, "_graft_schema")
+
+  // ---- the current-generation pointer ----
+  // A table REPLACEd at least once lives in an invisible generation
+  // directory (`_gen_<table>_<uuid>`), and the namespace holds a
+  // pointer file (`_graft_gen_<table>`) naming the current generation.
+  // The pointer is written with the sidecar discipline (temp +
+  // ATOMIC_MOVE), so REPLACE's visibility flip is ONE atomic write —
+  // a reader racing the commit resolves the name to the OLD generation
+  // or the NEW one, never to nothing (the two-rename NoSuchTable
+  // window this indirection retires). A table never replaced has no
+  // pointer and lives in the plain `<table>/` directory — resolution
+  // falls through to it, so the pointer is pay-as-you-go.
+  private[sources] def resolvedDirOpt(ident: Identifier): Option[java.io.File] =
+    if (internalName(ident.name())) None
+    else nsDirOpt(ident.namespace()).map { ns =>
+      GraftTsvCatalog.readGenPointer(ns, ident.name())
+        .filter(d => schemaFile(d).isFile) // dangling pointer → plain dir
+        .getOrElse(new java.io.File(ns, ident.name()))
+    }
+  private def resolvedExisting(ident: Identifier): Option[java.io.File] =
+    resolvedDirOpt(ident).filter(d => schemaFile(d).isFile)
+  /** Resolution is two reads (pointer, then schema probe), so a REPLACE
+    * commit landing BETWEEN them makes a live table transiently resolve
+    * to nothing (pointer read pre-flip, probe post-reclaim). A bounded
+    * re-resolve lands on the new generation; a genuinely absent table
+    * just pays a few extra stat calls before the honest None. */
+  private def resolvedExistingRetry(ident: Identifier): Option[java.io.File] = {
+    var attempt = 0
+    var r = resolvedExisting(ident)
+    while (r.isEmpty && attempt < 5) {
+      attempt += 1
+      Thread.`yield`()
+      r = resolvedExisting(ident)
+    }
+    r
+  }
   /** `_`-prefixed directory names are CATALOG-INTERNAL (staging dirs,
     * set-aside replaced tables) — never listable, never addressable,
     * never creatable as table names. One rule, same as the store's
@@ -112,25 +151,49 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     val d = nsDirOpt(namespace)
       .filter(_.isDirectory)
       .getOrElse(throw new NoSuchNamespaceException(namespace))
-    Option(d.listFiles()).getOrElse(Array.empty)
+    val entries = Option(d.listFiles()).getOrElse(Array.empty)
+    val plain = entries
       .filter(t => t.isDirectory && !internalName(t.getName) &&
         schemaFile(t).isFile)
-      .map(t => Identifier.of(namespace, t.getName))
+      .map(_.getName)
+    // generation-pointer tables: the pointer file is the listing entry
+    // (the generation dir itself is `_`-hidden); only a pointer whose
+    // target holds a schema names a live table
+    val pointed = entries
+      .filter(f => f.isFile &&
+        f.getName.startsWith(GraftTsvCatalog.GenPtrPrefix))
+      .map(_.getName.stripPrefix(GraftTsvCatalog.GenPtrPrefix))
+      .filter(n => GraftTsvCatalog.readGenPointer(d, n)
+        .exists(g => schemaFile(g).isFile))
+    (plain ++ pointed).distinct
+      .map(n => Identifier.of(namespace, n))
       .sortBy(_.name())
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    !internalName(ident.name()) &&
-      tableDirOpt(ident).exists(d => schemaFile(d).isFile)
+    resolvedExistingRetry(ident).nonEmpty
 
   override def loadTable(ident: Identifier): Table = {
-    val dir = tableDirOpt(ident)
-      .filter(d => !internalName(ident.name()) && schemaFile(d).isFile)
-      .getOrElse(throw new NoSuchTableException(ident))
-    val ddl = new String(
-      java.nio.file.Files.readAllBytes(schemaFile(dir).toPath), "UTF-8")
-    new TsvTable(StructType.fromDDL(ddl), dir.getPath,
-      GraftTsvCatalog.readPartitionSidecar(dir))
+    // bounded retry: a reader can resolve the pointer to a generation
+    // the very next commit is reclaiming — the re-resolve lands on the
+    // NEW generation (the pointer has already flipped), so the name
+    // always answers old-or-new, never NoSuchTable mid-REPLACE
+    var attempt = 0
+    while (true) {
+      val dir = resolvedExistingRetry(ident)
+        .getOrElse(throw new NoSuchTableException(ident))
+      try {
+        val ddl = new String(
+          java.nio.file.Files.readAllBytes(schemaFile(dir).toPath), "UTF-8")
+        return new TsvTable(StructType.fromDDL(ddl), dir.getPath,
+          GraftTsvCatalog.readPartitionSidecar(dir))
+      } catch {
+        case _: java.nio.file.NoSuchFileException |
+             _: java.io.FileNotFoundException if attempt < 5 =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** `PARTITIONED BY` at create time: exactly ONE single-column
@@ -207,9 +270,13 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
       s"graft tsv catalog: table names may not start with '_' " +
         s"(reserved for catalog-internal directories): ${ident.name()}")
     val dir = tableDir(ident)
-    if (schemaFile(dir).isFile) throw new TableAlreadyExistsException(ident)
+    if (resolvedExisting(ident).nonEmpty)
+      throw new TableAlreadyExistsException(ident)
     if (!dir.getParentFile.isDirectory)
       throw new NoSuchNamespaceException(ident.namespace())
+    // a DANGLING generation pointer (crashed rename/drop leftover) must
+    // not shadow the fresh plain-dir table about to be created
+    GraftTsvCatalog.genPtrFile(dir.getParentFile, ident.name()).delete()
     dir.mkdirs()
     // partition sidecar BEFORE the schema sidecar: the schema file is
     // what makes the table exist (loadTable's filter), so a crash
@@ -274,9 +341,9 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
       s"graft tsv catalog: table names may not start with '_' " +
         s"(reserved for catalog-internal directories): ${ident.name()}")
     val dir = tableDir(ident)
-    if (!replace && schemaFile(dir).isFile)
+    if (!replace && resolvedExisting(ident).nonEmpty)
       throw new TableAlreadyExistsException(ident)
-    if (mustExist && !schemaFile(dir).isFile)
+    if (mustExist && resolvedExistingRetry(ident).isEmpty)
       throw new NoSuchTableException(ident)
     if (!dir.getParentFile.isDirectory)
       throw new NoSuchNamespaceException(ident.namespace())
@@ -301,10 +368,20 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     // matching _staging_/_replaced_ orphan candidates, never on every
     // live table's whole data tree (a per-DDL full-store stat walk
     // would be its own scale bug)
+    // `_gen_` orphans are generation dirs no pointer names (a crash
+    // between the staging→gen rename and the pointer flip): the CURRENT
+    // pointer target is excluded unconditionally — age alone must never
+    // reclaim a live generation (a cold table's data dir can be
+    // arbitrarily old)
+    val liveGen = GraftTsvCatalog
+      .readGenPointer(dir.getParentFile, ident.name())
+      .map(_.getName).getOrElse("")
     Option(dir.getParentFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory &&
         (f.getName.startsWith(s"_staging_${ident.name()}_") ||
-          f.getName.startsWith(s"_replaced_${ident.name()}_")) &&
+          f.getName.startsWith(s"_replaced_${ident.name()}_") ||
+          (f.getName.startsWith(s"_gen_${ident.name()}_") &&
+            f.getName != liveGen)) &&
         newestMtime(f) < gcCutoff)
       .foreach(TsvWritePaths.deleteRecursively)
     val staging = new java.io.File(dir.getParentFile,
@@ -337,8 +414,7 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     * restart boundary, the same place Spark's own stateful operators
     * require schema stability. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val dir = tableDirOpt(ident)
-      .filter(d => schemaFile(d).isFile)
+    val dir = resolvedExistingRetry(ident)
       .getOrElse(throw new NoSuchTableException(ident))
     val ddl = new String(
       java.nio.file.Files.readAllBytes(schemaFile(dir).toPath), "UTF-8")
@@ -372,23 +448,42 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def dropTable(ident: Identifier): Boolean =
-    tableDirOpt(ident) match {
-      case Some(dir) if schemaFile(dir).isFile =>
-        TsvWritePaths.deleteRecursively(dir); true
+    resolvedExistingRetry(ident) match {
+      case Some(dir) =>
+        // pointer FIRST: the name stops resolving in one atomic step;
+        // a crash after it leaves only an invisible `_gen_` orphan for
+        // the next staged publish's GC sweep. A stale plain dir from a
+        // crashed earlier REPLACE goes too, or the dropped table would
+        // REAPPEAR through the plain-dir fallback.
+        val ns = dir.getParentFile
+        GraftTsvCatalog.genPtrFile(ns, ident.name()).delete()
+        TsvWritePaths.deleteRecursively(dir)
+        val plain = tableDir(ident)
+        if (plain.isDirectory) TsvWritePaths.deleteRecursively(plain)
+        true
       case _ => false
     }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
-    val from = tableDirOpt(oldIdent)
+    val from = resolvedExisting(oldIdent)
       .getOrElse(throw new NoSuchTableException(oldIdent))
     val to = tableDir(newIdent)
-    if (!schemaFile(from).isFile) throw new NoSuchTableException(oldIdent)
-    if (schemaFile(to).isFile) throw new TableAlreadyExistsException(newIdent)
+    if (resolvedExisting(newIdent).nonEmpty)
+      throw new TableAlreadyExistsException(newIdent)
     if (!to.getParentFile.isDirectory)
       throw new NoSuchNamespaceException(newIdent.namespace())
+    // the target name must not keep a dangling pointer that would
+    // shadow the renamed-in plain directory
+    GraftTsvCatalog.genPtrFile(to.getParentFile, newIdent.name()).delete()
+    // a generation-pointer table MATERIALIZES on rename: the gen dir
+    // renames to the plain target name (atomic), then the old pointer
+    // drops — a crash between the two leaves the old name dangling
+    // (resolves to nothing: target gone) and the new name live
     if (!from.renameTo(to))
       throw new java.io.IOException(
         s"graft tsv catalog: rename failed: $from -> $to")
+    GraftTsvCatalog.genPtrFile(from.getParentFile, oldIdent.name()).delete()
+    ()
   }
 
   // ---- namespaces ----
@@ -474,6 +569,37 @@ object GraftTsvCatalog {
     else Some(new String(
       java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim)
   }
+
+  /** Current-generation pointer files: `_graft_gen_<table>` in the
+    * namespace dir, holding the name of the table's live generation
+    * directory. Written with the sidecar atomic-flip discipline. */
+  private[sources] val GenPtrPrefix = "_graft_gen_"
+  private[sources] def genPtrFile(ns: java.io.File,
+      table: String): java.io.File =
+    new java.io.File(ns, GenPtrPrefix + table)
+  private[sources] def readGenPointer(ns: java.io.File,
+      table: String): Option[java.io.File] = {
+    val f = genPtrFile(ns, table)
+    // the pointer can vanish between isFile and read (a racing DROP) —
+    // treat exactly like absent
+    try {
+      if (!f.isFile) None
+      else Some(new java.io.File(ns, new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim))
+    } catch {
+      case _: java.nio.file.NoSuchFileException |
+           _: java.io.FileNotFoundException => None
+    }
+  }
+  private[sources] def writeGenPointerAtomic(ns: java.io.File,
+      table: String, genName: String): Unit = {
+    val tmp = new java.io.File(ns, GenPtrPrefix + table + ".tmp")
+    java.nio.file.Files.write(tmp.toPath, genName.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, genPtrFile(ns, table).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
 }
 
 /** The staged table behind atomic CTAS/RTAS: a normal [[TsvTable]] over
@@ -481,16 +607,19 @@ object GraftTsvCatalog {
   * there through the ordinary task-commit sink), whose commit makes the
   * table exist in one visibility flip:
   *
-  *   1. the schema sidecar is written INTO the staging dir first — a
-  *      staging dir is never visible, so this publishes nothing;
-  *   2. on REPLACE, the old table directory moves aside to an invisible
-  *      `_replaced_…` name (old data survives any crash here — but from
-  *      this point until step 3 the name resolves to NOTHING: local FS
-  *      has no atomic directory exchange, so a racing loadTable in the
-  *      two-rename window gets NoSuchTableException, never a torn table);
-  *   3. the staging dir renames onto the final name — after it the
-  *      complete new table resolves;
-  *   4. the set-aside old directory is deleted.
+  *   - CREATE (no live table): sidecars land in the staging dir, then
+  *     ONE rename onto the plain table name — the table exists whole
+  *     or not at all.
+  *   - REPLACE (live table): the staging dir renames to an invisible
+  *     `_gen_<table>_<uuid>` generation dir, then the current-generation
+  *     POINTER file flips to it in one atomic write — the name resolves
+  *     to the OLD generation before that instant and the NEW one after,
+  *     NEVER to nothing (no two-rename NoSuchTable window; loadTable's
+  *     bounded re-resolve covers a reader that grabbed the old
+  *     generation just as it is reclaimed). The superseded generation
+  *     (plain dir on the first REPLACE, previous `_gen_` dir after) is
+  *     deleted last — a crash before that leaves an invisible orphan
+  *     for the next staged publish's GC, not a torn table.
   *
   * abortStagedChanges deletes the staging dir; the target name is
   * untouched in every failure mode. */
@@ -523,23 +652,45 @@ final class TsvStagedTable(tableSchema: StructType,
     partitionCol.foreach(
       GraftTsvCatalog.writePartitionSidecar(stagingDir, _))
     GraftTsvCatalog.writeSidecarAtomic(stagingDir, tableSchema)
-    val old = new java.io.File(finalDir.getParentFile,
-      s"_replaced_${finalDir.getName}_" + java.util.UUID.randomUUID()
-        .toString.replace("-", "").take(8))
-    val hadOld = finalDir.isDirectory
-    if (hadOld) {
-      require(replace, s"graft tsv catalog: staged CREATE found an " +
-        s"existing table at ${finalDir.getPath} — racing CREATE?")
-      if (!finalDir.renameTo(old))
-        throw new java.io.IOException(
-          s"graft tsv catalog: staged replace could not set aside $finalDir")
+    val ns = finalDir.getParentFile
+    val table = finalDir.getName
+    def live(d: java.io.File): Boolean =
+      new java.io.File(d, "_graft_schema").isFile
+    // the CURRENT generation at commit time: a valid pointer target,
+    // else the plain table dir if it holds a schema
+    val current: Option[java.io.File] =
+      GraftTsvCatalog.readGenPointer(ns, table).filter(live)
+        .orElse(Some(finalDir).filter(live))
+    current match {
+      case Some(old) =>
+        require(replace, s"graft tsv catalog: staged CREATE found an " +
+          s"existing table at ${finalDir.getPath} — racing CREATE?")
+        // promote staging to a generation dir (still invisible), flip
+        // the pointer atomically, THEN reclaim the superseded data —
+        // the name answers old-or-new at every instant
+        val gen = new java.io.File(ns,
+          s"_gen_${table}_" + java.util.UUID.randomUUID()
+            .toString.replace("-", "").take(8))
+        if (!stagingDir.renameTo(gen))
+          throw new java.io.IOException(
+            s"graft tsv catalog: staged replace could not promote " +
+              s"$stagingDir -> $gen")
+        GraftTsvCatalog.writeGenPointerAtomic(ns, table, gen.getName)
+        TsvWritePaths.deleteRecursively(old)
+        // a stale plain dir from a crashed earlier commit must not
+        // linger under the pointer (it would resurrect if the pointer
+        // were ever lost)
+        if (old.getName != table && finalDir.isDirectory)
+          TsvWritePaths.deleteRecursively(finalDir)
+      case None =>
+        // CREATE: clean a dangling pointer (crash leftover) that would
+        // shadow the plain dir, then one atomic rename publishes it
+        GraftTsvCatalog.genPtrFile(ns, table).delete()
+        if (!stagingDir.renameTo(finalDir))
+          throw new java.io.IOException(
+            s"graft tsv catalog: staged commit rename failed: " +
+              s"$stagingDir -> $finalDir")
     }
-    if (!stagingDir.renameTo(finalDir)) {
-      if (hadOld) { old.renameTo(finalDir); () } // restore the old table
-      throw new java.io.IOException(
-        s"graft tsv catalog: staged commit rename failed: $stagingDir -> $finalDir")
-    }
-    if (hadOld) TsvWritePaths.deleteRecursively(old)
   }
 
   override def abortStagedChanges(): Unit =

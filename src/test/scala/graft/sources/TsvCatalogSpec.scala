@@ -110,8 +110,13 @@ class TsvCatalogSpec extends AnyFunSuite {
     }
     assert(!spark.catalog.tableExists(s"$c.ns.bad"))
     val leftover = new java.io.File(s"$root/ns").listFiles().map(_.getName)
-    assert(leftover.sorted.sameElements(Array("t")),
+    assert(!leftover.exists(_.startsWith("_staging_")),
       s"staging leftovers: ${leftover.mkString(",")}")
+    // after a REPLACE the table lives in exactly ONE generation dir
+    // named by the pointer — no superseded generations linger
+    assert(leftover.count(_.startsWith("_gen_t_")) == 1 &&
+      leftover.contains("_graft_gen_t") && !leftover.contains("t"),
+      s"post-replace layout: ${leftover.sorted.mkString(",")}")
     // a failing RTAS must leave the OLD table intact and served
     intercept[Exception] {
       spark.sql(s"REPLACE TABLE $c.ns.t AS " +
@@ -131,6 +136,60 @@ class TsvCatalogSpec extends AnyFunSuite {
   private def freshCatalogWithRoot(): (String, String) = {
     val name = freshCatalog()
     (name, spark.conf.get(s"spark.sql.catalog.$name.root"))
+  }
+
+  test("loadTable during a staged REPLACE never throws: the name answers old-or-new") {
+    val (c, root) = freshCatalogWithRoot()
+    spark.sql(s"CREATE NAMESPACE $c.gens")
+    spark.sql(s"CREATE TABLE $c.gens.hot (id BIGINT)")
+    val cat = spark.sessionState.catalogManager.catalog(c)
+      .asInstanceOf[GraftTsvCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("gens"), "hot")
+    val info = new org.apache.spark.sql.connector.catalog.TableInfo.Builder()
+      .withColumns(Array(org.apache.spark.sql.connector.catalog.Column
+        .create("id", org.apache.spark.sql.types.LongType)))
+      .withPartitions(Array.empty)
+      .withProperties(java.util.Collections.emptyMap[String, String]())
+      .build()
+    @volatile var stop = false
+    @volatile var failure: Throwable = null
+    val reader = new Thread(() => {
+      while (!stop && failure == null) {
+        try {
+          val t = cat.loadTable(ident)
+          assert(t.schema().fieldNames.sameElements(Array("id")))
+        } catch { case e: Throwable => failure = e }
+      }
+    })
+    reader.start()
+    // hammer REPLACE while the reader resolves the name continuously:
+    // with the generation pointer there is no instant at which the
+    // name answers NoSuchTable (the retired two-rename window)
+    (1 to 30).foreach { _ =>
+      cat.stageReplace(ident, info).commitStagedChanges()
+    }
+    stop = true
+    reader.join(30000)
+    assert(failure == null, s"loadTable threw during REPLACE: $failure")
+    // exactly one generation dir + its pointer remain; the superseded
+    // generations were reclaimed as each commit completed
+    val names = new java.io.File(s"$root/gens").listFiles().map(_.getName)
+    assert(names.count(_.startsWith("_gen_hot_")) == 1 &&
+      names.contains("_graft_gen_hot") && !names.contains("hot"),
+      s"generation layout after 30 replaces: ${names.sorted.mkString(",")}")
+    // lifecycle still composes with the pointer: rename materializes,
+    // drop removes pointer + data, recreate works
+    spark.sql(s"ALTER TABLE $c.gens.hot RENAME TO gens.warm")
+    assert(spark.sql(s"SHOW TABLES IN $c.gens").collect()
+      .map(_.getString(1)).sameElements(Array("warm")))
+    spark.sql(s"DROP TABLE $c.gens.warm")
+    val after = new java.io.File(s"$root/gens").listFiles().map(_.getName)
+    assert(!after.exists(n => n.contains("hot") || n.contains("warm")),
+      s"drop must clear pointer and generations: ${after.mkString(",")}")
+    spark.sql(s"CREATE TABLE $c.gens.hot (id BIGINT, v DOUBLE)")
+    assert(spark.table(s"$c.gens.hot").schema.fieldNames
+      .sameElements(Array("id", "v")))
   }
 
   test("refusals are loud: non-identity partitioning, non-ADD ALTER, multi-level namespaces") {
