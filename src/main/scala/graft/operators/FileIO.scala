@@ -1537,6 +1537,69 @@ object FileIO extends QueryPack {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
 
+  /** q306: STRING identity partition keys — the keyed `<col>=<v>/`
+    * layout with the key encoded as the column's TEXT, because the
+    * real retention/GDPR keys of a 100 TB store are strings and dates
+    * (country codes, tenant ids, day strings), not synthetic BIGINTs.
+    * `CREATE TABLE … PARTITIONED BY (<string col>)` records the key in
+    * the same `_graft_partition` sidecar (the TYPE rides in the schema
+    * sidecar — one source of truth, no second format); INSERT routes
+    * rows into `<col>=<text>/` dirs with per-key path-safety
+    * validation (separators/traversal/control bytes REFUSE the write
+    * loudly — silent escaping would make the dir name disagree with
+    * the value it answers for); scans prune statically on key
+    * equality/IN (range shapes stay Spark's residual: dir-name string
+    * order is Java UTF-16, which diverges from Spark's UTF8 binary
+    * collation outside ASCII — declining beats silently wrong rows);
+    * `DELETE FROM t WHERE <string key pred>` drops whole directories
+    * as metadata. The gate runs the lifecycle over the orders
+    * priorities (one value carries a SPACE — the dir-name contract at
+    * its least convenient), retention-deletes one priority, pins
+    * static IN-pruning in the plan and the hostile-value refusal
+    * inline, and re-aggregates the survivors; the oracle restates the
+    * exclusions over parquet. TsvSourceSpec/TsvCatalogSpec pin the
+    * mechanics (pruned split planning, partition DDL on string keys,
+    * refusal shapes). */
+  private def q306(s: SparkSession, dir: String): DataFrame = {
+    val cat = ensureCatalog(s, dir)
+    s.sql(s"DROP TABLE IF EXISTS $cat.lake.ord306")
+    s.sql(s"CREATE TABLE $cat.lake.ord306 " +
+      "(o_orderkey BIGINT, cents BIGINT, priority STRING) " +
+      "PARTITIONED BY (priority)")
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderpriority").as("priority"))
+      .createOrReplaceTempView("graft_src306")
+    s.sql(s"INSERT INTO $cat.lake.ord306 SELECT * FROM graft_src306")
+    // retention by STRING key: a metadata-only directory drop
+    s.sql(s"DELETE FROM $cat.lake.ord306 WHERE priority = '2-HIGH'")
+    // gate-side pin 1: key equality prunes STATICALLY (the scan's own
+    // description carries the accepted partition filter — a pruned dir
+    // is never listed, split, or sized)
+    val prunedPlan = s.table(s"$cat.lake.ord306")
+      .filter(col("priority") === "1-URGENT")
+      .queryExecution.executedPlan.toString
+    require(prunedPlan.contains("PushedPartitionFilters"),
+      s"q306: string-key equality must prune statically:\n$prunedPlan")
+    // gate-side pin 2: a path-hostile key value refuses the WRITE
+    // loudly instead of mangling a directory name
+    val hostileRefused =
+      try { s.sql(s"INSERT INTO $cat.lake.ord306 VALUES (0, 0, 'a/b')"); false }
+      catch { case _: Throwable => true }
+    require(hostileRefused,
+      "q306: path-hostile partition value must refuse the write")
+    val result = s.sql(
+      s"""SELECT priority, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents,
+         |  min(o_orderkey) AS min_key
+         |FROM $cat.lake.ord306 WHERE priority != '3-MEDIUM'
+         |GROUP BY priority ORDER BY priority""".stripMargin)
+    val rows = result.collect()
+    s.sql(s"DROP TABLE $cat.lake.ord306")
+    s.catalog.dropTempView("graft_src306")
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+  }
+
   /** q294: catalog SCHEMA EVOLUTION — `ALTER TABLE … ADD COLUMN` on the
     * DSv2 TSV catalog is a METADATA-ONLY write (one sidecar file), and
     * pre-evolution shards surface explicit NULL for the new column in
@@ -1689,6 +1752,14 @@ object FileIO extends QueryPack {
   }
 
   override def queries: Seq[Q] = Seq(
+    Q("q306_catalog_string_partition", q306, Some(
+      """SELECT o_orderpriority AS priority, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  min(o_orderkey) AS min_key
+        |FROM orders
+        |WHERE o_orderpriority NOT IN ('2-HIGH', '3-MEDIUM')
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q305_partition_ddl", q305, Some(
       """WITH c AS (
         |  SELECT user_id % 8 AS shard,

@@ -40,8 +40,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * pass, carries the schema). That asymmetry is the point at 100 TB:
   * evolving the table is a one-file metadata write, never a rewrite.
   *
-  * Partitioning: `PARTITIONED BY (<one BIGINT column>)` (identity
-  * transform only) creates the keyed `<col>=<v>/` layout by name —
+  * Partitioning: `PARTITIONED BY (<one BIGINT or STRING column>)`
+  * (identity transform only) creates the keyed `<col>=<v>/` layout by
+  * name —
   * recorded in a `_graft_partition` sidecar, INSERTs route rows into
   * key directories, scans prune/key-group/runtime-filter on it, and
   * `DELETE FROM t WHERE <key predicate>` drops whole directories —
@@ -216,15 +217,19 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
       val field = schema.fields.find(_.name == col).getOrElse(
         throw new IllegalArgumentException(
           s"graft tsv catalog: partition column $col is not in the schema"))
-      if (field.dataType != LongType)
+      if (field.dataType != LongType &&
+          field.dataType != org.apache.spark.sql.types.StringType)
         throw new UnsupportedOperationException(
-          s"graft tsv catalog: partition column must be BIGINT, got " +
-            s"$col ${field.dataType.sql} — directory keys are parsed as " +
-            "BIGINT (the keyed-layout contract)")
+          s"graft tsv catalog: partition column must be BIGINT or " +
+            s"STRING, got $col ${field.dataType.sql} — directory keys " +
+            "encode as the column's text (the keyed-layout contract); " +
+            "dates/timestamps partition via a derived STRING or BIGINT " +
+            "column")
       Some(col)
     case other => throw new UnsupportedOperationException(
-      "graft tsv catalog: only PARTITIONED BY (<one BIGINT column>) is " +
-        s"supported, got ${other.map(_.describe()).mkString(", ")} — " +
+      "graft tsv catalog: only PARTITIONED BY (<one BIGINT or STRING " +
+        s"column>) is supported, got " +
+        s"${other.map(_.describe()).mkString(", ")} — " +
         "bucket/time/multi-column transforms would promise a layout " +
         "this store does not have")
   }

@@ -119,12 +119,25 @@ final class TsvTable(tableSchema: StructType, path: String,
     throw new UnsupportedOperationException(
       s"graft tsv: ${name()} is not partitioned — partition DDL needs " +
         "a PARTITIONED BY identity(col) table"))
-  private def partDir(v: Long) =
-    new java.io.File(rootDir, s"${requireKeyed()}=$v")
+  /** Key DIRECTORY TOKENS are strings everywhere inside the store; the
+    * key TYPE (BIGINT or STRING, from the table schema) decides how
+    * tokens parse, compare, and synthesize back into rows. */
+  private def keyType: DataType = tablePartitionCol
+    .flatMap(c => tableSchema.fields.find(_.name == c).map(_.dataType))
+    .getOrElse(LongType)
+  private def keyIsString: Boolean = keyType == StringType
+  /** The directory token of a partition-DDL ident, canonicalized
+    * (BIGINT) or validated path-safe (STRING). */
+  private def keyToken(ident: InternalRow): String =
+    if (keyIsString)
+      TsvLayout.validateKeyToken(ident.getUTF8String(0).toString)
+    else ident.getLong(0).toString
+  private def partDir(token: String) =
+    new java.io.File(rootDir, s"${requireKeyed()}=$token")
 
   override def partitionSchema(): StructType =
     tablePartitionCol.fold(new StructType())(c =>
-      new StructType().add(c, LongType, nullable = false))
+      new StructType().add(c, keyType, nullable = false))
 
   override def createPartition(ident: InternalRow,
       properties: util.Map[String, String]): Unit = {
@@ -132,7 +145,7 @@ final class TsvTable(tableSchema: StructType, path: String,
       throw new UnsupportedOperationException(
         "graft tsv: partitions carry no metadata — properties on ADD " +
           "PARTITION would be silently lost, so they are refused")
-    val d = partDir(ident.getLong(0))
+    val d = partDir(keyToken(ident))
     // judge by the mkdirs() RESULT, not a check-then-act isDirectory
     // probe: two concurrent ADDs must not both report success, and a
     // mkdirs failure (permissions, fs error) must not leave the
@@ -147,14 +160,14 @@ final class TsvTable(tableSchema: StructType, path: String,
   }
 
   override def dropPartition(ident: InternalRow): Boolean = {
-    val d = partDir(ident.getLong(0))
+    val d = partDir(keyToken(ident))
     val existed = d.isDirectory
     if (existed) TsvWritePaths.deleteRecursively(d)
     existed
   }
 
   override def partitionExists(ident: InternalRow): Boolean =
-    partDir(ident.getLong(0)).isDirectory
+    partDir(keyToken(ident)).isDirectory
 
   override def replacePartitionMetadata(ident: InternalRow,
       properties: util.Map[String, String]): Unit =
@@ -169,12 +182,15 @@ final class TsvTable(tableSchema: StructType, path: String,
     val c = requireKeyed()
     require(names.forall(_ == c),
       s"graft tsv: unknown partition column(s) ${names.mkString(", ")}")
-    val want: Option[Long] =
-      if (names.isEmpty) None else Some(ident.getLong(0))
-    TsvLayout.partitionDirs(path, c, strict = false)
+    val want: Option[String] =
+      if (names.isEmpty) None else Some(keyToken(ident))
+    TsvLayout.partitionDirs(path, c, strict = false,
+        numericKey = !keyIsString)
       .map(_._1)
-      .filter(v => want.forall(_ == v))
-      .map(v => InternalRow(v): InternalRow)
+      .filter(t => want.forall(_ == t))
+      .map(t => InternalRow(
+        if (keyIsString) UTF8String.fromString(t) else t.toLong)
+        : InternalRow)
       .toArray
   }
 
@@ -194,19 +210,29 @@ final class TsvTable(tableSchema: StructType, path: String,
     * None = no key constraint (truncate-all); inner Some(keys) = drop
     * exactly those (an empty set deletes nothing — e.g. IN ()). */
   private def deleteKeys(filters: Array[Filter])
-      : Option[Option[Set[Long]]] = {
-    def keysOf(f: Filter): Option[Option[Set[Long]]] = f match {
-      case EqualTo(a, v: java.lang.Number) if tablePartitionCol.contains(a) =>
-        Some(Some(Set(v.longValue)))
-      case In(a, vs) if tablePartitionCol.contains(a)
-          && vs.forall(_.isInstanceOf[java.lang.Number]) =>
-        Some(Some(vs.map(_.asInstanceOf[java.lang.Number].longValue).toSet))
+      : Option[Option[Set[String]]] = {
+    // literal -> directory token, honoring the key TYPE: BIGINT keys
+    // take integral literals (canonical decimal token), STRING keys
+    // take string literals verbatim — a mistyped literal refuses the
+    // whole DELETE rather than matching nothing silently
+    def tokenOf(v: Any): Option[String] = v match {
+      case n: java.lang.Number if !keyIsString => Some(n.longValue.toString)
+      case s: String if keyIsString => Some(s)
+      case u: UTF8String if keyIsString => Some(u.toString)
+      case _ => None
+    }
+    def keysOf(f: Filter): Option[Option[Set[String]]] = f match {
+      case EqualTo(a, v) if tablePartitionCol.contains(a) =>
+        tokenOf(v).map(t => Some(Set(t)))
+      case In(a, vs) if tablePartitionCol.contains(a) =>
+        val ts = vs.toSeq.map(tokenOf)
+        if (ts.exists(_.isEmpty)) None else Some(Some(ts.flatten.toSet))
       case AlwaysTrue() => Some(None)
       case _ => None
     }
     val per = filters.toSeq.map(keysOf)
     if (per.exists(_.isEmpty)) None
-    else Some(per.flatten.foldLeft(Option.empty[Set[Long]]) {
+    else Some(per.flatten.foldLeft(Option.empty[Set[String]]) {
       case (None, k) => k
       case (acc, None) => acc
       case (Some(a), Some(b)) => Some(a.intersect(b))
@@ -226,8 +252,11 @@ final class TsvTable(tableSchema: StructType, path: String,
     val root = new java.io.File(TsvWritePaths.strip(path))
     Option(root.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName.startsWith(c + "="))
-      .filter(d => keys.forall(_.contains(
-        d.getName.stripPrefix(c + "=").toLong)))
+      .filter { d =>
+        val raw = d.getName.stripPrefix(c + "=")
+        val token = if (keyIsString) raw else raw.toLong.toString
+        keys.forall(_.contains(token))
+      }
       .foreach(TsvWritePaths.deleteRecursively)
   }
   override def name(): String = s"graft_tsv($path)"
@@ -304,8 +333,9 @@ final class TsvTable(tableSchema: StructType, path: String,
       val field = tableSchema.fields.find(_.name == c).getOrElse(
         throw new IllegalArgumentException(
           s"graft tsv source: partition_col '$c' not in schema"))
-      require(field.dataType == LongType,
-        s"graft tsv source: partition_col must be BIGINT, got ${field.dataType}")
+      require(field.dataType == LongType || field.dataType == StringType,
+        s"graft tsv source: partition_col must be BIGINT or STRING, " +
+          s"got ${field.dataType}")
     }
     // streaming admission control (micro-batch read path only):
     // maxFilesPerTrigger / maxBytesPerTrigger bound each micro-batch,
@@ -543,6 +573,8 @@ final class TsvScanBuilder(fullSchema: StructType, path: String,
     def known(a: String): Boolean =
       inFile(a) && fullSchema.fieldNames.contains(a)
     def onKey(a: String): Boolean = partitionCol.contains(a)
+    val keyIsString = partitionCol.exists(c =>
+      fullSchema.fields.find(_.name == c).exists(_.dataType == StringType))
     // INTEGRAL literals only: the key parses as BIGINT, and truncating
     // a fractional literal through longValue would change the predicate
     // (k > 1.5 is not k > 1)
@@ -551,18 +583,26 @@ final class TsvScanBuilder(fullSchema: StructType, path: String,
            _: java.lang.Short | _: java.lang.Byte => true
       case _ => false
     }
+    def str(v: Any): Boolean = v.isInstanceOf[String]
     // null-check shapes on the key are deliberately DECLINED, not
     // pruned: IsNotNull prunes nothing (dir keys are never null) but
     // accepting it erases the join-inferred not-null Filter above the
     // scan and with it the plan shape the storage-partitioned join
-    // pins (q287) — zero pruning value is not worth a plan regression
+    // pins (q287) — zero pruning value is not worth a plan regression.
+    // STRING keys accept equality/IN only — dir-name range comparison
+    // would need Spark's UTF8 binary collation, which Java's UTF-16
+    // compareTo diverges from outside ASCII (the same refusal as the
+    // file-field string contract); range shapes stay Spark's job on
+    // the synthesized column.
     val (keyOk, rest) = filters.partition {
-      case EqualTo(a, v) => onKey(a) && integral(v)
-      case In(a, vs) => onKey(a) && vs.forall(integral)
-      case GreaterThan(a, v) => onKey(a) && integral(v)
-      case GreaterThanOrEqual(a, v) => onKey(a) && integral(v)
-      case LessThan(a, v) => onKey(a) && integral(v)
-      case LessThanOrEqual(a, v) => onKey(a) && integral(v)
+      case EqualTo(a, v) =>
+        onKey(a) && (if (keyIsString) str(v) else integral(v))
+      case In(a, vs) =>
+        onKey(a) && (if (keyIsString) vs.forall(str) else vs.forall(integral))
+      case GreaterThan(a, v) => onKey(a) && !keyIsString && integral(v)
+      case GreaterThanOrEqual(a, v) => onKey(a) && !keyIsString && integral(v)
+      case LessThan(a, v) => onKey(a) && !keyIsString && integral(v)
+      case LessThanOrEqual(a, v) => onKey(a) && !keyIsString && integral(v)
       case _ => false
     }
     keyFilters = keyOk
@@ -647,17 +687,30 @@ final class TsvScan(fullSchema: StructType, required: StructType,
     partitionCol.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.column(c)).toArray
 
-  // driver-side runtime state: the surviving partition keys (None =
-  // no runtime filter delivered; Some(set) = prune to these)
-  private var runtimeKeys: Option[Set[Long]] = None
+  // the key TYPE decides token parsing/sorting/synthesis (BIGINT
+  // canonical-decimal vs STRING verbatim) — one flag, derived once
+  private val keyIsString: Boolean = partitionCol.exists(c =>
+    fullSchema.fields.find(_.name == c).exists(_.dataType == StringType))
+
+  // driver-side runtime state: the surviving partition keys as
+  // directory TOKENS (None = no runtime filter delivered)
+  private var runtimeKeys: Option[Set[String]] = None
+
+  private def runtimeToken(v: Any): Option[String] = v match {
+    case n: java.lang.Number if !keyIsString => Some(n.longValue.toString)
+    case st: String if keyIsString => Some(st)
+    case u: UTF8String if keyIsString => Some(u.toString)
+    case _ => None
+  }
 
   override def filter(filters: Array[Filter]): Unit =
     filters.foreach {
       case In(a, vs) if partitionCol.contains(a) =>
-        val keep = vs.collect { case n: java.lang.Number => n.longValue }.toSet
+        val keep = vs.toSeq.flatMap(runtimeToken).toSet
         runtimeKeys = Some(runtimeKeys.fold(keep)(_ intersect keep))
-      case EqualTo(a, v: java.lang.Number) if partitionCol.contains(a) =>
-        val keep = Set(v.longValue)
+      case EqualTo(a, v) if partitionCol.contains(a) &&
+          runtimeToken(v).nonEmpty =>
+        val keep = runtimeToken(v).toSet
         runtimeKeys = Some(runtimeKeys.fold(keep)(_ intersect keep))
       case _ => () // unsupported shape: Spark keeps its own filter
     }
@@ -715,14 +768,15 @@ final class TsvScan(fullSchema: StructType, required: StructType,
     * layout; a CATALOG table's own partitioning passes strict=false —
     * a freshly created partitioned table is legitimately empty and
     * scans as zero rows, not an error. */
-  private lazy val partitionDirs: Seq[(Long, java.io.File)] = {
+  private lazy val partitionDirs: Seq[(String, java.io.File)] = {
     // static partition pruning happens HERE, at listing time: a pruned
     // `<col>=<v>/` dir is never split, never counted in the reported
     // key grouping, never sized into the stats estimate — the planner
     // sees only the directories the accepted key predicates keep
-    val keep = TsvLayout.keyPredicate(keyFilters)
-    TsvLayout.partitionDirs(path, partitionCol.get, strict = strictLayout)
-      .filter { case (v, _) => keep(v) }
+    val keep = TsvLayout.keyPredicate(keyFilters, numeric = !keyIsString)
+    TsvLayout.partitionDirs(path, partitionCol.get, strict = strictLayout,
+        numericKey = !keyIsString)
+      .filter { case (t, _) => keep(t) }
   }
 
   /** Size estimate for the planner ([[SupportsReportStatistics]]):
@@ -787,11 +841,12 @@ final class TsvScan(fullSchema: StructType, required: StructType,
         // A delivered runtime filter prunes whole key dirs HERE — before
         // any file is listed for splitting.
         partitionDirs
-          .filter { case (v, _) => runtimeKeys.forall(_.contains(v)) }
-          .flatMap { case (value, d) =>
+          .filter { case (t, _) => runtimeKeys.forall(_.contains(t)) }
+          .flatMap { case (token, d) =>
             dataFilesIn(d).flatMap(file => byteSplits(file).map {
               case (start, end) =>
-                TsvKeyedInputPartition(file.getPath, start, end, value)
+                TsvKeyedInputPartition(file.getPath, start, end, token,
+                  stringKey = keyIsString)
             })
           }.map(p => p: InputPartition).toArray
       case None =>
@@ -887,16 +942,20 @@ final class TsvMicroBatchStream(fullSchema: StructType,
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
   import TsvMicroBatchStream.CompactInterval
 
-  private val keepKey = TsvLayout.keyPredicate(keyFilters)
+  private val keyIsString: Boolean = partitionCol.exists(c =>
+    fullSchema.fields.find(_.name == c).exists(_.dataType == StringType))
+  private val keepKey =
+    TsvLayout.keyPredicate(keyFilters, numeric = !keyIsString)
 
-  private def currentKeyedFiles: Seq[(String, Option[Long])] =
+  private def currentKeyedFiles: Seq[(String, Option[String])] =
     partitionCol match {
       case Some(c) =>
-        TsvLayout.partitionDirs(path, c, strict = false)
-          .filter { case (v, _) => keepKey(v) }
+        TsvLayout.partitionDirs(path, c, strict = false,
+            numericKey = !keyIsString)
+          .filter { case (t, _) => keepKey(t) }
           .flatMap {
-            case (v, d) => TsvLayout.dataFilesIn(d)
-              .map(f => f.getPath -> Some(v))
+            case (t, d) => TsvLayout.dataFilesIn(d)
+              .map(f => f.getPath -> Some(t))
           }
       case None =>
         val root = new java.io.File(TsvWritePaths.strip(path))
@@ -1090,11 +1149,13 @@ final class TsvMicroBatchStream(fullSchema: StructType,
         require(parent.startsWith(c + "="),
           s"graft tsv stream: logged file $p is not under a $c=<v>/ " +
             "directory but the scan is keyed")
-        parent.stripPrefix(c + "=").toLong
+        val raw = parent.stripPrefix(c + "=")
+        if (keyIsString) raw else raw.toLong.toString
       }
       TsvLayout.byteSplits(file, splitBytes).map {
         case (s0, e0) => key match {
-          case Some(v) => TsvKeyedInputPartition(p, s0, e0, v): InputPartition
+          case Some(t) => TsvKeyedInputPartition(p, s0, e0, t,
+            stringKey = keyIsString): InputPartition
           case None => TsvInputPartition(p, s0, e0): InputPartition
         }
       }
@@ -1119,8 +1180,12 @@ final case class TsvInputPartition(file: String, start: Long, end: Long)
   * key to Spark so splits group into key-partitions for
   * storage-partitioned joins. */
 final case class TsvKeyedInputPartition(file: String, start: Long, end: Long,
-    value: Long) extends InputPartition with HasPartitionKey {
-  override def partitionKey(): InternalRow = InternalRow(value)
+    value: String, stringKey: Boolean = false)
+    extends InputPartition with HasPartitionKey {
+  // the key rides as its directory TOKEN; the reported grouping key is
+  // the TYPED value (BIGINT layouts keep grouping/joining numerically)
+  override def partitionKey(): InternalRow =
+    InternalRow(if (stringKey) UTF8String.fromString(value) else value.toLong)
 }
 
 final class TsvReaderFactory(fullSchema: StructType, required: StructType,
@@ -1136,7 +1201,7 @@ final class TsvReaderFactory(fullSchema: StructType, required: StructType,
       StructType(need.map(n => fullSchema(n)).toArray)
     }
     def raw(file: String, start: Long, end: Long,
-        pv: Option[(String, Long)]): TsvPartitionReader =
+        pv: Option[(String, Any)]): TsvPartitionReader =
       new TsvPartitionReader(fullSchema, rawSchema, pushed, limit,
         file, start, end, pv)
     def wrap(r: TsvPartitionReader): PartitionReader[InternalRow] =
@@ -1147,7 +1212,12 @@ final class TsvReaderFactory(fullSchema: StructType, required: StructType,
         .getOrElse(r)
     partition match {
       case p: TsvKeyedInputPartition =>
-        wrap(raw(p.file, p.start, p.end, partitionCol.map(_ -> p.value)))
+        // synthesize the key column as its INTERNAL value (UTF8String
+        // for STRING keys, Long for BIGINT) — the reader drops it into
+        // rows verbatim
+        val typed: Any =
+          if (p.stringKey) UTF8String.fromString(p.value) else p.value.toLong
+        wrap(raw(p.file, p.start, p.end, partitionCol.map(_ -> typed)))
       case _ =>
         val p = partition.asInstanceOf[TsvInputPartition]
         wrap(raw(p.file, p.start, p.end, None))
@@ -1319,7 +1389,7 @@ final class TsvAggregatingReader(base: TsvPartitionReader,
   * documented on [[TsvScan.planInputPartitions]]. */
 final class TsvPartitionReader(fullSchema: StructType, required: StructType,
     pushed: Array[Filter], limit: Int, file: String, start: Long, end: Long,
-    partValue: Option[(String, Long)] = None)
+    partValue: Option[(String, Any)] = None)
     extends PartitionReader[InternalRow] {
 
   // rows emitted by THIS split; a pushed limit caps it (partial push —
@@ -1730,8 +1800,13 @@ private[sources] object TsvLayout {
     * `strict` (the batch contract) fails loudly on a missing layout or
     * zero key dirs; the stream passes false — an empty store before
     * the first sink commit is a legitimate stream state, not an error. */
-  def partitionDirs(path: String, c: String, strict: Boolean)
-      : Seq[(Long, java.io.File)] = {
+  /** Keyed subdirectories as (directory TOKEN, dir). BIGINT layouts
+    * (`numericKey`) canonicalize tokens through Long (so `shard=007`
+    * and a runtime key 7 agree, exactly as the old Long-typed path
+    * did) and sort numerically for deterministic planning; STRING
+    * layouts keep tokens verbatim, sorted lexicographically. */
+  def partitionDirs(path: String, c: String, strict: Boolean,
+      numericKey: Boolean = true): Seq[(String, java.io.File)] = {
     val root = new java.io.File(TsvWritePaths.strip(path))
     if (strict) require(root.isDirectory,
       s"graft tsv source: partition_col layout needs a directory: $path")
@@ -1740,24 +1815,58 @@ private[sources] object TsvLayout {
       .toSeq
     if (strict) require(dirs.nonEmpty,
       s"graft tsv source: no $c=<value> subdirectories under $path")
-    dirs.map(d => d.getName.stripPrefix(c + "=").toLong -> d).sortBy(_._1)
+    if (numericKey)
+      dirs.map(d => d.getName.stripPrefix(c + "=").toLong -> d)
+        .sortBy(_._1).map { case (k, d) => k.toString -> d }
+    else
+      dirs.map(d => d.getName.stripPrefix(c + "=") -> d).sortBy(_._1)
   }
 
   /** Compile the scan builder's accepted partition-key filters into one
-    * dir-key predicate — exact by construction (the key is constant per
-    * directory), shared by the batch scan and the micro-batch stream so
-    * static pruning can never drift between the two read paths. */
-  def keyPredicate(filters: Array[Filter]): Long => Boolean = k =>
-    filters.forall {
-      case EqualTo(_, v: java.lang.Number) => k == v.longValue
-      case In(_, vs) =>
-        vs.exists(v => v.asInstanceOf[java.lang.Number].longValue == k)
-      case GreaterThan(_, v: java.lang.Number) => k > v.longValue
-      case GreaterThanOrEqual(_, v: java.lang.Number) => k >= v.longValue
-      case LessThan(_, v: java.lang.Number) => k < v.longValue
-      case LessThanOrEqual(_, v: java.lang.Number) => k <= v.longValue
-      case _ => true // unreachable: the builder only accepts the above
+    * dir-TOKEN predicate — exact by construction (the key is constant
+    * per directory), shared by the batch scan and the micro-batch
+    * stream so static pruning can never drift between the two read
+    * paths. BIGINT keys compare numerically (full range shapes);
+    * STRING keys compare by equality only (the builder accepts nothing
+    * else for them). */
+  def keyPredicate(filters: Array[Filter],
+      numeric: Boolean = true): String => Boolean =
+    if (numeric) { t =>
+      val k = t.toLong
+      filters.forall {
+        case EqualTo(_, v: java.lang.Number) => k == v.longValue
+        case In(_, vs) =>
+          vs.exists(v => v.asInstanceOf[java.lang.Number].longValue == k)
+        case GreaterThan(_, v: java.lang.Number) => k > v.longValue
+        case GreaterThanOrEqual(_, v: java.lang.Number) => k >= v.longValue
+        case LessThan(_, v: java.lang.Number) => k < v.longValue
+        case LessThanOrEqual(_, v: java.lang.Number) => k <= v.longValue
+        case _ => true // unreachable: the builder only accepts the above
+      }
+    } else { t =>
+      filters.forall {
+        case EqualTo(_, v) => v != null && v.toString == t
+        case In(_, vs) => vs.exists(v => v != null && v.toString == t)
+        case _ => true // unreachable for string keys
+      }
     }
+
+  /** Path-safety gate for STRING partition values: the identity layout
+    * encodes the key in a DIRECTORY NAME, so separators, traversal
+    * names, and control bytes are refused loudly at write/DDL time
+    * (reads never need it — tokens on disk are path-safe by
+    * construction). Everything else (spaces, '=', unicode) passes
+    * verbatim: refusal beats silent escaping, which would make the
+    * dir name disagree with the value it answers for. */
+  def validateKeyToken(t: String): String = {
+    require(t.nonEmpty && t != "." && t != ".." &&
+      !t.exists(ch => ch == '/' || ch == '\\' || ch == '\u0000' ||
+        ch == '\n' || ch == '\r' || ch == '\t'),
+      s"graft tsv: partition value '$t' cannot encode as a directory " +
+        "name (empty, '.', '..', or contains /, \\, tab, newline, NUL) " +
+        "— sanitize the key before writing")
+    t
+  }
 
   /** Newline-aligned byte ranges (empty files yield no splits). A
     * `.gz` shard is NOT splittable: it gets exactly one split covering
@@ -1961,9 +2070,9 @@ final class TsvKeyedWriteBuilder(schema: StructType, path: String,
   }
 }
 
-/** Per-task commit for the keyed writer: (key, tempFile) pairs — one
-  * temp file per key value this task saw. */
-final case class TsvKeyedTaskCommit(files: Seq[(Long, String)], rows: Long,
+/** Per-task commit for the keyed writer: (key TOKEN, tempFile) pairs —
+  * one temp file per key value this task saw. */
+final case class TsvKeyedTaskCommit(files: Seq[(String, String)], rows: Long,
     partitionId: Int) extends WriterCommitMessage
 
 final class TsvKeyedBatchWrite(schema: StructType, path: String,
@@ -1985,9 +2094,9 @@ final class TsvKeyedBatchWrite(schema: StructType, path: String,
         .foreach(TsvWritePaths.deleteRecursively)
     root.mkdirs()
     messages.foreach { case TsvKeyedTaskCommit(files, _, _) =>
-      files.foreach { case (key, tmp) =>
+      files.foreach { case (token, tmp) =>
         val src = new java.io.File(tmp)
-        val dir = new java.io.File(root, s"$keyCol=$key")
+        val dir = new java.io.File(root, s"$keyCol=$token")
         dir.mkdirs()
         val dst = new java.io.File(dir, src.getName)
         if (!src.renameTo(dst))
@@ -2022,6 +2131,13 @@ final class TsvKeyedDataWriter(schema: StructType, path: String,
     keyCol: String, jobUuid: String, partitionId: Int, taskId: Long,
     gzip: Boolean) extends DataWriter[InternalRow] {
   private val keyIdx = schema.fieldIndex(keyCol)
+  private val keyIsString = schema.fields(keyIdx).dataType match {
+    case StringType => true
+    case LongType => false
+    case other => throw new IllegalArgumentException(
+      s"graft tsv sink: partition column $keyCol must be BIGINT or " +
+        s"STRING, got $other")
+  }
   // file fields = schema MINUS the key, in schema order — exactly how
   // the keyed read indexes raw fields (TsvPartitionReader.fullIdx)
   private val fileFields = schema.fields.map(_.dataType).zipWithIndex
@@ -2038,16 +2154,17 @@ final class TsvKeyedDataWriter(schema: StructType, path: String,
   // stays CORRECT via append-reopen — for gzip that writes a second
   // member, which GZIPInputStream reads transparently — it just costs
   // an extra open/close instead of a held fd.
-  private val files = scala.collection.mutable.LongMap.empty[java.io.File]
-  private var curKey = 0L
+  private val files =
+    scala.collection.mutable.AnyRefMap.empty[String, java.io.File]
+  private var curKey: String = null
   private var curOut: java.io.OutputStream = null
   private var rows = 0L
 
-  private def openFor(key: Long): java.io.OutputStream = {
+  private def openFor(token: String): java.io.OutputStream = {
     // same naming contract as the flat writer (taskId for speculative
-    // attempts, uuid against cross-job collisions) plus the key
-    val f = files.getOrElseUpdate(key, new java.io.File(tempDir,
-      f"part-$partitionId%05d-$taskId-${jobUuid.take(8)}-k$key$suffix"))
+    // attempts, uuid against cross-job collisions) plus the key token
+    val f = files.getOrElseUpdate(token, new java.io.File(tempDir,
+      f"part-$partitionId%05d-$taskId-${jobUuid.take(8)}-k$token$suffix"))
     val buffered = new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(f, true), 1 << 16)
     if (gzip) new java.util.zip.GZIPOutputStream(buffered, 1 << 16)
@@ -2060,9 +2177,15 @@ final class TsvKeyedDataWriter(schema: StructType, path: String,
         s"graft tsv sink: partition column $keyCol is NULL — the keyed " +
           "layout has no null-key directory; filter or default the key " +
           "before writing")
-    val k = r.getLong(keyIdx)
+    // STRING keys validate path-safety per distinct key (on the key
+    // CHANGE, not per row — rows arrive key-sorted); BIGINT tokens are
+    // canonical decimal, path-safe by construction
+    val k =
+      if (keyIsString) r.getUTF8String(keyIdx).toString
+      else r.getLong(keyIdx).toString
     if (curOut == null || k != curKey) {
       if (curOut != null) curOut.close()
+      if (keyIsString) TsvLayout.validateKeyToken(k)
       curOut = openFor(k)
       curKey = k
     }

@@ -202,11 +202,13 @@ class TsvCatalogSpec extends AnyFunSuite {
         "PARTITIONED BY (bucket(4, shard))")
     }
     assert(e1.getMessage.contains("only PARTITIONED BY"), e1.getMessage)
+    // (BIGINT and STRING identity keys are supported; a DOUBLE key —
+    // no exact directory-text encoding — still refuses)
     val e1b = intercept[Exception] {
-      spark.sql(s"CREATE TABLE $c.ns.p (id BIGINT, tag STRING) " +
-        "PARTITIONED BY (tag)")
+      spark.sql(s"CREATE TABLE $c.ns.p (id BIGINT, score DOUBLE) " +
+        "PARTITIONED BY (score)")
     }
-    assert(e1b.getMessage.contains("BIGINT"), e1b.getMessage)
+    assert(e1b.getMessage.contains("BIGINT or STRING"), e1b.getMessage)
     val e1c = intercept[Exception] {
       spark.sql(s"CREATE TABLE $c.ns.p (id BIGINT, a BIGINT, b BIGINT) " +
         "PARTITIONED BY (a, b)")
@@ -451,6 +453,41 @@ class TsvCatalogSpec extends AnyFunSuite {
     spark.sql(s"TRUNCATE TABLE $c.ns.flat")
     assert(spark.table(s"$c.ns.flat").count() === 0)
     intercept[Exception] { spark.sql(s"SHOW PARTITIONS $c.ns.flat") }
+  }
+
+  test("STRING partition keys: DDL lifecycle, pruned scans, DELETE by value, hostile refusals") {
+    val (c, root) = freshCatalogWithRoot()
+    spark.sql(s"CREATE NAMESPACE $c.sk")
+    spark.sql(s"CREATE TABLE $c.sk.t (id BIGINT, country STRING) " +
+      "PARTITIONED BY (country)")
+    spark.sql(s"INSERT INTO $c.sk.t VALUES (1, 'US'), (2, 'de x'), (3, 'jp')")
+    // SHOW/ADD/DROP PARTITION with string values (space included)
+    spark.sql(s"ALTER TABLE $c.sk.t ADD PARTITION (country = 'empty zone')")
+    assert(spark.sql(s"SHOW PARTITIONS $c.sk.t").collect()
+      .map(_.getString(0)).sorted.toSeq ==
+      Seq("country=US", "country=de x", "country=empty zone", "country=jp"))
+    spark.sql(s"ALTER TABLE $c.sk.t DROP PARTITION (country = 'de x')")
+    assert(spark.table(s"$c.sk.t").orderBy("id").collect()
+      .map(_.getString(1)).toSeq == Seq("US", "jp"))
+    // DELETE by string key drops the directory
+    spark.sql(s"DELETE FROM $c.sk.t WHERE country IN ('jp')")
+    assert(!new java.io.File(s"$root/sk/t/country=jp").exists())
+    assert(spark.table(s"$c.sk.t").count() == 1)
+    // hostile values refuse loudly at every front door
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $c.sk.t ADD PARTITION (country = 'a/b')")
+    }
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO $c.sk.t VALUES (9, '..')")
+    }
+    assert(spark.table(s"$c.sk.t").count() == 1,
+      "refused writes must leave nothing behind")
+    // non-partitionable key types still refuse at CREATE
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $c.sk.bad (id BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (ts)")
+    }
+    assert(e.getMessage.contains("BIGINT or STRING"), e.getMessage)
   }
 
   test("streaming writes to a partitioned table refuse loudly") {

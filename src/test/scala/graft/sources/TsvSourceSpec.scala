@@ -341,7 +341,7 @@ class TsvSourceSpec extends AnyFunSuite {
       keyFilters = Array(org.apache.spark.sql.sources.EqualTo("shard", 1L)))
       .planInputPartitions()
     assert(pruned.length == 1 &&
-      pruned.head.asInstanceOf[TsvKeyedInputPartition].value == 1L,
+      pruned.head.asInstanceOf[TsvKeyedInputPartition].value == "1",
       s"expected one shard=1 split, got ${pruned.toSeq}")
     // range and set shapes evaluate exactly on the dir key
     assert(readKeyed(dir).filter(col("shard") >= 1).count() == 20)
@@ -367,10 +367,59 @@ class TsvSourceSpec extends AnyFunSuite {
       spark.read.format(classOf[TsvSourceProvider].getName)
         .schema(keyedSchema).option("path", dir).option("partition_col", c)
         .load()
-    val e1 = intercept[IllegalArgumentException](readWith("name").collect())
-    assert(e1.getMessage.contains("must be BIGINT"))
+    // STRING keys are supported; an unparseable-as-directory-key type
+    // (DOUBLE) still refuses at plan time
+    val e1 = intercept[IllegalArgumentException](readWith("score").collect())
+    assert(e1.getMessage.contains("must be BIGINT or STRING"))
     val e2 = intercept[IllegalArgumentException](readWith("nope").collect())
     assert(e2.getMessage.contains("not in schema"))
+  }
+
+  test("STRING keyed layout: synthesis, exact IN-pruning, range residual, writer routing + hostile refusal") {
+    val root = java.nio.file.Files.createTempDirectory("graft_tsv_sk").toString
+    val sSchema = StructType.fromDDL("id BIGINT, v DOUBLE, country STRING")
+    val fmt = classOf[TsvSourceProvider].getName
+    // writer routes rows into <col>=<text>/ dirs (dir name carries the
+    // key verbatim, including a SPACE)
+    val df = spark.createDataFrame(Seq(
+      (1L, 1.5, "US"), (2L, 2.5, "US"), (3L, 3.5, "de x"),
+      (4L, 4.5, "jp"), (5L, 5.5, "jp")))
+      .toDF("id", "v", "country")
+    df.write.format(fmt).option("path", root)
+      .option("write_schema", "id BIGINT, v DOUBLE, country STRING")
+      .option("partition_col", "country").mode("append").save()
+    val dirs = new java.io.File(root).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted
+    assert(dirs.toSeq == Seq("country=US", "country=de x", "country=jp"),
+      s"string keys must encode verbatim: ${dirs.mkString(",")}")
+    def readK = spark.read.format(fmt).schema(sSchema)
+      .option("path", root).option("partition_col", "country").load()
+    // the key column synthesizes back from the directory name
+    assert(readK.orderBy("id").collect().map(_.getString(2)).toSeq ==
+      Seq("US", "US", "de x", "jp", "jp"))
+    // equality/IN prune physically (split planning never lists pruned
+    // dirs); ranges are declined and stay exact via Spark's residual
+    val pruned = new TsvScan(sSchema, sSchema, Array.empty, root,
+      1L << 20, -1, Some("country"),
+      keyFilters = Array(org.apache.spark.sql.sources.In("country",
+        Array[Any]("US", "de x"))))
+      .planInputPartitions()
+    assert(pruned.map(_.asInstanceOf[TsvKeyedInputPartition].value)
+      .toSet == Set("US", "de x"), s"IN must prune dirs: ${pruned.toSeq}")
+    assert(readK.filter(col("country") > "d").count() == 3) // de x, jp, jp
+    val plan = readK.filter(col("country") === "jp")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedPartitionFilters"),
+      s"string equality must show as a pushed partition filter:\n$plan")
+    // a path-hostile key refuses the write loudly; the store stays clean
+    val bad = spark.createDataFrame(Seq((9L, 9.0, "a/b")))
+      .toDF("id", "v", "country")
+    intercept[Exception] {
+      bad.write.format(fmt).option("path", root)
+        .option("write_schema", "id BIGINT, v DOUBLE, country STRING")
+        .option("partition_col", "country").mode("append").save()
+    }
+    assert(readK.count() == 5, "a refused write must leave no rows behind")
   }
 
   // ---- partition delete (SupportsDelete contract) ----
@@ -579,7 +628,7 @@ class TsvSourceSpec extends AnyFunSuite {
     assert(perBatch.length == 2, s"expected 2 bounded batches, got $perBatch")
     val keys = perBatch.flatten
       .map(_.asInstanceOf[TsvKeyedInputPartition].value).sorted
-    assert(keys == Seq(1L, 2L), s"pruned stream must only admit " +
+    assert(keys == Seq("1", "2"), s"pruned stream must only admit " +
       s"shard>=1 dirs, got $keys")
     // the seen-files log never learned the pruned dir's file either
     val logged = new java.io.File(cp, "graft_tsv_seen").listFiles()
@@ -817,7 +866,7 @@ class TsvSourceSpec extends AnyFunSuite {
     val parts = pruned.planInputPartitions()
     assert(parts.length == 2, "two of three shard dirs must survive")
     assert(parts.collect { case p: TsvKeyedInputPartition => p.value }
-      .toSet == Set(0L, 2L))
+      .toSet == Set("0", "2"))
     val eq = freshScan()
     eq.filter(Array[org.apache.spark.sql.sources.Filter](SEq("shard", 2L)))
     assert(eq.planInputPartitions().length == 1)
