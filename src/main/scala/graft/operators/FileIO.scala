@@ -1600,6 +1600,68 @@ object FileIO extends QueryPack {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
 
+  /** q307: `PARTITIONED BY (bucket(n, col))` in the catalog — the
+    * HIGH-CARDINALITY co-location story by name. Identity partitioning
+    * (q302) cannot co-locate a per-user join: a dir per user is
+    * millions of dirs. The bucket transform hashes the cluster column
+    * into n `_graft_bucket=<id>/` directories; the write DECLARES
+    * clustered+sorted-by-bucket distribution (Spark resolves the
+    * transform through the catalog's FunctionCatalog and plans the
+    * exchange — one file per bucket per job); the scan reports
+    * KeyGroupedPartitioning(bucket(n, col)), so two co-bucketed
+    * catalog tables JOIN WITH ZERO EXCHANGES on either side (the
+    * q270 win, previously path-options-only, now composing with
+    * names), and a point lookup prunes to the key's single bucket
+    * directory through the same shared hash. The gate builds
+    * co-bucketed per-user click/purchase aggregates, pins the
+    * exchange-free join plan inline, and re-joins them; the oracle
+    * restates the join over parquet. TsvCatalogSpec pins the layout
+    * (one file per bucket), bucket pruning, and the refusal shapes
+    * (non-BIGINT cluster column, absurd bucket counts); PlanSpec
+    * pins the zero-exchange plan and its shuffle fallback with v2
+    * bucketing off. */
+  private def q307(s: SparkSession, dir: String): DataFrame = {
+    val cat = ensureCatalog(s, dir)
+    s.sql(s"DROP TABLE IF EXISTS $cat.lake.bkc307")
+    s.sql(s"DROP TABLE IF EXISTS $cat.lake.bkp307")
+    def mk(t: String): Unit = s.sql(
+      s"""CREATE TABLE $cat.lake.$t (user_id BIGINT, n BIGINT,
+         |  cents BIGINT) PARTITIONED BY (bucket(16, user_id))"""
+        .stripMargin)
+    mk("bkc307"); mk("bkp307")
+    def side(evType: String, view: String): Unit = {
+      Tables.events(s, dir)
+        .filter(col("event_type") === evType && col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .createOrReplaceTempView(view)
+      ()
+    }
+    side("click", "graft_src307c"); side("purchase", "graft_src307p")
+    s.sql(s"INSERT INTO $cat.lake.bkc307 SELECT * FROM graft_src307c")
+    s.sql(s"INSERT INTO $cat.lake.bkp307 SELECT * FROM graft_src307p")
+    graft.SessionConfs.withConfs(s, spjConfs: _*) {
+      val joined = s.table(s"$cat.lake.bkc307").as("c")
+        .join(s.table(s"$cat.lake.bkp307").as("p"), "user_id")
+        .select(col("user_id"),
+          col("c.n").as("n_clicks"), col("c.cents").as("click_cents"),
+          col("p.n").as("n_purchases"), col("p.cents").as("purchase_cents"))
+        .orderBy("user_id")
+      val rows = joined.collect()
+      // gate-side pin: the co-bucketed join planned with no shuffle on
+      // either side (the orderBy's range exchange is above the join)
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange hashpartitioning"),
+        s"q307: co-bucketed catalog join must elide both exchanges:\n$plan")
+      s.sql(s"DROP TABLE $cat.lake.bkc307")
+      s.sql(s"DROP TABLE $cat.lake.bkp307")
+      s.catalog.dropTempView("graft_src307c")
+      s.catalog.dropTempView("graft_src307p")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), joined.schema)
+    }
+  }
+
   /** q294: catalog SCHEMA EVOLUTION — `ALTER TABLE … ADD COLUMN` on the
     * DSv2 TSV catalog is a METADATA-ONLY write (one sidecar file), and
     * pre-evolution shards surface explicit NULL for the new column in
@@ -1752,6 +1814,22 @@ object FileIO extends QueryPack {
   }
 
   override def queries: Seq[Q] = Seq(
+    Q("q307_catalog_bucketed_join", q307, Some(
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS n_clicks,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS click_cents
+        |  FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT user_id, count(*) AS n_purchases,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS purchase_cents
+        |  FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT c.user_id, n_clicks, click_cents, n_purchases, purchase_cents
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |ORDER BY c.user_id""".stripMargin)),
     Q("q306_catalog_string_partition", q306, Some(
       """SELECT o_orderpriority AS priority, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

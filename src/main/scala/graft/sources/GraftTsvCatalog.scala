@@ -58,7 +58,24 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * DSv2 contract; only CREATE refuses loudly).
   */
 final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
-    with StagingTableCatalog {
+    with StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  // ---- FunctionCatalog: the `bucket` transform's identity ----
+  // Spark resolves a scan-reported `bucket(n, col)` transform through
+  // the TABLE'S catalog; exposing the one shared function here is what
+  // makes two co-bucketed graft tables storage-partition-join with no
+  // exchange (compatibility = bound canonicalName + bucket count).
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.isEmpty || nsDirOpt(namespace).exists(_.isDirectory))
+      Array(Identifier.of(namespace, "bucket"))
+    else throw new NoSuchNamespaceException(namespace)
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "bucket") TsvBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   private var catalogName: String = _
   private var root: java.io.File = _
@@ -186,8 +203,9 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
       try {
         val ddl = new String(
           java.nio.file.Files.readAllBytes(schemaFile(dir).toPath), "UTF-8")
+        val (pcol, bspec) = GraftTsvCatalog.readLayoutSidecar(dir)
         return new TsvTable(StructType.fromDDL(ddl), dir.getPath,
-          GraftTsvCatalog.readPartitionSidecar(dir))
+          pcol, bspec)
       } catch {
         case _: java.nio.file.NoSuchFileException |
              _: java.io.FileNotFoundException if attempt < 5 =>
@@ -207,8 +225,39 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     * is refused loudly: each would promise a layout this store does
     * not have. Returns the partition column, recorded in the
     * `_graft_partition` sidecar. */
-  private def partitionColOf(partitions: Array[Transform],
-      schema: StructType): Option[String] = partitions.toSeq match {
+  private def layoutOf(partitions: Array[Transform], schema: StructType)
+      : (Option[String], Option[(String, Int)]) = partitions.toSeq match {
+    case Seq(t) if t.name() == "bucket" &&
+        t.references().length == 1 &&
+        t.references()(0).fieldNames().length == 1 =>
+      // `CLUSTERED BY / PARTITIONED BY (bucket(n, col))`: the hash
+      // layout for high-cardinality co-located joins — recorded in the
+      // same sidecar, refused for anything but one BIGINT column
+      val col = t.references()(0).fieldNames()(0)
+      val field = schema.fields.find(_.name == col).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft tsv catalog: bucket column $col is not in the schema"))
+      if (field.dataType != LongType)
+        throw new UnsupportedOperationException(
+          s"graft tsv catalog: bucket column must be BIGINT, got $col " +
+            field.dataType.sql)
+      val n = t.arguments().toSeq.collectFirst {
+        case lit: org.apache.spark.sql.connector.expressions.Literal[_]
+            if lit.dataType == org.apache.spark.sql.types.IntegerType =>
+          lit.value.asInstanceOf[Int]
+      }.getOrElse(throw new IllegalArgumentException(
+        s"graft tsv catalog: bucket transform carries no bucket count: " +
+          t.describe()))
+      require(n > 1 && n <= 4096,
+        s"graft tsv catalog: bucket count must be in (1, 4096], got $n " +
+          "— each bucket is a directory, and a write task holds one " +
+          "open stream per bucket it touches")
+      (None, Some((col, n)))
+    case other => (partitionColOf0(other, schema), None)
+  }
+
+  private def partitionColOf0(partitions: Seq[Transform],
+      schema: StructType): Option[String] = partitions match {
     case Seq() => None
     case Seq(t) if t.name() == "identity" &&
         t.references().length == 1 &&
@@ -230,8 +279,8 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
       "graft tsv catalog: only PARTITIONED BY (<one BIGINT or STRING " +
         s"column>) is supported, got " +
         s"${other.map(_.describe()).mkString(", ")} — " +
-        "bucket/time/multi-column transforms would promise a layout " +
-        "this store does not have")
+        "time/multi-column transforms would promise a layout this " +
+        "store does not have (bucket(n, <BIGINT col>) is supported)")
   }
 
   /** Shared create-time validation (createTable + the staged CTAS
@@ -269,7 +318,7 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    val pcol = partitionColOf(partitions, schema)
+    val (pcol, bspec) = layoutOf(partitions, schema)
     validateCreate(properties)
     require(!internalName(ident.name()),
       s"graft tsv catalog: table names may not start with '_' " +
@@ -291,13 +340,9 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     // non-table dir, and a later FLAT create of the same name must not
     // silently inherit it (accidentally-keyed writes, or a bricked
     // table if the new schema lacks the old key column).
-    pcol match {
-      case Some(c) => GraftTsvCatalog.writePartitionSidecar(dir, c)
-      case None =>
-        new java.io.File(dir, "_graft_partition").delete(); ()
-    }
+    GraftTsvCatalog.writeLayoutSidecar(dir, pcol, bspec)
     writeSidecarAtomic(dir, schema)
-    new TsvTable(schema, dir.getPath, pcol)
+    new TsvTable(schema, dir.getPath, pcol, bspec)
   }
 
   // ---- atomic CTAS / RTAS ([[StagingTableCatalog]]) ----
@@ -329,7 +374,7 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
 
   private def stage(ident: Identifier, info: TableInfo,
       replace: Boolean, mustExist: Boolean): StagedTable = {
-    val pcol = partitionColOf(info.partitions(), info.schema())
+    val (pcol, bspec) = layoutOf(info.partitions(), info.schema())
     validateCreate(info.properties())
     // Defense-in-depth, NOT the SQL front door's check: Spark's own
     // analyzer already rejects constraint-bearing DDL for catalogs
@@ -393,7 +438,7 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
       s"_staging_${ident.name()}_" + java.util.UUID.randomUUID()
         .toString.replace("-", "").take(8))
     staging.mkdirs()
-    new TsvStagedTable(info.schema(), staging, dir, replace, pcol)
+    new TsvStagedTable(info.schema(), staging, dir, replace, pcol, bspec)
   }
 
   /** ADD COLUMN only: append a nullable trailing column to the schema
@@ -448,8 +493,8 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
             "existing bytes. Evolve by recreate.")
     }
     writeSidecarAtomic(dir, schema)
-    new TsvTable(schema, dir.getPath,
-      GraftTsvCatalog.readPartitionSidecar(dir))
+    val (pcol, bspec) = GraftTsvCatalog.readLayoutSidecar(dir)
+    new TsvTable(schema, dir.getPath, pcol, bspec)
   }
 
   override def dropTable(ident: Identifier): Boolean =
@@ -553,26 +598,54 @@ object GraftTsvCatalog {
     ()
   }
 
-  /** The `_graft_partition` sidecar: the identity-partition column of
-    * a PARTITIONED BY table (absent = flat table). Same atomic-flip
-    * discipline as the schema sidecar. */
+  /** The `_graft_partition` sidecar: the table's LAYOUT — a bare
+    * column name for identity partitioning (the legacy format, still
+    * written for back-compat), `bucket\t<n>\t<col>` for the hash
+    * layout, absent for a flat table. Same atomic-flip discipline as
+    * the schema sidecar. */
   private[sources] def writePartitionSidecar(dir: java.io.File,
-      col: String): Unit = {
-    val tmp = new java.io.File(dir, s"_graft_partition.tmp")
-    java.nio.file.Files.write(tmp.toPath, col.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath,
-      new java.io.File(dir, "_graft_partition").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    ()
+      col: String): Unit = writeLayoutSidecar(dir, Some(col), None)
+
+  private[sources] def writeLayoutSidecar(dir: java.io.File,
+      identityCol: Option[String], bucket: Option[(String, Int)]): Unit = {
+    val f = new java.io.File(dir, "_graft_partition")
+    val content: Option[String] = (identityCol, bucket) match {
+      case (Some(c), _) => Some(c)
+      case (None, Some((c, n))) => Some(s"bucket\t$n\t$c")
+      case (None, None) => None
+    }
+    content match {
+      case Some(text) =>
+        val tmp = new java.io.File(dir, s"_graft_partition.tmp")
+        java.nio.file.Files.write(tmp.toPath, text.getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp.toPath, f.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      case None =>
+        // a FLAT create must not inherit a crashed earlier create's
+        // layout sidecar (accidentally-keyed writes)
+        f.delete(); ()
+    }
   }
 
   private[sources] def readPartitionSidecar(dir: java.io.File)
-      : Option[String] = {
+      : Option[String] = readLayoutSidecar(dir)._1
+
+  /** (identity col, bucket spec) from the layout sidecar. */
+  private[sources] def readLayoutSidecar(dir: java.io.File)
+      : (Option[String], Option[(String, Int)]) = {
     val f = new java.io.File(dir, "_graft_partition")
-    if (!f.isFile) None
-    else Some(new String(
-      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim)
+    if (!f.isFile) (None, None)
+    else new String(
+      java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim match {
+      case s if s.startsWith("bucket\t") =>
+        val parts = s.split("\t")
+        require(parts.length == 3,
+          s"graft tsv catalog: malformed bucket layout sidecar: $s")
+        (None, Some((parts(2), parts(1).toInt)))
+      case c => (Some(c), None)
+    }
   }
 
   /** Current-generation pointer files: `_graft_gen_<table>` in the
@@ -630,15 +703,16 @@ object GraftTsvCatalog {
   * untouched in every failure mode. */
 final class TsvStagedTable(tableSchema: StructType,
     stagingDir: java.io.File, finalDir: java.io.File, replace: Boolean,
-    partitionCol: Option[String] = None)
+    partitionCol: Option[String] = None,
+    bucketSpec: Option[(String, Int)] = None)
     extends StagedTable
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRead {
-  // the staged inner table carries the partition column, so a
-  // partitioned CTAS's SELECT lands KEYED data in the staging dir —
-  // the layout is complete before the visibility flip
+  // the staged inner table carries the layout, so a partitioned or
+  // bucketed CTAS's SELECT lands correctly-shaped data in the staging
+  // dir — the layout is complete before the visibility flip
   private val inner = new TsvTable(tableSchema, stagingDir.getPath,
-    partitionCol)
+    partitionCol, bucketSpec)
 
   override def name(): String = s"graft_tsv(${finalDir.getPath}) [staged]"
   override def schema(): StructType = tableSchema
@@ -654,8 +728,9 @@ final class TsvStagedTable(tableSchema: StructType,
     inner.newScanBuilder(options)
 
   override def commitStagedChanges(): Unit = {
-    partitionCol.foreach(
-      GraftTsvCatalog.writePartitionSidecar(stagingDir, _))
+    if (partitionCol.nonEmpty || bucketSpec.nonEmpty)
+      GraftTsvCatalog.writeLayoutSidecar(stagingDir, partitionCol,
+        bucketSpec)
     GraftTsvCatalog.writeSidecarAtomic(stagingDir, tableSchema)
     val ns = finalDir.getParentFile
     val table = finalDir.getName

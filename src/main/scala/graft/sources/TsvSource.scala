@@ -67,7 +67,8 @@ class TsvSourceProvider extends TableProvider {
 }
 
 final class TsvTable(tableSchema: StructType, path: String,
-    tablePartitionCol: Option[String] = None)
+    tablePartitionCol: Option[String] = None,
+    bucketSpec: Option[(String, Int)] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -91,6 +92,10 @@ final class TsvTable(tableSchema: StructType, path: String,
         val dirs = Option(rootDir.listFiles()).getOrElse(Array.empty)
           .filter(d => d.isDirectory && d.getName.startsWith(c + "="))
           .toSeq
+        dirs.foreach(TsvWritePaths.deleteRecursively)
+        dirs.filter(_.exists())
+      case None if bucketSpec.nonEmpty =>
+        val dirs = TsvBuckets.bucketDirs(path).map(_._2)
         dirs.foreach(TsvWritePaths.deleteRecursively)
         dirs.filter(_.exists())
       case None =>
@@ -267,6 +272,9 @@ final class TsvTable(tableSchema: StructType, path: String,
   override def partitioning(): Array[Transform] =
     tablePartitionCol.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .orElse(bucketSpec.map { case (c, n) =>
+        org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+      })
       .toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
@@ -309,8 +317,16 @@ final class TsvTable(tableSchema: StructType, path: String,
       // read contract), through the same task-commit protocol
       case Some(c) => new TsvKeyedWriteBuilder(info.schema(), path, c,
         gzip = codec == "gzip")
-      case None => new TsvWriteBuilder(info.schema(), path, info.queryId(),
-        gzip = codec == "gzip")
+      case None => bucketSpec match {
+        // a CLUSTERED table routes each row into its hash bucket's
+        // `_graft_bucket=<id>/` dir; lines keep ALL columns (a bucket
+        // holds many key values — nothing could synthesize the column)
+        case Some((c, n)) =>
+          new TsvBucketedWriteBuilder(info.schema(), path, c, n,
+            gzip = codec == "gzip")
+        case None => new TsvWriteBuilder(info.schema(), path,
+          info.queryId(), gzip = codec == "gzip")
+      }
     }
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -354,7 +370,8 @@ final class TsvTable(tableSchema: StructType, path: String,
     }
     new TsvScanBuilder(tableSchema, path, splitBytes, partitionCol,
       strictLayout = optionCol.nonEmpty,
-      streamLimits = TsvStreamLimits(maxFiles, maxBytes))
+      streamLimits = TsvStreamLimits(maxFiles, maxBytes),
+      bucketSpec = bucketSpec)
   }
 }
 
@@ -395,7 +412,8 @@ object TsvStreamLimits {
 final class TsvScanBuilder(fullSchema: StructType, path: String,
     splitBytes: Long, partitionCol: Option[String] = None,
     strictLayout: Boolean = true,
-    streamLimits: TsvStreamLimits = TsvStreamLimits.none)
+    streamLimits: TsvStreamLimits = TsvStreamLimits.none,
+    bucketSpec: Option[(String, Int)] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownTopN
@@ -625,11 +643,13 @@ final class TsvScanBuilder(fullSchema: StructType, path: String,
     case Some(spec) =>
       new TsvScan(fullSchema, aggSchema(spec), pushed, path, splitBytes,
         limit, partitionCol, Some(spec), strictLayout = strictLayout,
-        keyFilters = keyFilters, streamLimits = streamLimits)
+        keyFilters = keyFilters, streamLimits = streamLimits,
+        bucketSpec = bucketSpec)
     case None =>
       new TsvScan(fullSchema, required, pushed, path, splitBytes, limit,
         partitionCol, None, topN, strictLayout = strictLayout,
-        keyFilters = keyFilters, streamLimits = streamLimits)
+        keyFilters = keyFilters, streamLimits = streamLimits,
+        bucketSpec = bucketSpec)
   }
 }
 
@@ -640,7 +660,8 @@ final class TsvScan(fullSchema: StructType, required: StructType,
     topN: Option[TsvTopNSpec] = None,
     strictLayout: Boolean = true,
     keyFilters: Array[Filter] = Array.empty,
-    streamLimits: TsvStreamLimits = TsvStreamLimits.none)
+    streamLimits: TsvStreamLimits = TsvStreamLimits.none,
+    bucketSpec: Option[(String, Int)] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -684,7 +705,7 @@ final class TsvScan(fullSchema: StructType, required: StructType,
     * reads the joined-to shards, not the table. */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    partitionCol.map(c =>
+    partitionCol.orElse(bucketSpec.map(_._1)).map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.column(c)).toArray
 
   // the key TYPE decides token parsing/sorting/synthesis (BIGINT
@@ -703,6 +724,15 @@ final class TsvScan(fullSchema: StructType, required: StructType,
     case _ => None
   }
 
+  // bucket layout: runtime join keys prune whole BUCKET dirs (the
+  // key set maps through the shared hash; like static bucket pruning
+  // this is a superset filter — Spark's own join still decides rows)
+  private var runtimeBuckets: Option[Set[Int]] = None
+  private def onBucketCol(a: String): Boolean = bucketSpec.exists(_._1 == a)
+  private def keepBuckets(vs: Seq[Any]): Set[Int] =
+    vs.collect { case v: java.lang.Number =>
+      TsvBuckets.bucketOf(v.longValue, bucketSpec.get._2) }.toSet
+
   override def filter(filters: Array[Filter]): Unit =
     filters.foreach {
       case In(a, vs) if partitionCol.contains(a) =>
@@ -712,6 +742,12 @@ final class TsvScan(fullSchema: StructType, required: StructType,
           runtimeToken(v).nonEmpty =>
         val keep = runtimeToken(v).toSet
         runtimeKeys = Some(runtimeKeys.fold(keep)(_ intersect keep))
+      case In(a, vs) if onBucketCol(a) =>
+        val keep = keepBuckets(vs.toSeq)
+        runtimeBuckets = Some(runtimeBuckets.fold(keep)(_ intersect keep))
+      case EqualTo(a, v) if onBucketCol(a) =>
+        val keep = keepBuckets(Seq(v))
+        runtimeBuckets = Some(runtimeBuckets.fold(keep)(_ intersect keep))
       case _ => () // unsupported shape: Spark keeps its own filter
     }
 
@@ -757,6 +793,17 @@ final class TsvScan(fullSchema: StructType, required: StructType,
             Array(org.apache.spark.sql.connector.expressions.Expressions
               .identity(c)),
             partitionDirs.size)
+      // a BUCKETED layout reports the bucket TRANSFORM — the planner
+      // resolves it through the catalog's `bucket` function, and two
+      // co-bucketed tables (same canonicalName, same n) join with no
+      // exchange on either side
+      case None if bucketSpec.nonEmpty && aggSpec.isEmpty =>
+        val (c, n) = bucketSpec.get
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .bucket(n, c)),
+            bucketDirs.size)
       case _ =>
         new org.apache.spark.sql.connector.read.partitioning
           .UnknownPartitioning(0)
@@ -777,6 +824,29 @@ final class TsvScan(fullSchema: StructType, required: StructType,
     TsvLayout.partitionDirs(path, partitionCol.get, strict = strictLayout,
         numericKey = !keyIsString)
       .filter { case (t, _) => keep(t) }
+  }
+
+  /** Bucket subdirectories surviving STATIC bucket pruning: an
+    * equality/IN predicate on the cluster column maps to exact bucket
+    * ids through the shared hash — the predicate itself still runs in
+    * the reader (a bucket holds many values; pruning is a superset
+    * filter, never the answer), but pruned bucket dirs are never
+    * listed, split, or sized. Runtime-filter keys prune here too. */
+  private lazy val bucketDirs: Seq[(Int, java.io.File)] = {
+    val (bcol, n) = bucketSpec.get
+    val statically: Option[Set[Int]] = {
+      val sets = pushed.toSeq.collect {
+        case EqualTo(a, v: java.lang.Number) if a == bcol =>
+          Set(TsvBuckets.bucketOf(v.longValue, n))
+        case In(a, vs) if a == bcol &&
+            vs.forall(_.isInstanceOf[java.lang.Number]) =>
+          vs.map(v => TsvBuckets.bucketOf(
+            v.asInstanceOf[java.lang.Number].longValue, n)).toSet
+      }
+      sets.reduceOption(_ intersect _)
+    }
+    TsvBuckets.bucketDirs(path)
+      .filter { case (b, _) => statically.forall(_.contains(b)) }
   }
 
   /** Size estimate for the planner ([[SupportsReportStatistics]]):
@@ -847,6 +917,18 @@ final class TsvScan(fullSchema: StructType, required: StructType,
               case (start, end) =>
                 TsvKeyedInputPartition(file.getPath, start, end, token,
                   stringKey = keyIsString)
+            })
+          }.map(p => p: InputPartition).toArray
+      case None if bucketSpec.nonEmpty =>
+        // bucket layout: splits carry their bucket id so Spark groups
+        // them per bucket; a delivered runtime filter prunes whole
+        // bucket dirs here, before any file is listed for splitting
+        bucketDirs
+          .filter { case (b, _) => runtimeBuckets.forall(_.contains(b)) }
+          .flatMap { case (b, d) =>
+            dataFilesIn(d).flatMap(file => byteSplits(file).map {
+              case (start, end) =>
+                TsvBucketInputPartition(file.getPath, start, end, b)
             })
           }.map(p => p: InputPartition).toArray
       case None =>
@@ -1188,6 +1270,14 @@ final case class TsvKeyedInputPartition(file: String, start: Long, end: Long,
     InternalRow(if (stringKey) UTF8String.fromString(value) else value.toLong)
 }
 
+/** A split of a bucketed layout: [[HasPartitionKey]] hands the bucket
+  * id to Spark so splits group per bucket for storage-partitioned
+  * joins. The lines carry every column — no synthesis. */
+final case class TsvBucketInputPartition(file: String, start: Long,
+    end: Long, bucket: Int) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket)
+}
+
 final class TsvReaderFactory(fullSchema: StructType, required: StructType,
     pushed: Array[Filter], limit: Int, partitionCol: Option[String] = None,
     aggSpec: Option[TsvAggSpec] = None,
@@ -1211,6 +1301,8 @@ final class TsvReaderFactory(fullSchema: StructType, required: StructType,
           : PartitionReader[InternalRow]))
         .getOrElse(r)
     partition match {
+      case p: TsvBucketInputPartition =>
+        wrap(raw(p.file, p.start, p.end, None))
       case p: TsvKeyedInputPartition =>
         // synthesize the key column as its INTERNAL value (UTF8String
         // for STRING keys, Long for BIGINT) — the reader drops it into
@@ -1886,6 +1978,74 @@ private[sources] object TsvLayout {
   }
 }
 
+/** The BUCKET layout: `_graft_bucket=<id>/` directories holding full
+  * rows (unlike the identity layout, the cluster column stays IN the
+  * lines — a bucket holds many values, so nothing can synthesize it).
+  * One hash function shared by the writer, the scan's static/runtime
+  * bucket pruning, and the catalog-exposed V2 `bucket` function, so
+  * the reported [[org.apache.spark.sql.connector.read.partitioning
+  * .KeyGroupedPartitioning]] can never disagree with the bytes on
+  * disk. */
+private[sources] object TsvBuckets {
+  val DirPrefix = "_graft_bucket="
+
+  /** fmix64 avalanche (the MurmurHash3 finalizer) then floorMod:
+    * bucket ids must not correlate with monotone keys, or range-ish
+    * workloads hammer one bucket. */
+  def bucketOf(v: Long, n: Int): Int = {
+    var h = v
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    java.lang.Math.floorMod(h, n.toLong).toInt
+  }
+
+  def dirOf(root: java.io.File, b: Int): java.io.File =
+    new java.io.File(root, s"$DirPrefix$b")
+
+  /** Bucket subdirectories as (id, dir), ascending. */
+  def bucketDirs(path: String): Seq[(Int, java.io.File)] = {
+    val root = new java.io.File(TsvWritePaths.strip(path))
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith(DirPrefix))
+      .map(d => d.getName.stripPrefix(DirPrefix).toInt -> d)
+      .sortBy(_._1).toSeq
+  }
+}
+
+/** The `bucket` function the catalog exposes ([[org.apache.spark.sql
+  * .connector.catalog.FunctionCatalog]]): Spark resolves the scan's
+  * reported `bucket(n, col)` transform through it, which is what lets
+  * two co-bucketed catalog tables plan a storage-partitioned join —
+  * compatibility is judged by the bound function's canonicalName and
+  * the bucket count, so every graft table shares one identity here. */
+private[sources] object TsvBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(numBuckets INT, col BIGINT): graft TSV bucket id"
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.size == 2 &&
+      inputType.fields(0).dataType == IntegerType &&
+      inputType.fields(1).dataType == LongType,
+      s"graft bucket(numBuckets INT, col BIGINT) cannot bind to " +
+        inputType.simpleString)
+    Bound
+  }
+  object Bound extends org.apache.spark.sql.connector.catalog
+      .functions.ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] =
+      Array(IntegerType, LongType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket"
+    override def isResultNullable: Boolean = false
+    override def produceResult(input: InternalRow): Integer =
+      TsvBuckets.bucketOf(input.getLong(1), input.getInt(0))
+  }
+}
+
 private[sources] object TsvWritePaths {
   /** Resolve a store/checkpoint path to a LOCAL filesystem path —
     * loudly. The TSV store and its seen-files checkpoint log do
@@ -2068,6 +2228,167 @@ final class TsvKeyedWriteBuilder(schema: StructType, path: String,
           "not supported — stream into an unpartitioned table and " +
           "compact/re-key it with a periodic batch job (q118/q304 shape)")
   }
+}
+
+/** The write half of a CLUSTERED (bucketed) table: each task routes
+  * rows by `bucketOf(col)` into per-bucket temp files, the driver
+  * renames committed attempts into `_graft_bucket=<id>/` — the keyed
+  * writer's two-phase protocol with the hash bucket in place of the
+  * key, and with the cluster column kept IN the lines. The write
+  * declares clustered+sorted distribution ON THE BUCKET TRANSFORM
+  * itself ([[org.apache.spark.sql.connector.write
+  * .RequiresDistributionAndOrdering]]): Spark resolves `bucket(n,
+  * col)` through the catalog's function and plans the exchange, so
+  * every bucket lands as ONE file per job and the writer streams one
+  * bucket at a time (one open fd per task). Streaming epochs refuse
+  * loudly, same as the keyed sink. */
+final class TsvBucketedWriteBuilder(schema: StructType, path: String,
+    clusterCol: String, numBuckets: Int, gzip: Boolean = false)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = new Write
+      with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+    private def bucketExpr =
+      org.apache.spark.sql.connector.expressions.Expressions
+        .bucket(numBuckets, clusterCol)
+    override def requiredDistribution()
+        : org.apache.spark.sql.connector.distributions.Distribution =
+      org.apache.spark.sql.connector.distributions.Distributions
+        .clustered(Array(bucketExpr))
+    override def requiredOrdering()
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+        bucketExpr,
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+    override def toBatch: BatchWrite =
+      new TsvBucketedBatchWrite(schema, path, clusterCol, numBuckets,
+        truncateFirst, gzip)
+    override def toStreaming: StreamingWrite =
+      throw new UnsupportedOperationException(
+        "graft tsv sink: streaming writes to a CLUSTERED table are " +
+          "not supported — stream into an unclustered table and " +
+          "re-bucket it with a periodic batch job (q118/q304 shape)")
+  }
+}
+
+final class TsvBucketedBatchWrite(schema: StructType, path: String,
+    clusterCol: String, numBuckets: Int, truncateFirst: Boolean,
+    gzip: Boolean) extends BatchWrite {
+  private val jobUuid = java.util.UUID.randomUUID().toString
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory =
+    new TsvBucketedWriterFactory(schema, path, clusterCol, numBuckets,
+      jobUuid, gzip)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new java.io.File(TsvWritePaths.strip(path))
+    if (truncateFirst)
+      TsvBuckets.bucketDirs(path).map(_._2)
+        .foreach(TsvWritePaths.deleteRecursively)
+    root.mkdirs()
+    messages.foreach { case TsvKeyedTaskCommit(files, _, _) =>
+      files.foreach { case (token, tmp) =>
+        val src = new java.io.File(tmp)
+        val dir = TsvBuckets.dirOf(root, token.toInt)
+        dir.mkdirs()
+        val dst = new java.io.File(dir, src.getName)
+        if (!src.renameTo(dst))
+          throw new java.io.IOException(
+            s"graft tsv sink: rename failed: $tmp -> $dst")
+      }
+    }
+    dropTemp(root)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    dropTemp(new java.io.File(TsvWritePaths.strip(path)))
+
+  private def dropTemp(root: java.io.File): Unit = {
+    val tempRoot = new java.io.File(root, "_temporary")
+    TsvWritePaths.deleteRecursively(new java.io.File(tempRoot, jobUuid))
+    tempRoot.delete()
+    ()
+  }
+}
+
+final class TsvBucketedWriterFactory(schema: StructType, path: String,
+    clusterCol: String, numBuckets: Int, jobUuid: String, gzip: Boolean)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new TsvBucketedDataWriter(schema, path, clusterCol, numBuckets,
+      jobUuid, partitionId, taskId, gzip)
+}
+
+/** Per-row: hash the cluster column to its bucket, stream into that
+  * bucket's temp file. Rows arrive bucket-sorted (the write's
+  * requiredOrdering on the transform), so one stream is open at a
+  * time; a revisit stays correct via append-reopen, same as the keyed
+  * writer. Lines serialize ALL columns — the read side parses the
+  * cluster column from the data, not the directory. */
+final class TsvBucketedDataWriter(schema: StructType, path: String,
+    clusterCol: String, numBuckets: Int, jobUuid: String,
+    partitionId: Int, taskId: Long, gzip: Boolean)
+    extends DataWriter[InternalRow] {
+  private val colIdx = schema.fieldIndex(clusterCol)
+  require(schema.fields(colIdx).dataType == LongType,
+    s"graft tsv sink: bucket column $clusterCol must be BIGINT, got " +
+      schema.fields(colIdx).dataType)
+  private val fields = schema.fields.map(_.dataType).zipWithIndex
+    .map { case (t, i) => (i, t) }
+  private val tempDir =
+    new java.io.File(TsvWritePaths.strip(path), s"_temporary/$jobUuid")
+  tempDir.mkdirs()
+  private val suffix = if (gzip) ".txt.gz" else ".txt"
+
+  private val files = scala.collection.mutable.LongMap.empty[java.io.File]
+  private var curBucket = -1
+  private var curOut: java.io.OutputStream = null
+  private var rows = 0L
+
+  private def openFor(b: Int): java.io.OutputStream = {
+    val f = files.getOrElseUpdate(b.toLong, new java.io.File(tempDir,
+      f"part-$partitionId%05d-$taskId-${jobUuid.take(8)}-b$b$suffix"))
+    val buffered = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(f, true), 1 << 16)
+    if (gzip) new java.util.zip.GZIPOutputStream(buffered, 1 << 16)
+    else buffered
+  }
+
+  override def write(r: InternalRow): Unit = {
+    if (r.isNullAt(colIdx))
+      throw new IllegalArgumentException(
+        s"graft tsv sink: cluster column $clusterCol is NULL — the " +
+          "bucket hash has no null lane; filter or default the key " +
+          "before writing")
+    val b = TsvBuckets.bucketOf(r.getLong(colIdx), numBuckets)
+    if (curOut == null || b != curBucket) {
+      if (curOut != null) curOut.close()
+      curOut = openFor(b)
+      curBucket = b
+    }
+    curOut.write(TsvLineFormat.line(r, fields)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (curOut != null) { curOut.close(); curOut = null }
+    TsvKeyedTaskCommit(
+      files.toSeq.map { case (b, f) => (b.toString, f.getPath) },
+      rows, partitionId)
+  }
+
+  override def abort(): Unit = {
+    if (curOut != null) { curOut.close(); curOut = null }
+    files.values.foreach(_.delete())
+    ()
+  }
+
+  override def close(): Unit =
+    if (curOut != null) { curOut.close(); curOut = null }
 }
 
 /** Per-task commit for the keyed writer: (key TOKEN, tempFile) pairs —

@@ -337,6 +337,48 @@ class PlanSpec extends AnyFunSuite {
       "with v2 bucketing off the join must fall back to shuffles (contrast)")
   }
 
+  test("q307 co-bucketed catalog join: zero exchanges on, shuffle fallback off") {
+    import graft.operators.FileIO
+    val cname = "graft_pspec_bk"
+    val croot = java.nio.file.Files.createTempDirectory("graft_pspec_bk")
+    spark.conf.set(s"spark.sql.catalog.$cname",
+      classOf[graft.sources.GraftTsvCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cname.root", croot.toString)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cname.bk")
+    spark.sql(s"CREATE TABLE $cname.bk.l (user_id BIGINT, n BIGINT) " +
+      "PARTITIONED BY (bucket(8, user_id))")
+    spark.sql(s"CREATE TABLE $cname.bk.r (user_id BIGINT, m BIGINT) " +
+      "PARTITIONED BY (bucket(8, user_id))")
+    spark.range(300).selectExpr("id AS user_id", "id AS n")
+      .createOrReplaceTempView("pspec_bk_l")
+    spark.range(300).selectExpr("id AS user_id", "id * 7 AS m")
+      .createOrReplaceTempView("pspec_bk_r")
+    spark.sql(s"INSERT INTO $cname.bk.l SELECT * FROM pspec_bk_l")
+    spark.sql(s"INSERT INTO $cname.bk.r SELECT * FROM pspec_bk_r")
+    def joinPlan(): String = {
+      val df = spark.table(s"$cname.bk.l")
+        .join(spark.table(s"$cname.bk.r"), "user_id")
+      assert(df.count() == 300)
+      df.queryExecution.executedPlan.toString
+    }
+    // ON: the scans' reported bucket(8, user_id) grouping — resolved
+    // through the catalog's own FunctionCatalog — satisfies the join's
+    // distribution; no exchange on either side
+    val on = SessionConfs.withConfs(spark, FileIO.spjConfs: _*)(joinPlan())
+    assert(!on.contains("Exchange hashpartitioning"),
+      s"co-bucketed join must elide both exchanges:\n$on")
+    assert(on.contains("BatchScan"), s"both sides must stay DSv2 scans:\n$on")
+    // OFF: with v2 bucketing disabled the same join must fall back to
+    // two shuffles (the contrast that proves the elision is real)
+    val off = SessionConfs.withConfs(spark,
+      FileIO.spjConfs.map {
+        case (k, _) if k.contains("v2.bucketing") => k -> "false"
+        case kv => kv
+      }: _*)(joinPlan())
+    assert(off.contains("Exchange hashpartitioning"),
+      s"with v2 bucketing off the join must shuffle (contrast):\n$off")
+  }
+
   test("q287 scan-reported ordering elides the fact-side sort in the shard join") {
     import graft.operators.FileIO
     import org.apache.spark.sql.execution.{SortExec, SparkPlan}

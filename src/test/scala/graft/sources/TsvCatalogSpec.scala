@@ -490,6 +490,71 @@ class TsvCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("BIGINT or STRING"), e.getMessage)
   }
 
+  test("bucket(n, col): hash layout by name, co-bucketed join with zero exchanges") {
+    import org.apache.spark.sql.functions.col
+    val (c, root) = freshCatalogWithRoot()
+    spark.sql(s"CREATE NAMESPACE $c.bk")
+    spark.sql(s"CREATE TABLE $c.bk.a (user_id BIGINT, n BIGINT) " +
+      "PARTITIONED BY (bucket(8, user_id))")
+    spark.sql(s"CREATE TABLE $c.bk.b (user_id BIGINT, m BIGINT) " +
+      "PARTITIONED BY (bucket(8, user_id))")
+    spark.range(200).selectExpr("id AS user_id", "id * 2 AS n")
+      .createOrReplaceTempView("bk_src_a")
+    spark.range(150).selectExpr("id AS user_id", "id * 3 AS m")
+      .createOrReplaceTempView("bk_src_b")
+    spark.sql(s"INSERT INTO $c.bk.a SELECT * FROM bk_src_a")
+    spark.sql(s"INSERT INTO $c.bk.b SELECT * FROM bk_src_b")
+    // physical layout: every row landed in its hash bucket's dir, ONE
+    // file per bucket per job (the write declares bucket clustering)
+    val dirs = new java.io.File(s"$root/bk/a").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.length == 8 && dirs.forall(_.startsWith("_graft_bucket=")),
+      s"bucket layout: ${dirs.mkString(",")}")
+    dirs.foreach { d =>
+      val files = new java.io.File(s"$root/bk/a/$d").listFiles()
+        .filter(_.isFile).filterNot(_.getName.startsWith("_"))
+      assert(files.length == 1,
+        s"one file per bucket per job, got ${files.length} in $d")
+    }
+    // values round-trip (the cluster column stays in the lines)
+    assert(spark.table(s"$c.bk.a").count() == 200)
+    assert(spark.sql(s"SELECT sum(n) FROM $c.bk.a").head().getLong(0) ==
+      (0L until 200).map(_ * 2).sum)
+    // the join: co-bucketed scans report bucket(8, user_id), the
+    // catalog's FunctionCatalog resolves it, and the storage-
+    // partitioned join plans with NO exchange on either side
+    val spjPlan = graft.SessionConfs.withConfs(spark,
+      graft.operators.FileIO.spjConfs: _*) {
+      val j = spark.table(s"$c.bk.a")
+        .join(spark.table(s"$c.bk.b"), "user_id")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("rows"),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.expr("n + m")).as("total"))
+      val rows = j.collect()
+      assert(rows.head.getLong(0) == 150 &&
+        rows.head.getLong(1) == (0L until 150).map(i => i * 2 + i * 3).sum,
+        s"join values: ${rows.mkString}")
+      j.queryExecution.executedPlan.toString
+    }
+    assert(!spjPlan.contains("Exchange hashpartitioning"),
+      s"co-bucketed join must elide both exchanges:\n$spjPlan")
+    // bucket pruning: a point lookup reads ONE bucket directory
+    val one = spark.table(s"$c.bk.a").filter(col("user_id") === 42L)
+    assert(one.count() == 1)
+    assert(one.rdd.getNumPartitions == 1,
+      "a point lookup must plan exactly the key's bucket")
+    // refusals: non-BIGINT bucket column, silly bucket counts
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $c.bk.bad (s STRING) " +
+        "PARTITIONED BY (bucket(8, s))")
+    }
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $c.bk.bad2 (x BIGINT) " +
+        "PARTITIONED BY (bucket(100000, x))")
+    }
+  }
+
   test("streaming writes to a partitioned table refuse loudly") {
     val b = new TsvKeyedWriteBuilder(
       org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, shard BIGINT"),
