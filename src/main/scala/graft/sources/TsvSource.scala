@@ -368,9 +368,15 @@ final class TsvTable(tableSchema: StructType, path: String,
         s"positive, got $n")
       n
     }
+    val maxFileAge = Option(options.get("maxFileAgeMs")).map { v =>
+      val n = v.toLong
+      require(n > 0, s"graft tsv source: maxFileAgeMs must be " +
+        s"positive, got $n")
+      n
+    }
     new TsvScanBuilder(tableSchema, path, splitBytes, partitionCol,
       strictLayout = optionCol.nonEmpty,
-      streamLimits = TsvStreamLimits(maxFiles, maxBytes),
+      streamLimits = TsvStreamLimits(maxFiles, maxBytes, maxFileAge),
       bucketSpec = bucketSpec)
   }
 }
@@ -402,11 +408,16 @@ final case class TsvSortKey(name: String, asc: Boolean, nullsFirst: Boolean)
 final case class TsvTopNSpec(keys: Seq[TsvSortKey], n: Int)
 
 /** Per-trigger admission bounds for the micro-batch stream (both unset
-  * = drain everything new per trigger). */
+  * = drain everything new per trigger), plus the optional retention
+  * horizon: with `maxFileAgeMs` set, files older than (newest file's
+  * mtime - age) are IGNORED — never admitted — and the driver's
+  * seen-set prunes entries past the horizon at each compaction, so
+  * memory stays bounded on an ever-appending store (FileStreamSource's
+  * maxFileAge contract). */
 final case class TsvStreamLimits(maxFiles: Option[Int],
-    maxBytes: Option[Long])
+    maxBytes: Option[Long], maxFileAgeMs: Option[Long] = None)
 object TsvStreamLimits {
-  val none: TsvStreamLimits = TsvStreamLimits(None, None)
+  val none: TsvStreamLimits = TsvStreamLimits(None, None, None)
 }
 
 final class TsvScanBuilder(fullSchema: StructType, path: String,
@@ -1154,7 +1165,19 @@ final class TsvMicroBatchStream(fullSchema: StructType,
     // bounded batch first; the next call resumes normal admission.
     if (latestVersion > start.asInstanceOf[TsvVersionOffset].v)
       return TsvVersionOffset(latestVersion)
-    val candidates0 = currentKeyedFiles.map(_._1).filterNot(seen).sorted
+    val allFiles = currentKeyedFiles.map(_._1)
+    // retention horizon (maxFileAgeMs): newest mtime anchors the
+    // cutoff, so the horizon advances with the data, never the wall
+    // clock — an idle store expires nothing
+    val ageCutoff: Option[Long] = streamLimits.maxFileAgeMs.flatMap { age =>
+      val mtimes = allFiles.map(p => new java.io.File(p).lastModified())
+        .filter(_ > 0L)
+      if (mtimes.isEmpty) None else Some(mtimes.max - age)
+    }
+    val candidates0 = allFiles
+      .filter(p => ageCutoff.forall(c =>
+        new java.io.File(p).lastModified() >= c))
+      .filterNot(seen).sorted
     // under AvailableNow, files that landed AFTER prepare wait for the
     // next run — the drain frontier is fixed or the query never ends
     val candidates =
@@ -1165,6 +1188,16 @@ final class TsvMicroBatchStream(fullSchema: StructType,
       writeList(deltaFile(latestVersion), admitted)
       seen ++= admitted
       if (latestVersion % CompactInterval == 0) {
+        // the compaction is the natural moment to expire seen entries
+        // past the retention horizon: the cutoff that stops a file
+        // being ADMITTED also makes its seen entry dead weight (mtimes
+        // only grow, so an expired file can never re-qualify), and
+        // without expiry the seen-set grows without bound on an
+        // ever-appending store
+        ageCutoff.foreach { c =>
+          seen.filterInPlace(p =>
+            new java.io.File(p).lastModified() >= c)
+        }
         writeList(compactFile(latestVersion), seen.toSeq.sorted)
         // deltas at or below the PREVIOUS compact are unreachable by
         // any replay (Spark replays at most the one uncommitted batch),

@@ -728,6 +728,123 @@ class TsvSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("exactly-once"), e.getMessage)
   }
 
+  test("restart mid-drain recovers from a compact + deltas and finishes the drain exactly-once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsv_mb").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_tsv_cp").toString
+    (0 until 30).foreach(i => addShard(dir, f"part-$i%05d.txt", 1 to 2))
+    val limits = TsvStreamLimits(maxFiles = Some(2), maxBytes = None)
+    val s1 = mkStream(dir, cp, limits)
+    // drive 12 bounded versions: the log compacts at 10, so the
+    // checkpoint now holds 10.compact + deltas 11,12 — the recovery
+    // shape a mid-drain kill leaves behind
+    var off = s1.initialOffset()
+    val firstRun = scala.collection.mutable.Buffer.empty[String]
+    (1 to 12).foreach { _ =>
+      val next = s1.latestOffset(off, s1.getDefaultReadLimit)
+      firstRun ++= batchFiles(s1, off, next); off = next
+    }
+    assert(new java.io.File(new java.io.File(cp, "graft_tsv_seen"),
+      "10.compact").isFile, "the kill point must sit past a compaction")
+    // "crash": a fresh stream over the same checkpoint rebuilds seen
+    // from the compact + following deltas, then finishes the drain in
+    // bounded batches — every file exactly once across both runs
+    val s2 = mkStream(dir, cp, limits)
+    var off2: org.apache.spark.sql.connector.read.streaming.Offset =
+      s2.deserializeOffset(off.json())
+    val secondRun = scala.collection.mutable.Buffer.empty[String]
+    var advancing = true
+    while (advancing) {
+      val next = s2.latestOffset(off2, s2.getDefaultReadLimit)
+      if (next.json() == off2.json()) advancing = false
+      else { secondRun ++= batchFiles(s2, off2, next); off2 = next }
+    }
+    assert(secondRun.size == 6 && secondRun.forall(_.nonEmpty),
+      s"resume must drain the remaining 6 bounded batches")
+    val all = firstRun ++ secondRun
+    assert(all.size == 30 && all.distinct.size == 30,
+      s"exactly-once across the restart: ${all.size} files, " +
+        s"${all.distinct.size} distinct")
+  }
+
+  test("maxFileAgeMs: files past the retention horizon are ignored and expire from the seen-set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsv_mb").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_tsv_cp").toString
+    val now = System.currentTimeMillis()
+    addShard(dir, "part-old.txt", 1 to 2)
+    new java.io.File(dir, "part-old.txt").setLastModified(now - 60_000L)
+    (0 until 12).foreach { i =>
+      addShard(dir, f"part-$i%05d.txt", 1 to 2)
+      new java.io.File(dir, f"part-$i%05d.txt").setLastModified(now)
+    }
+    val s1 = mkStream(dir, cp, TsvStreamLimits(maxFiles = Some(1),
+      maxBytes = None, maxFileAgeMs = Some(10_000L)))
+    var off = s1.initialOffset()
+    val admitted = scala.collection.mutable.Buffer.empty[String]
+    var advancing = true
+    while (advancing) {
+      val next = s1.latestOffset(off, s1.getDefaultReadLimit)
+      if (next.json() == off.json()) advancing = false
+      else { admitted ++= batchFiles(s1, off, next); off = next }
+    }
+    assert(admitted.size == 12 && !admitted.exists(_.contains("part-old")),
+      s"a file past the horizon must never be admitted: $admitted")
+    // 12 versions → compacted at 10; the compact snapshot carries only
+    // in-horizon entries (bounded driver memory on an appending store)
+    val compact = new java.io.File(new java.io.File(cp, "graft_tsv_seen"),
+      "10.compact")
+    assert(compact.isFile)
+    val snapshot = new String(
+      java.nio.file.Files.readAllBytes(compact.toPath), "UTF-8")
+    assert(!snapshot.contains("part-old"),
+      s"expired entries must prune from the compact: $snapshot")
+  }
+
+  test("offset log at high file count: O(1) offsets, O(new) deltas, bounded log footprint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsv_mb").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_tsv_cp").toString
+    val nFiles = 20000
+    (0 until nFiles).foreach { i =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, f"part-$i%06d.txt"),
+        s"$i\tn$i\t1.5\tx\n".getBytes("UTF-8"))
+      ()
+    }
+    val s1 = mkStream(dir, cp,
+      TsvStreamLimits(maxFiles = Some(2000), maxBytes = None))
+    var off = s1.initialOffset()
+    var triggers = 0
+    val wall = scala.collection.mutable.Buffer.empty[Long]
+    var advancing = true
+    while (advancing) {
+      val t0 = System.nanoTime()
+      val next = s1.latestOffset(off, s1.getDefaultReadLimit)
+      wall += (System.nanoTime() - t0) / 1000000
+      if (next.json() == off.json()) advancing = false
+      else {
+        // offset payload: one integer, regardless of 20k-file store
+        assert(next.json().length < 16, s"offset grew: ${next.json()}")
+        triggers += 1; off = next
+      }
+    }
+    assert(triggers == 10, s"20k files at 2000/trigger = 10 batches, got $triggers")
+    val log = new java.io.File(cp, "graft_tsv_seen")
+    val names = log.listFiles().map(_.getName)
+    // compaction kept the footprint bounded: one live compact + the
+    // post-compact deltas, never 10 full-store snapshots
+    assert(names.count(_.endsWith(".compact")) == 1,
+      s"exactly one live compact: ${names.sorted.mkString(",")}")
+    assert(names.count(n => n.forall(_.isDigit)) <= 11,
+      s"pruned deltas must not accumulate: ${names.length} files")
+    // a delta is O(admitted batch), not O(store): ~2000 paths each
+    val d = new java.io.File(log, "1")
+    val delta1 = new String(
+      java.nio.file.Files.readAllBytes(d.toPath), "UTF-8")
+    assert(delta1.count(_ == ',') < 2000,
+      "a delta must carry one batch, not the store listing")
+    info(s"latestOffset wall per trigger at ${nFiles} files: " +
+      s"${wall.mkString(", ")} ms")
+  }
+
   // ---- write path (SupportsWrite: task-commit protocol) ----
 
   private def writeFrame(rows: Seq[(Long, String, java.lang.Double, String)]) =
