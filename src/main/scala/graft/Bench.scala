@@ -93,22 +93,36 @@ object Bench {
     val samples = (1 to repeats).flatMap(_ => pass(_ => true)) ++
       (1 to streamExtra).flatMap(_ => pass(streamingNames))
     val results = named.map { case (name, _) =>
-      val mine = samples.filter(_._1 == name)
-      val med = mine.map(_._2).sorted.apply(mine.size / 2)
-      (name, med, mine.forall(_._3))
+      val mine = samples.filter(_._1 == name).map(_._2).sorted
+      val med = mine(mine.size / 2)
+      (name, med, mine.head, mine.last,
+        samples.filter(_._1 == name).forall(_._3))
     }
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    // NOISE metadata (VERDICT r15 item 1): the per-query sample spread
+    // makes run-to-run noise VISIBLE in the snapshot itself — total_min
+    // is the sum of per-query best samples (the standard wall-time
+    // noise estimator: noise is one-sided, so the min is the best
+    // point estimate of true cost), total_max the worst; their gap over
+    // the median total is the within-run noise band. A cross-round
+    // comparison should trust total_min movements and discount median
+    // movements smaller than noise_pct.
+    val totalMin = results.map(_._3).sum
+    val totalMax = results.map(_._4).sum
+    val noisePct = if (total > 0) 100.0 * (totalMax - totalMin) / total else 0.0
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     // Full per-query medians go to a file (the harness that captures this
     // process keeps only a short stdout tail, so the printed line must stay
     // small); stdout carries the total + the slowest queries, which is the
     // part a reader acts on.
-    val fullQs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+    val fullQs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val fullMins = results.map { case (k, _, mn, _, _) => "\"" + k + "\":" + fmt(mn) }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"repeats":$repeats,"stream_repeats":${repeats + streamExtra}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"query_mins":$fullMins,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"repeats":$repeats,"stream_repeats":${repeats + streamExtra},"total_min":${fmt(totalMin)},"total_max":${fmt(totalMax)},"noise_pct":${fmt(noisePct)},"protocol":"per-query median of $repeats interleaved passes (+$streamExtra for streaming); total_min = sum of best samples"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
@@ -122,9 +136,9 @@ object Bench {
       java.nio.file.StandardOpenOption.APPEND)
     catch { case _: Throwable => () }
     val top = results.sortBy(-_._2).take(12)
-      .map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+      .map { case (k, v, _, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$top,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"note":"queries = 12 slowest of n_queries; all medians of $repeats interleaved passes in BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$top,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"total_min":${fmt(totalMin)},"noise_pct":${fmt(noisePct)},"note":"queries = 12 slowest of n_queries; medians + mins + spread in BENCH_FULL.json"}""")
     spark.stop()
   }
 }

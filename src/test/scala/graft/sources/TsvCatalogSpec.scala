@@ -195,11 +195,12 @@ class TsvCatalogSpec extends AnyFunSuite {
   test("refusals are loud: non-identity partitioning, non-ADD ALTER, multi-level namespaces") {
     val c = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $c.ns")
-    // ONE BIGINT identity column is the supported partitioning; every
-    // other transform promises a layout the store does not have
+    // ONE identity column (BIGINT/STRING) or ONE single-column bucket
+    // is the supported partitioning; every other transform promises a
+    // layout the store does not have (multi-column bucket included)
     val e1 = intercept[Exception] {
-      spark.sql(s"CREATE TABLE $c.ns.p (id BIGINT, shard BIGINT) " +
-        "PARTITIONED BY (bucket(4, shard))")
+      spark.sql(s"CREATE TABLE $c.ns.p (id BIGINT, a BIGINT, b BIGINT) " +
+        "PARTITIONED BY (bucket(4, a, b))")
     }
     assert(e1.getMessage.contains("only PARTITIONED BY"), e1.getMessage)
     // (BIGINT and STRING identity keys are supported; a DOUBLE key —
