@@ -195,9 +195,14 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     // bounded retry: a reader can resolve the pointer to a generation
     // the very next commit is reclaiming — the re-resolve lands on the
     // NEW generation (the pointer has already flipped), so the name
-    // always answers old-or-new, never NoSuchTable mid-REPLACE
+    // always answers old-or-new, never NoSuchTable mid-REPLACE. Losing
+    // the race requires a commit to land inside the microseconds
+    // between resolve and read, so ten consecutive losses means
+    // pathological replace churn — surface THAT, not a raw
+    // NoSuchFileException (and never a false NoSuchTable: the table
+    // exists, it just cannot be read stably)
     var attempt = 0
-    while (true) {
+    while (attempt <= 10) {
       val dir = resolvedExistingRetry(ident)
         .getOrElse(throw new NoSuchTableException(ident))
       try {
@@ -208,11 +213,15 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
           pcol, bspec)
       } catch {
         case _: java.nio.file.NoSuchFileException |
-             _: java.io.FileNotFoundException if attempt < 5 =>
+             _: java.io.FileNotFoundException =>
           attempt += 1
+          Thread.`yield`()
       }
     }
-    throw new IllegalStateException("unreachable")
+    throw new IllegalStateException(
+      s"graft tsv catalog: table $ident is being replaced faster than " +
+        "it can be read (10 consecutive resolve/read races lost) — " +
+        "throttle the REPLACE cadence")
   }
 
   /** `PARTITIONED BY` at create time: exactly ONE single-column
@@ -533,6 +542,13 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
       throw new java.io.IOException(
         s"graft tsv catalog: rename failed: $from -> $to")
     GraftTsvCatalog.genPtrFile(from.getParentFile, oldIdent.name()).delete()
+    // a gen-based source may sit beside a STALE plain dir (a crashed
+    // REPLACE's unreclaimed old generation): without this sweep the
+    // OLD name would resurrect pre-replace data through the plain-dir
+    // fallback once the pointer is gone — same hazard dropTable clears
+    val stalePlain = tableDir(oldIdent)
+    if (from != stalePlain && stalePlain.isDirectory)
+      TsvWritePaths.deleteRecursively(stalePlain)
     ()
   }
 

@@ -221,7 +221,11 @@ final class TsvTable(tableSchema: StructType, path: String,
     // take string literals verbatim — a mistyped literal refuses the
     // whole DELETE rather than matching nothing silently
     def tokenOf(v: Any): Option[String] = v match {
-      case n: java.lang.Number if !keyIsString => Some(n.longValue.toString)
+      // INTEGRAL literals only for BIGINT keys: truncating 7.5 through
+      // longValue would delete shard=7 although no row matches key=7.5
+      case n @ (_: java.lang.Long | _: java.lang.Integer |
+          _: java.lang.Short | _: java.lang.Byte) if !keyIsString =>
+        Some(n.asInstanceOf[java.lang.Number].longValue.toString)
       case s: String if keyIsString => Some(s)
       case u: UTF8String if keyIsString => Some(u.toString)
       case _ => None
@@ -740,9 +744,16 @@ final class TsvScan(fullSchema: StructType, required: StructType,
   // this is a superset filter — Spark's own join still decides rows)
   private var runtimeBuckets: Option[Set[Int]] = None
   private def onBucketCol(a: String): Boolean = bucketSpec.exists(_._1 == a)
-  private def keepBuckets(vs: Seq[Any]): Set[Int] =
-    vs.collect { case v: java.lang.Number =>
-      TsvBuckets.bucketOf(v.longValue, bucketSpec.get._2) }.toSet
+  // ALL values must convert or the filter is declined entirely: a
+  // partial keep-set would prune buckets an unconvertible value (null,
+  // non-numeric) might still need — Spark keeps its own join filter
+  // either way, so declining only costs the pruning
+  private def keepBuckets(vs: Seq[Any]): Option[Set[Int]] =
+    if (vs.nonEmpty && vs.forall(_.isInstanceOf[java.lang.Number]))
+      Some(vs.map(v => TsvBuckets.bucketOf(
+        v.asInstanceOf[java.lang.Number].longValue, bucketSpec.get._2))
+        .toSet)
+    else None
 
   override def filter(filters: Array[Filter]): Unit =
     filters.foreach {
@@ -754,11 +765,13 @@ final class TsvScan(fullSchema: StructType, required: StructType,
         val keep = runtimeToken(v).toSet
         runtimeKeys = Some(runtimeKeys.fold(keep)(_ intersect keep))
       case In(a, vs) if onBucketCol(a) =>
-        val keep = keepBuckets(vs.toSeq)
-        runtimeBuckets = Some(runtimeBuckets.fold(keep)(_ intersect keep))
+        keepBuckets(vs.toSeq).foreach { keep =>
+          runtimeBuckets = Some(runtimeBuckets.fold(keep)(_ intersect keep))
+        }
       case EqualTo(a, v) if onBucketCol(a) =>
-        val keep = keepBuckets(Seq(v))
-        runtimeBuckets = Some(runtimeBuckets.fold(keep)(_ intersect keep))
+        keepBuckets(Seq(v)).foreach { keep =>
+          runtimeBuckets = Some(runtimeBuckets.fold(keep)(_ intersect keep))
+        }
       case _ => () // unsupported shape: Spark keeps its own filter
     }
 
@@ -1168,15 +1181,19 @@ final class TsvMicroBatchStream(fullSchema: StructType,
     val allFiles = currentKeyedFiles.map(_._1)
     // retention horizon (maxFileAgeMs): newest mtime anchors the
     // cutoff, so the horizon advances with the data, never the wall
-    // clock — an idle store expires nothing
+    // clock — an idle store expires nothing. One stat pass: mtimes are
+    // materialized once for both the max and the filter (the listing
+    // already dominates this path; doubling its syscalls would not)
+    val withMtime: Seq[(String, Long)] =
+      if (streamLimits.maxFileAgeMs.isEmpty) allFiles.map(_ -> 0L)
+      else allFiles.map(p => p -> new java.io.File(p).lastModified())
     val ageCutoff: Option[Long] = streamLimits.maxFileAgeMs.flatMap { age =>
-      val mtimes = allFiles.map(p => new java.io.File(p).lastModified())
-        .filter(_ > 0L)
+      val mtimes = withMtime.map(_._2).filter(_ > 0L)
       if (mtimes.isEmpty) None else Some(mtimes.max - age)
     }
-    val candidates0 = allFiles
-      .filter(p => ageCutoff.forall(c =>
-        new java.io.File(p).lastModified() >= c))
+    val candidates0 = withMtime
+      .filter { case (_, m) => ageCutoff.forall(m >= _) }
+      .map(_._1)
       .filterNot(seen).sorted
     // under AvailableNow, files that landed AFTER prepare wait for the
     // next run — the drain frontier is fixed or the query never ends
@@ -1764,10 +1781,11 @@ final class TsvBatchWrite(schema: StructType, path: String,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new java.io.File(TsvWritePaths.strip(path))
     if (truncateFirst)
-      Option(root.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && !f.getName.startsWith("_") &&
-          !f.getName.startsWith("."))
-        .foreach(_.delete())
+      TsvWritePaths.deleteAllOrThrow(
+        Option(root.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith(".")).toSeq,
+        "overwrite-truncate")
     root.mkdirs()
     messages.foreach { case TsvTaskCommit(tmp, _, _) =>
       val src = new java.io.File(tmp)
@@ -2090,16 +2108,28 @@ private[sources] object TsvWritePaths {
     * state, the silent-no-op failure class. Every path the store
     * touches funnels through here, so the refusal covers tables,
     * sinks, catalogs, and the stream log in one place. */
+  /** Remote filesystem schemes refused even WITHOUT the `//` (an
+    * `hdfs:/x` single-slash URI is legal and would silently go local
+    * otherwise). Kept to schemes that are unambiguously remote so a
+    * legal POSIX filename with a colon in its first segment
+    * (`out:v2/data`) keeps resolving locally. */
+  private val RemoteSchemes = Set("hdfs", "webhdfs", "viewfs", "s3",
+    "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos",
+    "ftp", "sftp", "http", "https")
   def strip(p: String): String =
     if (p.startsWith("file:")) p.stripPrefix("file:")
     else {
       val i = p.indexOf(':')
-      // a ':' that terminates a leading URI-scheme token (s3a://…,
-      // hdfs://…, gs:…) marks a non-local path; a bare local path has
-      // no such prefix (and a one-char token is a Windows drive, not
-      // a scheme, per the URI grammar's 2+-char convention)
-      if (i > 1 && p.take(i).forall(c =>
-          c.isLetterOrDigit || c == '+' || c == '-' || c == '.'))
+      val scheme =
+        if (i > 1 && p.take(i).forall(c =>
+            c.isLetterOrDigit || c == '+' || c == '-' || c == '.'))
+          Some(p.take(i).toLowerCase(java.util.Locale.ROOT))
+        else None
+      // `<scheme>://…` is always a URI; a single-colon form counts
+      // only when the scheme is a known remote filesystem
+      val remote = scheme.exists(sch =>
+        p.drop(i + 1).startsWith("//") || RemoteSchemes.contains(sch))
+      if (remote)
         throw new IllegalArgumentException(
           s"graft tsv store: only local paths (plain or file:) are " +
             s"supported, got scheme '${p.take(i)}' in $p — the store " +
@@ -2113,6 +2143,18 @@ private[sources] object TsvWritePaths {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete()
     ()
+  }
+  /** Truncation that cannot lie: paths surviving their delete FAIL the
+    * statement (an undeletable file silently surviving a truncate that
+    * reported success is resurrected data on the next scan — the same
+    * convention as TsvTable.truncateTable). */
+  def deleteAllOrThrow(paths: Seq[java.io.File], what: String): Unit = {
+    paths.foreach(deleteRecursively)
+    val survivors = paths.filter(_.exists())
+    if (survivors.nonEmpty)
+      throw new java.io.IOException(
+        s"graft tsv sink: $what could not delete ${survivors.size} " +
+          s"path(s), e.g. ${survivors.head}")
   }
 }
 
@@ -2318,8 +2360,8 @@ final class TsvBucketedBatchWrite(schema: StructType, path: String,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new java.io.File(TsvWritePaths.strip(path))
     if (truncateFirst)
-      TsvBuckets.bucketDirs(path).map(_._2)
-        .foreach(TsvWritePaths.deleteRecursively)
+      TsvWritePaths.deleteAllOrThrow(TsvBuckets.bucketDirs(path).map(_._2),
+        "bucketed overwrite-truncate")
     root.mkdirs()
     messages.foreach { case TsvKeyedTaskCommit(files, _, _) =>
       files.foreach { case (token, tmp) =>
@@ -2443,9 +2485,11 @@ final class TsvKeyedBatchWrite(schema: StructType, path: String,
     // truncate = drop whole key directories (an empty key dir would
     // still be listed as a live partition by the keyed read)
     if (truncateFirst)
-      Option(root.listFiles()).getOrElse(Array.empty)
-        .filter(d => d.isDirectory && d.getName.startsWith(keyCol + "="))
-        .foreach(TsvWritePaths.deleteRecursively)
+      TsvWritePaths.deleteAllOrThrow(
+        Option(root.listFiles()).getOrElse(Array.empty)
+          .filter(d => d.isDirectory && d.getName.startsWith(keyCol + "="))
+          .toSeq,
+        "keyed overwrite-truncate")
     root.mkdirs()
     messages.foreach { case TsvKeyedTaskCommit(files, _, _) =>
       files.foreach { case (token, tmp) =>
