@@ -1662,6 +1662,70 @@ object FileIO extends QueryPack {
     }
   }
 
+  /** q309: REPLACE VISIBILITY UNDER CONCURRENT READERS — the
+    * current-generation pointer as a gated behavior. The nightly
+    * rebuild of a served summary table is the canonical 100 TB shape:
+    * `REPLACE TABLE … AS SELECT` runs while dashboards read the same
+    * name, and the old two-rename swap had an instant where the name
+    * resolved to NOTHING (NoSuchTableException for whoever asked at the
+    * wrong microsecond). The staged commit now promotes the staging dir
+    * to an invisible generation directory and flips a pointer file in
+    * ONE atomic write, so the name answers old-or-new at every instant.
+    * The gate hammers the name from a reader thread through EIGHT
+    * successive REPLACEs (each widening a keyset filter) and REQUIRES
+    * zero reader misses with continuous observation; the result is the
+    * final snapshot, whose oracle is the full aggregate over parquet.
+    * TsvCatalogSpec pins the layout (one generation + pointer after N
+    * replaces) and the rename/drop composition. */
+  private def q309(s: SparkSession, dir: String): DataFrame = {
+    val cat = ensureCatalog(s, dir)
+    s.sql(s"DROP TABLE IF EXISTS $cat.lake.snap309")
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .createOrReplaceTempView("graft_src309")
+    def snapSql(keyMod: Int): String =
+      s"""SELECT o_orderpriority AS priority, count(*) AS n,
+         |  CAST(sum(cents) AS BIGINT) AS total_cents
+         |FROM graft_src309 WHERE o_orderkey % 16 < $keyMod
+         |GROUP BY 1""".stripMargin
+    s.sql(s"CREATE TABLE $cat.lake.snap309 AS ${snapSql(2)}")
+    val reads = new java.util.concurrent.atomic.AtomicLong(0L)
+    @volatile var stop = false
+    @volatile var readerFailure: Throwable = null
+    val reader = new Thread(() => {
+      while (!stop && readerFailure == null) {
+        try {
+          require(s.table(s"$cat.lake.snap309").count() > 0,
+            "q309: the served snapshot answered empty")
+          reads.incrementAndGet()
+          ()
+        } catch { case e: Throwable => readerFailure = e }
+      }
+    })
+    reader.start()
+    try {
+      // eight successive rebuilds, the last covering every key (% 16 <
+      // 16) so the final snapshot states the full aggregate
+      (1 to 8).foreach { i =>
+        s.sql(s"REPLACE TABLE $cat.lake.snap309 AS ${snapSql(2 * i)}")
+      }
+    } finally {
+      stop = true
+      reader.join(60000)
+    }
+    require(readerFailure == null,
+      s"q309: a reader lost the name mid-REPLACE: $readerFailure")
+    require(reads.get() >= 5,
+      s"q309: the reader must observe the table continuously under " +
+        s"rebuilds (got ${reads.get()} reads)")
+    val result = s.table(s"$cat.lake.snap309").orderBy("priority")
+    val rows = result.collect()
+    s.sql(s"DROP TABLE $cat.lake.snap309")
+    s.catalog.dropTempView("graft_src309")
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+  }
+
   /** q294: catalog SCHEMA EVOLUTION — `ALTER TABLE … ADD COLUMN` on the
     * DSv2 TSV catalog is a METADATA-ONLY write (one sidecar file), and
     * pre-evolution shards surface explicit NULL for the new column in
@@ -1814,6 +1878,11 @@ object FileIO extends QueryPack {
   }
 
   override def queries: Seq[Q] = Seq(
+    Q("q309_replace_visibility", q309, Some(
+      """SELECT o_orderpriority AS priority, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q307_catalog_bucketed_join", q307, Some(
       """WITH c AS (
         |  SELECT user_id, count(*) AS n_clicks,

@@ -210,7 +210,7 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
           java.nio.file.Files.readAllBytes(schemaFile(dir).toPath), "UTF-8")
         val (pcol, bspec) = GraftTsvCatalog.readLayoutSidecar(dir)
         return new TsvTable(StructType.fromDDL(ddl), dir.getPath,
-          pcol, bspec)
+          pcol, bspec, requireDir = true)
       } catch {
         case _: java.nio.file.NoSuchFileException |
              _: java.io.FileNotFoundException =>
@@ -503,7 +503,7 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     }
     writeSidecarAtomic(dir, schema)
     val (pcol, bspec) = GraftTsvCatalog.readLayoutSidecar(dir)
-    new TsvTable(schema, dir.getPath, pcol, bspec)
+    new TsvTable(schema, dir.getPath, pcol, bspec, requireDir = true)
   }
 
   override def dropTable(ident: Identifier): Boolean =
@@ -517,6 +517,13 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
         val ns = dir.getParentFile
         GraftTsvCatalog.genPtrFile(ns, ident.name()).delete()
         TsvWritePaths.deleteRecursively(dir)
+        // every generation goes (the grace-retained previous one
+        // included), and the stale plain dir — or the dropped table
+        // would reappear through the plain-dir fallback
+        Option(ns.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory &&
+            f.getName.startsWith(s"_gen_${ident.name()}_"))
+          .foreach(TsvWritePaths.deleteRecursively)
         val plain = tableDir(ident)
         if (plain.isDirectory) TsvWritePaths.deleteRecursively(plain)
         true
@@ -542,10 +549,15 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
       throw new java.io.IOException(
         s"graft tsv catalog: rename failed: $from -> $to")
     GraftTsvCatalog.genPtrFile(from.getParentFile, oldIdent.name()).delete()
-    // a gen-based source may sit beside a STALE plain dir (a crashed
-    // REPLACE's unreclaimed old generation): without this sweep the
-    // OLD name would resurrect pre-replace data through the plain-dir
-    // fallback once the pointer is gone — same hazard dropTable clears
+    // a gen-based source leaves the grace-retained previous generation
+    // and possibly a stale plain dir behind at the OLD name: sweep
+    // both, or the old name would resurrect pre-replace data through
+    // the plain-dir fallback once the pointer is gone (dropTable's
+    // hazard, same cure)
+    Option(from.getParentFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory &&
+        f.getName.startsWith(s"_gen_${oldIdent.name()}_"))
+      .foreach(TsvWritePaths.deleteRecursively)
     val stalePlain = tableDir(oldIdent)
     if (from != stalePlain && stalePlain.isDirectory)
       TsvWritePaths.deleteRecursively(stalePlain)
@@ -772,10 +784,22 @@ final class TsvStagedTable(tableSchema: StructType,
             s"graft tsv catalog: staged replace could not promote " +
               s"$stagingDir -> $gen")
         GraftTsvCatalog.writeGenPointerAtomic(ns, table, gen.getName)
-        TsvWritePaths.deleteRecursively(old)
-        // a stale plain dir from a crashed earlier commit must not
-        // linger under the pointer (it would resurrect if the pointer
-        // were ever lost)
+        // SNAPSHOT GRACE: the SUPERSEDED generation survives until the
+        // NEXT publish. A reader that resolved it just before the flip
+        // finishes its scan against a complete directory (a one-behind
+        // snapshot — the old-or-new contract); only a reader outliving
+        // a FULL rebuild cycle can meet a reclaimed generation, and
+        // the scan then fails LOUDLY (missing dir != empty table for
+        // catalog-resolved tables), never answers empty. What gets
+        // reclaimed here is everything OLDER than the grace window:
+        // generations beyond current+previous, and the stale plain dir
+        // once a generation holds the grace slot.
+        val keep = Set(gen.getName, old.getName)
+        Option(ns.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory &&
+            f.getName.startsWith(s"_gen_${table}_") &&
+            !keep.contains(f.getName))
+          .foreach(TsvWritePaths.deleteRecursively)
         if (old.getName != table && finalDir.isDirectory)
           TsvWritePaths.deleteRecursively(finalDir)
       case None =>

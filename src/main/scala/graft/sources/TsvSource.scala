@@ -68,7 +68,8 @@ class TsvSourceProvider extends TableProvider {
 
 final class TsvTable(tableSchema: StructType, path: String,
     tablePartitionCol: Option[String] = None,
-    bucketSpec: Option[(String, Int)] = None)
+    bucketSpec: Option[(String, Int)] = None,
+    requireDir: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -381,7 +382,7 @@ final class TsvTable(tableSchema: StructType, path: String,
     new TsvScanBuilder(tableSchema, path, splitBytes, partitionCol,
       strictLayout = optionCol.nonEmpty,
       streamLimits = TsvStreamLimits(maxFiles, maxBytes, maxFileAge),
-      bucketSpec = bucketSpec)
+      bucketSpec = bucketSpec, requireDir = requireDir)
   }
 }
 
@@ -428,7 +429,8 @@ final class TsvScanBuilder(fullSchema: StructType, path: String,
     splitBytes: Long, partitionCol: Option[String] = None,
     strictLayout: Boolean = true,
     streamLimits: TsvStreamLimits = TsvStreamLimits.none,
-    bucketSpec: Option[(String, Int)] = None)
+    bucketSpec: Option[(String, Int)] = None,
+    requireDir: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownTopN
@@ -659,12 +661,12 @@ final class TsvScanBuilder(fullSchema: StructType, path: String,
       new TsvScan(fullSchema, aggSchema(spec), pushed, path, splitBytes,
         limit, partitionCol, Some(spec), strictLayout = strictLayout,
         keyFilters = keyFilters, streamLimits = streamLimits,
-        bucketSpec = bucketSpec)
+        bucketSpec = bucketSpec, requireDir = requireDir)
     case None =>
       new TsvScan(fullSchema, required, pushed, path, splitBytes, limit,
         partitionCol, None, topN, strictLayout = strictLayout,
         keyFilters = keyFilters, streamLimits = streamLimits,
-        bucketSpec = bucketSpec)
+        bucketSpec = bucketSpec, requireDir = requireDir)
   }
 }
 
@@ -676,7 +678,8 @@ final class TsvScan(fullSchema: StructType, required: StructType,
     strictLayout: Boolean = true,
     keyFilters: Array[Filter] = Array.empty,
     streamLimits: TsvStreamLimits = TsvStreamLimits.none,
-    bucketSpec: Option[(String, Int)] = None)
+    bucketSpec: Option[(String, Int)] = None,
+    requireDir: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsReportPartitioning with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -927,7 +930,27 @@ final class TsvScan(fullSchema: StructType, required: StructType,
     * with no coordination. Split size comes from the `split_bytes`
     * read option (default 32 MiB; tests shrink it to force many
     * splits per file). */
-  override def planInputPartitions(): Array[InputPartition] =
+  /** A CATALOG-resolved table's directory exists from CREATE until the
+    * table dies — so a MISSING directory at read-planning time means
+    * the resolved generation was reclaimed (a reader that outlived the
+    * snapshot-grace window) or the table was dropped. Failing loudly
+    * here is what keeps the REPLACE contract honest: the alternative
+    * is a silently EMPTY scan, wrong data with a green status. Path-API
+    * tables keep the lenient view (requireDir=false): a path is just a
+    * path, and empty/missing distinguishes nothing there. */
+  private def requireDirAlive(): Unit =
+    if (requireDir) {
+      val root = new java.io.File(TsvWritePaths.strip(path))
+      if (!root.isDirectory)
+        throw new IllegalStateException(
+          s"graft tsv: table directory $path no longer exists — the " +
+            "resolved generation was reclaimed (reader outlived the " +
+            "snapshot-grace window) or the table was dropped; " +
+            "re-resolve the table name and retry")
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    requireDirAlive()
     partitionCol match {
       case Some(_) =>
         // keyed layout: byte-range splits within each key directory's
@@ -962,6 +985,7 @@ final class TsvScan(fullSchema: StructType, required: StructType,
           case (start, end) => TsvInputPartition(file.getPath, start, end)
         }).map(p => p: InputPartition).toArray
     }
+  }
 
   private def byteSplits(file: java.io.File): Seq[(Long, Long)] =
     TsvLayout.byteSplits(file, splitBytes)
@@ -992,7 +1016,7 @@ final class TsvScan(fullSchema: StructType, required: StructType,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new TsvMicroBatchStream(fullSchema, required, pushed, path,
       splitBytes, partitionCol, keyFilters, streamLimits,
-      checkpointLocation)
+      checkpointLocation, requireDir = requireDir)
 }
 
 /** Offset = a VERSION NUMBER into the stream's checkpointed seen-files
@@ -1041,7 +1065,8 @@ final class TsvMicroBatchStream(fullSchema: StructType,
     splitBytes: Long, partitionCol: Option[String],
     keyFilters: Array[Filter] = Array.empty,
     streamLimits: TsvStreamLimits = TsvStreamLimits.none,
-    checkpointLocation: String = "")
+    checkpointLocation: String = "",
+    requireDir: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -1053,7 +1078,17 @@ final class TsvMicroBatchStream(fullSchema: StructType,
   private val keepKey =
     TsvLayout.keyPredicate(keyFilters, numeric = !keyIsString)
 
-  private def currentKeyedFiles: Seq[(String, Option[String])] =
+  private def currentKeyedFiles: Seq[(String, Option[String])] = {
+    if (requireDir) {
+      val root = new java.io.File(TsvWritePaths.strip(path))
+      if (!root.isDirectory)
+        throw new IllegalStateException(
+          s"graft tsv stream: table directory $path no longer exists — " +
+            "the table was REPLACEd past the snapshot-grace window or " +
+            "dropped while this query ran; restart the query to resolve " +
+            "the current generation (schema/layout changes ride the " +
+            "restart boundary)")
+    }
     partitionCol match {
       case Some(c) =>
         TsvLayout.partitionDirs(path, c, strict = false,
@@ -1070,6 +1105,7 @@ final class TsvMicroBatchStream(fullSchema: StructType,
           else Seq(root).filter(_.isFile)
         files.map(f => f.getPath -> None)
     }
+  }
 
   // ---- the seen-files log ----
 

@@ -1745,6 +1745,74 @@ object StreamingQueries extends QueryPack {
     out
   }
 
+  /** q308: STREAMING RETENTION HORIZON (`maxFileAgeMs`) — the
+    * ever-appending store's memory contract made a gated behavior: a
+    * production ingestion directory accumulates years of shards, and
+    * without a horizon the source's seen-set (and its compact
+    * snapshots) grow with the store's LIFETIME, not its live window.
+    * With `maxFileAgeMs`, files older than (newest file's mtime − age)
+    * are never admitted and their seen entries expire at compaction —
+    * bounded driver state, FileStreamSource's maxFileAge contract; the
+    * horizon anchors to the newest FILE so an idle store expires
+    * nothing. The gate lands an ARCHIVE stratum (event_id % 5 == 0)
+    * with hour-old mtimes and a LIVE stratum with fresh ones in the
+    * SAME store, drains with a 10-minute horizon under bounded
+    * admission, and the aggregate must equal the oracle over the LIVE
+    * stratum only — physically-present archive shards contribute
+    * nothing. TsvSourceSpec pins the mechanics (never-admitted old
+    * shard, seen-set expiry in the compact snapshot). */
+  private def q308(s: SparkSession, dir: String): DataFrame = withNanosAsLong(s) {
+    val root = graft.operators.FileIO.scratch(dir, "stream_tsv_retention")
+    rmrfAll(s, root)
+    val fmt = classOf[graft.sources.TsvSourceProvider].getName
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    // archive stratum: landed an hour ago (mtimes aged after the write)
+    base.filter(col("event_id") % 5 === 0).repartition(3)
+      .write.format(fmt).mode("append").option("path", root).save()
+    val now = System.currentTimeMillis()
+    new java.io.File(root).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_"))
+      .foreach(f => require(f.setLastModified(now - 3600000L),
+        s"q308: could not age $f"))
+    // live stratum: fresh mtimes
+    base.filter(col("event_id") % 5 =!= 0).repartition(6)
+      .write.format(fmt).mode("append").option("path", root).save()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, event_type STRING, cents BIGINT")
+    val agg = s.readStream.format(fmt).schema(schema).option("path", root)
+      .option("maxFilesPerTrigger", "2")
+      .option("maxFileAgeMs", "600000")
+      .load()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))
+    val name = "graft_q308_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val query = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      if (!query.awaitTermination(180000L))
+        sys.error("q308: AvailableNow query did not self-terminate")
+    } finally query.stop()
+    // the drain stayed bounded (6 live shards at 2/trigger = 3 data
+    // batches); the VALUE check is the horizon itself — the oracle
+    // excludes the archive stratum the store physically holds
+    val dataBatches = query.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= 3,
+      s"q308: bounded drain expected >= 3 data batches, got $dataBatches")
+    val result = s.table(name).orderBy("event_type")
+    val rows = result.collect()
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
+    s.catalog.dropTempView(name)
+    rmrfAll(s, root)
+    out
+  }
+
   /** q293: stream PIT against a BUCKETED interval table — q285's
     * documented scale path built: when the versioned dimension outgrows
     * a broadcast, the compacted SCD2 intervals persist ONCE as a
@@ -2737,6 +2805,12 @@ object StreamingQueries extends QueryPack {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(user_id % 4) AS BIGINT) AS sum_g
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    Q("q308_stream_retention_horizon", q308, Some(
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_cents
+        |FROM events WHERE event_id % 5 != 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     Q("q303_stream_bounded_drain", q303, Some(
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(user_id % 4) AS BIGINT) AS sum_g

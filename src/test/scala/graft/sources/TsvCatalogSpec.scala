@@ -112,10 +112,12 @@ class TsvCatalogSpec extends AnyFunSuite {
     val leftover = new java.io.File(s"$root/ns").listFiles().map(_.getName)
     assert(!leftover.exists(_.startsWith("_staging_")),
       s"staging leftovers: ${leftover.mkString(",")}")
-    // after a REPLACE the table lives in exactly ONE generation dir
-    // named by the pointer — no superseded generations linger
+    // after a REPLACE the pointer names ONE live generation; the
+    // superseded data (here the original plain dir) is grace-retained
+    // until the NEXT publish so in-flight readers finish against a
+    // complete directory
     assert(leftover.count(_.startsWith("_gen_t_")) == 1 &&
-      leftover.contains("_graft_gen_t") && !leftover.contains("t"),
+      leftover.contains("_graft_gen_t") && leftover.contains("t"),
       s"post-replace layout: ${leftover.sorted.mkString(",")}")
     // a failing RTAS must leave the OLD table intact and served
     intercept[Exception] {
@@ -172,10 +174,12 @@ class TsvCatalogSpec extends AnyFunSuite {
     stop = true
     reader.join(30000)
     assert(failure == null, s"loadTable threw during REPLACE: $failure")
-    // exactly one generation dir + its pointer remain; the superseded
-    // generations were reclaimed as each commit completed
+    // the pointer's generation plus ONE grace-retained predecessor
+    // remain (in-flight readers of the previous snapshot finish
+    // against a complete directory); everything older was reclaimed
+    // as each commit completed
     val names = new java.io.File(s"$root/gens").listFiles().map(_.getName)
-    assert(names.count(_.startsWith("_gen_hot_")) == 1 &&
+    assert(names.count(_.startsWith("_gen_hot_")) == 2 &&
       names.contains("_graft_gen_hot") && !names.contains("hot"),
       s"generation layout after 30 replaces: ${names.sorted.mkString(",")}")
     // lifecycle still composes with the pointer: rename materializes,
