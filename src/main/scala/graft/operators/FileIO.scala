@@ -1700,7 +1700,18 @@ object FileIO extends QueryPack {
             "q309: the served snapshot answered empty")
           reads.incrementAndGet()
           ()
-        } catch { case e: Throwable => readerFailure = e }
+        } catch {
+          // the documented RETRYABLE outcome: a reader that outlives
+          // the one-behind grace window gets a LOUD reclaimed-
+          // generation error and re-resolves — what the gate must
+          // never see is a silent empty answer or a lost name
+          case e: Throwable
+              if String.valueOf(e.getMessage).contains("re-resolve") ||
+                Option(e.getCause).exists(c =>
+                  String.valueOf(c.getMessage).contains("re-resolve")) =>
+            ()
+          case e: Throwable => readerFailure = e
+        }
       }
     })
     reader.start()

@@ -351,7 +351,7 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     // table if the new schema lacks the old key column).
     GraftTsvCatalog.writeLayoutSidecar(dir, pcol, bspec)
     writeSidecarAtomic(dir, schema)
-    new TsvTable(schema, dir.getPath, pcol, bspec)
+    new TsvTable(schema, dir.getPath, pcol, bspec, requireDir = true)
   }
 
   // ---- atomic CTAS / RTAS ([[StagingTableCatalog]]) ----
@@ -435,11 +435,14 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     val liveGen = GraftTsvCatalog
       .readGenPointer(dir.getParentFile, ident.name())
       .map(_.getName).getOrElse("")
+    val stagingM = GraftTsvCatalog.internalDirMatcher("staging", ident.name())
+    val replacedM = GraftTsvCatalog.internalDirMatcher("replaced", ident.name())
+    val genM = GraftTsvCatalog.internalDirMatcher("gen", ident.name())
     Option(dir.getParentFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory &&
-        (f.getName.startsWith(s"_staging_${ident.name()}_") ||
-          f.getName.startsWith(s"_replaced_${ident.name()}_") ||
-          (f.getName.startsWith(s"_gen_${ident.name()}_") &&
+        (stagingM.matcher(f.getName).matches() ||
+          replacedM.matcher(f.getName).matches() ||
+          (genM.matcher(f.getName).matches() &&
             f.getName != liveGen)) &&
         newestMtime(f) < gcCutoff)
       .foreach(TsvWritePaths.deleteRecursively)
@@ -516,13 +519,11 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
         // REAPPEAR through the plain-dir fallback.
         val ns = dir.getParentFile
         GraftTsvCatalog.genPtrFile(ns, ident.name()).delete()
-        TsvWritePaths.deleteRecursively(dir)
-        // every generation goes (the grace-retained previous one
-        // included), and the stale plain dir — or the dropped table
-        // would reappear through the plain-dir fallback
-        Option(ns.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory &&
-            f.getName.startsWith(s"_gen_${ident.name()}_"))
+        // every generation goes (the grace-retained previous one, and
+        // `dir` itself — it is either a generation or the plain dir),
+        // plus the plain dir — or the dropped table would reappear
+        // through the plain-dir fallback
+        GraftTsvCatalog.generationDirs(ns, ident.name())
           .foreach(TsvWritePaths.deleteRecursively)
         val plain = tableDir(ident)
         if (plain.isDirectory) TsvWritePaths.deleteRecursively(plain)
@@ -554,9 +555,7 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     // both, or the old name would resurrect pre-replace data through
     // the plain-dir fallback once the pointer is gone (dropTable's
     // hazard, same cure)
-    Option(from.getParentFile.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory &&
-        f.getName.startsWith(s"_gen_${oldIdent.name()}_"))
+    GraftTsvCatalog.generationDirs(from.getParentFile, oldIdent.name())
       .foreach(TsvWritePaths.deleteRecursively)
     val stalePlain = tableDir(oldIdent)
     if (from != stalePlain && stalePlain.isDirectory)
@@ -674,6 +673,26 @@ object GraftTsvCatalog {
         (None, Some((parts(2), parts(1).toInt)))
       case c => (Some(c), None)
     }
+  }
+
+  /** Exact catalog-internal name matchers. PREFIX matching is not
+    * enough: table names may contain interior underscores, so
+    * `_gen_snap_` is a prefix of `_gen_snap_daily_<uuid>` — a prefix
+    * sweep for table `snap` would delete table `snap_daily`'s
+    * generations (cross-table data loss). Every sweep matches the
+    * FULL `<kind>_<table>_<8-hex/uuid8>` shape instead. */
+  private[sources] def internalDirMatcher(kind: String, table: String)
+      : java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(
+      "_" + kind + "_" + java.util.regex.Pattern.quote(table) +
+        "_[0-9a-f]{8}")
+  /** All of `table`'s generation dirs in `ns` (exact-name match). */
+  private[sources] def generationDirs(ns: java.io.File,
+      table: String): Seq[java.io.File] = {
+    val m = internalDirMatcher("gen", table)
+    Option(ns.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && m.matcher(f.getName).matches())
+      .toSeq
   }
 
   /** Current-generation pointer files: `_graft_gen_<table>` in the
@@ -794,11 +813,15 @@ final class TsvStagedTable(tableSchema: StructType,
         // reclaimed here is everything OLDER than the grace window:
         // generations beyond current+previous, and the stale plain dir
         // once a generation holds the grace slot.
-        val keep = Set(gen.getName, old.getName)
-        Option(ns.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isDirectory &&
-            f.getName.startsWith(s"_gen_${table}_") &&
-            !keep.contains(f.getName))
+        // the keep-set RE-READS the pointer: a concurrent REPLACE may
+        // have flipped it past `gen` between our write and this sweep,
+        // and deleting the CURRENT pointer target would leave the name
+        // dangling forever — under racing commits the last flip wins
+        // and every commit's sweep must respect whoever won
+        val keep = Set(gen.getName, old.getName) ++
+          GraftTsvCatalog.readGenPointer(ns, table).map(_.getName)
+        GraftTsvCatalog.generationDirs(ns, table)
+          .filterNot(d => keep.contains(d.getName))
           .foreach(TsvWritePaths.deleteRecursively)
         if (old.getName != table && finalDir.isDirectory)
           TsvWritePaths.deleteRecursively(finalDir)

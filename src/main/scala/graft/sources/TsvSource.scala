@@ -79,12 +79,28 @@ final class TsvTable(tableSchema: StructType, path: String,
 
   private def rootDir = new java.io.File(TsvWritePaths.strip(path))
 
+  /** Mutations against a CATALOG-resolved table whose directory is
+    * gone (generation reclaimed past the grace window, or table
+    * dropped) must fail loudly — a DELETE/TRUNCATE that "succeeds" by
+    * finding nothing to delete, or a write that mkdirs an invisible
+    * zombie generation, is the silent-wrong-result class the read
+    * path's requireDirAlive already refuses. Path-API tables stay
+    * lenient (a path is just a path). */
+  private def requireAliveForMutation(op: String): Unit =
+    if (requireDir && !rootDir.isDirectory)
+      throw new IllegalStateException(
+        s"graft tsv: $op on $path refused — the table directory no " +
+          "longer exists (generation reclaimed past the snapshot-grace " +
+          "window, or table dropped); re-resolve the table name and " +
+          "retry")
+
   /** `TRUNCATE TABLE t` ([[TruncatableTable]]): clear the data, keep
     * the table — key directories drop whole for a partitioned table
     * (an empty key dir would still list as a partition), data files
     * (root + hive subdirs) for a flat one. Sidecars survive by the
     * `_`-prefix rule, same as the sink's overwrite-truncate. */
   override def truncateTable(): Boolean = {
+    requireAliveForMutation("TRUNCATE TABLE")
     // delete failures must FAIL the statement (the store's fail-loud
     // convention): an undeletable file silently surviving a TRUNCATE
     // that reported success is resurrected data on the next scan
@@ -253,6 +269,7 @@ final class TsvTable(tableSchema: StructType, path: String,
     tablePartitionCol.nonEmpty && deleteKeys(filters).nonEmpty
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    requireAliveForMutation("DELETE")
     val keys = deleteKeys(filters).getOrElse(
       throw new IllegalArgumentException(
         s"graft tsv source: DELETE supports only ${tablePartitionCol
@@ -312,6 +329,7 @@ final class TsvTable(tableSchema: StructType, path: String,
     // future read parallelism (a gz shard is one split, q131's
     // documented contract), so producers size their shard count like
     // they'd size partitions.
+    requireAliveForMutation("write")
     val codec = Option(info.options().get("compression"))
       .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("none")
     require(codec == "none" || codec == "gzip",
