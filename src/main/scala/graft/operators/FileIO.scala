@@ -1702,13 +1702,15 @@ object FileIO extends QueryPack {
           ()
         } catch {
           // the documented RETRYABLE outcome: a reader that outlives
-          // the one-behind grace window gets a LOUD reclaimed-
-          // generation error and re-resolves — what the gate must
-          // never see is a silent empty answer or a lost name
+          // the grace window (or loses the resolve race under churn)
+          // gets a TYPED reclaimed-generation error and re-resolves —
+          // matched by CLASS through the cause chain, never by message
+          // substring, so a rewording can't turn retryable into a gate
+          // failure. What the gate must never see is a silent empty
+          // answer or a lost name.
           case e: Throwable
-              if String.valueOf(e.getMessage).contains("re-resolve") ||
-                Option(e.getCause).exists(c =>
-                  String.valueOf(c.getMessage).contains("re-resolve")) =>
+              if graft.sources.GraftGenerationReclaimedException
+                .causedBy(e) =>
             ()
           case e: Throwable => readerFailure = e
         }

@@ -218,10 +218,10 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
           Thread.`yield`()
       }
     }
-    throw new IllegalStateException(
+    throw new GraftGenerationReclaimedException(
       s"graft tsv catalog: table $ident is being replaced faster than " +
         "it can be read (10 consecutive resolve/read races lost) — " +
-        "throttle the REPLACE cadence")
+        "throttle the REPLACE cadence, or re-resolve and retry")
   }
 
   /** `PARTITIONED BY` at create time: exactly ONE single-column
@@ -532,7 +532,10 @@ final class GraftTsvCatalog extends TableCatalog with SupportsNamespaces
     }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
-    val from = resolvedExisting(oldIdent)
+    // the RETRY variant, like every other read path (loadTable/
+    // tableExists/alterTable): a rename racing a REPLACE's pointer-
+    // flip/probe window must not spuriously report a live table absent
+    val from = resolvedExistingRetry(oldIdent)
       .getOrElse(throw new NoSuchTableException(oldIdent))
     val to = tableDir(newIdent)
     if (resolvedExisting(newIdent).nonEmpty)
@@ -827,8 +830,24 @@ final class TsvStagedTable(tableSchema: StructType,
           TsvWritePaths.deleteRecursively(finalDir)
       case None =>
         // CREATE: clean a dangling pointer (crash leftover) that would
-        // shadow the plain dir, then one atomic rename publishes it
+        // shadow the plain dir, then one atomic rename publishes it.
+        // A SCHEMA-LESS leftover plain directory (crash debris from an
+        // earlier half-create) would make the publish rename fail on
+        // POSIX (renameTo onto a non-empty dir): set it ASIDE as a
+        // `_replaced_` orphan — invisible, reclaimed by the next staged
+        // publish's GC sweep — instead of bricking CREATE-CTAS of this
+        // name until manual cleanup
         GraftTsvCatalog.genPtrFile(ns, table).delete()
+        if (finalDir.isDirectory) {
+          val orphan = new java.io.File(ns,
+            s"_replaced_${table}_" + java.util.UUID.randomUUID()
+              .toString.replace("-", "").take(8))
+          if (!finalDir.renameTo(orphan))
+            throw new java.io.IOException(
+              s"graft tsv catalog: could not set aside schema-less " +
+                s"leftover directory $finalDir (crash debris) — clean " +
+                "it up manually")
+        }
         if (!stagingDir.renameTo(finalDir))
           throw new java.io.IOException(
             s"graft tsv catalog: staged commit rename failed: " +

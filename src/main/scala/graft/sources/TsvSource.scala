@@ -48,6 +48,34 @@ import org.apache.spark.unsafe.types.UTF8String
   * Line terminators: `\n` and `\r\n` (trailing CR stripped); lone-CR
   * files (classic-Mac) are NOT supported — they parse as one line.
   */
+/** RECLAIMED-GENERATION failures as a TYPE, not a message substring:
+  * a catalog-resolved table whose directory vanished mid-use (its
+  * generation reclaimed past the snapshot-grace window, or the table
+  * dropped/replaced under churn) is a RETRYABLE condition — the caller
+  * re-resolves the name and retries. Callers (q309's reader, any
+  * serving loop) match on this class through the cause chain; carrying
+  * the contract in the exception type means a rewording of the store's
+  * messages can never silently convert a retryable condition into a
+  * hard failure. */
+class GraftGenerationReclaimedException(msg: String)
+    extends IllegalStateException(msg)
+
+object GraftGenerationReclaimedException {
+  /** Is `t` (or anything in its cause chain — Spark wraps scan-time
+    * failures in SparkException layers) a reclaimed-generation
+    * condition? */
+  def causedBy(t: Throwable): Boolean = {
+    var cur = t
+    var depth = 0
+    while (cur != null && depth < 16) {
+      if (cur.isInstanceOf[GraftGenerationReclaimedException]) return true
+      cur = cur.getCause
+      depth += 1
+    }
+    false
+  }
+}
+
 class TsvSourceProvider extends TableProvider {
   // schema is caller-provided (the reference's TSVs are headerless).
   // Reads state it via .schema(...); the WRITE path has no .schema()
@@ -88,7 +116,7 @@ final class TsvTable(tableSchema: StructType, path: String,
     * lenient (a path is just a path). */
   private def requireAliveForMutation(op: String): Unit =
     if (requireDir && !rootDir.isDirectory)
-      throw new IllegalStateException(
+      throw new GraftGenerationReclaimedException(
         s"graft tsv: $op on $path refused — the table directory no " +
           "longer exists (generation reclaimed past the snapshot-grace " +
           "window, or table dropped); re-resolve the table name and " +
@@ -661,6 +689,14 @@ final class TsvScanBuilder(fullSchema: StructType, path: String,
     keyFilters = keyOk
     val (ok, residual) = rest.partition {
       case EqualTo(a, _) => known(a)
+      // In = a disjunction of exact equalities the reader evaluates
+      // per-value; NULL elements are declined whole (IN (…, NULL) is
+      // three-valued — a row matching no element answers NULL, not
+      // false, and the reader's boolean evaluation can't express
+      // that). Accepting In is also what makes the scan's STATIC
+      // bucket pruning reachable for IN point-lookups on the cluster
+      // column (the pruned set derives from `pushed`).
+      case In(a, vs) => known(a) && vs.nonEmpty && vs.forall(_ != null)
       case GreaterThan(a, _) => numeric(a)
       case GreaterThanOrEqual(a, _) => numeric(a)
       case LessThan(a, _) => numeric(a)
@@ -960,7 +996,7 @@ final class TsvScan(fullSchema: StructType, required: StructType,
     if (requireDir) {
       val root = new java.io.File(TsvWritePaths.strip(path))
       if (!root.isDirectory)
-        throw new IllegalStateException(
+        throw new GraftGenerationReclaimedException(
           s"graft tsv: table directory $path no longer exists — the " +
             "resolved generation was reclaimed (reader outlived the " +
             "snapshot-grace window) or the table was dropped; " +
@@ -1100,7 +1136,7 @@ final class TsvMicroBatchStream(fullSchema: StructType,
     if (requireDir) {
       val root = new java.io.File(TsvWritePaths.strip(path))
       if (!root.isDirectory)
-        throw new IllegalStateException(
+        throw new GraftGenerationReclaimedException(
           s"graft tsv stream: table directory $path no longer exists — " +
             "the table was REPLACEd past the snapshot-grace window or " +
             "dropped while this query ran; restart the query to resolve " +
@@ -1632,6 +1668,7 @@ final class TsvPartitionReader(fullSchema: StructType, required: StructType,
 
   private def compile(f: Filter): Array[String] => Boolean = f match {
     case EqualTo(a, v) => p => cmp(a, v, p).contains(0)
+    case In(a, vs) => p => vs.exists(v => cmp(a, v, p).contains(0))
     case GreaterThan(a, v) => p => cmp(a, v, p).exists(_ > 0)
     case GreaterThanOrEqual(a, v) => p => cmp(a, v, p).exists(_ >= 0)
     case LessThan(a, v) => p => cmp(a, v, p).exists(_ < 0)

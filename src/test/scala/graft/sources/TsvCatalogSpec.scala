@@ -560,6 +560,50 @@ class TsvCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("staged CREATE sets aside schema-less crash debris instead of bricking the name") {
+    val c = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.deb")
+    val root = spark.conf.get(s"spark.sql.catalog.$c.root")
+    // crash debris: a plain directory at the table name holding data
+    // but NO _graft_schema (a create that died before the sidecar) —
+    // POSIX renameTo onto it would fail, so the commit must set it
+    // aside as a `_replaced_` orphan for the GC sweep
+    val debris = new java.io.File(s"$root/deb/t")
+    debris.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(debris, "leftover.txt").toPath, "9\n".getBytes)
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .createOrReplaceTempView("debris_src")
+    spark.sql(s"CREATE TABLE $c.deb.t AS SELECT * FROM debris_src")
+    assert(spark.sql(s"SELECT count(*) FROM $c.deb.t").head().getLong(0) == 2,
+      "the CTAS table must serve its own rows, not the debris")
+    val orphans = Option(new java.io.File(s"$root/deb").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("_replaced_t_"))
+    assert(orphans.length == 1 &&
+      new java.io.File(orphans.head, "leftover.txt").isFile,
+      "the debris must survive as an invisible _replaced_ orphan")
+  }
+
+  test("reclaimed-generation failures carry the typed exception through the cause chain") {
+    val c = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $c.gen")
+    import spark.implicits._
+    Seq((1L, 10L)).toDF("k", "v").createOrReplaceTempView("gen_src")
+    spark.sql(s"CREATE TABLE $c.gen.t AS SELECT * FROM gen_src")
+    // resolve the table, then reclaim its directory out from under it:
+    // the scan must fail with the TYPED reclaimed-generation error (a
+    // retryable condition callers match by class, never by message)
+    val df = spark.table(s"$c.gen.t")
+    val root = spark.conf.get(s"spark.sql.catalog.$c.root")
+    TsvWritePaths.deleteRecursively(new java.io.File(s"$root/gen/t"))
+    val e = intercept[Throwable] { df.count() }
+    assert(GraftGenerationReclaimedException.causedBy(e),
+      s"expected a GraftGenerationReclaimedException in the cause " +
+        s"chain, got: $e")
+  }
+
   test("streaming writes to a partitioned table refuse loudly") {
     val b = new TsvKeyedWriteBuilder(
       org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, shard BIGINT"),
