@@ -28,7 +28,11 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
     def clearState(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // same hygiene as Bench: NEVER unpersist process-pinned shared
+      // checkpoints (their truncated lineage cannot be recomputed; a
+      // blanket unpersist here made any query after a pinned-cache user
+      // die with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
+      PinnedBlocks.clearUnpinned(spark)
       spark.catalog.clearCache()
     }
     names.foreach { name =>
