@@ -378,9 +378,19 @@ object AdvancedAggs extends QueryPack {
     * oracle pins both. HLL registers are max-merged, so the sketch is
     * insertion-order-independent — deterministic at any parallelism. */
   private def q151(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select("l_returnflag", "l_partkey")
-    val perFlag = li.groupBy("l_returnflag")
-      .agg(countDistinct("l_partkey").as("exact_distinct"),
+    // ONE distinct (flag, partkey) pass shared by both tiers (r17):
+    // per-flag countDistinct ≡ count over the deduped pairs, the global
+    // countDistinct runs over the (much smaller) pair frame instead of
+    // re-scanning lineitem, and HLL registers are duplicate-insensitive
+    // (set semantics: identical hash → identical register update), so
+    // sketching the deduped pairs yields the identical sketch and
+    // estimate. The old shape paid two full lineitem scans each ending
+    // in a two-phase distinct aggregate (measured 0.92 s + 0.21 s of a
+    // 1.47 s gate at sf0.1).
+    val pairs = Tables.lineitem(s, dir)
+      .select("l_returnflag", "l_partkey").distinct().materialized
+    val perFlag = pairs.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("exact_distinct"),
         hll_sketch_agg(col("l_partkey"), lit(12)).as("sk"))
       .materialized
     def gated(est: Column, exact: Column): Column =
@@ -389,7 +399,7 @@ object AdvancedAggs extends QueryPack {
       gated(hll_sketch_estimate(col("sk")), col("exact_distinct")).as("est_ok"))
     val allRow = perFlag.agg(hll_union_agg(col("sk"), lit(true)).as("sk"))
       .crossJoin(broadcast(
-        li.agg(countDistinct("l_partkey").as("exact_distinct"))))
+        pairs.agg(countDistinct("l_partkey").as("exact_distinct"))))
       .select(lit("ALL").as("l_returnflag"), col("exact_distinct"),
         gated(hll_sketch_estimate(col("sk")), col("exact_distinct"))
           .as("est_ok"))

@@ -41,7 +41,16 @@ object Dedup extends QueryPack {
     * before this). The object boundary of a typed map is a substitution
     * barrier: the column is computed once, filters evaluate the column. */
   private def docsWithShingles(s: SparkSession, dir: String): DataFrame =
-    shingleDocs(s, Tables.documents(s, dir).select(col("doc_id"), col("text")))
+    // the documents parquet is a single row group → a 1-task scan, and
+    // the pinned checkpoint FREEZES that single partition, serializing
+    // every downstream CPU-heavy typed map (minhash band fan-outs,
+    // simhash chunks, prefix windows) into one task for all five
+    // consumer gates (measured: q42's 0.62 s single-task fan-out at
+    // sf0.1). Spread the corpus before shingling — a trivial shuffle of
+    // (id, text) — so the cached frame's partitioning parallelizes the
+    // whole family (r17, guide §2).
+    shingleDocs(s, Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism))
 
   /** Process-cached eagerly-checkpointed shingle frame per source dir —
     * five gates (q42/q43/q44/q96/q97) consume the identical frame, and
@@ -464,6 +473,9 @@ object Dedup extends QueryPack {
       minSpan: Int, dfCap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs
+      // single-row-group corpus scan → 1-task gram build otherwise;
+      // the positioned-gram explode is the gate's heavy map (r17)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
       .filter(size(col("w")) >= spanK)
     val grams = toks
@@ -667,7 +679,21 @@ object Dedup extends QueryPack {
       .select(col("vec_id").as("idb"), col("v").as("vb"), col("nrm").as("nrmb"),
         explode(allTiles).as("ti"), col("tile").as("tj"))
       .filter(col("ti") <= col("tj"))
-    left.join(right, Seq("ti", "tj"))
+    // FORCE the shuffle join at PINNED parallelism (r17): below the
+    // broadcast threshold the planner broadcast the right side, leaving
+    // the left side in its original single-file partitioning — the
+    // whole O(N²/B) dot-product compute then ran in ONE task (measured
+    // 1.33 s of a 1.8 s q45 at sf0.1) — and a bare shuffle_hash hint
+    // lets AQE coalesce the few-MB tile shuffle back to one partition
+    // (byte-based coalescing is blind to the CPU-bound pair math). An
+    // explicit repartition(n, keys) is not AQE-coalescable and the join
+    // reuses it as its distribution: one-ish tile pair per task, which
+    // is the tiling's entire point and the only shape that exists at
+    // corpus scale, where neither side broadcasts.
+    val np = s.sparkContext.defaultParallelism
+    left.repartition(np, col("ti"), col("tj"))
+      .hint("shuffle_hash")
+      .join(right.repartition(np, col("ti"), col("tj")), Seq("ti", "tj"))
       // diagonal tiles see both orders of a pair — keep one; off-diagonal
       // tiles see each cross pair exactly once (left from tile i, right
       // from tile j)
@@ -882,8 +908,23 @@ object Dedup extends QueryPack {
     // provably lossless for the dist ≤ 1 contract (a one-substitution
     // pair differs in ≤ 1 position of that comb; a dist-0 pair in
     // none), and it prunes the bucket cross-products ~100×
+    // FORCE the shuffle join on the block key, at PINNED parallelism
+    // (r17): both sides derive from the same single-row-group customer
+    // scan, so a broadcast join left the probe side in ONE partition
+    // and serialized every bucket cross-product's levenshtein into one
+    // task (measured 1.56 s of a 2.2 s gate at sf0.1); with a plain
+    // shuffle_hash hint AQE then coalesced the ~2 MB shuffle back to
+    // one partition — byte-based coalescing is blind to CPU-bound
+    // per-row work. An explicit repartition(n, keys) is not
+    // AQE-coalescable and the join reuses it as its distribution, so
+    // the verify ladder spreads across the cluster; hash-partitioned
+    // block keys are also the scaladoc's own 100 TB shape.
+    val np = s.sparkContext.defaultParallelism
     val cands = blocked(dirty, "dirty_name", "d")
-      .join(blocked(clean, "clean_name", "c"), Seq("pass", "bval"))
+      .repartition(np, col("pass"), col("bval"))
+      .hint("shuffle_hash")
+      .join(blocked(clean, "clean_name", "c")
+        .repartition(np, col("pass"), col("bval")), Seq("pass", "bval"))
       .filter(when(col("pass") === 1, levenshtein(col("d_c1"), col("c_c1")))
         .when(col("pass") === 2, levenshtein(col("d_c2"), col("c_c2")))
         .otherwise(levenshtein(col("d_c3"), col("c_c3"))) <= 1)

@@ -318,6 +318,13 @@ object Multimodal extends QueryPack {
     }
     val hashes = Tables.documents(s, dir)
       .select(col("doc_id")).as[Long]
+      // the doc_id scan is one task (single-row-group parquet), which
+      // serialized EVERY png encode+decode into that task (measured
+      // 1.35 s of a 1.9 s gate at sf0.1); the codec work is perfectly
+      // parallel, so spread the ids across the cluster first — a
+      // trivial shuffle of bare longs (r17, guide §2: repartition
+      // after an unsplittable input feeding CPU-heavy per-row work)
+      .repartition(s.sparkContext.defaultParallelism)
       .map(id => MediaRow(id, encode(id)))
       .mapPartitions(_.map { m =>
         val img = javax.imageio.ImageIO.read(

@@ -408,6 +408,10 @@ object TextAnalysis extends QueryPack {
     val k = 8
     val grams = Tables.documents(s, dir)
       .select(col("source"), col("text"))
+      // single-row-group scan → the 8-gram flatMap otherwise runs in
+      // ONE task (measured 0.46 s of a 1.2 s gate at sf0.1); spread the
+      // docs first — trivial shuffle, CPU-heavy map after (r17)
+      .repartition(s.sparkContext.defaultParallelism)
       .as[(String, String)]
       .flatMap { case (src, text) =>
         val w = text.split(" ", -1)

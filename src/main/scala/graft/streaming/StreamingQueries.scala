@@ -154,15 +154,131 @@ object StreamingQueries extends QueryPack {
         case ("us", _) => unix_micros(col("ts")).as("us")
         case (n, _) => col(n)
       }
+      // FLAT layout (r17, guide §6 file listing): one `<day>.parquet`
+      // FILE per day directly in the dump dir, with `day` as a DATA
+      // column — not `day=<d>/part-*` dirs with day as a partition
+      // column. The file source re-lists the dump on EVERY trigger
+      // (latestOffset), and a 30-subdir partitioned layout paid ~31
+      // readdirs + partition-value inference per poll (measured
+      // 80–100 ms/trigger at sf0.1, × ~4–5 triggers × every replay
+      // gate); a flat dir is one readdir. Readers are unchanged: the
+      // explicit reader schema already listed `day` last, parquet
+      // matches fields by name, and every gate's drain is
+      // order-independent by design (40-day watermark > corpus span),
+      // so file-delivery order — same (mtime, path) rule as before —
+      // is presentation-neutral. Flat file names sort chronologically
+      // exactly like the old `day=<d>` dirs did.
+      val tmp = shards + "_build"
       dayShardFilters.get(layout).fold(Tables.events(s, dir))(
           Tables.events(s, dir).filter(_))
         .select(cols: _*)
         .withColumn("day", from_unixtime(col("us") / 1000000L, "yyyy-MM-dd"))
-        .repartition(col("day"))
-        .write.mode("overwrite").partitionBy("day").parquet(shards)
+        .withColumn("day_p", col("day"))
+        .repartition(col("day_p"))
+        .write.mode("overwrite").partitionBy("day_p").parquet(tmp)
+      val hp = new org.apache.hadoop.fs.Path(shards)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(hp, true)
+      fs.mkdirs(hp)
+      fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .filter(_.getPath.getName.startsWith("day_p="))
+        .foreach { st =>
+          val day = st.getPath.getName.stripPrefix("day_p=")
+          val part = fs.listStatus(st.getPath).map(_.getPath)
+            .filter(_.getName.startsWith("part-")).head
+          if (!fs.rename(part,
+              new org.apache.hadoop.fs.Path(hp, s"$day.parquet")))
+            sys.error(s"day-shard flatten rename failed for $day")
+        }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       dumped.add(shards)
     }
     shards
+  }
+
+  /** Deterministic flush/sentinel files, built ONCE per process per
+    * (dump, content) into a `<dump>_sentlib` sibling dir and served to
+    * every later append as a raw file COPY (r17). The old per-flush
+    * `createDataFrame(rows).write.partitionBy("day").parquet(dump)` ran
+    * a full Spark job + dynamic-partition commit (~90 ms) for 1–2 rows,
+    * twice per gate per bench pass; the rows are a pure function of the
+    * source dir (flushUs derives from the cached corpus max), so after
+    * the first build an append is ~1 ms of filesystem copy. The copy
+    * lands FLAT in the dump as `zz_sentinel_<seq>_<uuid>.parquet` —
+    * fresh mtime and unseen path, so the running file source admits it
+    * as a new file exactly like the old day-dir append. Returns the
+    * created path; callers remove it in their `finally` to restore the
+    * dump pristine (same discipline as the old day-dir cleanup). */
+  private val sentinelLib =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val sentinelSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Write `df` as ONE parquet file under `<base>_sentlib/`, return its
+    * path — the one-time library build behind [[appendRowsFile]] and
+    * [[cachedSliceFile]]. */
+  private def buildOneFileParquet(s: SparkSession, base: String,
+      df: DataFrame): String = {
+    import org.apache.hadoop.fs.Path
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new Path(base).getFileSystem(conf)
+    val name = "s" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val tmp = new Path(base + s"_sentlib_tmp_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .filter(_.getName.startsWith("part-")).head
+    val libDir = new Path(base + "_sentlib")
+    fs.mkdirs(libDir)
+    val dest = new Path(libDir, s"$name.parquet")
+    if (!fs.rename(part, dest))
+      sys.error(s"library rename failed: $part -> $dest")
+    fs.delete(tmp, true)
+    dest.toString
+  }
+
+  /** Deterministic DataFrame slice cached as a one-file parquet per
+    * (base, tag) — the heavier sibling of the sentinel library, for
+    * gates that stage corpus SLICES into a per-run source dir (q222's
+    * phased appends): the slice is a pure function of the source dir,
+    * so later runs pay a file copy instead of a Spark write job. */
+  private val sliceLib =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def copySliceInto(s: SparkSession, destDir: String, base: String,
+      tag: String)(build: => DataFrame): String = {
+    import org.apache.hadoop.fs.Path
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new Path(destDir).getFileSystem(conf)
+    val lib = sliceLib.computeIfAbsent(base + "|" + tag, _ =>
+      buildOneFileParquet(s, base, build))
+    val dest = new Path(destDir,
+      f"${tag}_${sentinelSeq.incrementAndGet()}%05d.parquet")
+    if (!org.apache.hadoop.fs.FileUtil.copy(fs, new Path(lib), fs, dest,
+        false, conf))
+      sys.error(s"slice copy failed: $lib -> $dest")
+    dest.toString
+  }
+  private[streaming] def appendRowsFile(s: SparkSession, shards: String,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[org.apache.spark.sql.Row],
+      libBase: Option[String] = None): String = {
+    import org.apache.hadoop.fs.Path
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new Path(shards).getFileSystem(conf)
+    // the library must live under a STABLE path: gates appending into a
+    // per-run scratch dir (q222's phased src) pass a per-dir base so
+    // the one-time build amortizes across runs
+    val base = libBase.getOrElse(shards)
+    val key = base + "|" + schema.map(f => f.name + ":" + f.dataType.sql)
+      .mkString(",") + "|" + rows.map(_.toString).mkString(";")
+    val lib = sentinelLib.computeIfAbsent(key, _ =>
+      buildOneFileParquet(s, base,
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)))
+    val dest = new Path(shards,
+      f"zz_sentinel_${sentinelSeq.incrementAndGet()}%05d_" +
+        java.util.UUID.randomUUID().toString.replace("-", "") + ".parquet")
+    if (!org.apache.hadoop.fs.FileUtil.copy(fs, new Path(lib), fs, dest,
+        false, conf))
+      sys.error(s"sentinel copy failed: $lib -> $dest")
+    dest.toString
   }
 
   /** Run `body` with the legacy nanos-as-long parquet conf set (needed
@@ -452,17 +568,16 @@ object StreamingQueries extends QueryPack {
       .toLocalDate.toString
     val flushDay = dayOf(flushUs)
     val flush2Day = dayOf(flush2Us)
+    val sentFiles = scala.collection.mutable.ListBuffer[String]()
     val outDf =
       try {
         try {
           query.processAllAvailable()
           // one sentinel per SIDE: each watermark operator sits behind its
           // event_type filter and only advances on rows it actually sees
-          s.createDataFrame(java.util.Arrays.asList(
-              org.apache.spark.sql.Row(-2L, -1L, "purchase", flushUs, flushDay),
-              org.apache.spark.sql.Row(-2L, -2L, "click", flushUs, flushDay)),
-            schema)
-            .write.mode("append").partitionBy("day").parquet(shards)
+          sentFiles += appendRowsFile(s, shards, schema, Seq(
+            org.apache.spark.sql.Row(-2L, -1L, "purchase", flushUs, flushDay),
+            org.apache.spark.sql.Row(-2L, -2L, "click", flushUs, flushDay)))
           query.processAllAvailable()
           // null-padded outer rows evict in a batch AFTER the one that
           // advanced the watermark; today that is Spark's no-data
@@ -471,10 +586,8 @@ object StreamingQueries extends QueryPack {
           // by both sides, so it shifts no watermark) forces one more
           // REAL micro-batch whose state eviction emits any remaining
           // outer rows — q87's append-drain-append-drain discipline.
-          s.createDataFrame(java.util.Arrays.asList(
-              org.apache.spark.sql.Row(-3L, -3L, "flush", flush2Us, flush2Day)),
-            schema)
-            .write.mode("append").partitionBy("day").parquet(shards)
+          sentFiles += appendRowsFile(s, shards, schema, Seq(
+            org.apache.spark.sql.Row(-3L, -3L, "flush", flush2Us, flush2Day)))
           query.processAllAvailable()
           recordBatchId("q173", query)
         } finally query.stop()
@@ -486,8 +599,7 @@ object StreamingQueries extends QueryPack {
           .orderBy("p_id", "c_id")
         val rows = result.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
-      } finally rmrfAll(s,
-        Seq(flushDay, flush2Day).distinct.map(d => s"$shards/day=$d"): _*)
+      } finally rmrfAll(s, sentFiles.toSeq: _*)
     s.catalog.dropTempView(name)
     outDf
   }
@@ -552,22 +664,19 @@ object StreamingQueries extends QueryPack {
       .toLocalDate.toString
     val flushDay = dayOf(flushUs)
     val flush2Day = dayOf(flush2Us)
+    val sentFiles = scala.collection.mutable.ListBuffer[String]()
     val outDf =
       try {
         try {
           query.processAllAvailable()
-          s.createDataFrame(java.util.Arrays.asList(
-              org.apache.spark.sql.Row(-2L, -1L, "purchase", flushUs, flushDay),
-              org.apache.spark.sql.Row(-2L, -2L, "click", flushUs, flushDay)),
-            schema)
-            .write.mode("append").partitionBy("day").parquet(shards)
+          sentFiles += appendRowsFile(s, shards, schema, Seq(
+            org.apache.spark.sql.Row(-2L, -1L, "purchase", flushUs, flushDay),
+            org.apache.spark.sql.Row(-2L, -2L, "click", flushUs, flushDay)))
           query.processAllAvailable()
           // finalized windows evict a batch after the watermark moves —
           // force that REAL batch with a row both sides filter out
-          s.createDataFrame(java.util.Arrays.asList(
-              org.apache.spark.sql.Row(-3L, -3L, "flush", flush2Us, flush2Day)),
-            schema)
-            .write.mode("append").partitionBy("day").parquet(shards)
+          sentFiles += appendRowsFile(s, shards, schema, Seq(
+            org.apache.spark.sql.Row(-3L, -3L, "flush", flush2Us, flush2Day)))
           query.processAllAvailable()
           recordBatchId("q240", query)
         } finally query.stop()
@@ -576,8 +685,7 @@ object StreamingQueries extends QueryPack {
           .orderBy("ws_us")
         val rows = result.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
-      } finally rmrfAll(s,
-        Seq(flushDay, flush2Day).distinct.map(d => s"$shards/day=$d"): _*)
+      } finally rmrfAll(s, sentFiles.toSeq: _*)
     s.catalog.dropTempView(name)
     outDf
   }
@@ -630,20 +738,17 @@ object StreamingQueries extends QueryPack {
       .toLocalDate.toString
     val flushDay = dayOf(flushUs)
     val flush2Day = dayOf(flush2Us)
+    val sentFiles = scala.collection.mutable.ListBuffer[String]()
     val outDf =
       try {
         try {
           query.processAllAvailable()
-          s.createDataFrame(java.util.Arrays.asList(
-              org.apache.spark.sql.Row(-2L, -1L, "purchase", flushUs, flushDay),
-              org.apache.spark.sql.Row(-2L, -2L, "click", flushUs, flushDay)),
-            schema)
-            .write.mode("append").partitionBy("day").parquet(shards)
+          sentFiles += appendRowsFile(s, shards, schema, Seq(
+            org.apache.spark.sql.Row(-2L, -1L, "purchase", flushUs, flushDay),
+            org.apache.spark.sql.Row(-2L, -2L, "click", flushUs, flushDay)))
           query.processAllAvailable()
-          s.createDataFrame(java.util.Arrays.asList(
-              org.apache.spark.sql.Row(-3L, -3L, "flush", flush2Us, flush2Day)),
-            schema)
-            .write.mode("append").partitionBy("day").parquet(shards)
+          sentFiles += appendRowsFile(s, shards, schema, Seq(
+            org.apache.spark.sql.Row(-3L, -3L, "flush", flush2Us, flush2Day)))
           query.processAllAvailable()
           recordBatchId("q191", query)
         } finally query.stop()
@@ -659,8 +764,7 @@ object StreamingQueries extends QueryPack {
           .orderBy("p_id", "c_id")
         val rows = result.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
-      } finally rmrfAll(s,
-        Seq(flushDay, flush2Day).distinct.map(d => s"$shards/day=$d"): _*)
+      } finally rmrfAll(s, sentFiles.toSeq: _*)
     s.catalog.dropTempView(name)
     outDf
   }
@@ -851,16 +955,15 @@ object StreamingQueries extends QueryPack {
     def dayOf(us: Long): String = java.time.Instant
       .ofEpochSecond(us / 1000000L).atZone(java.time.ZoneOffset.UTC)
       .toLocalDate.toString
-    val flushDays = Seq(dayOf(flushUs), dayOf(flush2Us)).distinct
     // everything past this point cleans up in the finally — especially
-    // the sentinel's day partition, so a failed drain can never leave a
-    // stale sentinel inside the cached shard dump for later runs
+    // the sentinel files, so a failed drain can never leave a stale
+    // sentinel inside the cached shard dump for later runs
+    val sentFiles = scala.collection.mutable.ListBuffer[String]()
     try {
       try {
-        def appendFlush(us: Long): Unit = s.range(1)
-          .select(lit("__flush").as("event_type"), lit(us).as("us"),
-            lit(dayOf(us)).as("day"))
-          .write.mode("append").partitionBy("day").parquet(shards)
+        def appendFlush(us: Long): Unit =
+          sentFiles += appendRowsFile(s, shards, schema, Seq(
+            org.apache.spark.sql.Row("__flush", us, dayOf(us))))
         query.processAllAvailable()
         appendFlush(flushUs)
         query.processAllAvailable()
@@ -878,7 +981,7 @@ object StreamingQueries extends QueryPack {
       // reuse contract as the layouts)
       s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
     } finally rmrfAll(s,
-      Seq(sinkOut, cp) ++ flushDays.map(d => s"$shards/day=$d"): _*)
+      Seq(sinkOut, cp) ++ sentFiles: _*)
   }
 
   /** q222: the watermark's NEGATIVE contract — late data is actually
@@ -905,9 +1008,13 @@ object StreamingQueries extends QueryPack {
     val src = graft.operators.FileIO.scratch(dir, s"q222_src_$uid")
     val ev = Tables.events(s, dir)
       .select(unix_micros(col("ts")).as("us"), dayofmonth(col("ts")).as("dom"))
-    def writeSlice(cond: org.apache.spark.sql.Column): Unit =
-      ev.filter(cond).select("us").write.mode("append").parquet(src)
-    writeSlice(col("dom") >= 16) // phase A: on-time
+    // phase slices and sentinels are pure functions of the source dir —
+    // library-cached one-file parquets copied into the per-run src
+    // (4 Spark write jobs per invocation → 4 file copies, r17)
+    val libBase = graft.operators.FileIO.scratch(dir, "q222_lib")
+    def writeSlice(tag: String, cond: org.apache.spark.sql.Column): Unit =
+      copySliceInto(s, src, libBase, tag)(ev.filter(cond).select("us"))
+    writeSlice("a", col("dom") >= 16) // phase A: on-time
     val schema = new org.apache.spark.sql.types.StructType().add("us", "long")
     val agg = s.readStream.schema(schema).parquet(src)
       .select(expr("timestamp_micros(us)").as("ts"))
@@ -954,10 +1061,11 @@ object StreamingQueries extends QueryPack {
       try {
         query.processAllAvailable() // batch 0: wm → max(A) − 1 h
         awaitCommittedWatermark(maxUs / 1000L - 3600L * 1000) // committed
-        writeSlice(col("dom") <= 9) // phase B: all late
+        writeSlice("b", col("dom") <= 9) // phase B: all late
         query.processAllAvailable() // B dropped, counted
-        def sentinel(us: Long): Unit = s.range(1)
-          .select(lit(us).as("us")).write.mode("append").parquet(src)
+        def sentinel(us: Long): Unit =
+          appendRowsFile(s, src, schema,
+            Seq(org.apache.spark.sql.Row(us)), libBase = Some(libBase))
         // two-sentinel flush (q100's discipline): the second sentinel's
         // DATA batch carries the first's watermark, so emission of the
         // real windows never depends on a no-data batch racing stop()
@@ -1083,12 +1191,12 @@ object StreamingQueries extends QueryPack {
     def dayOf(us: Long): String = java.time.Instant
       .ofEpochSecond(us / 1000000L).atZone(java.time.ZoneOffset.UTC)
       .toLocalDate.toString
+    val sentFiles = scala.collection.mutable.ListBuffer[String]()
     val outDf =
       try {
-        def appendSentinel(us: Long): Unit = s.range(1)
-          .select(lit(-1L).as("user_id"), lit(us).as("us"),
-            lit(dayOf(us)).as("day"))
-          .write.mode("append").partitionBy("day").parquet(out)
+        def appendSentinel(us: Long): Unit =
+          sentFiles += appendRowsFile(s, out, schema, Seq(
+            org.apache.spark.sql.Row(-1L, us, dayOf(us))))
         try {
           query.processAllAvailable()
           appendSentinel(flush1Us)
@@ -1110,8 +1218,7 @@ object StreamingQueries extends QueryPack {
           .orderBy("user_id", "start_us")
         val rows = result.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
-      } finally rmrfAll(s,
-        Seq(dayOf(flush1Us), dayOf(flush2Us)).distinct.map(d => s"$out/day=$d"): _*)
+      } finally rmrfAll(s, sentFiles.toSeq: _*)
     s.catalog.dropTempView(name)
     outDf
   }
@@ -1393,12 +1500,12 @@ object StreamingQueries extends QueryPack {
     def dayOf(us: Long): String = java.time.Instant
       .ofEpochSecond(us / 1000000L).atZone(java.time.ZoneOffset.UTC)
       .toLocalDate.toString
+    val sentFiles = scala.collection.mutable.ListBuffer[String]()
     val outDf =
       try {
-        def appendSentinel(us: Long): Unit = s.range(1)
-          .select(lit(-1L).as("user_id"), lit(us).as("us"),
-            lit(dayOf(us)).as("day"))
-          .write.mode("append").partitionBy("day").parquet(shards)
+        def appendSentinel(us: Long): Unit =
+          sentFiles += appendRowsFile(s, shards, schema, Seq(
+            org.apache.spark.sql.Row(-1L, us, dayOf(us))))
         try {
           query.processAllAvailable()
           appendSentinel(flush1Us) // advances the watermark past every close
@@ -1414,8 +1521,7 @@ object StreamingQueries extends QueryPack {
           .orderBy("user_id", "start_us")
         val rows = result.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
-      } finally rmrfAll(s,
-        Seq(dayOf(flush1Us), dayOf(flush2Us)).distinct.map(d => s"$shards/day=$d"): _*)
+      } finally rmrfAll(s, sentFiles.toSeq: _*)
     s.catalog.dropTempView(name)
     outDf
   }
@@ -1970,8 +2076,10 @@ object StreamingQueries extends QueryPack {
     val schema = dayShardSchema("events_stream_days_upsert")
     val conf = s.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(shards).getFileSystem(conf)
+    // flat dump layout (see dumpDayShards): one <day>.parquet file per
+    // day; name order = chronological, same as the old day= dirs
     val dayDirs = fs.listStatus(new org.apache.hadoop.fs.Path(shards))
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("day="))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getPath).sortBy(_.getName)
     def stage(paths: Seq[org.apache.hadoop.fs.Path]): Unit = paths.foreach { p =>
       org.apache.hadoop.fs.FileUtil.copy(fs, p,
@@ -2697,6 +2805,15 @@ object StreamingQueries extends QueryPack {
     * batch-side) — these keep codegen: they scan the real corpus. */
   private val batchAnalogs = Set("q71_session_window")
 
+  // r17 A/B note: re-enabling whole-stage codegen for the CORPUS-sized
+  // micro-batch gates (eventsStream single-batch drains and full-events
+  // day-shard replays, ~5×10⁵ rows/batch — q70/q109/q285/q87/q100/q176/
+  // q118/…) was measured at sf0.1, warm medians of 3: flat for the
+  // stateless scans and WORSE where batches repeat (q118 1.48→1.85 s,
+  // q176 1.33→1.54 s) — each micro-batch re-plans with fresh literals,
+  // so the Janino compile never amortizes even at that batch size. The
+  // interpreted-path conf below stands as measured, now at two batch
+  // scales (the ~20k-row q240 A/B in the scaladoc above, and this one).
   override def queries: Seq[Q] = registered.map { q =>
     if (batchAnalogs(q.name)) q
     else q.copy(fn = (s, dir) => withConfs(s, gateExecConfs: _*)(q.fn(s, dir)))
