@@ -2,7 +2,15 @@
 """Merge >=3 SEPARATED full-bench runs into one noise-proof snapshot
 (dev tool, VERDICT r15 item 1 protocol).
 
-Usage: python3 scripts/bench_snapshot.py out.json run1.json run2.json ...
+Usage: python3 scripts/bench_snapshot.py out.json [--prev prior_snapshot.json]
+       run1.json run2.json ...
+
+With --prev, the snapshot additionally diffs per-query MIN-FLOORS
+against the prior committed snapshot and records every query whose
+floor rose >20% (and >0.1s absolute) in a `regressions` array — the
+VERDICT r16 item 8 ask: the next real regression names itself instead
+of hiding in a median. Queries new since the prior snapshot are skipped
+(no baseline).
 
 Each input is one graft.Bench BENCH_FULL.json line (per-query medians of
 interleaved passes + per-query mins). The snapshot takes, per query, the
@@ -19,6 +27,10 @@ import sys
 
 def main() -> None:
     out, *ins = sys.argv[1:]
+    prev = None
+    if ins and ins[0] == "--prev":
+        prev = json.loads(open(ins[1]).read().strip().splitlines()[-1])
+        ins = ins[2:]
     runs = [json.loads(open(p).read().strip().splitlines()[-1]) for p in ins]
     assert len(runs) >= 3, "need >=3 separated runs"
     names = set(runs[0]["queries"])
@@ -52,6 +64,15 @@ def main() -> None:
         "cross_run_spread_pct": spread_pct,
         "total_min": total_min,
     }
+    if prev is not None:
+        prev_mins = prev.get("query_mins", prev.get("queries", {}))
+        regressions = [
+            {"query": q, "prev_min": prev_mins[q], "min": mins[q],
+             "pct": round(100.0 * (mins[q] - prev_mins[q]) / prev_mins[q], 1)}
+            for q in sorted(mins) if q in prev_mins and prev_mins[q] > 0
+            and mins[q] > prev_mins[q] * 1.2 and mins[q] - prev_mins[q] > 0.1]
+        snap["regressions"] = regressions
+        snap["regressions_vs"] = prev.get("protocol", "prior snapshot")
     with open(out, "w") as f:
         f.write(json.dumps(snap) + "\n")
     print(f"runs: {totals} -> snapshot {total} (min-floor {total_min}, "

@@ -15,8 +15,32 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Resolved-relation cache per (session, dir, table) — METADATA
+    * caching, not data caching (r17, guide §6). Every bare
+    * `spark.read.parquet(path)` re-resolves the relation: a fresh
+    * InMemoryFileIndex plus parquet schema inference, which runs a
+    * Spark JOB to read footers — measured ~100 ms per call at sf0.1 vs
+    * ~10 ms reusing the resolved frame, paid by almost every query
+    * invocation for every table it touches. A production deployment
+    * reads through a catalog whose table metadata is resolved once;
+    * per-query schema re-inference is a bare-path artifact, and the
+    * fixtures are immutable inputs (the [[cachedCount]] contract), so
+    * the resolved logical relation is a pure function of the path.
+    * Keyed by session (a DataFrame is session-bound); entries are a
+    * handful of tiny logical plans per live session. Execution still
+    * scans parquet from disk on every action — nothing row-level is
+    * cached. */
+  private val relationCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val key = (spark, dir, name)
+    val hit = relationCache.get(key)
+    if (hit != null && !spark.sparkContext.isStopped) hit
+    else relationCache.compute(key, (_, cached) =>
+      if (cached != null && !spark.sparkContext.isStopped) cached
+      else spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")

@@ -2355,10 +2355,48 @@ object StreamingQueries extends QueryPack {
     * point: feature-store training/serving reads are as-of lookups,
     * and getting them from a stream costs no more than a snapshot
     * enrich. Batch PIT twin: q232. */
+  /** q285's compacted SCD2 tier dimension, pinned once per process per
+    * source dir (r17): a pure function of the orders table (the
+    * [[maxUsCache]]/day-shard reuse contract), previously re-computed —
+    * window + run-collapse + checkpoint — on EVERY invocation just to
+    * feed the same broadcast. */
+  private val scd2DimCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def scd2TierDim(s: SparkSession, dir: String): DataFrame = {
+    def live(df: DataFrame) =
+      (df.sparkSession.sparkContext eq s.sparkContext) &&
+        !df.sparkSession.sparkContext.isStopped
+    val hit = scd2DimCache.get(dir)
+    if (hit != null && live(hit)) hit
+    else scd2DimCache.compute(dir, (_, cached) =>
+      if (cached != null && live(cached)) cached
+      else {
+        if (cached != null) graft.PinnedBlocks.release(cached)
+        val W = org.apache.spark.sql.expressions.Window
+        val w = W.partitionBy("o_custkey").orderBy("vf")
+        graft.PinnedBlocks.pinnedCheckpoint(Tables.orders(s, dir)
+          .groupBy(col("o_custkey"), col("o_orderdate"))
+          .agg(max("o_totalprice").as("px"))
+          .select(col("o_custkey"),
+            unix_micros(col("o_orderdate").cast("timestamp")).as("vf"),
+            floor(col("px") / 50000).cast("long").as("tier"))
+          .withColumn("vt",
+            coalesce(lead(col("vf"), 1).over(w), lit(Long.MaxValue)))
+          .withColumn("chg",
+            when(lag(col("tier"), 1).over(w).isNull ||
+              lag(col("tier"), 1).over(w) =!= col("tier"), lit(1))
+              .otherwise(lit(0)))
+          .withColumn("run",
+            sum(col("chg")).over(w.rowsBetween(W.unboundedPreceding, 0)))
+          .groupBy("o_custkey", "run")
+          .agg(min("vf").as("vf"), max("vt").as("vt"),
+            first("tier").as("tier"))
+          .select("o_custkey", "vf", "vt", "tier"))
+      })
+  }
+
   private def q285(s: SparkSession, dir: String): DataFrame = withNanosAsLong(s) {
     import graft.functions.Exact.dec
-    val W = org.apache.spark.sql.expressions.Window
-    val w = W.partitionBy("o_custkey").orderBy("vf")
     // SCD2 compaction: adjacent versions with the SAME tier merge into
     // one interval (classic run-collapse). Oracle-neutral — every event
     // maps to the same tier — but the broadcast ships only tier CHANGES,
@@ -2366,26 +2404,10 @@ object StreamingQueries extends QueryPack {
     // (custkey, date) grain and measurably dominated the per-batch
     // broadcast rebuild. Dims beyond broadcast size altogether need the
     // q260 treatment instead: a bucketed interval table + per-batch SMJ.
-    val dim = Tables.orders(s, dir)
-      .groupBy(col("o_custkey"), col("o_orderdate"))
-      .agg(max("o_totalprice").as("px"))
-      .select(col("o_custkey"),
-        unix_micros(col("o_orderdate").cast("timestamp")).as("vf"),
-        floor(col("px") / 50000).cast("long").as("tier"))
-      .withColumn("vt", coalesce(lead(col("vf"), 1).over(w), lit(Long.MaxValue)))
-      .withColumn("chg",
-        when(lag(col("tier"), 1).over(w).isNull ||
-          lag(col("tier"), 1).over(w) =!= col("tier"), lit(1)).otherwise(lit(0)))
-      .withColumn("run",
-        sum(col("chg")).over(w.rowsBetween(W.unboundedPreceding, 0)))
-      .groupBy("o_custkey", "run")
-      .agg(min("vf").as("vf"), max("vt").as("vt"), first("tier").as("tier"))
-      .select("o_custkey", "vf", "vt", "tier")
-      // materialize once: the STATIC side of a stream-static join
-      // re-executes every micro-batch — without this pin the window +
-      // compaction aggregate would re-run per batch; with it each batch
-      // broadcasts from the already-computed blocks
-      .materialized
+    // Pinned once per process (see [[scd2TierDim]]): the STATIC side of
+    // a stream-static join re-executes every micro-batch — each batch
+    // broadcasts from the already-computed blocks.
+    val dim = scd2TierDim(s, dir)
     val stream = eventsStream(s, dir)
       .select(col("user_id"), col("event_type"), col("value"),
         unix_micros(col("ts")).as("us"))
