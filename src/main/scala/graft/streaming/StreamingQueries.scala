@@ -312,7 +312,13 @@ object StreamingQueries extends QueryPack {
     * the conf at execution time. */
   private[graft] def eventsStream(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampType}
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // raw FILE schema through the Tables relation cache (r17): the bare
+    // re-read paid a ~100 ms schema-inference job on every invocation
+    // of every eventsStream gate. Callers run inside withNanosAsLong,
+    // so a nanos-generation fixture resolves identically whichever
+    // call-site populates the cache first (Tables.events sets the same
+    // conf before ITS first resolution).
+    val schema = graft.sources.Tables(s, dir, "events").schema
     val raw = s.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
