@@ -72,7 +72,9 @@ def main() -> None:
             for q in sorted(mins) if q in prev_mins and prev_mins[q] > 0
             and mins[q] > prev_mins[q] * 1.2 and mins[q] - prev_mins[q] > 0.1]
         snap["regressions"] = regressions
-        snap["regressions_vs"] = prev.get("protocol", "prior snapshot")
+        baseline_kind = "query_mins" if "query_mins" in prev else "queries (medians — legacy snapshot without mins; floors vs medians UNDERSTATE regressions)"
+        snap["regressions_vs"] = (
+            f"{prev.get('protocol', 'prior snapshot')} [baseline field: {baseline_kind}]")
     with open(out, "w") as f:
         f.write(json.dumps(snap) + "\n")
     print(f"runs: {totals} -> snapshot {total} (min-floor {total_min}, "

@@ -117,9 +117,10 @@ private[graft] object SessionConfs {
   * every later reuse fail with missing-block errors. Bench/Verify's
   * between-query hygiene (unpersist leaked per-query checkpoints so late
   * queries aren't taxed by earlier ones' memory) therefore exempts ids
-  * registered here — and ONLY these: per-call checkpoints (q115's edge
-  * frames, q165's stage pins) still get reclaimed. Pinned footprint is
-  * bounded by design: one small frame per (pack, source dir).
+  * registered here — and ONLY these: per-call checkpoints (q115's
+  * per-iteration rank frames, q165's stage pins) still get reclaimed.
+  * Pinned footprint is bounded by design: one small frame per
+  * (pack, source dir).
   */
 object PinnedBlocks {
   private val ids = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()

@@ -53,8 +53,10 @@ object GraphOps extends QueryPack {
   /** q115: PageRank (3 power iterations, d = 0.85) on the bipartite
     * supplier → customer graph induced by lineitem ⋈ orders: an edge
     * s → c for every distinct (supplier, customer) trade pair. Node ids
-    * are namespaced strings ("s:k" / "c:k") — the two key spaces overlap
-    * numerically. Classic formulation without dangling-mass
+    * are presented as namespaced strings ("s:k" / "c:k") — the two key
+    * spaces overlap numerically — but COMPUTE on the long parity codec
+    * above, decoding in the final projection.
+    * Classic formulation without dangling-mass
     * redistribution (customers have no out-edges; their mass exits), so
     * each iteration is exactly: rank' = (1−d)/N + d · Σ_in rank/outdeg.
     *
@@ -257,12 +259,18 @@ object GraphOps extends QueryPack {
         .distinct()
         .repartition(col("src"))
     }
-  private def undirectedTradeEdges(s: SparkSession, dir: String): DataFrame =
+  private def undirectedTradeEdges(s: SparkSession, dir: String): DataFrame = {
+    // resolve the fwd frame BEFORE entering the "undirected" compute:
+    // cachedPinned runs its build inside edgesCache.compute, and
+    // ConcurrentHashMap forbids updating other mappings of the same map
+    // from within compute — a lazily-built fwd would nest the two
+    // computes and can corrupt the bin they share
+    val fwd = tradeEdgesFwd(s, dir)
     cachedPinned(s, dir, "undirected") {
-      val fwd = tradeEdgesFwd(s, dir)
       fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
         .repartition(col("src"))
     }
+  }
 
   private def q233(s: SparkSession, dir: String): DataFrame = {
     val edges = undirectedTradeEdges(s, dir)

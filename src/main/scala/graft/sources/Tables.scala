@@ -34,6 +34,11 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // lazily sweep entries of STOPPED sessions (suites stop/recreate
+    // sessions; a dead session's keys can never match a lookup again,
+    // and each retains the session through its DataFrame)
+    if (relationCache.size > 64)
+      relationCache.keySet.removeIf(_._1.sparkContext.isStopped)
     val key = (spark, dir, name)
     val hit = relationCache.get(key)
     if (hit != null && !spark.sparkContext.isStopped) hit

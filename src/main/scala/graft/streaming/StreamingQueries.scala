@@ -249,12 +249,8 @@ object StreamingQueries extends QueryPack {
     val fs = new Path(destDir).getFileSystem(conf)
     val lib = sliceLib.computeIfAbsent(base + "|" + tag, _ =>
       buildOneFileParquet(s, base, build))
-    val dest = new Path(destDir,
+    copyVisible(s, fs, lib, destDir,
       f"${tag}_${sentinelSeq.incrementAndGet()}%05d.parquet")
-    if (!org.apache.hadoop.fs.FileUtil.copy(fs, new Path(lib), fs, dest,
-        false, conf))
-      sys.error(s"slice copy failed: $lib -> $dest")
-    dest.toString
   }
   private[streaming] def appendRowsFile(s: SparkSession, shards: String,
       schema: org.apache.spark.sql.types.StructType,
@@ -272,12 +268,37 @@ object StreamingQueries extends QueryPack {
     val lib = sentinelLib.computeIfAbsent(key, _ =>
       buildOneFileParquet(s, base,
         s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)))
-    val dest = new Path(shards,
+    copyVisible(s, fs, lib, shards,
       f"zz_sentinel_${sentinelSeq.incrementAndGet()}%05d_" +
         java.util.UUID.randomUUID().toString.replace("-", "") + ".parquet")
-    if (!org.apache.hadoop.fs.FileUtil.copy(fs, new Path(lib), fs, dest,
-        false, conf))
-      sys.error(s"sentinel copy failed: $lib -> $dest")
+  }
+
+  /** Copy `lib` into the actively-polled `destDir` ATOMICALLY: first to
+    * a dot-prefixed temp name (hidden — Spark's file listing skips
+    * `.`/`_` prefixes, so a half-copied file can never be listed by a
+    * running FileStreamSource), then a same-directory rename (atomic on
+    * a local fs). A failed copy evicts the enclosing dump from the
+    * process cache so a partial file can't poison later gates — the
+    * next consumer rewrites the whole dump. */
+  private def copyVisible(s: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      lib: String, destDir: String, name: String): String = {
+    import org.apache.hadoop.fs.Path
+    val tmp = new Path(destDir, "." + name + ".tmp")
+    val dest = new Path(destDir, name)
+    try {
+      if (!org.apache.hadoop.fs.FileUtil.copy(fs, new Path(lib), fs, tmp,
+          false, s.sparkContext.hadoopConfiguration))
+        sys.error(s"sentinel copy failed: $lib -> $tmp")
+      if (!fs.rename(tmp, dest))
+        sys.error(s"sentinel publish rename failed: $tmp -> $dest")
+    } catch {
+      case e: Throwable =>
+        try fs.delete(tmp, false)
+        catch { case scala.util.control.NonFatal(_) => () }
+        dumped.removeIf(root => destDir == root ||
+          destDir.startsWith(root + "/"))
+        throw e
+    }
     dest.toString
   }
 
