@@ -170,11 +170,27 @@ object FileIO extends QueryPack {
         round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2)
           .as("sum_qty"),
         count(lit(1)).as("n"))
+      // compute the aggregate ONCE for both sinks (r18): each .write
+      // re-ran the full lineitem scan + aggregation (2 × ~0.26 s at
+      // sf0.1). The 3-row cache holds the one frame both writers must
+      // see — the gate's contract (parquet ∩ csv read-backs == the
+      // aggregate) is unchanged, and the aggregate is still computed
+      // from the parquet inputs inside the timed run. coalesce(1): the
+      // cached agg otherwise keeps all shuffle partitions and each sink
+      // write commits that many near-empty files (measured 0.15 s per
+      // write of task/commit overhead for 3 rows).
+      .coalesce(1).persist()
     val pqOut = scratch(dir, "sink_parquet")
     val csvOut = scratch(dir, "sink_csv")
-    agg.write.mode("overwrite").parquet(pqOut)
-    agg.write.mode("overwrite").option("header", "true").csv(csvOut)
-    val backPq = s.read.parquet(pqOut)
+    try {
+      agg.write.mode("overwrite").parquet(pqOut)
+      agg.write.mode("overwrite").option("header", "true").csv(csvOut)
+    } finally agg.unpersist(false)
+    // explicit read-back schemas: the sink schema is the gate's own
+    // declared contract, so inferring it from footers/header per
+    // invocation was a pure metadata job (~0.1 s); VALUES still come
+    // from the files, which is what the intersect verifies.
+    val backPq = s.read.schema(sinkSchema).parquet(pqOut)
     val backCsv = s.read.schema(sinkSchema).option("header", "true").csv(csvOut)
     backPq.intersect(backCsv).orderBy("l_returnflag")
   }

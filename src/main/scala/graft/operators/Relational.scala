@@ -515,8 +515,17 @@ object Relational extends QueryPack {
     * of the technique (vs the one-pass sort of percentile_disc when
     * memory allows — q255's territory). */
   private def q263(s: SparkSession, dir: String): DataFrame = {
+    // Spread BEFORE caching (r18): the orders parquet is a single row
+    // group, so the cached single-column frame held ONE partition and
+    // every bisection pass ran its 63 conditional counters over the
+    // whole corpus in ONE task (measured 0.22–0.32 s × ~5 passes at
+    // sf0.1). The spread is paid once (a ~12 MB shuffle of bare longs),
+    // then every pass scans the cache cluster-wide — the cache-once/
+    // probe-k-times profile the scaladoc already claims. Parallelism
+    // derives from the cluster width, not a constant.
     val cents = Tables.orders(s, dir)
       .select(round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .repartition(s.sparkContext.defaultParallelism)
     cents.cache()
     try {
       cents.createOrReplaceTempView("graft_cents263")

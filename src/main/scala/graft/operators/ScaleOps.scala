@@ -544,7 +544,16 @@ object ScaleOps extends QueryPack {
       transform(regexp_extract_all(
         concat_ws("|", lit("skew"), col("o_custkey")), lit("."), lit(0)),
         c => ascii(c).cast("long"))), lit(R.toLong))
+    // spread BEFORE hashing (r18, guide §2.5 input skew): the orders
+    // parquet is a single row group → a 1-task scan, and the per-row
+    // rolling hash (regexp char explode + transform) is the query's
+    // entire cost — measured 0.61 s in ONE task at sf0.1. Shuffling the
+    // bare o_custkey LONG first (~1 MB) parallelizes the hash across the
+    // cluster; at 100 TB the scan splits naturally and the same shape
+    // holds (hash work ∝ rows/task).
     val loads = Tables.orders(s, dir)
+      .select(col("o_custkey"))
+      .repartition(s.sparkContext.defaultParallelism)
       .select(bucket.as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("bucket_load"))

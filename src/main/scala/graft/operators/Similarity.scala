@@ -248,7 +248,11 @@ object Similarity extends QueryPack {
     val cb = subVecs(e.filter(col("vec_id") < 16))
       .select(col("vec_id").as("c"), col("j"), col("sv").as("cv"))
     // index build: nearest code per (vector, subspace); the aggregate
-    // argmin combines map-side, unlike a row_number window
+    // argmin combines map-side, unlike a row_number window. (r18 note: a
+    // defaultParallelism spread before the build was A/B'd and REVERTED —
+    // the 0.26 s single-task assignment pass shrank to a 0.15 s stage but
+    // the extra exchange + AQE stage cost more than it saved; at scale
+    // the scan splits naturally and no spread is needed.)
     val codes = subVecs(e)
       .join(broadcast(cb), Seq("j"))
       .withColumn("d2", d2r6(s, "sv", "cv"))

@@ -604,6 +604,11 @@ object TextAnalysis extends QueryPack {
     * `sequence`), map-only before the count shuffles. */
   private def q197(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // (r18 note: a defaultParallelism spread of the corpus before the
+    // bigram fan-out was A/B'd and REVERTED — each 0.3-0.4 s single-task
+    // pass became a 32-task stage behind an extra exchange, and the
+    // added stage/AQE constants cost MORE than the parallelism saved at
+    // this fixture size; at 100 TB the scan splits naturally anyway.)
     val w = split(col("text"), " ", -1)
     val pairs = docs
       .select(col("doc_id"), w.as("w"))
@@ -614,7 +619,12 @@ object TextAnalysis extends QueryPack {
           element_at(col("w"), i + 1).as("w2")))).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
     val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val uni = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // C(w₁·) ≡ Σ_{w₂} C(w₁w₂) exactly (every bigram position contributes
+    // once to both sides), so the prefix counts aggregate the SMALL
+    // bigram table instead of re-running the corpus explode + shuffling
+    // every pair a second time (r18, guide §2.3 aggregate before you
+    // shuffle — one full pass and one corpus-sized exchange removed).
+    val uni = bi.groupBy("w1").agg(sum("c12").as("c1"))
     val vocab = docs
       .select(explode(split(col("text"), " ", -1)).as("word"))
       .filter(length(col("word")) > 0)
@@ -757,7 +767,14 @@ object TextAnalysis extends QueryPack {
     * detection prefilter (q182's family) as one generator + aggregate. */
   private def q291(s: SparkSession, dir: String): DataFrame = {
     graft.functions.TextFunctions.ensureShingles(s)
+    // spread the corpus before the generator (r18, same fix as the dedup
+    // pack's shingle frame): the documents parquet is a single row group,
+    // so the LATERAL fan-out + partial aggregate ran in ONE task
+    // (measured 0.47 s of the gate's 0.84 s at sf0.1); one (id, text)
+    // shuffle parallelizes it, and at 100 TB the scan splits naturally
+    // so the repartition is a local-fixture no-op by shape.
     Tables.documents(s, dir).select("doc_id", "text")
+      .repartition(s.sparkContext.defaultParallelism)
       .createOrReplaceTempView("graft_docs291")
     s.sql(
       """SELECT t.shingle, count(*) AS n, count(DISTINCT doc_id) AS df,

@@ -34,17 +34,25 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // lazily sweep entries of STOPPED sessions (suites stop/recreate
-    // sessions; a dead session's keys can never match a lookup again,
-    // and each retains the session through its DataFrame)
-    if (relationCache.size > 64)
-      relationCache.keySet.removeIf(_._1.sparkContext.isStopped)
     val key = (spark, dir, name)
     val hit = relationCache.get(key)
     if (hit != null && !spark.sparkContext.isStopped) hit
-    else relationCache.compute(key, (_, cached) =>
-      if (cached != null && !spark.sparkContext.isStopped) cached
-      else spark.read.parquet(s"$dir/$name.parquet"))
+    else {
+      // Sweep entries of STOPPED sessions on the MISS path only (ADVICE
+      // r17: the old every-lookup sweep degenerated to a full keySet scan
+      // per apply() once >64 live entries accumulated). Misses are rare —
+      // one per (session, dir, table) — so the scan amortizes to nothing,
+      // and a dead session's keys can never match a lookup again (each
+      // retains the session through its DataFrame). A hard cap backstops
+      // the live-entry case: this is a metadata cache, so dropping it
+      // wholesale only costs re-resolution, never correctness.
+      if (relationCache.size > 64)
+        relationCache.keySet.removeIf(_._1.sparkContext.isStopped)
+      if (relationCache.size > 512) relationCache.clear()
+      relationCache.compute(key, (_, cached) =>
+        if (cached != null && !spark.sparkContext.isStopped) cached
+        else spark.read.parquet(s"$dir/$name.parquet"))
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")

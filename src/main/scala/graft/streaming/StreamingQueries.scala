@@ -136,6 +136,23 @@ object StreamingQueries extends QueryPack {
       }
     }
 
+  /** The single part file of a one-file parquet write, asserted (ADVICE
+    * r17): the flatten/rename sites below take "the" part file of a dir
+    * the writer is expected to have emitted exactly one file into; if a
+    * future conf (maxRecordsPerFile, an AQE rebalance split) ever makes
+    * a writer emit several, `.head` would silently drop rows from the
+    * replay corpus — fail loudly instead. */
+  private def theOnePartFile(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path = {
+    val parts = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith("part-"))
+    if (parts.length != 1)
+      sys.error(s"expected exactly one part file in $dir, " +
+        s"found ${parts.length}: a multi-file write here would silently " +
+        "truncate the replay corpus")
+    parts.head
+  }
+
   /** Dump the events table once per process into a day-partitioned
     * scratch dir — one file per day so the file source (with
     * `maxFilesPerTrigger`) can deliver a genuinely incremental
@@ -184,8 +201,7 @@ object StreamingQueries extends QueryPack {
         .filter(_.getPath.getName.startsWith("day_p="))
         .foreach { st =>
           val day = st.getPath.getName.stripPrefix("day_p=")
-          val part = fs.listStatus(st.getPath).map(_.getPath)
-            .filter(_.getName.startsWith("part-")).head
+          val part = theOnePartFile(fs, st.getPath)
           if (!fs.rename(part,
               new org.apache.hadoop.fs.Path(hp, s"$day.parquet")))
             sys.error(s"day-shard flatten rename failed for $day")
@@ -224,8 +240,7 @@ object StreamingQueries extends QueryPack {
     val name = "s" + java.util.UUID.randomUUID().toString.replace("-", "")
     val tmp = new Path(base + s"_sentlib_tmp_$name")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = fs.listStatus(tmp).map(_.getPath)
-      .filter(_.getName.startsWith("part-")).head
+    val part = theOnePartFile(fs, tmp)
     val libDir = new Path(base + "_sentlib")
     fs.mkdirs(libDir)
     val dest = new Path(libDir, s"$name.parquet")
@@ -263,8 +278,22 @@ object StreamingQueries extends QueryPack {
     // per-run scratch dir (q222's phased src) pass a per-dir base so
     // the one-time build amortizes across runs
     val base = libBase.getOrElse(shards)
+    // Collision-proof row encoding (ADVICE r17): Row.toString renders
+    // Row("a,b") and Row("a","b") identically ("[a,b]"), so distinct row
+    // sets could collide and serve the wrong cached parquet. Length-
+    // prefixing every rendered field makes boundaries unambiguous, and
+    // the class tag separates values whose toString coincides ("1" the
+    // string vs 1 the long).
+    def encField(v: Any): String = v match {
+      case null => "N"
+      case x =>
+        val r = x.toString
+        s"${x.getClass.getName}#${r.length}:$r"
+    }
+    def encRow(r: org.apache.spark.sql.Row): String =
+      (0 until r.length).map(i => encField(r.get(i))).mkString("|")
     val key = base + "|" + schema.map(f => f.name + ":" + f.dataType.sql)
-      .mkString(",") + "|" + rows.map(_.toString).mkString(";")
+      .mkString(",") + "|" + rows.map(encRow).mkString(";")
     val lib = sentinelLib.computeIfAbsent(key, _ =>
       buildOneFileParquet(s, base,
         s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)))
@@ -2682,8 +2711,7 @@ object StreamingQueries extends QueryPack {
           .filter(col("doc_id") >= lo + i * step &&
             col("doc_id") < lo + (i + 1) * step)
           .coalesce(1).write.mode("overwrite").parquet(tmp)
-        val part = fs.listStatus(new Path(tmp))
-          .map(_.getPath).filter(_.getName.startsWith("part-")).head
+        val part = theOnePartFile(fs, new Path(tmp))
         fs.rename(part, new Path(shards, f"shard-$i%04d.parquet"))
         fs.delete(new Path(tmp), true)
       }
@@ -2725,8 +2753,17 @@ object StreamingQueries extends QueryPack {
         // batch-local pin: sh feeds five consumers (both sides of the
         // local join, the verify join, the result projection, the index
         // append) and bands three — without a persist each consumer
-        // re-runs the shingle+minhash map over the batch
-        val sh = shingle(batch).persist()
+        // re-runs the shingle+minhash map over the batch.
+        // repartition first (r18): the file-source batch arrives with
+        // one partition per admitted FILE (2 here), so the shingle +
+        // minhash maps — the screen's CPU — ran 2-wide on a 32-core
+        // session (measured 0.34–0.49 s per downstream job). Spreading
+        // the raw (id, text) batch parallelizes every consumer of the
+        // pinned frames; width derives from the cluster, and at
+        // production batch sizes the same spread is how a thin-file
+        // micro-batch saturates executors.
+        val sh = shingle(batch.repartition(
+          batch.sparkSession.sparkContext.defaultParallelism)).persist()
         val bands = bandsOf(sh).persist()
         try {
         val haveIdx = fs.exists(new Path(idxShPath))
