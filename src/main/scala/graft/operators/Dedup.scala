@@ -165,10 +165,29 @@ object Dedup extends QueryPack {
   /** Join candidate (id_a, id_b) pairs back to shingle sets and keep the
     * exactly-verified near-dups (unsorted — callers add presentation
     * order; graph consumers like q66 skip the useless global sort). */
-  private def verifyPairs(cand: DataFrame, shSets: DataFrame, minJac: Double): DataFrame = {
+  private def verifyPairs(cand: DataFrame, shSets: DataFrame, minJac: Double,
+      spread: Boolean = false): DataFrame = {
     val a = shSets.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val b = shSets.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    cand.join(a, "id_a").join(b, "id_b")
+    // spread = pin the verify parallelism (r18, the q45/cosinePairsTiled
+    // lesson): the candidate frame is KB-sized, so AQE's byte-based
+    // coalescing collapsed the exact-Jaccard stage — the verify tier's
+    // entire CPU (array_intersect per pair) — to 1–5 tasks (q97's
+    // verify measured 0.73 s in ONE task at sf0.1). REPARTITION_BY_NUM
+    // on the join keys is not AQE-coalescable and the joins reuse it,
+    // so the verify runs at cluster width. Opt-IN, because the A/B cut
+    // both ways: the PPJoin detectors' large candidate sets (q44 ~33k
+    // pairs: 1.50→1.29 s, q97 1.33→1.17 s) win, while the banded-LSH
+    // gates' few-hundred-pair verifies lost more to the two extra
+    // exchanges than the parallelism returned (q43 0.41→0.61 s) — so
+    // those keep the coalesced shape. Width derives from the cluster.
+    val base =
+      if (spread) {
+        val np = cand.sparkSession.sparkContext.defaultParallelism
+        cand.repartition(np, col("id_a")).join(a, "id_a")
+          .repartition(np, col("id_b")).join(b, "id_b")
+      } else cand.join(a, "id_a").join(b, "id_b")
+    base
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
@@ -397,7 +416,7 @@ object Dedup extends QueryPack {
         .select(least(col("id_a"), col("id_b")).as("id_a"),
           greatest(col("id_a"), col("id_b")).as("id_b"))
         .distinct()
-    verifyPairs(cand, docs.select("doc_id", "sh"), t)
+    verifyPairs(cand, docs.select("doc_id", "sh"), t, spread = true)
   }
 
   /** q44 with presentation order (the oracle-compared output). */

@@ -687,10 +687,27 @@ object ScaleOps extends QueryPack {
     // hot reduce partition at MAP-OUTPUT granularity, and the fixture's
     // single-file scan is one mapper (unsplittable) — a real 100 TB fact
     // scan has thousands of mappers and needs no such step.
-    val fact = Tables.lineitem(s, dir).repartition(8).select(
+    // project BEFORE the manufactured exchange (r18, guide §2.3): the
+    // old repartition(8).select(...) shuffled every lineitem column to
+    // derive 3 — the fixture-prep job carried 10.4 MB; selecting first
+    // shuffles only (jk, price, flag). And partition by a DETERMINISTIC
+    // spreading key rather than round-robin (guide §2.5): keyless
+    // repartition(n) local-sorts its whole input first
+    // (sortBeforeRepartition, SPARK-23207) — measured as the dominant
+    // term of the 0.68 s prep job — while hash partitioning skips the
+    // sort and is retry-safe by construction. xxhash64(l_orderkey) mod
+    // 512 spreads the hot jk=0 rows (which come from every orderkey)
+    // across all 8 map outputs exactly like round-robin did, so the
+    // skew reader still has 8 map-output slices of the hot reduce
+    // partition to split, far above the 8 KiB threshold.
+    val fact = Tables.lineitem(s, dir).select(
       when(col("l_quantity") <= 25, lit(0L))
         .otherwise(col("l_orderkey") % 25).as("jk"),
-      col("l_extendedprice"), col("l_returnflag"))
+      col("l_extendedprice"), col("l_returnflag"),
+      pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(512))
+        .as("graft_spread"))
+      .repartition(8, col("graft_spread"))
+      .drop("graft_spread")
     // dim keys unique BY CONSTRUCTION (n_nationkey), no aggregate: the
     // skew reader's pattern is SMJ(Sort(shuffle), Sort(shuffle)) — an
     // agg between sort and shuffle on either side opts the join out

@@ -2788,7 +2788,14 @@ object StreamingQueries extends QueryPack {
             Seq("band_idx", "band_val"))
           .select(col("doc_id"), col("prev_id"))
         val prevSh =
-          (if (haveIdx) s.read.parquet(idxShPath).select("doc_id", "sh")
+          // explicit schema (r18): the per-batch snapshot re-read paid a
+          // footer-inference job every micro-batch for a schema the gate
+          // itself wrote one line above; bid arrives via partition
+          // discovery and is projected away
+          (if (haveIdx) s.read.schema(
+              new org.apache.spark.sql.types.StructType()
+                .add("doc_id", "long").add("sh", "array<string>"))
+            .parquet(idxShPath).select("doc_id", "sh")
            else sh.limit(0))
             .toDF("prev_id", "sh_p")
             .unionByName(sh.toDF("prev_id", "sh_p"))
@@ -2844,7 +2851,11 @@ object StreamingQueries extends QueryPack {
         query.processAllAvailable()
         recordBatchId("q261", query)
       } finally query.stop()
-      val result = s.read.parquet(resPath)
+      val result = s.read.schema(
+          new org.apache.spark.sql.types.StructType()
+            .add("doc_id", "long").add("dup_of", "long")
+            .add("admitted", "boolean"))
+        .parquet(resPath)
         .select("doc_id", "dup_of", "admitted").orderBy("doc_id")
       val rows = result.collect()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
